@@ -1,0 +1,263 @@
+"""Deduplication operators for document corpora.
+
+The reference's dedup surface is the windowed latest/earliest-record idiom
+(``/root/reference/industry-examples/retail.sql:120-125``,
+``clinicdata.sql:143-161``, ``semantics.sql:137-151``) plus duplicate
+detection via GROUP BY/HAVING (``manufacturing.sql:86-91``). This module
+generalizes that to the dedup families a training-data pipeline needs:
+
+- exact dedup: content-hash groupBy (shuffle on a 32-char key, not the blob)
+- n-gram Jaccard near-dup: shingle-set overlap for candidate pairs
+- MinHash + LSH: banded minhash signatures -> bucket join -> verified pairs.
+  Scale path: candidate generation is an equi-join on (band_id, signature),
+  i.e. a shuffle whose width is O(docs x bands), never O(docs^2).
+- SimHash: 64-bit bit-majority signature, hamming-distance buckets.
+
+Determinism note: minhashes are built from md5 hex strings (lexicographic
+min), not JVM hash seeds, so signatures are stable across engines/runs and
+can be checked against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint, tokens
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per distinct (md5-hashed) content.
+
+    Hash first so the shuffle key is 32 chars — at 100 TB the alternative
+    (groupBy on the raw text column) shuffles the full corpus payload."""
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("content_hash", fingerprint(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group report: hash -> n_docs, min/max id (HAVING COUNT>1)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.max(id_col).cast("long").alias("max_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (sorted array<string> for determinism)."""
+    toks = tokens(col)
+    n_grams = F.size(toks) - (n - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two distinct-element arrays (exact ints / double)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, F.round(inter / union, 6)).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------- minhash-LSH
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
+    """k minhashes: min over md5('seed:i' || shingle) hex strings.
+
+    md5-as-permutation is the standard trick; using the lexicographic min of
+    hex strings keeps it engine-portable and seed-stable."""
+    return [
+        F.array_min(F.transform(shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"mh{i}:"), s))))
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified by true Jaccard.
+
+    Plan shape (the part that matters at 100 TB):
+      1. map-only: shingle + k minhashes per doc (no shuffle)
+      2. explode bands -> shuffle on (band_id, band_signature): docs sharing
+         a band co-locate; bucket size is bounded by collision rate, never
+         all-pairs
+      3. self-join within bucket (a.id < b.id) -> candidate pairs
+      4. verify candidates with exact Jaccard on the shingle sets
+    """
+    n_bands = num_hashes // band_size
+    sig = minhash_signature(F.col("shingles"), num_hashes)
+    docs = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    banded = docs.select(
+        "id",
+        "shingles",
+        F.array(
+            *[
+                F.concat_ws("|", *sig[b * band_size : (b + 1) * band_size]).alias(f"b{b}")
+                for b in range(n_bands)
+            ]
+        ).alias("bands"),
+    ).select("id", "shingles", F.posexplode("bands").alias("band_id", "band_sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard_sim")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_id: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard above a threshold (exact, for small scopes /
+    verification; the scale path is minhash_lsh_pairs)."""
+    docs = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    if max_id is not None:
+        docs = docs.filter(F.col("id") < max_id)
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of the token multiset (xxhash64 per token, bit-majority).
+
+    Engine-internal signature (JVM hash seed) — compared via hamming distance,
+    not against a cross-engine oracle."""
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def signed_mask(i: int) -> int:
+        # bit 63 must be expressed as the sign bit of a signed int64
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    def vote(bit: int):
+        # factory keeps the merge lambda strictly 2-arg (acc, h); extra
+        # default args would change the higher-order-function signature
+        mask = F.lit(bit).cast("long")
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), vote(signed_mask(i))) for i in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        # masks are disjoint -> OR composes the signature without overflow
+        out = out.bitwiseOR(F.when(v > 0, F.lit(signed_mask(i)).cast("long")).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+
+    Pigeonhole: two signatures within hamming distance <= 3*chunks/4 share at
+    least one exact 16-bit chunk — candidates come from an equi-join on
+    (chunk_id, chunk_value), all-pairs never materializes."""
+    sig = df.select(
+        F.col(id_col).cast("long").alias("id"), simhash64(F.col(text_col)).alias("sig")
+    )
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftrightunsigned("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sig", "c.chunk_id", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

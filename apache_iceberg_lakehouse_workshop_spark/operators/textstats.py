@@ -1,0 +1,131 @@
+"""Text-analysis operators over a document corpus.
+
+These generalize the reference's text-enrichment pattern (free-text VARCHAR
+columns enriched in the silver layer — ``/root/reference/industry-examples/
+logistics_AI.sql:47-57``, ``media_ai.sql:42-47``) into the deterministic,
+non-LLM text operators a large-scale training-data pipeline needs:
+tokenization, language-ID, quality scoring, fingerprinting.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (no Python
+UDFs) so it stays inside WholeStageCodegen and scales linearly with input
+splits — at 100 TB these are embarrassingly parallel map-only stages with no
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic; real deployments swap in
+# fastText — the *plumbing* (map-only, codegen-friendly) is the point.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"],
+}
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, strip non [a-z ] chars, collapse whitespace, trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.filter(F.split(normalized_text(col), " "), lambda x: x != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("long")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation (quality-score feature)."""
+    n_punct = F.length(F.regexp_replace(col, "[^.,;:!?]", ""))
+    return (n_punct.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double"))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic heuristic quality score in [0,1]: rewards reasonable
+    length, penalizes punctuation soup and stopword-free gibberish.
+
+    Mirrors the length/punct/stopword family of features used by public
+    training-data pipelines (C4/Gopher rules)."""
+    length_score = F.least(char_count(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    raw = length_score * 0.5 + sw_score * 0.3 + (1.0 - punct_penalty) * 0.2
+    return F.round(raw, 6)
+
+
+def _hits_in(sw: Column):
+    # single-arg lambda factory: a 2-arg lambda would be interpreted by
+    # F.filter as the (element, index) signature
+    return lambda t: F.array_contains(sw, t)
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword-hit counts (the language-ID signal)."""
+    toks = tokens(col)
+    out = []
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out.append((lang, F.size(F.filter(toks, _hits_in(sw)))))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword hits; 'und' (undetermined) when no hits.
+
+    Ties broken by fixed language order (en,es,fr,de) — deterministic."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # forward fold with strict '>' -> earliest language in dict order wins ties
+    for lang, score in scores:
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized text.
+
+    The canonical near-dup-resistant variant (rolling hash over shingles)
+    lives in dedup.py; this is the exact-content fingerprint used for
+    content-addressed dedup joins at scale (hash join on a 32-char key
+    instead of comparing multi-KB text blobs)."""
+    return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass enrichment: all text features as columns (map-only)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        token_count(c).alias("n_tokens"),
+        char_count(c).alias("n_chars_obs"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        quality_score(c).alias("quality_score"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

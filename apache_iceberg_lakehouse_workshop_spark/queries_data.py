@@ -1,0 +1,438 @@
+"""Training-data-pipeline query battery: text analysis, deduplication,
+embedding similarity search, multimodal columns, AI functions.
+
+These are the north-star extensions (BASELINE.json) layered on the
+reference's text/AI surface (SURVEY.md §2.10). Oracles replicate the exact
+arithmetic in DuckDB SQL; operators that are inherently engine-internal
+(SimHash over xxhash64, LSH-bucketed ANN) are rows-only checked, with their
+exact twins covered by tests instead.
+
+Shared normalization contract (MUST stay in lockstep across
+operators/textstats.py, functions/ai.py and every oracle below):
+lower -> strip non [a-z ] -> collapse spaces -> trim -> split on ' '.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.ai import ai_classify, ai_complete, ai_generate
+from .operators import dedup as DD
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+from .operators import textstats as TS
+from .queries_core import q
+from .tables import load_table
+
+# DuckDB macro-equivalent snippets reused across oracles
+_TOKS = (
+    "list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace("
+    "lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+
+@q(
+    "t1_token_stats",
+    f"""WITH tok AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(len(w) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_obs,
+              md5(array_to_string(w, ' ')) AS fingerprint
+       FROM tok""",
+    "token counting + exact-content fingerprint (md5 of normalized text) — "
+    "text-analysis ops over the documents table",
+)
+def t1_token_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TS.token_count(c).alias("n_tokens"),
+        TS.char_count(c).alias("n_chars_obs"),
+        TS.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def _duck_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_EN = f"len(list_filter(w, x -> list_contains({_duck_list(TS.LANG_STOPWORDS['en'])}, x)))"
+_ES = f"len(list_filter(w, x -> list_contains({_duck_list(TS.LANG_STOPWORDS['es'])}, x)))"
+_FR = f"len(list_filter(w, x -> list_contains({_duck_list(TS.LANG_STOPWORDS['fr'])}, x)))"
+_DE = f"len(list_filter(w, x -> list_contains({_duck_list(TS.LANG_STOPWORDS['de'])}, x)))"
+
+
+@q(
+    "t2_lang_id",
+    f"""WITH tok AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents),
+       hits AS (SELECT doc_id, lang,
+                       {_EN} AS h_en, {_ES} AS h_es, {_FR} AS h_fr, {_DE} AS h_de
+                FROM tok)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+              CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en > 0 THEN 'en'
+                   WHEN h_es >= h_fr AND h_es >= h_de AND h_es > 0 THEN 'es'
+                   WHEN h_fr >= h_de AND h_fr > 0 THEN 'fr'
+                   WHEN h_de > 0 THEN 'de'
+                   ELSE 'und' END AS lang_pred
+       FROM hits""",
+    "language-ID via stopword-hit argmax (n-gram heuristic family); ties "
+    "resolved by fixed language priority",
+)
+def t2_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        TS.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@q(
+    "t3_quality_score",
+    f"""WITH tok AS (SELECT doc_id, text, {_TOKS} AS w FROM documents),
+       feat AS (SELECT doc_id,
+                  CAST(length(text) AS DOUBLE) AS n_chars,
+                  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1) AS punct,
+                  CAST({_EN.replace("list_filter(w", "list_filter(w")} AS DOUBLE)
+                    / greatest(len(w), 1) AS sw
+                FROM tok)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              round(least(n_chars / 500.0, 1.0) * 0.5
+                    + least(sw * 4.0, 1.0) * 0.3
+                    + (1.0 - least(punct * 5.0, 1.0)) * 0.2, 6) AS quality_score
+       FROM feat""",
+    "heuristic quality scoring: length/punctuation/stopword features "
+    "(C4/Gopher-style rules)",
+)
+def t3_quality_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TS.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+_CORPUS_50 = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50"
+)
+
+
+@q(
+    "d1_exact_dup_groups",
+    f"""WITH corpus AS ({_CORPUS_50}),
+       tok AS (SELECT doc_id, {_TOKS} AS w FROM corpus),
+       fp AS (SELECT doc_id, md5(array_to_string(w, ' ')) AS content_hash FROM tok)
+       SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+              CAST(MAX(doc_id) AS BIGINT) AS max_id
+       FROM fp GROUP BY content_hash HAVING COUNT(*) > 1""",
+    "exact dedup via content-hash groupBy (W1 dedup idiom generalized; "
+    "semantics.sql:59-79 duplicate-rows spec). Corpus = documents + re-inserted "
+    "copies of doc_id<50 so duplicate groups exist deterministically.",
+)
+def d1_exact_dup_groups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return DD.exact_dup_groups(d.unionAll(dup))
+
+
+_CORPUS_30 = (
+    "SELECT doc_id AS id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30"
+)
+
+_SHINGLES = (
+    "list_sort(list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))"
+)
+
+
+@q(
+    "d2_minhash_lsh_pairs",
+    f"""WITH corpus AS ({_CORPUS_30}),
+       tok AS (SELECT id, {_TOKS} AS w FROM corpus),
+       sh AS (SELECT id, {_SHINGLES} AS s FROM tok WHERE len(w) >= 3),
+       ex AS (SELECT id, unnest(s) AS g FROM sh),
+       mh AS (SELECT id, j, min(md5('mh' || CAST(j AS VARCHAR) || ':' || g)) AS h
+              FROM ex CROSS JOIN range(0, 8) t(j) GROUP BY id, j),
+       bands AS (SELECT id, CAST(j // 2 AS INT) AS band_id,
+                        string_agg(h, '|' ORDER BY j) AS sig
+                 FROM mh GROUP BY id, j // 2),
+       cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.sig = b.sig AND a.id < b.id),
+       jac AS (SELECT c.ida, c.idb,
+                      round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                            / (CAST(len(sa.s) + len(sb.s) AS DOUBLE)
+                               - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)), 6) AS js
+               FROM cand c JOIN sh sa ON sa.id = c.ida JOIN sh sb ON sb.id = c.idb)
+       SELECT CAST(ida AS BIGINT) AS doc_a, CAST(idb AS BIGINT) AS doc_b,
+              js AS jaccard_sim
+       FROM jac WHERE js >= 0.5""",
+    "MinHash+LSH near-dup pairs (shingle -> md5-minhash -> band -> bucket join "
+    "-> Jaccard verify). md5-hex minhashes make signatures engine-portable. "
+    "Scale path: candidates from an equi-join on (band, sig), never all-pairs.",
+)
+def d2_minhash_lsh_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return DD.minhash_lsh_pairs(
+        d.unionAll(dup), num_hashes=8, band_size=2, jaccard_threshold=0.5, shingle_n=3
+    )
+
+
+@q(
+    "d3_ngram_jaccard_pairs",
+    f"""WITH tok AS (SELECT doc_id AS id, {_TOKS} AS w FROM documents WHERE doc_id < 120),
+       sh AS (SELECT id, {_SHINGLES} AS s FROM tok WHERE len(w) >= 3),
+       pairs AS (SELECT a.id AS doc_a, b.id AS doc_b,
+                        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                              / (CAST(len(a.s) + len(b.s) AS DOUBLE)
+                                 - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)), 6)
+                          AS jaccard_sim
+                 FROM sh a JOIN sh b ON a.id < b.id)
+       SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jaccard_sim
+       FROM pairs WHERE jaccard_sim >= 0.02""",
+    "exact all-pairs n-gram Jaccard above threshold (verification-scope "
+    "complement of MinHash-LSH)",
+)
+def d3_ngram_jaccard_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.02, max_id=120)
+
+
+@q(
+    "d4_simhash_neardup",
+    None,  # xxhash64-based signature is engine-internal -> rows-only check;
+    # exact semantics are pinned by tests/test_dedup.py instead
+    "SimHash 64-bit near-dup with 16-bit-chunk pigeonhole blocking "
+    "(engine-internal hash; rows-only driver check)",
+)
+def d4_simhash_neardup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return DD.simhash_neardup_pairs(d.unionAll(dup), max_hamming=8)
+
+
+# =====================================================================
+# Embedding similarity search
+# =====================================================================
+
+_QVEC = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+@q(
+    "s1_knn_bruteforce",
+    f"""WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+       n AS (SELECT vec_id, qv,
+                    (SELECT SUM(qv[t.i] * qv[t.i]) FROM range(1, 65) t(i)) AS nrm
+             FROM v),
+       p AS (SELECT b.vec_id AS query_id, a.vec_id AS cand_id,
+                    (SELECT SUM(a.qv[t.i] * b.qv[t.i]) FROM range(1, 65) t(i)) AS dot,
+                    a.nrm AS na, b.nrm AS nb
+             FROM n a, n b WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id),
+       s AS (SELECT query_id, cand_id,
+                    round(CASE WHEN na > 0 AND nb > 0
+                               THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                               ELSE 0.0 END, 6) AS cosine_sim
+             FROM p)
+       SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
+              cosine_sim, CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_sim DESC, cand_id) AS rnk
+             FROM s) t
+       WHERE rnk <= 5""",
+    "brute-force cosine top-k ANN baseline: broadcast query set, map-side "
+    "scoring, one narrow shuffle for per-query top-k. Quantized int64 dot "
+    "products -> bit-identical across engines.",
+)
+def s1_knn_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.knn_bruteforce(emb, queries, k=5)
+
+
+_ECORPUS = (
+    "SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20"
+)
+
+
+@q(
+    "s2_embedding_neardup",
+    f"""WITH corpus AS ({_ECORPUS}),
+       v AS (SELECT vec_id, {_QVEC} AS qv FROM corpus),
+       n AS (SELECT vec_id, qv,
+                    (SELECT SUM(qv[t.i] * qv[t.i]) FROM range(1, 65) t(i)) AS nrm
+             FROM v),
+       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                    (SELECT SUM(a.qv[t.i] * b.qv[t.i]) FROM range(1, 65) t(i)) AS dot,
+                    a.nrm AS na, b.nrm AS nb
+             FROM n a, n b WHERE a.vec_id < b.vec_id)
+       SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+              round(CASE WHEN na > 0 AND nb > 0
+                         THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                         ELSE 0.0 END, 6) AS cosine_sim
+       FROM p
+       WHERE CASE WHEN na > 0 AND nb > 0
+                  THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                  ELSE 0.0 END >= 0.99""",
+    "embedding-cosine near-duplicate pairs above 0.99 (corpus + re-inserted "
+    "copies so dup pairs exist deterministically)",
+)
+def s2_embedding_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(dup)
+    return SIM.embedding_neardup_pairs(corpus, threshold=0.99)
+
+
+@q(
+    "s3_knn_lsh",
+    None,  # approximate recall is engine-defined -> rows-only; recall-vs-
+    # brute-force is asserted in tests/test_similarity.py
+    "LSH-bucketed approximate top-k (random-hyperplane sign buckets; the "
+    "100 TB scale path — candidates shrink 2^planes-fold)",
+)
+def s3_knn_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.knn_lsh(emb, queries, k=5, dim=64, n_planes=4)
+
+
+# =====================================================================
+# Multimodal columns
+# =====================================================================
+
+
+@q(
+    "mm1_binary_metadata",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS content_md5,
+              CAST(floor(length(text) / 100) + 1 AS BIGINT) AS n_chunks
+       FROM documents""",
+    "multimodal binary column + typed metadata (binary payload, byte length, "
+    "content digest, chunk count) — JVM-side ops over opaque blobs; the "
+    "decode path is the mapInPandas stage in mm2 (stubbed codec)",
+)
+def mm1_binary_metadata(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("content_md5"),
+        (F.floor(F.length("text") / F.lit(100)) + 1).cast("long").alias("n_chunks"),
+    )
+
+
+@q(
+    "mm2_media_features",
+    None,  # fake-decoder output is engine-defined -> rows-only check
+    "mapInPandas feature extraction over binary media payloads (Arrow batches; "
+    "decode stubbed behind a deterministic fake — see operators/multimodal.py)",
+)
+def mm2_media_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.media_from_documents(d))
+
+
+# =====================================================================
+# AI functions (mock backend — deterministic, SQL-replicable)
+# =====================================================================
+
+_AI_LABELS = ["table", "stream", "vector", "window"]
+
+
+@q(
+    "ai1_classify",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+       hits AS (SELECT doc_id,
+                       len(list_filter(w, x -> x = 'table')) AS h1,
+                       len(list_filter(w, x -> x = 'stream')) AS h2,
+                       len(list_filter(w, x -> x = 'vector')) AS h3,
+                       len(list_filter(w, x -> x = 'window')) AS h4
+                FROM tok)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CASE WHEN h1 >= h2 AND h1 >= h3 AND h1 >= h4 AND h1 > 0 THEN 'table'
+                   WHEN h2 >= h3 AND h2 >= h4 AND h2 > 0 THEN 'stream'
+                   WHEN h3 >= h4 AND h3 > 0 THEN 'vector'
+                   WHEN h4 > 0 THEN 'window'
+                   ELSE 'Unknown' END AS label
+       FROM hits""",
+    "AI_CLASSIFY(text, ARRAY[...]) with closed label set "
+    "(recipes.sql:18; ai_classify_examples.sql:31-35) — mock backend counts "
+    "label-token hits, first label wins ties, no hit -> 'Unknown'",
+)
+def ai1_classify(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ai_classify(F.col("text"), _AI_LABELS).alias("label"),
+    )
+
+
+@q(
+    "ai2_complete",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              'echo[' || CAST(length('Summarize: ' || text) AS VARCHAR) || ']:'
+                || upper(substr(trim('Summarize: ' || text), 1, 16)) AS reply
+       FROM documents WHERE doc_id < 200""",
+    "AI_COMPLETE(prompt) free-text completion (logistics_AI.sql:220-240) — "
+    "mock backend echoes deterministically",
+)
+def ai2_complete(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    prompt = F.concat(F.lit("Summarize: "), F.col("text"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ai_complete(prompt).alias("reply"),
+    )
+
+
+@q(
+    "ai3_generate_struct",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id < 200)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              array_to_string(w[1:5], ' ') AS summary,
+              CAST(len(w) AS BIGINT) AS n_words,
+              CASE WHEN len(list_filter(w, x -> x = 'fast')) > len(list_filter(w, x -> x = 'slow'))
+                        THEN 'positive'
+                   WHEN len(list_filter(w, x -> x = 'slow')) > len(list_filter(w, x -> x = 'fast'))
+                        THEN 'negative'
+                   ELSE 'neutral' END AS sentiment
+       FROM tok""",
+    "AI_GENERATE(prompt WITH SCHEMA ROW(summary, n_words, sentiment)) typed-"
+    "struct extraction + flatten (logistics_AI.sql:126-161; ai_generate.sql:5-23)",
+)
+def ai3_generate_struct(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    g = ai_generate(
+        F.col("text"), [("summary", "string"), ("n_words", "int"), ("sentiment", "string")]
+    )
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"), g.alias("g")).select(
+        "doc_id",
+        F.col("g.summary").alias("summary"),
+        F.col("g.n_words").cast("long").alias("n_words"),
+        F.col("g.sentiment").alias("sentiment"),
+    )
