@@ -169,6 +169,9 @@ def ngram_jaccard_pairs(
     )
     if max_id is not None:
         docs = docs.filter(F.col("id") < max_id)
+    # small-scope exact operator: coalesce so the theta self-join doesn't
+    # explode into n_partitions^2 tasks (scale path = minhash_lsh_pairs)
+    docs = docs.coalesce(4)
     a, b = docs.alias("a"), docs.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))

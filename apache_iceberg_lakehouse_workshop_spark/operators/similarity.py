@@ -102,9 +102,12 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above threshold."""
+    # all-pairs is a deliberate small-scope operator (verification / final
+    # dedup pass); coalesce so the non-equi self-join doesn't fan out to
+    # n_partitions^2 tiny tasks. The scale path is LSH bucketing.
     v = corpus.select(
         F.col(id_col).cast("long").alias("id"), quantized(F.col(vec_col)).alias("v")
-    )
+    ).coalesce(4)
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
@@ -156,31 +159,48 @@ def knn_lsh(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket.
+    """Approximate top-k via multi-table random-hyperplane LSH.
 
-    At 100 TB: corpus is bucketed once (map-only), candidates come from an
-    equi-join on bucket id — the scored set shrinks ~2^n_planes-fold vs
-    brute force, trading recall for shuffle width."""
-    planes = _fixed_planes(dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).cast("long").alias("cand_id"),
-        quantized(F.col(vec_col)).alias("cvec"),
-        hyperplane_bits(F.col(vec_col), planes).alias("bucket"),
+    OR-amplification: L independent tables of ``n_planes`` sign bits each;
+    a candidate is scored if it shares a bucket with the query in ANY table
+    (recall ~ 1-(1-p^k)^L). At 100 TB: bucketing is map-only, candidates
+    come from one equi-join on (table_id, bucket) — scored set shrinks
+    ~2^n_planes/L-fold vs brute force, and the corpus never self-joins."""
+
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        buckets = []
+        for t in range(n_tables):
+            planes = _fixed_planes(dim, n_planes * (t + 1))[-n_planes:]
+            buckets.append(
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    hyperplane_bits(F.col(vec_col), planes).alias("bucket"),
+                )
+            )
+        return df.select(
+            F.col(id_col).cast("long").alias(out_id),
+            quantized(F.col(vec_col)).alias(f"{out_id}_vec"),
+            F.explode(F.array(*buckets)).alias("tb"),
+        ).select(out_id, f"{out_id}_vec", "tb.table_id", "tb.bucket")
+
+    c = bucketed(corpus, "cand_id")
+    q = bucketed(queries, "query_id")
+    cand = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "query_id_vec", "cand_id", "cand_id_vec")
+        .dropDuplicates(["query_id", "cand_id"])
     )
-    q = queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
-        quantized(F.col(vec_col)).alias("qvec"),
-        hyperplane_bits(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = c.join(F.broadcast(q), ["bucket"]).filter(
-        F.col("cand_id") != F.col("query_id")
-    ).select(
+    scored = cand.select(
         "query_id",
         "cand_id",
-        F.round(cosine_quantized(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        F.round(cosine_quantized(F.col("query_id_vec"), F.col("cand_id_vec")), 6).alias(
+            "cosine_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
     return (

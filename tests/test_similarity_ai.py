@@ -1,0 +1,89 @@
+"""Similarity-search and AI-function operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.functions.ai import ai_classify, ai_complete, ai_generate
+from apache_iceberg_lakehouse_workshop_spark.operators import similarity as SIM
+from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+
+def vec_df(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # identical to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (4, [0.9, 0.1, 0.0, 0.0]),   # close to 1
+        (5, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_knn_bruteforce_ranks_identical_first(spark):
+    df = vec_df(spark)
+    out = SIM.knn_bruteforce(df, df.filter(F.col("vec_id") == 1), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.cand_id for r in rows] == [2, 4, 3]
+    assert rows[0].cosine_sim == 1.0
+    assert all(r.query_id == 1 for r in rows)
+
+
+def test_knn_excludes_self(spark):
+    df = vec_df(spark)
+    out = SIM.knn_bruteforce(df, df, k=4)
+    assert all(r.query_id != r.cand_id for r in out.collect())
+
+
+def test_neardup_pairs_threshold(spark):
+    pairs = SIM.embedding_neardup_pairs(vec_df(spark), threshold=0.999)
+    assert {(p.vec_a, p.vec_b) for p in pairs.collect()} == {(1, 2)}
+    # cosine(v1, v4) = 0.9/sqrt(0.82) ~= 0.9939 -> caught by a looser threshold
+    loose = SIM.embedding_neardup_pairs(vec_df(spark), threshold=0.99)
+    assert {(p.vec_a, p.vec_b) for p in loose.collect()} == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_lsh_recall_against_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.knn_bruteforce(emb, q, k=5)
+    approx = SIM.knn_lsh(emb, q, k=5, dim=64, n_planes=4)
+    e = {(r.query_id, r.cand_id) for r in exact.collect()}
+    a = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3  # 4-plane LSH on random vectors: partial recall expected
+    # every LSH hit must carry the same similarity the exact scorer computes
+    exact_sims = {(r.query_id, r.cand_id): r.cosine_sim for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.cand_id) in exact_sims:
+            assert r.cosine_sim == pytest.approx(exact_sims[(r.query_id, r.cand_id)])
+
+
+def test_ai_classify_closed_label_set(spark):
+    df = spark.createDataFrame(
+        [(1, "the table has rows"), (2, "stream stream table"), (3, "nothing relevant")],
+        ["id", "text"],
+    )
+    out = df.select("id", ai_classify(F.col("text"), ["table", "stream"]).alias("label"))
+    got = {r.id: r.label for r in out.collect()}
+    assert got == {1: "table", 2: "stream", 3: "Unknown"}
+
+
+def test_ai_complete_deterministic(spark):
+    df = spark.createDataFrame([(1, "  hello world  ")], ["id", "p"])
+    out = df.select(ai_complete(F.col("p")).alias("r")).collect()
+    assert out[0].r == "echo[15]:HELLO WORLD"
+
+
+def test_ai_generate_schema_coercion(spark):
+    df = spark.createDataFrame([(1, "slow slow fast query runs")], ["id", "text"])
+    g = ai_generate(
+        F.col("text"),
+        [("summary", "string"), ("n_words", "int"), ("sentiment", "string"), ("bogus", "string")],
+    )
+    row = df.select(g.alias("g")).select("g.*").collect()[0]
+    assert row.summary == "slow slow fast query runs"
+    assert row.n_words == 5
+    assert row.sentiment == "negative"
+    assert row.bogus is None  # unparseable field -> NULL, never an exception

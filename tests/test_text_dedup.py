@@ -1,0 +1,90 @@
+"""Golden-output tests for text analysis + dedup operators on literal rows —
+the reference's dirty-data-spec idiom (SURVEY §5: semantics.sql:59-79
+annotates duplicates/NULLs and silver must provably clean them)."""
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.operators import dedup as DD
+from apache_iceberg_lakehouse_workshop_spark.operators import textstats as TS
+
+
+def docs_df(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!!"),  # same after norm
+        (3, "El perro corre en el parque y no se detiene"),
+        (4, "completely different content about spark engines"),
+        (5, ""),
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(spark):
+    df = docs_df(spark).select("doc_id", TS.token_count(F.col("text")).alias("n"))
+    got = {r.doc_id: r.n for r in df.collect()}
+    assert got == {1: 9, 2: 9, 3: 10, 4: 6, 5: 0, 6: 2}
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = docs_df(spark).select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+    got = {r.doc_id: r.fp for r in df.collect()}
+    assert got[1] == got[2]  # case/punct-insensitive
+    assert got[1] != got[4]
+
+
+def test_lang_id(spark):
+    df = docs_df(spark).select("doc_id", TS.lang_id(F.col("text")).alias("lang"))
+    got = {r.doc_id: r.lang for r in df.collect()}
+    assert got[1] == "en"
+    assert got[3] == "es"
+    assert got[5] == "und"
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = DD.exact_dedup(docs_df(spark))
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 3, 4, 5, 6]  # doc 2 deduped against doc 1
+
+
+def test_exact_dup_groups(spark):
+    groups = DD.exact_dup_groups(docs_df(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2 and groups[0].keep_id == 1 and groups[0].max_id == 2
+
+
+def test_shingles_and_jaccard(spark):
+    df = docs_df(spark).select("doc_id", DD.shingles(F.col("text"), 3).alias("sh"))
+    got = {r.doc_id: r.sh for r in df.collect()}
+    assert len(got[1]) == 7  # 9 tokens -> 7 trigrams, all distinct
+    assert got[1] == got[2]
+    assert got[5] == [] and got[6] == []  # < 3 tokens -> no shingles
+    sim = (
+        df.alias("a")
+        .join(df.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "a.doc_id", "b.doc_id", DD.jaccard(F.col("a.sh"), F.col("b.sh")).alias("j")
+        )
+        .collect()
+    )
+    by_pair = {(r[0], r[1]): r.j for r in sim}
+    assert by_pair[(1, 2)] == 1.0
+    assert by_pair[(1, 4)] == 0.0
+
+
+def test_minhash_lsh_finds_normalized_duplicates(spark):
+    pairs = DD.minhash_lsh_pairs(docs_df(spark), jaccard_threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b, p.jaccard_sim) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_distance_zero(spark):
+    sig = docs_df(spark).select(
+        "doc_id", DD.simhash64(F.col("text")).alias("sig")
+    ).collect()
+    by_id = {r.doc_id: r.sig for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
+    pairs = DD.simhash_neardup_pairs(docs_df(spark), max_hamming=3).collect()
+    assert (1, 2) in {(p.doc_a, p.doc_b) for p in pairs}
+    found = {(p.doc_a, p.doc_b): p.hamming for p in pairs}
+    assert found[(1, 2)] == 0
