@@ -1,0 +1,159 @@
+"""Dremio-SQL → Spark-SQL dialect layer (SURVEY §7 guiding decisions).
+
+The reference's ~3,100 lines of workshop SQL are Dremio dialect. Almost all
+of it is ANSI and runs on Spark unmodified; this module translates the
+handful of Dremio-isms so reference scripts execute verbatim-in-spirit
+through ``spark.sql``:
+
+| Dremio-ism | Spark form | reference evidence |
+|---|---|---|
+| ``CREATE FOLDER [IF NOT EXISTS]`` | ``CREATE NAMESPACE …`` | finance_example.sql:4-7 |
+| ``"quoted" identifiers`` | backticks | manufacturing.sql:42; recipes.sql:5-8 |
+| ``TO_TIMESTAMP(s, fmt, 1)`` (on-error-null) | ``try_to_timestamp(s, fmt')`` | semantic_example.sql:113-121 |
+| ``TO_DATE(s, fmt)`` / ``TO_TIMESTAMP(s, fmt)`` format codes ``YYYY MM DD HH24 MI SS`` | ``yyyy MM dd HH mm ss`` | semantic_example.sql:179-187 |
+| ``TIMESTAMPADD(DAY, n, ts)`` | same (Spark ≥3.3) — passthrough | gov_example.sql:80,84 |
+| ``LISTAGG(DISTINCT c, ', ')`` | ``array_join(collect_set(c), ', ')`` | media_ai.sql:195 |
+| ``TABLE(table_snapshot('t'))`` / ``(table_history('t'))`` | lakeshim ``snapshots()`` / ``history()`` temp view | readme.md:360-370 |
+| ``TABLE(LIST_FILES('@src/p'))`` | ``list_files()`` temp view | ai_generate.sql:19-21 |
+
+Only *lexical* rewrites are done here (regex over non-string regions of the
+SQL text); anything structural (COPY INTO, reflections) has a dedicated
+module (``sources.copy_into``, ``plans.accelerator``). The translator never
+touches string literals.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------- lexing
+
+_STRING_OR_CODE = re.compile(r"('(?:[^']|'')*')|([^']+)", re.S)
+
+
+def _map_code_regions(sql: str, fn) -> str:
+    """Apply ``fn`` to the non-string-literal regions of ``sql``."""
+    out = []
+    for m in _STRING_OR_CODE.finditer(sql):
+        lit, code = m.group(1), m.group(2)
+        out.append(lit if lit is not None else fn(code))
+    return "".join(out)
+
+
+# ------------------------------------------------------- format strings
+
+_FMT_MAP = [
+    ("YYYY", "yyyy"),
+    ("HH24", "HH"),
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("DD", "dd"),
+    # Dremio MM (month) == Spark MM; keep after MI so MI→mm wins first.
+]
+
+
+def translate_datetime_format(fmt: str) -> str:
+    """Dremio/Oracle-style codes → Spark SimpleDateFormat-style
+    (semantic_example.sql:113 'YYYY/MM/DD HH24:MI:SS' → 'yyyy/MM/dd
+    HH:mm:ss'; SURVEY §2.8 date/time row)."""
+    out = fmt
+    for a, b in _FMT_MAP:
+        out = out.replace(a, b)
+    return out
+
+
+_TO_FN_FMT = re.compile(
+    r"(TO_(?:TIMESTAMP|DATE))\s*\(\s*([^,()]+?)\s*,\s*'([^']*)'\s*(?:,\s*1\s*)?\)",
+    re.I,
+)
+
+
+def _rewrite_to_fn(sql: str) -> str:
+    """TO_TIMESTAMP(s, 'fmt'[, 1]) → [try_]to_timestamp(s, 'fmt'') with
+    format-code translation. The 3-arg form's trailing ``1`` means
+    null-on-error (semantic_example.sql:113) → always map to try_*."""
+
+    def repl(m: re.Match) -> str:
+        fn, arg, fmt = m.group(1), m.group(2), m.group(3)
+        spark_fmt = translate_datetime_format(fmt)
+        lenient = m.group(0).rstrip(")").rstrip().endswith("1")
+        base = fn.lower()
+        name = ("try_" + base) if lenient else base
+        return f"{name}({arg}, '{spark_fmt}')"
+
+    return _TO_FN_FMT.sub(repl, sql)
+
+
+# ------------------------------------------------------------- LISTAGG
+
+_LISTAGG = re.compile(
+    r"LISTAGG\s*\(\s*(DISTINCT\s+)?([^,()]+?)\s*,\s*('(?:[^']|'')*')\s*\)", re.I
+)
+
+
+def _rewrite_listagg(sql: str) -> str:
+    """LISTAGG(DISTINCT c, ', ') → array_join(collect_set(c), ', ') — the
+    unordered-set semantics match Dremio LISTAGG without WITHIN GROUP
+    (media_ai.sql:195; SURVEY §2.4 A13)."""
+
+    def repl(m: re.Match) -> str:
+        distinct, col, sep = m.group(1), m.group(2), m.group(3)
+        collect = "collect_set" if distinct else "collect_list"
+        return f"array_join({collect}({col.strip()}), {sep})"
+
+    return _LISTAGG.sub(repl, sql)
+
+
+# ----------------------------------------------------- quoted identifiers
+
+_DQUOTED = re.compile(r'"([A-Za-z_][A-Za-z0-9_]*)"')
+
+
+# ------------------------------------------------------------- FOLDER DDL
+
+_FOLDER = re.compile(r"\bCREATE\s+FOLDER\b", re.I)
+_AT_SOURCE = re.compile(r"@(\w+)")
+
+
+def translate(sql: str) -> str:
+    """Translate one Dremio-dialect statement to Spark SQL."""
+
+    def code(c: str) -> str:
+        c = _FOLDER.sub("CREATE NAMESPACE", c)
+        c = _DQUOTED.sub(r"`\1`", c)
+        return c
+
+    # Identifier/DDL rewrites are region-scoped (never touch string
+    # literals); the function-call rewrites must see the whole call
+    # including its quoted format/separator argument, and are anchored on
+    # the function names so literals stay safe.
+    out = _map_code_regions(sql, code)
+    out = _rewrite_to_fn(out)
+    out = _rewrite_listagg(out)
+    return out
+
+
+def run(spark, sql: str):
+    """Translate + execute. For scripts: split on ';' outside strings and
+    run each statement; returns the last result DataFrame."""
+    statements, buf = [], []
+    for m in _STRING_OR_CODE.finditer(sql):
+        lit, codepart = m.group(1), m.group(2)
+        if lit is not None:
+            buf.append(lit)
+            continue
+        pieces = codepart.split(";")
+        for piece in pieces[:-1]:
+            buf.append(piece)
+            statements.append("".join(buf))
+            buf = []
+        buf.append(pieces[-1])
+    if "".join(buf).strip():
+        statements.append("".join(buf))
+
+    result = None
+    for st in statements:
+        st = st.strip()
+        if st:
+            result = spark.sql(translate(st))
+    return result

@@ -1,0 +1,119 @@
+"""Accelerator registry — the engine's twin of Dremio reflections (R7).
+
+The reference registers materialized accelerations on datasets and the
+platform transparently substitutes them at query time:
+``ALTER DATASET dremio.demo.customer_spend CREATE REFLECTION
+customer_spend_reflection USING RAW`` (``/root/reference/readme.md:320-329``)
+with autonomous refresh/retire management (``readme.md:334-355,381-389``).
+
+OSS Catalyst has no materialized-view substitution rule, so the engine
+implements acceleration at the API layer (SURVEY §4 R7 plan):
+
+- ``create_reflection(name, df)`` materializes the DataFrame into a
+  :class:`~.lakeshim.Lakehouse` table and records which *anchor* lakehouse
+  tables (and their snapshot ids) it was derived from.
+- ``resolve(name)`` returns the materialized table **iff fresh** (every
+  anchor table is still at the recorded snapshot), else recomputes from the
+  definition — the "transparent substitution" contract: callers always get
+  correct results; acceleration is best-effort.
+- ``refresh(name)`` recomputes and re-records anchors (Dremio's
+  refresh-on-data-change, readme.md:383-389).
+- ``status()`` lists reflections with freshness — the observability the
+  reference exposes in its reflection UI.
+
+A result-cache variant (R10) falls out for free: a reflection over a *query*
+keyed by its SQL text is exactly hash(SQL, snapshot ids) → cached table.
+
+Scale: the materialized table is ordinary partitioned parquet — serving a
+reflection is a plain scan, strictly cheaper than recomputing the view; the
+freshness check reads only metadata JSON (O(anchors), no data IO).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from .lakeshim import Lakehouse
+
+_REFLECTION_NS = "_reflections"
+
+
+class AcceleratorRegistry:
+    def __init__(self, lake: Lakehouse):
+        self.lake = lake
+        self.lake.create_namespace(_REFLECTION_NS)
+        # name -> (definition thunk, anchor table names)
+        self._defs: dict[str, tuple[Callable[[], DataFrame], list[str]]] = {}
+        # name -> {anchor: snapshot_id} recorded at materialization
+        self._anchors: dict[str, dict[str, int | None]] = {}
+
+    # ----------------------------------------------------------- helpers
+
+    def _current_snapshot_ids(self, anchor_tables: list[str]) -> dict[str, int | None]:
+        out: dict[str, int | None] = {}
+        for t in anchor_tables:
+            meta = self.lake.table(t)._load_meta()
+            out[t] = meta["current_snapshot_id"]
+        return out
+
+    def _storage_name(self, name: str) -> str:
+        return f"{_REFLECTION_NS}.{name}"
+
+    # --------------------------------------------------------------- API
+
+    def create_reflection(
+        self,
+        name: str,
+        definition: Callable[[], DataFrame],
+        anchor_tables: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """``ALTER DATASET … CREATE REFLECTION name USING RAW``
+        (readme.md:322-326). ``definition`` is a zero-arg thunk returning the
+        view DataFrame (thunk, not DataFrame, so refresh re-reads anchors at
+        their *new* snapshots). RAW vs AGGREGATION reflections differ only in
+        what the definition computes."""
+        self._defs[name] = (definition, anchor_tables)
+        self.lake.drop_table(self._storage_name(name))
+        self.lake.create_table_as(self._storage_name(name), definition(), partition_by)
+        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+
+    def is_fresh(self, name: str) -> bool:
+        if name not in self._anchors:
+            return False
+        _, anchor_tables = self._defs[name]
+        return self._current_snapshot_ids(anchor_tables) == self._anchors[name]
+
+    def resolve(self, name: str) -> DataFrame:
+        """Transparent substitution: materialized scan when fresh, live
+        recompute when stale (correctness always wins — readme.md:334-344
+        'queries are automatically accelerated … always up to date')."""
+        definition, _ = self._defs[name]
+        if self.is_fresh(name):
+            return self.lake.table(self._storage_name(name)).read()
+        return definition()
+
+    def refresh(self, name: str) -> None:
+        """Re-materialize from current anchor snapshots (readme.md:383-389)."""
+        definition, anchor_tables = self._defs[name]
+        self.lake.table(self._storage_name(name)).overwrite(definition())
+        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+
+    def drop_reflection(self, name: str) -> None:
+        """Reflection retirement (readme.md:381-389 autonomous retire)."""
+        self._defs.pop(name, None)
+        self._anchors.pop(name, None)
+        self.lake.drop_table(self._storage_name(name))
+
+    def status(self) -> list[dict]:
+        return [
+            {
+                "name": name,
+                "anchors": anchor_tables,
+                "fresh": self.is_fresh(name),
+                "storage": self._storage_name(name),
+            }
+            for name, (_, anchor_tables) in self._defs.items()
+        ]

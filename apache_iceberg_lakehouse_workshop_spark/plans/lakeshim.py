@@ -1,0 +1,418 @@
+"""Lakehouse table layer: snapshot-versioned tables over a parquet warehouse.
+
+The reference's storage surface is Apache Iceberg driven from Spark
+(``/root/reference/spark.py:18-68``) and from SQL (`CREATE TABLE … USING
+iceberg`, `PARTITION BY (DAY(ts))`, `DELETE FROM`, `table_snapshot()/
+table_history()` — ``/root/reference/readme.md:199-224,357-370``,
+``industry-examples/finance_example.sql:15-25``, ``logistics_AI.sql:60``).
+This environment ships no Iceberg runtime jar, so the engine provides the
+same *behavioral* surface natively on Spark:
+
+- **Snapshot-versioned commits.** Every write (append / overwrite / delete /
+  compact) produces a new immutable snapshot; a snapshot is a list of commit
+  directories, each holding immutable parquet files. This mirrors Iceberg's
+  core invariant (writers produce data files; one atomic metadata swap
+  commits them — SURVEY §3 entry point 2).
+- **Time travel**: ``read(snapshot_id=…)`` / ``read(as_of=…)`` ≈ Iceberg
+  ``VERSION AS OF`` / ``TIMESTAMP AS OF``.
+- **Metadata tables**: ``snapshots()`` / ``history()`` / ``files()`` ≈
+  ``t.snapshots`` / ``t.history`` / ``t.files`` (readme.md:360-370).
+- **DELETE FROM** as copy-on-write: rewrite surviving rows into a new commit
+  (Iceberg CoW mode), old snapshot stays readable.
+- **Maintenance** (readme.md:391-401 "automated table optimization"):
+  ``compact()`` ≈ ``rewrite_data_files`` bin-packing, ``expire_snapshots()``
+  ≈ snapshot/manifest pruning with orphan-file removal.
+- **Hidden partitioning**: ``partition_by=["days(ts)"]`` materializes a
+  derived partition column (``_p_days_ts``) at write so scans prune on a
+  raw-column predicate without the user referencing the partition column
+  (SURVEY §4 R1) — same contract as Iceberg transform partitioning.
+
+Scale posture: the metadata JSON is tiny (file lists, not row data) and all
+data moves through ordinary distributed parquet reads/writes — commits are
+O(files touched), reads are planned by Spark with full predicate pushdown /
+partition pruning on the partition dirs. At 100 TB the commit-dir layout is
+exactly the "many immutable files + small metadata" shape object stores want.
+Atomicity on a real deployment comes from the same rename-based metadata swap
+Iceberg's hadoop catalog uses (write temp, atomic rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TRANSFORM_RE = re.compile(r"^(days|months|years|hours)\((\w+)\)$")
+
+# Derived hidden-partition columns are prefixed so they never collide with
+# user columns and are dropped on read.
+_HP_PREFIX = "_p_"
+
+_TRANSFORM_EXPR = {
+    "days": lambda c: F.date_trunc("day", F.col(c)).cast("date"),
+    "months": lambda c: F.date_trunc("month", F.col(c)).cast("date"),
+    "years": lambda c: F.date_trunc("year", F.col(c)).cast("date"),
+    "hours": lambda c: F.date_trunc("hour", F.col(c)),
+}
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+class LakeTable:
+    """One snapshot-versioned table. Obtained via :class:`Lakehouse`."""
+
+    def __init__(self, spark: SparkSession, path: str, name: str):
+        self.spark = spark
+        self.path = path
+        self.name = name
+
+    # ------------------------------------------------------------ metadata
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "metadata.json")
+
+    def _load_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _commit(self, meta: dict) -> None:
+        # Atomic swap: write-temp + rename — the same commit protocol shape
+        # as Iceberg's hadoop catalog (SURVEY §3: "writers produce data
+        # files, then a single metadata commit").
+        tmp = self._meta_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path)
+
+    def _current_snapshot(self, meta: dict) -> dict | None:
+        snaps = meta["snapshots"]
+        if not snaps:
+            return None
+        by_id = {s["id"]: s for s in snaps}
+        return by_id[meta["current_snapshot_id"]]
+
+    def _new_snapshot(self, meta: dict, operation: str, commit_dirs: list[str]) -> dict:
+        cur = self._current_snapshot(meta)
+        snap = {
+            "id": (cur["id"] + 1) if cur else 1,
+            "parent_id": cur["id"] if cur else None,
+            "ts_ms": _now_ms(),
+            "operation": operation,
+            "commit_dirs": commit_dirs,
+        }
+        meta["snapshots"].append(snap)
+        meta["current_snapshot_id"] = snap["id"]
+        return snap
+
+    # ------------------------------------------------------------ writes
+
+    def _partition_cols(self, meta: dict) -> list[tuple[str, str | None]]:
+        """[(physical_partition_col, transform_src_col_or_None), ...]"""
+        out = []
+        for spec in meta["partition_by"]:
+            m = _TRANSFORM_RE.match(spec)
+            if m:
+                out.append((f"{_HP_PREFIX}{m.group(1)}_{m.group(2)}", spec))
+            else:
+                out.append((spec, None))
+        return out
+
+    def _prepare(self, df: DataFrame, meta: dict) -> tuple[DataFrame, list[str]]:
+        pcols = []
+        for phys, spec in self._partition_cols(meta):
+            if spec is not None:
+                m = _TRANSFORM_RE.match(spec)
+                df = df.withColumn(phys, _TRANSFORM_EXPR[m.group(1)](m.group(2)))
+            pcols.append(phys)
+        return df, pcols
+
+    def _write_commit_dir(self, df: DataFrame, meta: dict) -> str:
+        commit = f"commit-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, "data", commit)
+        df, pcols = self._prepare(df, meta)
+        w = df.write.mode("error")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(out)
+        return commit
+
+    def append(self, df: DataFrame) -> int:
+        """Append rows; returns new snapshot id. (DataFrameWriterV2.append
+        analogue — /root/reference/spark.py:88-89.)"""
+        meta = self._load_meta()
+        commit = self._write_commit_dir(df, meta)
+        cur = self._current_snapshot(meta)
+        dirs = (cur["commit_dirs"] if cur else []) + [commit]
+        snap = self._new_snapshot(meta, "append", dirs)
+        self._commit(meta)
+        return snap["id"]
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace table contents (INSERT OVERWRITE / CTAS-rebuild —
+        industry-examples/retail.sql:88-100 DROP+CTAS idiom)."""
+        meta = self._load_meta()
+        commit = self._write_commit_dir(df, meta)
+        snap = self._new_snapshot(meta, "overwrite", [commit])
+        self._commit(meta)
+        return snap["id"]
+
+    def delete_where(self, condition: str) -> int:
+        """``DELETE FROM t WHERE condition`` — copy-on-write: surviving rows
+        are rewritten; prior snapshots remain readable
+        (industry-examples/logistics_AI.sql:60; media_ai.sql:49; Iceberg CoW
+        delete). ``condition='true'`` clears the table."""
+        meta = self._load_meta()
+        survivors = self.read().filter(f"NOT ({condition})")
+        if survivors.isEmpty():
+            snap = self._new_snapshot(meta, "delete", [])
+            self._commit(meta)
+            return snap["id"]
+        commit = self._write_commit_dir(survivors, meta)
+        snap = self._new_snapshot(meta, "delete", [commit])
+        self._commit(meta)
+        return snap["id"]
+
+    # ------------------------------------------------------------- reads
+
+    def read(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+        """Current or time-travel read (``VERSION AS OF`` / ``TIMESTAMP AS
+        OF`` — readme.md:357-370). Derived hidden-partition columns are
+        dropped; partition pruning still applies because they are parquet
+        partition dirs (filter on the source column prunes via min/max row-
+        group stats; filter on the transform prunes dirs)."""
+        meta = self._load_meta()
+        snaps = meta["snapshots"]
+        if as_of_ms is not None:
+            eligible = [s for s in snaps if s["ts_ms"] <= as_of_ms]
+            if not eligible:
+                raise ValueError(f"no snapshot of {self.name} at or before {as_of_ms}")
+            snap = eligible[-1]
+        elif snapshot_id is not None:
+            by_id = {s["id"]: s for s in snaps}
+            if snapshot_id not in by_id:
+                raise ValueError(f"unknown snapshot {snapshot_id} for {self.name}")
+            snap = by_id[snapshot_id]
+        else:
+            snap = self._current_snapshot(meta)
+
+        schema = T.StructType.fromJson(meta["schema"]) if meta.get("schema") else None
+        dirs = [os.path.join(self.path, "data", d) for d in (snap["commit_dirs"] if snap else [])]
+        if not dirs:
+            if schema is None:
+                raise ValueError(f"table {self.name} is empty and has no declared schema")
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option("basePath", os.path.join(self.path, "data")).parquet(*dirs)
+        drop = [c for c in df.columns if c.startswith(_HP_PREFIX)]
+        user_cols = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
+        if schema is not None:
+            # preserve declared column order + types across commits
+            df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        elif drop:
+            df = df.select(*user_cols)
+        return df
+
+    # ---------------------------------------------------- metadata tables
+
+    def snapshots(self) -> DataFrame:
+        """≈ ``SELECT * FROM t.snapshots`` / ``TABLE(table_snapshot('t'))``
+        (readme.md:360-365)."""
+        meta = self._load_meta()
+        rows = [
+            (s["id"], s["parent_id"], s["ts_ms"], s["operation"], len(s["commit_dirs"]))
+            for s in meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id BIGINT, parent_id BIGINT, committed_at_ms BIGINT, "
+                  "operation STRING, n_commit_dirs INT"
+        )
+
+    def history(self) -> DataFrame:
+        """≈ ``TABLE(table_history('t'))`` (readme.md:366-370)."""
+        meta = self._load_meta()
+        cur = meta.get("current_snapshot_id")
+        rows = [(s["ts_ms"], s["id"], s["parent_id"], s["id"] == cur) for s in meta["snapshots"]]
+        return self.spark.createDataFrame(
+            rows, "made_current_at_ms BIGINT, snapshot_id BIGINT, parent_id BIGINT, "
+                  "is_current BOOLEAN"
+        )
+
+    def files(self) -> DataFrame:
+        """≈ ``t.files`` — one row per live data file."""
+        meta = self._load_meta()
+        snap = self._current_snapshot(meta)
+        rows = []
+        for d in snap["commit_dirs"] if snap else []:
+            base = os.path.join(self.path, "data", d)
+            for root, _dirs, names in os.walk(base):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        p = os.path.join(root, n)
+                        rows.append((p, os.path.getsize(p), d))
+        return self.spark.createDataFrame(rows, "file_path STRING, size_bytes BIGINT, commit_dir STRING") \
+            if rows else self.spark.createDataFrame([], "file_path STRING, size_bytes BIGINT, commit_dir STRING")
+
+    # ------------------------------------------------------- maintenance
+
+    def compact(self, target_file_mb: int = 128) -> int:
+        """Bin-pack small files into ~target-size files — ≈ ``CALL
+        system.rewrite_data_files`` (readme.md:391-401, SURVEY §4 R9).
+        Produces a new snapshot; data is unchanged."""
+        meta = self._load_meta()
+        current = self.read()
+        total = sum(r.size_bytes for r in self.files().collect()) or 1
+        n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+        commit = self._write_commit_dir(current.repartition(n_files), meta)
+        snap = self._new_snapshot(meta, "compact", [commit])
+        self._commit(meta)
+        return snap["id"]
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop old snapshots and physically remove commit dirs no live
+        snapshot references — ≈ ``expire_snapshots`` + ``remove_orphan_files``
+        (readme.md:391-401). Returns number of commit dirs removed."""
+        meta = self._load_meta()
+        snaps = meta["snapshots"]
+        keep = snaps[-keep_last:] if keep_last > 0 else snaps
+        cur = self._current_snapshot(meta)
+        if cur and cur not in keep:
+            keep.append(cur)
+        live = {d for s in keep for d in s["commit_dirs"]}
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            import shutil
+
+            for d in os.listdir(data_root):
+                if d not in live:
+                    shutil.rmtree(os.path.join(data_root, d))
+                    removed += 1
+        meta["snapshots"] = keep
+        self._commit(meta)
+        return removed
+
+    def maintain(self, target_file_mb: int = 128, keep_last: int = 3) -> None:
+        """One-call table optimization — the engine twin of the reference's
+        "automated table optimization" (readme.md:391-401)."""
+        self.compact(target_file_mb)
+        self.expire_snapshots(keep_last)
+
+
+class Lakehouse:
+    """Warehouse of snapshot-versioned tables under one root directory.
+
+    Namespace surface mirrors ``CREATE NAMESPACE/FOLDER IF NOT EXISTS``
+    (``/root/reference/spark.py:47``; ``industry-examples/
+    finance_example.sql:4-7``): multi-level namespaces are directories.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.root = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # -------------------------------------------------------- namespaces
+
+    def _ns_path(self, namespace: str) -> str:
+        return os.path.join(self.root, *namespace.split("."))
+
+    def create_namespace(self, namespace: str) -> None:
+        """CREATE NAMESPACE IF NOT EXISTS a.b.c (nested ok)."""
+        os.makedirs(self._ns_path(namespace), exist_ok=True)
+
+    def list_namespaces(self, parent: str | None = None) -> list[str]:
+        base = self._ns_path(parent) if parent else self.root
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            d for d in os.listdir(base)
+            if os.path.isdir(os.path.join(base, d))
+            and not os.path.exists(os.path.join(base, d, "metadata.json"))
+        )
+
+    # ------------------------------------------------------------ tables
+
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.root, *name.split("."))
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._table_path(name), "metadata.json"))
+
+    def create_table(
+        self,
+        name: str,
+        schema: str | T.StructType | None = None,
+        partition_by: list[str] | None = None,
+        if_not_exists: bool = True,
+    ) -> LakeTable:
+        """``CREATE TABLE [IF NOT EXISTS] name (schema) PARTITION BY (...)``
+        (/root/reference/spark.py:52-68; finance_example.sql:15-25).
+        ``partition_by`` accepts identity columns (``"price_date"``) and
+        transforms (``"days(ts)"`` — hidden partitioning)."""
+        path = self._table_path(name)
+        if self.table_exists(name):
+            if if_not_exists:
+                return LakeTable(self.spark, path, name)
+            raise ValueError(f"table exists: {name}")
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        meta = {
+            "name": name,
+            "schema": schema.jsonValue() if schema is not None else None,
+            "partition_by": partition_by or [],
+            "snapshots": [],
+            "current_snapshot_id": None,
+        }
+        t = LakeTable(self.spark, path, name)
+        t._commit(meta)
+        return t
+
+    def create_table_as(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        distribute_by: str | None = None,
+    ) -> LakeTable:
+        """CTAS [PARTITION BY (...)] [DISTRIBUTE BY (col)]
+        (industry-examples/retail.sql:88-100,131-134). ``distribute_by``
+        clusters data by key at write — ``repartition(col)`` ≈ Dremio
+        DISTRIBUTE BY / Iceberg write.distribution-mode=hash."""
+        t = self.create_table(name, df.schema, partition_by, if_not_exists=False)
+        if distribute_by:
+            df = df.repartition(F.col(distribute_by))
+        t.overwrite(df)
+        return t
+
+    def table(self, name: str) -> LakeTable:
+        if not self.table_exists(name):
+            raise ValueError(f"no such table: {name}")
+        return LakeTable(self.spark, self._table_path(name), name)
+
+    def drop_table(self, name: str, if_exists: bool = True) -> None:
+        """DROP TABLE [IF EXISTS] (retail.sql:88)."""
+        import shutil
+
+        path = self._table_path(name)
+        if self.table_exists(name):
+            shutil.rmtree(path)
+        elif not if_exists:
+            raise ValueError(f"no such table: {name}")
+
+    def list_tables(self, namespace: str) -> list[str]:
+        base = self._ns_path(namespace)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            d for d in os.listdir(base)
+            if os.path.exists(os.path.join(base, d, "metadata.json"))
+        )

@@ -1,0 +1,10 @@
+"""Structured Streaming extension (SURVEY §2.9 / §7 M7)."""
+
+from .pipeline import (  # noqa: F401
+    read_event_stream,
+    stream_dedup,
+    stream_to_table,
+    tumbling_rollup,
+    sliding_rollup,
+    running_user_totals,
+)

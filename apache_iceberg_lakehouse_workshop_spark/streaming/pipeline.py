@@ -1,0 +1,175 @@
+"""Structured-Streaming twin of the batch event pipeline (M7).
+
+The reference has **no streaming operators** (SURVEY §2.9) — its closest
+analogue is the append-only, day-partitioned event table pattern
+(``/root/reference/industry-examples/manufacturing.sql:37-45`` IoT readings;
+``semantic_example.sql:77-90`` app-log usage events) plus periodically
+refreshed reflections (``readme.md:383-389``). This module is the engine's
+*extension*: the same raw→silver→gold SQL applied to an unbounded stream.
+
+Design (idiomatic Structured Streaming):
+
+- ``read_event_stream``: file-source ``readStream`` with the events schema —
+  on a real deployment the source line swaps to Kafka; everything downstream
+  is source-agnostic.
+- ``tumbling_rollup`` / ``sliding_rollup``: watermark + ``window(ts, …)``
+  groupBy — the streaming twin of the batch ``e1_daily_event_rollup`` query
+  (queries_pipeline.py); identical results on the same data once the stream
+  drains (verified by tests/test_streaming.py).
+- ``stream_dedup``: ``dropDuplicatesWithinWatermark`` — the streaming twin of
+  the W1 latest-per-key dedup idiom.
+- ``running_user_totals``: custom stateful operator via
+  ``applyInPandasWithState`` (running per-user spend with idle-timeout
+  flush) — the pattern for operators Spark lacks built-in.
+- ``stream_to_table``: ``foreachBatch`` → lakehouse snapshot append — each
+  micro-batch is one atomic commit, giving the stream the same
+  snapshot/time-travel surface as batch writes.
+
+Scale: watermarking bounds state; the shuffle per micro-batch is keyed the
+same as the batch twin; ``availableNow`` triggers let the same code run as
+an incremental backfill job — the standard lakehouse streaming posture.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# The driver's events table shape (TESTDATA.md): event_id, user_id, ts,
+# event_type, value. The streaming source reads TIMESTAMP (not NTZ) because
+# watermarks operate on TimestampType.
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (JSON lines). Swap for Kafka in production —
+    the downstream plan is identical."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(source_dir)
+
+
+def tumbling_rollup(
+    events: DataFrame, window_size: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window rollup — streaming twin of
+    e1_daily_event_rollup (late rows beyond the watermark are dropped;
+    within it, windows re-emit corrected totals)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window variant (each event lands in size/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keeps the first arrival per key, with state
+    bounded by the watermark — the unbounded-input form of the W1
+    latest-per-key idiom (SURVEY §2.5 W1)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("spend", DoubleType())]
+)
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("spend", DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, idle_timeout_ms: int = 30_000) -> DataFrame:
+    """Custom stateful operator: running per-user purchase totals with
+    idle-timeout state eviction — the ``applyInPandasWithState`` pattern for
+    semantics Spark has no built-in operator for (SURVEY 'custom operators'
+    route (b))."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, spend = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            purchases = pdf[pdf["event_type"] == "purchase"]
+            n += len(purchases)
+            spend += float(purchases["value"].sum()) if len(purchases) else 0.0
+        state.update((n, float(spend)))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_purchases": [n], "spend": [spend]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_OUT,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def stream_to_table(stream_df: DataFrame, lake_table, checkpoint_dir: str, trigger_available_now: bool = True):
+    """Sink a stream into a lakehouse table: each micro-batch is one atomic
+    snapshot append (exactly the Iceberg streaming-sink contract — writers
+    produce files, one metadata commit per batch)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            lake_table.append(batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

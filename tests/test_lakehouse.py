@@ -1,0 +1,218 @@
+"""Tests for the lakehouse layer (plans/lakeshim, plans/accelerator,
+sources/copy_into, sources/list_files, dialect) — the S-family and R7/R9
+surface from SURVEY.md §2.1/§4."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.dialect import run as dialect_run
+from apache_iceberg_lakehouse_workshop_spark.dialect import translate, translate_datetime_format
+from apache_iceberg_lakehouse_workshop_spark.plans import AcceleratorRegistry, Lakehouse
+from apache_iceberg_lakehouse_workshop_spark.sources import copy_into, list_files
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _mk_orders(spark):
+    return spark.createDataFrame(
+        [
+            Row(order_id=1, customer_id=10, amount=100.0, ts="2025-08-01 10:00:00"),
+            Row(order_id=2, customer_id=11, amount=250.0, ts="2025-08-02 11:00:00"),
+            Row(order_id=3, customer_id=10, amount=75.0, ts="2025-08-02 12:00:00"),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+# ------------------------------------------------------------ lakeshim
+
+
+def test_create_append_read(lake, spark):
+    lake.create_namespace("db.raw")
+    t = lake.create_table(
+        "db.raw.orders",
+        "order_id INT, customer_id INT, amount DOUBLE, ts TIMESTAMP",
+        partition_by=["days(ts)"],
+    )
+    assert lake.table_exists("db.raw.orders")
+    assert t.read().count() == 0  # declared schema => empty readable table
+
+    s1 = t.append(_mk_orders(spark))
+    assert s1 == 1
+    assert t.read().count() == 3
+    # hidden partition column not exposed
+    assert t.read().columns == ["order_id", "customer_id", "amount", "ts"]
+
+
+def test_snapshot_time_travel(lake, spark):
+    t = lake.create_table("db.t", "order_id INT, customer_id INT, amount DOUBLE, ts TIMESTAMP")
+    t.append(_mk_orders(spark))
+    t.append(_mk_orders(spark).withColumn("order_id", F.col("order_id") + 10))
+    assert t.read().count() == 6
+    assert t.read(snapshot_id=1).count() == 3  # VERSION AS OF
+    snaps = {r.snapshot_id: r.operation for r in t.snapshots().collect()}
+    assert snaps == {1: "append", 2: "append"}
+    hist = t.history().collect()
+    assert [r.is_current for r in hist] == [False, True]
+    # TIMESTAMP AS OF: at snapshot 1's commit time we see 3 rows
+    ts1 = [r.committed_at_ms for r in t.snapshots().collect() if r.snapshot_id == 1][0]
+    assert t.read(as_of_ms=ts1).count() == 3
+
+
+def test_delete_where_cow(lake, spark):
+    t = lake.create_table("db.d", "order_id INT, customer_id INT, amount DOUBLE, ts TIMESTAMP")
+    t.append(_mk_orders(spark))
+    t.delete_where("customer_id = 10")
+    assert t.read().count() == 1
+    assert t.read().first().order_id == 2
+    # prior snapshot still readable (CoW)
+    assert t.read(snapshot_id=1).count() == 3
+    t.delete_where("true")
+    assert t.read().count() == 0
+
+
+def test_ctas_distribute_and_maintenance(lake, spark):
+    df = _mk_orders(spark)
+    t = lake.create_table_as("db.gold.orders_agg", df, distribute_by="customer_id")
+    assert t.read().count() == 3
+    t.append(df)
+    t.append(df)
+    n_files_before = t.files().count()
+    t.compact(target_file_mb=128)
+    assert t.read().count() == 9  # compaction preserves data
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert t.read().count() == 9
+    assert t.files().count() <= n_files_before
+    with pytest.raises(ValueError):
+        t.read(snapshot_id=1)  # expired
+
+
+def test_partition_pruning_dirs(lake, spark, tmp_path):
+    """days(ts) hidden partitioning physically lays out day directories —
+    the structure object-store pruning needs at 100 TB."""
+    t = lake.create_table(
+        "db.part", "order_id INT, customer_id INT, amount DOUBLE, ts TIMESTAMP",
+        partition_by=["days(ts)"],
+    )
+    t.append(_mk_orders(spark))
+    data_root = os.path.join(t.path, "data")
+    commit = os.listdir(data_root)[0]
+    dirs = [d for d in os.listdir(os.path.join(data_root, commit)) if d.startswith("_p_days_ts=")]
+    assert sorted(dirs) == ["_p_days_ts=2025-08-01", "_p_days_ts=2025-08-02"]
+
+
+def test_drop_and_list(lake, spark):
+    lake.create_namespace("ns1")
+    lake.create_table_as("ns1.a", _mk_orders(spark))
+    lake.create_table_as("ns1.b", _mk_orders(spark))
+    assert lake.list_tables("ns1") == ["a", "b"]
+    lake.drop_table("ns1.a")
+    assert lake.list_tables("ns1") == ["b"]
+    lake.drop_table("ns1.missing")  # IF EXISTS: no raise
+    with pytest.raises(ValueError):
+        lake.drop_table("ns1.missing", if_exists=False)
+
+
+# --------------------------------------------------------- accelerator
+
+
+def test_reflection_route_and_refresh(lake, spark):
+    t = lake.create_table_as("db.raw.orders", _mk_orders(spark))
+    acc = AcceleratorRegistry(lake)
+
+    def spend_view():
+        return (
+            t.read().groupBy("customer_id").agg(F.sum("amount").alias("total_spend"))
+        )
+
+    acc.create_reflection("customer_spend", spend_view, ["db.raw.orders"])
+    assert acc.is_fresh("customer_spend")
+    # fresh: served from materialized storage (a plain file scan)
+    plan = acc.resolve("customer_spend")._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan
+
+    got = {r.customer_id: r.total_spend for r in acc.resolve("customer_spend").collect()}
+    assert got == {10: 175.0, 11: 250.0}
+
+    # anchor table advances -> stale -> recompute (correct, unaccelerated)
+    t.append(_mk_orders(spark))
+    assert not acc.is_fresh("customer_spend")
+    got2 = {r.customer_id: r.total_spend for r in acc.resolve("customer_spend").collect()}
+    assert got2 == {10: 350.0, 11: 500.0}
+
+    acc.refresh("customer_spend")
+    assert acc.is_fresh("customer_spend")
+    assert {r.customer_id: r.total_spend for r in acc.resolve("customer_spend").collect()} == got2
+    status = acc.status()
+    assert status[0]["fresh"] is True
+    acc.drop_reflection("customer_spend")
+    assert acc.status() == []
+
+
+# ------------------------------------------------------------- sources
+
+
+def test_copy_into_csv(lake, spark, tmp_path):
+    src = tmp_path / "csvs"
+    src.mkdir()
+    (src / "file1.csv").write_text("patient_id,name,age\n1,Ann,40\n2,Bo,35\n")
+    (src / "file2.csv").write_text("patient_id,name,age\n3,Cy,50\n")
+    (src / "skip.txt").write_text("patient_id,name,age\n9,Zed,99\n")
+
+    t = lake.create_table("health.raw.patients", "patient_id INT, name STRING, age INT, source STRING")
+    copy_into(t, str(src), regex=r".*\.csv", file_format="csv")
+    rows = {r.patient_id: (r.name, r.age, r.source) for r in t.read().collect()}
+    # declared col missing from CSV -> NULL; .txt filtered by regex
+    assert rows == {1: ("Ann", 40, None), 2: ("Bo", 35, None), 3: ("Cy", 50, None)}
+
+
+def test_list_files(spark, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(b"%PDF-fake-a")
+    (d / "b.pdf").write_bytes(b"%PDF-fake-bb")
+    (d / "c.txt").write_bytes(b"nope")
+    df = list_files(spark, str(d), glob="*.pdf")
+    got = {os.path.basename(r.path): (r.length, bytes(r.content)) for r in df.collect()}
+    assert got == {"a.pdf": (11, b"%PDF-fake-a"), "b.pdf": (12, b"%PDF-fake-bb")}
+    # listing-only: content column dropped before any byte IO
+    assert "content" not in list_files(spark, str(d), with_content=False).columns
+
+
+# ------------------------------------------------------------- dialect
+
+
+def test_dialect_translate():
+    assert translate_datetime_format("YYYY/MM/DD HH24:MI:SS") == "yyyy/MM/dd HH:mm:ss"
+    assert translate('SELECT "value" FROM t') == "SELECT `value` FROM t"
+    assert (
+        translate("TO_TIMESTAMP(raw_ts, 'YYYY-MM-DD HH24:MI:SS', 1)")
+        == "try_to_timestamp(raw_ts, 'yyyy-MM-dd HH:mm:ss')"
+    )
+    assert (
+        translate("SELECT LISTAGG(DISTINCT tag, ', ') FROM t")
+        == "SELECT array_join(collect_set(tag), ', ') FROM t"
+    )
+    assert translate("CREATE FOLDER IF NOT EXISTS a.b") == "CREATE NAMESPACE IF NOT EXISTS a.b"
+    # string literals never rewritten
+    assert translate("SELECT 'YYYY \"x\"' FROM t") == "SELECT 'YYYY \"x\"' FROM t"
+
+
+def test_dialect_run_script(spark):
+    df = dialect_run(
+        spark,
+        """
+        CREATE OR REPLACE TEMP VIEW dlx AS
+        SELECT * FROM VALUES ('2025/08/18 14:05:12'), ('oops') AS v(raw_ts);
+        SELECT TO_TIMESTAMP(raw_ts, 'YYYY/MM/DD HH24:MI:SS', 1) AS ts FROM dlx
+        """,
+    )
+    vals = [r.ts for r in df.collect()]
+    assert vals[0] is not None and str(vals[0]).startswith("2025-08-18 14:05:12")
+    assert vals[1] is None  # lenient on-error-null semantics

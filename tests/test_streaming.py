@@ -1,0 +1,104 @@
+"""Streaming-extension tests (M7): the streaming plans must agree with
+their batch twins on the same drained input (SURVEY §2.9 — streaming reuses
+the identical silver/gold semantics)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+from apache_iceberg_lakehouse_workshop_spark.streaming import (
+    read_event_stream,
+    running_user_totals,
+    stream_dedup,
+    stream_to_table,
+    tumbling_rollup,
+)
+
+EVENTS = [
+    # two days, three users, one duplicate event_id, one late-but-in-watermark row
+    {"event_id": 1, "user_id": 1, "ts": "2025-08-01 10:00:00", "event_type": "view", "value": 1.0},
+    {"event_id": 2, "user_id": 1, "ts": "2025-08-01 10:05:00", "event_type": "purchase", "value": 30.0},
+    {"event_id": 2, "user_id": 1, "ts": "2025-08-01 10:05:00", "event_type": "purchase", "value": 30.0},
+    {"event_id": 3, "user_id": 2, "ts": "2025-08-01 11:00:00", "event_type": "purchase", "value": 12.5},
+    {"event_id": 4, "user_id": 3, "ts": "2025-08-02 09:00:00", "event_type": "view", "value": 2.0},
+    {"event_id": 5, "user_id": 2, "ts": "2025-08-02 09:30:00", "event_type": "purchase", "value": 7.5},
+]
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    # two files => at least two micro-batch-able units
+    (d / "part1.json").write_text("\n".join(json.dumps(e) for e in EVENTS[:3]))
+    (d / "part2.json").write_text("\n".join(json.dumps(e) for e in EVENTS[3:]))
+    return str(d)
+
+
+def _drain(stream_df, spark, name, tmp_path, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_rollup_matches_batch_twin(spark, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    # complete mode: append would hold back the final day's windows until a
+    # later event advances the watermark past window end — correct streaming
+    # semantics, but here we check totals over the fully drained input.
+    got = _drain(tumbling_rollup(stream, "1 day"), spark, "t_roll", tmp_path, "complete")
+    batch = (
+        spark.read.schema(stream.schema).json(events_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    g = {(str(r.window_start), r.event_type): (r.n_events, r.total_value) for r in got.collect()}
+    b = {(str(r.window_start), r.event_type): (r.n_events, r.total_value) for r in batch.collect()}
+    assert g == b and len(g) == 4
+
+
+def test_stream_dedup(spark, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir)
+    got = _drain(stream_dedup(stream, ["event_id"]), spark, "t_dedup", tmp_path, "append")
+    assert got.count() == 5  # duplicate event_id 2 collapsed
+    assert got.filter("event_id = 2").count() == 1
+
+
+def test_running_user_totals_stateful(spark, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir)
+    got = _drain(running_user_totals(stream), spark, "t_state", tmp_path, "update")
+    # final state per user (last update wins)
+    rows = got.orderBy("user_id").collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_purchases, r.spend)
+    # duplicate purchase rows both count here (dedup is a separate upstream op)
+    assert final[1] == (2, 60.0)
+    assert final[2] == (2, 20.0)
+    assert final[3] == (0, 0.0)
+
+
+def test_stream_to_lakehouse_snapshot_appends(spark, events_dir, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lake.create_table(
+        "db.raw.events_stream",
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = stream_to_table(stream, t, str(tmp_path / "ckpt_sink"))
+    q.awaitTermination(120)
+    assert t.read().count() == 6
+    # each micro-batch committed as its own snapshot => time travel over the stream
+    ops = [r.operation for r in t.snapshots().collect()]
+    assert ops and all(op == "append" for op in ops)
+    assert len(ops) >= 2  # maxFilesPerTrigger=1 over 2 files
+    assert t.read(snapshot_id=1).count() < 6
