@@ -91,6 +91,32 @@ class MockBackend:
                     out[name].append(None)
         return pd.DataFrame(out)
 
+    def generate_file(
+        self, prompts: pd.Series, payloads: pd.Series, fields: list[tuple[str, str]]
+    ) -> pd.DataFrame:
+        """Multimodal extraction (AI2). Deterministic field rules over the
+        raw bytes so outputs are test-pinnable without real decoders:
+        - content_bytes: payload length
+        - digest: first 8 hex chars of the payload's md5
+        - summary: same rule as generate(), over the prompt text
+        """
+        import hashlib
+
+        out: dict[str, list] = {name: [] for name, _ in fields}
+        for p, payload in zip(prompts, payloads):
+            raw = bytes(payload) if payload is not None else b""
+            toks = _norm_tokens(p)
+            for name, _typ in fields:
+                if name == "content_bytes":
+                    out[name].append(len(raw))
+                elif name == "digest":
+                    out[name].append(hashlib.md5(raw).hexdigest()[:8])
+                elif name == "summary":
+                    out[name].append(" ".join(toks[:5]))
+                else:
+                    out[name].append(None)
+        return pd.DataFrame(out)
+
 
 _BACKEND: MockBackend = MockBackend()
 
@@ -142,3 +168,24 @@ def ai_generate(prompt: Column, schema: list[tuple[str, str]]) -> Column:
         return _BACKEND.generate(s, schema)
 
     return _udf(prompt)
+
+
+def ai_generate_file(prompt: Column, content: Column, schema: list[tuple[str, str]]) -> Column:
+    """AI_GENERATE('model', (prompt, file) WITH SCHEMA ROW(...)) — the
+    multimodal variant: prompt + file bytes → typed struct
+    (ai_generate.sql:5-23; logistics_AI.sql:328-358; media_ai.sql:229-257).
+
+    Runs over ``LIST_FILES``/binaryFile rows (``sources.list_files``): the
+    ``content`` column is the file payload Dremio passes as the ``file``
+    handle (SURVEY §1.2). The mock backend derives deterministic fields from
+    the bytes (length/digest prefix) so tests pin exact outputs; a real
+    backend uploads the bytes alongside the JSON-schema-constrained prompt.
+    Arrow-batched and map-only like every AI function — the bytes never
+    shuffle."""
+    spark_schema = StructType([StructField(n, _TYPE_MAP[t]) for n, t in schema])
+
+    @F.pandas_udf(spark_schema)
+    def _udf(prompts: pd.Series, payloads: pd.Series) -> pd.DataFrame:
+        return _BACKEND.generate_file(prompts, payloads, schema)
+
+    return _udf(prompt, content)

@@ -117,3 +117,27 @@ class AcceleratorRegistry:
             }
             for name, (_, anchor_tables) in self._defs.items()
         ]
+
+    # ------------------------------------------------------ result cache
+
+    def cached_sql(self, sql: str, anchor_tables: list[str]) -> DataFrame:
+        """R10 result cache: ``hash(SQL, anchor snapshot ids)`` → materialized
+        result table (readme.md:405-411 'result cache'; SURVEY §4 R10).
+
+        Falls out of the reflection machinery: the cache entry is a
+        reflection whose name is the SQL digest — fresh while every anchor
+        table is at the snapshot recorded at materialization, recomputed (and
+        re-cached) the first time it is requested after any anchor advances.
+        The reference's probe discipline (dremio.sql:10-13 picks *different*
+        columns to bypass the result cache) maps directly: different SQL →
+        different digest → miss.
+        """
+        import hashlib
+
+        digest = hashlib.md5(sql.encode()).hexdigest()[:16]
+        name = f"rc_{digest}"
+        if name not in self._defs:
+            self.create_reflection(name, lambda: self.lake.spark.sql(sql), anchor_tables)
+        elif not self.is_fresh(name):
+            self.refresh(name)
+        return self.resolve(name)

@@ -1,0 +1,210 @@
+"""Gap-filling queries completing the SURVEY §2 inventory row-for-row:
+A3/A9/A10 aggregation shapes, P9 boolean combinators, J10 view-stack join,
+Q8 KPI null checks, T4 document fingerprinting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import textstats as TS
+from .queries_core import _dec, q
+from .tables import load_table
+
+
+@q(
+    "a3_sum_avg_min_max",
+    """SELECT n_name,
+              CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+              CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(s_acctbal) AS DOUBLE) AS avg_bal,
+              CAST(MIN(s_acctbal) AS DOUBLE) AS min_bal,
+              CAST(MAX(s_acctbal) AS DOUBLE) AS max_bal,
+              CAST(COUNT(*) AS BIGINT) AS n_suppliers
+       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       GROUP BY n_name""",
+    "A3 SUM/AVG/MIN/MAX battery per group (dremio.sql:5-8 multi-AVG; "
+    "insurance_example.sql:146-148 MIN/MAX/AVG)",
+)
+def a3_sum_avg_min_max(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sum_dec = F.sum(_dec("s_acctbal")).cast("double")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            sum_dec.alias("sum_bal"),
+            (sum_dec / F.count("s_acctbal")).cast("double").alias("avg_bal"),
+            F.min("s_acctbal").cast("double").alias("min_bal"),
+            F.max("s_acctbal").cast("double").alias("max_bal"),
+            F.count("*").cast("long").alias("n_suppliers"),
+        )
+    )
+
+
+@q(
+    "a9_multikey_group",
+    """SELECT l_returnflag, l_linestatus, l_tax,
+              CAST(year(l_shipdate) AS INT) AS ship_year,
+              CAST(month(l_shipdate) AS INT) AS ship_month,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus, l_tax, year(l_shipdate), month(l_shipdate)""",
+    "A9 5-key GROUP BY (clinicdata.sql:321 groups on 5 keys)",
+)
+def a9_multikey_group(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        "l_tax",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@q(
+    "a10_groupby_expr",
+    """SELECT date_trunc('day', o_orderdate) AS order_day,
+              substr(o_orderpriority, 1, 1) AS prio_class,
+              CAST(COUNT(*) AS BIGINT) AS n_orders
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY date_trunc('day', o_orderdate), substr(o_orderpriority, 1, 1)""",
+    "A10 GROUP BY on expressions (logistics_AI.sql:280-283 CAST(dt AS DATE); "
+    "manufacturing.sql:270 TO_DATE(open_ts))",
+)
+def a10_groupby_expr(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("order_day"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_class"),
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+
+
+@q(
+    "p9_bool_combinators",
+    """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+              CAST(l_linenumber AS BIGINT) AS l_linenumber
+       FROM lineitem
+       WHERE (l_returnflag = 'R' OR l_linestatus = 'O')
+         AND l_quantity > 45 AND NOT (l_discount > 0.05)""",
+    "P9 AND/OR/NOT combinators in WHERE (semantic_example.sql:270-271,333-334)",
+)
+def p9_bool_combinators(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        ((F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "O"))
+        & (F.col("l_quantity") > 45)
+        & ~(F.col("l_discount") > 0.05)
+    ).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+    )
+
+
+@q(
+    "j10_view_stack",
+    """WITH v_customer AS (
+         SELECT CAST(c_custkey AS BIGINT) AS custkey, c_mktsegment FROM customer),
+       v_orders AS (
+         SELECT CAST(o_orderkey AS BIGINT) AS orderkey, CAST(o_custkey AS BIGINT) AS custkey,
+                CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
+         WHERE o_orderstatus <> 'F'),
+       v_cust_orders AS (
+         SELECT c.c_mktsegment, o.orderkey, o.price
+         FROM v_orders o JOIN v_customer c ON o.custkey = c.custkey),
+       v_segment_rev AS (
+         SELECT c_mktsegment, COUNT(*) AS n_orders, SUM(price) AS revenue
+         FROM v_cust_orders GROUP BY c_mktsegment)
+       SELECT c_mktsegment, CAST(n_orders AS BIGINT) AS n_orders,
+              CAST(revenue AS DOUBLE) AS revenue
+       FROM v_segment_rev""",
+    "J10 4-level view-on-view stack resolved to one plan (retail.sql:303-309; "
+    "clinicdata.sql:134->219->269->311 chain; R4 view inlining)",
+)
+def j10_view_stack(spark, sf_dir):
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("j10_raw_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("j10_raw_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW j10_v_customer AS "
+        "SELECT CAST(c_custkey AS BIGINT) AS custkey, c_mktsegment FROM j10_raw_customer"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW j10_v_orders AS "
+        "SELECT CAST(o_orderkey AS BIGINT) AS orderkey, CAST(o_custkey AS BIGINT) AS custkey, "
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM j10_raw_orders "
+        "WHERE o_orderstatus <> 'F'"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW j10_v_cust_orders AS "
+        "SELECT c.c_mktsegment, o.orderkey, o.price "
+        "FROM j10_v_orders o JOIN j10_v_customer c ON o.custkey = c.custkey"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW j10_v_segment_rev AS "
+        "SELECT c_mktsegment, COUNT(*) AS n_orders, SUM(price) AS revenue "
+        "FROM j10_v_cust_orders GROUP BY c_mktsegment"
+    )
+    return spark.sql(
+        "SELECT c_mktsegment, CAST(n_orders AS BIGINT) AS n_orders, "
+        "CAST(revenue AS DOUBLE) AS revenue FROM j10_v_segment_rev"
+    )
+
+
+@q(
+    "q8_kpi_null_checks",
+    """WITH kpi AS (
+         SELECT n_name,
+                SUM(CASE WHEN s_acctbal > 0 THEN s_acctbal END) AS pos_bal,
+                COUNT(*) AS n
+         FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+         GROUP BY n_name)
+       SELECT n_name, CAST(n AS BIGINT) AS n_suppliers,
+              CAST(pos_bal IS NULL AS BOOLEAN) AS kpi_is_null
+       FROM kpi
+       WHERE pos_bal IS NULL OR n < 2""",
+    "Q8 KPI null/sanity check view (manufacturing.sql:367-381 — flag groups "
+    "whose KPI is NULL or under-supported)",
+)
+def q8_kpi_null_checks(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    kpi = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("s_acctbal") > 0, F.col("s_acctbal"))).alias("pos_bal"),
+            F.count("*").alias("n"),
+        )
+    )
+    return kpi.filter(F.col("pos_bal").isNull() | (F.col("n") < 2)).select(
+        "n_name",
+        F.col("n").cast("long").alias("n_suppliers"),
+        F.col("pos_bal").isNull().alias("kpi_is_null"),
+    )
+
+
+@q(
+    "t4_fingerprint",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                                      ' +', ' ', 'g'))) AS fingerprint
+       FROM documents""",
+    "T4 content-addressed document fingerprint (md5 over normalized text) — "
+    "the 32-char hash-join key exact dedup uses at 100 TB instead of "
+    "comparing multi-KB blobs (north-star text-analysis family; same "
+    "normalization as operators/textstats; value-hash pins every digest)",
+)
+def t4_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TS.fingerprint(F.col("text")).alias("fingerprint"),
+    )

@@ -8,6 +8,7 @@ from .queries_core import QUERIES, Query  # noqa: F401  (QUERIES is the shared l
 # Importing these modules appends their queries to QUERIES via the @q decorator.
 from . import queries_pipeline  # noqa: F401, E402
 from . import queries_data  # noqa: F401, E402
+from . import queries_extra  # noqa: F401, E402
 
 
 def registry() -> dict[str, Query]:

@@ -155,6 +155,28 @@ def test_reflection_route_and_refresh(lake, spark):
     assert acc.status() == []
 
 
+def test_result_cache(lake, spark):
+    t = lake.create_table_as("db.raw.o", _mk_orders(spark))
+    t.read().createOrReplaceTempView("rc_orders")
+    acc = AcceleratorRegistry(lake)
+    sql = "SELECT customer_id, SUM(amount) AS total FROM rc_orders GROUP BY customer_id"
+
+    first = {r.customer_id: r.total for r in acc.cached_sql(sql, ["db.raw.o"]).collect()}
+    assert first == {10: 175.0, 11: 250.0}
+    # hit: served from materialized storage, no Aggregate in the plan
+    plan = acc.cached_sql(sql, ["db.raw.o"])._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan
+    # anchor advances -> stale -> recomputed with fresh data (and re-cached)
+    t.append(_mk_orders(spark))
+    t.read().createOrReplaceTempView("rc_orders")
+    second = {r.customer_id: r.total for r in acc.cached_sql(sql, ["db.raw.o"]).collect()}
+    assert second == {10: 350.0, 11: 500.0}
+    # different SQL -> different digest -> separate entry (dremio.sql:10-13)
+    other = acc.cached_sql(sql + " HAVING SUM(amount) > 300", ["db.raw.o"])
+    assert {r.customer_id for r in other.collect()} == {10, 11}
+    assert len(acc.status()) == 2
+
+
 # ------------------------------------------------------------- sources
 
 

@@ -3,7 +3,12 @@
 import pytest
 from pyspark.sql import functions as F
 
-from apache_iceberg_lakehouse_workshop_spark.functions.ai import ai_classify, ai_complete, ai_generate
+from apache_iceberg_lakehouse_workshop_spark.functions.ai import (
+    ai_classify,
+    ai_complete,
+    ai_generate,
+    ai_generate_file,
+)
 from apache_iceberg_lakehouse_workshop_spark.operators import similarity as SIM
 from apache_iceberg_lakehouse_workshop_spark.tables import load_table
 
@@ -87,3 +92,36 @@ def test_ai_generate_schema_coercion(spark):
     assert row.n_words == 5
     assert row.sentiment == "negative"
     assert row.bogus is None  # unparseable field -> NULL, never an exception
+
+
+def test_ai_generate_file_multimodal(spark, tmp_path):
+    """AI2: LIST_FILES -> AI_GENERATE(prompt, file content) WITH SCHEMA —
+    the full ai_generate.sql:5-23 pipeline shape on the mock backend."""
+    import hashlib
+
+    from apache_iceberg_lakehouse_workshop_spark.sources import list_files
+
+    d = tmp_path / "manifests"
+    d.mkdir()
+    (d / "m1.pdf").write_bytes(b"%PDF-one")
+    (d / "m2.pdf").write_bytes(b"%PDF-two-longer")
+    (d / "notes.txt").write_bytes(b"skip me")
+
+    files = list_files(spark, str(d)).filter(F.col("path").like("%.pdf"))
+    out = files.select(
+        "path",
+        ai_generate_file(
+            F.concat(F.lit("summarize fast fast doc "), F.col("path")),
+            F.col("content"),
+            [("content_bytes", "int"), ("digest", "string"), ("summary", "string")],
+        ).alias("s"),
+    # struct immediately flattened into columns, the reference's follow-up
+    # view idiom (logistics_AI.sql:146-161)
+    ).select("path", "s.content_bytes", "s.digest", "s.summary")
+
+    rows = {r.path.split("/")[-1]: r for r in out.collect()}
+    assert set(rows) == {"m1.pdf", "m2.pdf"}
+    assert rows["m1.pdf"].content_bytes == 8
+    assert rows["m1.pdf"].digest == hashlib.md5(b"%PDF-one").hexdigest()[:8]
+    assert rows["m2.pdf"].content_bytes == 15
+    assert rows["m1.pdf"].summary.startswith("summarize fast fast doc")
