@@ -210,15 +210,76 @@ class LakeTable:
             if schema is None:
                 raise ValueError(f"table {self.name} is empty and has no declared schema")
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option("basePath", os.path.join(self.path, "data")).parquet(*dirs)
+        # mergeSchema: commits written before an ALTER TABLE ADD COLUMN lack
+        # the new column — union the file schemas so it surfaces as NULL
+        # there (Iceberg schema-evolution read semantics, SURVEY §1.3).
+        df = (
+            self.spark.read.option("basePath", os.path.join(self.path, "data"))
+            .option("mergeSchema", "true")
+            .parquet(*dirs)
+        )
         drop = [c for c in df.columns if c.startswith(_HP_PREFIX)]
         user_cols = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
         if schema is not None:
-            # preserve declared column order + types across commits
-            df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+            # current declared schema governs column order + types; columns
+            # no data file has yet read as typed NULLs; renamed columns read
+            # their pre-rename physical name from old commits
+            present = set(df.columns)
+            aliases = meta.get("column_aliases", {})
+            cols = []
+            for f in schema.fields:
+                physical = aliases.get(f.name)
+                if f.name in present and physical in present:
+                    c = F.coalesce(F.col(f.name), F.col(physical))
+                elif f.name in present:
+                    c = F.col(f.name)
+                elif physical in present:
+                    c = F.col(physical)
+                else:
+                    c = F.lit(None)
+                cols.append(c.cast(f.dataType).alias(f.name))
+            df = df.select(*cols)
         elif drop:
             df = df.select(*user_cols)
         return df
+
+    # ----------------------------------------------------- schema evolution
+
+    def add_column(self, name: str, dtype: str) -> None:
+        """``ALTER TABLE … ADD COLUMN`` — metadata-only commit, no data
+        rewrite; existing rows read as NULL (Iceberg schema evolution,
+        SURVEY §1.3 / readme.md's Iceberg capability set). Requires a
+        declared schema."""
+        meta = self._load_meta()
+        if meta.get("schema") is None:
+            raise ValueError("add_column requires a declared schema")
+        schema = T.StructType.fromJson(meta["schema"])
+        if name in schema.fieldNames():
+            raise ValueError(f"column exists: {name}")
+        schema = schema.add(T.StructField(name, T._parse_datatype_string(dtype)))
+        meta["schema"] = schema.jsonValue()
+        self._commit(meta)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """``ALTER TABLE … RENAME COLUMN`` — metadata-only. Data files keep
+        the old physical name; reads map it forward. (Iceberg does this by
+        field id; the shim records a physical-name alias.)"""
+        meta = self._load_meta()
+        if meta.get("schema") is None:
+            raise ValueError("rename_column requires a declared schema")
+        schema = T.StructType.fromJson(meta["schema"])
+        if old not in schema.fieldNames():
+            raise ValueError(f"no such column: {old}")
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        meta["schema"] = T.StructType(fields).jsonValue()
+        aliases = meta.setdefault("column_aliases", {})
+        # chase prior renames so the alias always points at a physical name
+        physical = aliases.pop(old, old)
+        aliases[new] = physical
+        self._commit(meta)
 
     # ---------------------------------------------------- metadata tables
 

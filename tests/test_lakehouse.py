@@ -155,6 +155,39 @@ def test_reflection_route_and_refresh(lake, spark):
     assert acc.status() == []
 
 
+def test_schema_evolution(lake, spark):
+    """Iceberg-style schema evolution (SURVEY §1.3): add/rename are
+    metadata-only commits; old data files are never rewritten."""
+    t = lake.create_table("db.ev", "order_id INT, amount DOUBLE")
+    t.append(spark.createDataFrame([(1, 10.0), (2, 20.0)], "order_id INT, amount DOUBLE"))
+
+    t.add_column("channel", "STRING")
+    # pre-evolution rows surface the new column as NULL
+    assert t.read().columns == ["order_id", "amount", "channel"]
+    assert [r.channel for r in t.read().orderBy("order_id").collect()] == [None, None]
+    # post-evolution appends carry it
+    t.append(
+        spark.createDataFrame([(3, 30.0, "web")], "order_id INT, amount DOUBLE, channel STRING")
+    )
+    got = {r.order_id: r.channel for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: "web"}
+    with pytest.raises(ValueError):
+        t.add_column("channel", "STRING")
+
+    # rename: old commits keep the old physical name, reads map it forward
+    t.rename_column("amount", "amount_usd")
+    assert t.read().columns == ["order_id", "amount_usd", "channel"]
+    assert {r.order_id: r.amount_usd for r in t.read().collect()} == {1: 10.0, 2: 20.0, 3: 30.0}
+    t.append(
+        spark.createDataFrame(
+            [(4, 40.0, "app")], "order_id INT, amount_usd DOUBLE, channel STRING"
+        )
+    )
+    assert {r.order_id: r.amount_usd for r in t.read().collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0,
+    }
+
+
 def test_result_cache(lake, spark):
     t = lake.create_table_as("db.raw.o", _mk_orders(spark))
     t.read().createOrReplaceTempView("rc_orders")
