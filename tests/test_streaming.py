@@ -66,6 +66,21 @@ def test_tumbling_rollup_matches_batch_twin(spark, events_dir, tmp_path):
     assert g == b and len(g) == 4
 
 
+def test_sliding_rollup(spark, events_dir, tmp_path):
+    from apache_iceberg_lakehouse_workshop_spark.streaming import sliding_rollup
+
+    stream = read_event_stream(spark, events_dir)
+    got = _drain(
+        sliding_rollup(stream, window_size="2 hours", slide="1 hour"),
+        spark, "t_slide", tmp_path, "complete",
+    )
+    # event at 10:00 lands in the 09:00 and 10:00 2h-windows (size/slide = 2)
+    views_0801 = got.filter("event_type = 'view' AND window_start >= '2025-08-01'") \
+                    .filter("window_start < '2025-08-02'")
+    assert views_0801.count() == 2
+    assert {r.n_events for r in views_0801.collect()} == {1}
+
+
 def test_stream_dedup(spark, events_dir, tmp_path):
     stream = read_event_stream(spark, events_dir)
     got = _drain(stream_dedup(stream, ["event_id"]), spark, "t_dedup", tmp_path, "append")
