@@ -109,6 +109,32 @@ def sliding_rollup(
     )
 
 
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session-window rollup: events closer than ``gap`` per user merge into
+    one session (``F.session_window`` — dynamic, data-driven windows; the
+    sessionization a training-data pipeline needs for user-activity
+    grouping). Works identically on batch DataFrames (omit the watermark
+    requirement) — tests exploit that for a batch twin."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: keeps the first arrival per key, with state
     bounded by the watermark — the unbounded-input form of the W1

@@ -155,6 +155,25 @@ def test_reflection_route_and_refresh(lake, spark):
     assert acc.status() == []
 
 
+def test_merge_upsert(lake, spark):
+    """MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT (Iceberg
+    CoW upsert): matched keys replaced, new keys appended, one snapshot."""
+    t = lake.create_table_as("db.m", _mk_orders(spark))
+    src = spark.createDataFrame(
+        [
+            (2, 11, 999.0, "2025-08-03 09:00:00"),  # update order 2
+            (9, 12, 50.0, "2025-08-03 10:00:00"),   # insert order 9
+        ],
+        "order_id INT, customer_id INT, amount DOUBLE, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    snap = t.merge(src, "order_id")
+    got = {r.order_id: r.amount for r in t.read().collect()}
+    assert got == {1: 100.0, 2: 999.0, 3: 75.0, 9: 50.0}
+    assert [r.operation for r in t.snapshots().collect()][-1] == "merge"
+    # pre-merge snapshot still readable
+    assert {r.order_id for r in t.read(snapshot_id=snap - 1).collect()} == {1, 2, 3}
+
+
 def test_schema_evolution(lake, spark):
     """Iceberg-style schema evolution (SURVEY §1.3): add/rename are
     metadata-only commits; old data files are never rewritten."""

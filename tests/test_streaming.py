@@ -81,6 +81,19 @@ def test_sliding_rollup(spark, events_dir, tmp_path):
     assert {r.n_events for r in views_0801.collect()} == {1}
 
 
+def test_session_rollup_stream_matches_batch(spark, events_dir, tmp_path):
+    from apache_iceberg_lakehouse_workshop_spark.streaming import session_rollup
+
+    stream = read_event_stream(spark, events_dir)
+    got = _drain(session_rollup(stream, gap="30 minutes"), spark, "t_sess", tmp_path, "complete")
+    batch = session_rollup(spark.read.schema(stream.schema).json(events_dir), gap="30 minutes")
+    key = lambda r: (str(r.session_start), r.user_id, r.n_events, round(r.total_value, 2))
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    # user 1's 10:00 and 10:05 events (incl. duplicate) merge into ONE session
+    u1 = [r for r in got.collect() if r.user_id == 1]
+    assert len(u1) == 1 and u1[0].n_events == 3
+
+
 def test_stream_dedup(spark, events_dir, tmp_path):
     stream = read_event_stream(spark, events_dir)
     got = _drain(stream_dedup(stream, ["event_id"]), spark, "t_dedup", tmp_path, "append")
