@@ -49,6 +49,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _TRANSFORM_RE = re.compile(r"^(days|months|years|hours)\((\w+)\)$")
+# Iceberg's parameterized transforms: bucket(N, col), truncate(W, col)
+_PARAM_TRANSFORM_RE = re.compile(r"^(bucket|truncate)\((\d+)\s*,\s*(\w+)\)$")
 
 # Derived hidden-partition columns are prefixed so they never collide with
 # user columns and are dropped on read.
@@ -60,6 +62,17 @@ _TRANSFORM_EXPR = {
     "years": lambda c: F.date_trunc("year", F.col(c)).cast("date"),
     "hours": lambda c: F.date_trunc("hour", F.col(c)),
 }
+
+def _param_transform(kind: str, n: int, col: str, dtype: str):
+    # bucket: stable hash mod N (Iceberg uses murmur3; any stable hash gives
+    # the same pruning/clustering properties within this engine).
+    if kind == "bucket":
+        return F.pmod(F.hash(F.col(col)), F.lit(n))
+    # truncate: width-truncate numerics, prefix-truncate strings (Iceberg
+    # truncate transform semantics).
+    if dtype in ("string",):
+        return F.substring(F.col(col), 1, n)
+    return (F.floor(F.col(col) / n) * n).cast("long")
 
 
 def _now_ms() -> int:
@@ -120,18 +133,27 @@ class LakeTable:
         out = []
         for spec in meta["partition_by"]:
             m = _TRANSFORM_RE.match(spec)
+            pm = _PARAM_TRANSFORM_RE.match(spec)
             if m:
                 out.append((f"{_HP_PREFIX}{m.group(1)}_{m.group(2)}", spec))
+            elif pm:
+                out.append((f"{_HP_PREFIX}{pm.group(1)}{pm.group(2)}_{pm.group(3)}", spec))
             else:
                 out.append((spec, None))
         return out
 
     def _prepare(self, df: DataFrame, meta: dict) -> tuple[DataFrame, list[str]]:
         pcols = []
+        dtypes = dict(df.dtypes)
         for phys, spec in self._partition_cols(meta):
             if spec is not None:
                 m = _TRANSFORM_RE.match(spec)
-                df = df.withColumn(phys, _TRANSFORM_EXPR[m.group(1)](m.group(2)))
+                if m:
+                    df = df.withColumn(phys, _TRANSFORM_EXPR[m.group(1)](m.group(2)))
+                else:
+                    pm = _PARAM_TRANSFORM_RE.match(spec)
+                    kind, n, col = pm.group(1), int(pm.group(2)), pm.group(3)
+                    df = df.withColumn(phys, _param_transform(kind, n, col, dtypes.get(col, "")))
             pcols.append(phys)
         return df, pcols
 

@@ -107,6 +107,27 @@ def test_partition_pruning_dirs(lake, spark, tmp_path):
     assert sorted(dirs) == ["_p_days_ts=2025-08-01", "_p_days_ts=2025-08-02"]
 
 
+def test_bucket_truncate_transforms(lake, spark):
+    """Iceberg bucket(N,col) / truncate(W,col) partition transforms —
+    bucket clusters a high-cardinality key for co-located scans; truncate
+    range-groups numerics/strings."""
+    t = lake.create_table(
+        "db.bt", "order_id INT, customer_id INT, amount DOUBLE, ts TIMESTAMP",
+        partition_by=["bucket(4, customer_id)", "truncate(100, order_id)"],
+    )
+    t.append(_mk_orders(spark))
+    assert t.read().count() == 3
+    assert t.read().columns == ["order_id", "customer_id", "amount", "ts"]
+    data_root = os.path.join(t.path, "data")
+    commit = os.listdir(data_root)[0]
+    buckets = [d for d in os.listdir(os.path.join(data_root, commit))
+               if d.startswith("_p_bucket4_customer_id=")]
+    assert buckets  # physical bucket dirs exist
+    for b in buckets:
+        sub = os.listdir(os.path.join(data_root, commit, b))
+        assert any(s.startswith("_p_truncate100_order_id=0") for s in sub)
+
+
 def test_drop_and_list(lake, spark):
     lake.create_namespace("ns1")
     lake.create_table_as("ns1.a", _mk_orders(spark))
