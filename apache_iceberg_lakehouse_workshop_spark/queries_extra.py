@@ -192,6 +192,47 @@ def q8_kpi_null_checks(spark, sf_dir):
 
 
 @q(
+    "e3_session_rollup",
+    """WITH ordered AS (
+         SELECT user_id, ts, value,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events),
+       sess AS (
+         SELECT user_id, ts, value,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM ordered)
+       SELECT CAST(user_id AS BIGINT) AS user_id,
+              MIN(ts) AS session_start,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       FROM sess GROUP BY user_id, sid""",
+    "Session-window rollup: Spark's dynamic session_window (30-min gap) vs "
+    "the classic gaps-and-islands SQL twin — pins the operator's merge "
+    "semantics exactly (events merge while ts - prev_ts < gap; boundary "
+    "equality starts a new session). Batch twin of streaming.session_rollup.",
+)
+def e3_session_rollup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
     "t4_fingerprint",
     """SELECT CAST(doc_id AS BIGINT) AS doc_id,
               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),

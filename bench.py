@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "d1_exact_dup_groups", # content-hash dedup
     "s1_knn_bruteforce",   # ANN brute force
     "e1_daily_event_rollup",
+    "e3_session_rollup",   # dynamic session windows (sort-heavy stateful shape)
 ]
 
 
