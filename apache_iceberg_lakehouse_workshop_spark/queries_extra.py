@@ -192,6 +192,42 @@ def q8_kpi_null_checks(spark, sf_dir):
 
 
 @q(
+    "a17_rollup_hierarchy",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+              COALESCE(l_linestatus, 'ALL') AS linestatus,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+              CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+              CAST(GROUPING(l_linestatus) AS INT) AS g_status
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "ROLLUP hierarchy with GROUPING() disambiguation — engine extension "
+    "beyond the reference (SURVEY §2.4 notes GROUPING SETS/CUBE/ROLLUP "
+    "absent); subtotal rows computed in one pass (partial-agg expansion), "
+    "no per-level rescan.",
+)
+def a17_rollup_hierarchy(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+            "g_flag",
+            "g_status",
+        )
+    )
+
+
+@q(
     "e3_session_rollup",
     """WITH ordered AS (
          SELECT user_id, ts, value,

@@ -59,6 +59,18 @@ def test_two_phase_agg_matches_single_phase(spark):
     assert n_partials > 1
 
 
+def test_approx_percentile_bounds(spark, sf_dir):
+    """Quantiles at scale: percentile_approx (one-pass mergeable sketch,
+    shuffle carries O(groups) sketches) within tolerance of the exact
+    sort-based percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.percentile("l_extendedprice", F.lit(0.5))).first()[0]
+    approx = li.select(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000))
+    ).first()[0]
+    assert abs(approx - exact) / exact < 0.01
+
+
 def test_approx_count_distinct_bounds(spark, sf_dir):
     """A2's 100 TB variant: approx_count_distinct (HLL++) within its rsd of
     exact — sketches merge map-side, so the shuffle carries O(groups)
