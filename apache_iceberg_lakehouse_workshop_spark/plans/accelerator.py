@@ -101,6 +101,32 @@ class AcceleratorRegistry:
         self.lake.table(self._storage_name(name)).overwrite(definition())
         self._anchors[name] = self._current_snapshot_ids(anchor_tables)
 
+    def refresh_incremental(self, name: str, delta_definition: Callable[[DataFrame], DataFrame]) -> bool:
+        """Incremental refresh for single-anchor RAW reflections (row-wise
+        definitions — project/filter/enrich): apply ``delta_definition`` to
+        only the rows appended since the recorded snapshot and append the
+        result (Dremio's incremental reflection refresh, readme.md:383-389;
+        built on :meth:`~.lakeshim.LakeTable.read_incremental`).
+
+        Returns True if the incremental path applied; False means history
+        had non-append commits (or multi-anchor) — caller falls back to
+        ``refresh()``. Cost is O(new data), not O(table)."""
+        _, anchor_tables = self._defs[name]
+        if len(anchor_tables) != 1:
+            return False
+        anchor = anchor_tables[0]
+        recorded = self._anchors.get(name, {}).get(anchor)
+        if recorded is None:
+            return False
+        t = self.lake.table(anchor)
+        try:
+            delta = t.read_incremental(recorded)
+        except ValueError:
+            return False
+        self.lake.table(self._storage_name(name)).append(delta_definition(delta))
+        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        return True
+
     def drop_reflection(self, name: str) -> None:
         """Reflection retirement (readme.md:381-389 autonomous retire)."""
         self._defs.pop(name, None)

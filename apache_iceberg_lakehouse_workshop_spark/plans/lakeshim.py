@@ -324,6 +324,43 @@ class LakeTable:
         aliases[new] = physical
         self._commit(meta)
 
+    def read_incremental(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
+        """Incremental scan: rows appended after ``from_snapshot_id`` (up to
+        ``to_snapshot_id``/current) — Iceberg's incremental read
+        (``incremental-from-snapshot``), the engine primitive for
+        incremental reflection refresh and streaming backfill.
+
+        Only valid across append commits: an overwrite/delete/compact
+        rewrites history, so a consumer must fall back to a full refresh —
+        exactly Iceberg's contract (raises ValueError, caller decides)."""
+        meta = self._load_meta()
+        snaps = meta["snapshots"]
+        by_id = {s["id"]: s for s in snaps}
+        if from_snapshot_id not in by_id:
+            raise ValueError(f"unknown snapshot {from_snapshot_id} for {self.name}")
+        end = by_id[to_snapshot_id] if to_snapshot_id is not None else self._current_snapshot(meta)
+        span = [s for s in snaps if from_snapshot_id < s["id"] <= end["id"]]
+        # compact preserves row content but rewrites files, so file-diffing
+        # would double-count — it's a boundary just like overwrite/delete
+        bad = [s["id"] for s in span if s["operation"] != "append"]
+        if bad:
+            raise ValueError(
+                f"non-append snapshots {sorted(set(bad))} in range — incremental "
+                "read undefined; run a full refresh"
+            )
+        base = set(by_id[from_snapshot_id]["commit_dirs"])
+        new_dirs = [d for d in end["commit_dirs"] if d not in base]
+        if not new_dirs:
+            return self.read(snapshot_id=from_snapshot_id).limit(0)
+        dirs = [os.path.join(self.path, "data", d) for d in new_dirs]
+        df = (
+            self.spark.read.option("basePath", os.path.join(self.path, "data"))
+            .option("mergeSchema", "true")
+            .parquet(*dirs)
+        )
+        keep = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
+        return df.select(*keep)
+
     # ---------------------------------------------------- metadata tables
 
     def snapshots(self) -> DataFrame:

@@ -176,6 +176,54 @@ def test_reflection_route_and_refresh(lake, spark):
     assert acc.status() == []
 
 
+def test_read_incremental(lake, spark):
+    """Iceberg incremental scan: only rows appended after a snapshot;
+    rewriting commits (delete/compact) invalidate the incremental path."""
+    t = lake.create_table("db.inc", "order_id INT, customer_id INT, amount DOUBLE, ts TIMESTAMP")
+    s1 = t.append(_mk_orders(spark))
+    t.append(_mk_orders(spark).withColumn("order_id", F.col("order_id") + 10))
+    s3 = t.append(_mk_orders(spark).withColumn("order_id", F.col("order_id") + 20))
+
+    delta = t.read_incremental(s1)
+    assert {r.order_id for r in delta.collect()} == {11, 12, 13, 21, 22, 23}
+    assert t.read_incremental(s3).count() == 0  # nothing after current
+    # bounded range
+    assert {r.order_id for r in t.read_incremental(s1, to_snapshot_id=2).collect()} == {11, 12, 13}
+
+    t.delete_where("order_id = 1")
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(s1)
+
+
+def test_refresh_incremental(lake, spark):
+    t = lake.create_table_as("db.raw.inc_orders", _mk_orders(spark))
+    acc = AcceleratorRegistry(lake)
+
+    def view():
+        return t.read().filter(F.col("amount") >= 100).select("order_id", "amount")
+
+    def delta_view(delta):
+        return delta.filter(F.col("amount") >= 100).select("order_id", "amount")
+
+    acc.create_reflection("big_orders", view, ["db.raw.inc_orders"])
+    t.append(_mk_orders(spark).withColumn("order_id", F.col("order_id") + 10))
+    assert not acc.is_fresh("big_orders")
+
+    assert acc.refresh_incremental("big_orders", delta_view) is True
+    assert acc.is_fresh("big_orders")
+    got = {r.order_id for r in acc.resolve("big_orders").collect()}
+    assert got == {1, 2, 11, 12}  # amounts 100.0 and 250.0 from both batches
+    # served from storage, not recomputed
+    plan = acc.resolve("big_orders")._jdf.queryExecution().optimizedPlan().toString()
+    assert "amount" in plan and "Filter" not in plan
+
+    # non-append history -> incremental declines, full refresh still works
+    t.delete_where("order_id = 1")
+    assert acc.refresh_incremental("big_orders", delta_view) is False
+    acc.refresh("big_orders")
+    assert {r.order_id for r in acc.resolve("big_orders").collect()} == {2, 11, 12}
+
+
 def test_merge_upsert(lake, spark):
     """MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT (Iceberg
     CoW upsert): matched keys replaced, new keys appended, one snapshot."""
