@@ -102,3 +102,84 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Image resize stage (training-pipeline preprocessing). The real path
+    is Pillow inside the batch loop (``decode_image``); the stub produces a
+    deterministic fake: scaled fake dimensions + a payload digest-slice
+    standing in for re-encoded bytes. Plumbing is real: Arrow batches,
+    map-only, output schema carries payload + final dimensions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                w, h, _fmt = fake_decode_meta(raw)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                # fake re-encode: content-derived, size-proportional bytes
+                digest = hashlib.md5(raw).digest()
+                out_payload.append(bytes(digest * max(1, (nw * nh) // 16 // len(digest))))
+                out_w.append(nw)
+                out_h.append(nh)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "mime": pdf["mime"],
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling: one input row → ``n_frames`` output rows
+    (uniform timestamps). Real path = ffmpeg per batch; the stub emits
+    deterministic content-derived frame bytes. The 1→N row expansion inside
+    ``mapInPandas`` is the part that matters at scale: no explode over a
+    pre-built array column (which would materialize all frames in one row),
+    frames stream out of the worker batch by batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, mss, frames = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                # fake duration: content-derived, stable
+                duration_ms = 1000 + int.from_bytes(hashlib.md5(raw).digest()[:2], "big")
+                for i in range(n_frames):
+                    ids.append(mid)
+                    nos.append(i)
+                    mss.append(i * duration_ms // n_frames)
+                    frames.append(hashlib.md5(raw + bytes([i])).digest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame_ms": mss, "frame": frames}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

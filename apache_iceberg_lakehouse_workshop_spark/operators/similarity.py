@@ -153,6 +153,118 @@ def _fixed_planes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+# ------------------------------------------------------------ IVF scale path
+
+
+def _assign_cells(df: DataFrame, centroids: DataFrame, out_id: str, nprobe: int) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells via a
+    broadcast join + per-vector top-n window (map-side scoring; K is tiny)."""
+    scored = df.join(F.broadcast(centroids), how="cross").select(
+        F.col(out_id),
+        F.col(f"{out_id}_vec"),
+        F.col("cell_id"),
+        cosine_quantized(F.col(f"{out_id}_vec"), F.col("centroid")).alias("cell_sim"),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .drop("crank", "cell_sim")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Coarse quantizer: ``n_cells`` centroids sampled deterministically
+    (min-hash-of-id order — reproducible, no RNG) then refined with one
+    distributed Lloyd step (assign → per-cell mean via posexplode/groupBy).
+    K stays driver-small; the refinement is two narrow shuffles."""
+    seed_pick = (
+        corpus.select(F.col(id_col).cast("long").alias("sid"), quantized(F.col(vec_col)).alias("v"))
+        .orderBy(F.abs(F.hash(F.col("sid"))), F.asc("sid"))
+        .limit(n_cells)
+    )
+    seeds = seed_pick.select(
+        F.row_number().over(Window.orderBy("sid")).cast("long").alias("cell_id"),
+        F.col("v").alias("centroid"),
+    )
+    # one Lloyd refinement: nearest seed per vector -> mean vector per cell
+    assigned = _assign_cells(
+        corpus.select(
+            F.col(id_col).cast("long").alias("m"), quantized(F.col(vec_col)).alias("m_vec")
+        ),
+        seeds,
+        "m",
+        nprobe=1,
+    )
+    return (
+        assigned.select("cell_id", F.posexplode("m_vec").alias("pos", "val"))
+        .groupBy("cell_id", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: F.round(s["mean_val"]).cast("long"),
+            ).alias("centroid")
+        )
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF-flat: corpus vectors live in their nearest
+    centroid cell; each query probes its ``nprobe`` nearest cells and scores
+    only those candidates (equi-join on cell_id).
+
+    At 100 TB: the index build is two narrow shuffles (centroid means) and
+    one map-side assignment; the query path joins on cell_id so the scored
+    set shrinks ~n_cells/nprobe-fold vs brute force. Same output schema as
+    knn_bruteforce/knn_lsh — drop-in."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    c = _assign_cells(
+        corpus.select(
+            F.col(id_col).cast("long").alias("cand_id"), quantized(F.col(vec_col)).alias("cand_id_vec")
+        ),
+        cents,
+        "cand_id",
+        nprobe=1,
+    )
+    q = _assign_cells(
+        queries.select(
+            F.col(id_col).cast("long").alias("query_id"), quantized(F.col(vec_col)).alias("query_id_vec")
+        ),
+        cents,
+        "query_id",
+        nprobe=nprobe,
+    )
+    cand = (
+        c.join(q, "cell_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "query_id_vec", "cand_id", "cand_id_vec")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_quantized(F.col("query_id_vec"), F.col("cand_id_vec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

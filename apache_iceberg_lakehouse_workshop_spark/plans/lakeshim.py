@@ -403,15 +403,32 @@ class LakeTable:
 
     # ------------------------------------------------------- maintenance
 
-    def compact(self, target_file_mb: int = 128) -> int:
+    def compact(
+        self,
+        target_file_mb: int = 128,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> int:
         """Bin-pack small files into ~target-size files — ≈ ``CALL
         system.rewrite_data_files`` (readme.md:391-401, SURVEY §4 R9).
-        Produces a new snapshot; data is unchanged."""
+        Produces a new snapshot; data is unchanged.
+
+        ``sort_by`` rewrites with range-partitioned, sorted files (≈
+        ``rewrite_data_files(strategy => 'sort')``): each output file owns a
+        tight min/max range on the sort keys, so parquet row-group stats
+        prune range predicates file-by-file — the clustering half of the
+        reference's "partition optimization"."""
         meta = self._load_meta()
         current = self.read()
-        total = sum(r.size_bytes for r in self.files().collect()) or 1
-        n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
-        commit = self._write_commit_dir(current.repartition(n_files), meta)
+        if n_files is None:
+            total = sum(r.size_bytes for r in self.files().collect()) or 1
+            n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+        if sort_by:
+            cols = [F.col(c) for c in sort_by]
+            packed = current.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+        else:
+            packed = current.repartition(n_files)
+        commit = self._write_commit_dir(packed, meta)
         snap = self._new_snapshot(meta, "compact", [commit])
         self._commit(meta)
         return snap["id"]

@@ -93,6 +93,25 @@ def test_ctas_distribute_and_maintenance(lake, spark):
         t.read(snapshot_id=1)  # expired
 
 
+def test_compact_sort_clusters_files(lake, spark):
+    """sort-strategy rewrite: each output file owns a disjoint key range
+    (file-level min/max pruning for range predicates)."""
+    rows = [(i % 100, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k INT, v DOUBLE").repartition(8)
+    t = lake.create_table_as("db.sorted", df)
+    t.compact(sort_by=["k"], n_files=4)
+    files = [r.file_path for r in t.files().collect()]
+    ranges = []
+    for fp in files:
+        r = spark.read.parquet(fp).agg(F.min("k"), F.max("k")).first()
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    assert t.read().count() == 1000
+    assert len(ranges) > 1
+    # disjoint consecutive ranges -> file-level min/max pruning works
+    assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+
 def test_partition_pruning_dirs(lake, spark, tmp_path):
     """days(ts) hidden partitioning physically lays out day directories —
     the structure object-store pruning needs at 100 TB."""

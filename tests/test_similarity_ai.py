@@ -125,3 +125,17 @@ def test_ai_generate_file_multimodal(spark, tmp_path):
     assert rows["m1.pdf"].digest == hashlib.md5(b"%PDF-one").hexdigest()[:8]
     assert rows["m2.pdf"].content_bytes == 15
     assert rows["m1.pdf"].summary.startswith("summarize fast fast doc")
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF-flat (sampled+refined centroids, nprobe cells) recalls most of
+    the exact top-k on the driver's embeddings table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = SIM.knn_bruteforce(emb, queries, k=5)
+    approx = SIM.knn_ivf(emb, queries, k=5, n_cells=8, nprobe=4)
+    e = {(r.query_id, r.cand_id) for r in exact.collect()}
+    a = {(r.query_id, r.cand_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.5  # recall floor; nprobe/n_cells tunable
+    # same schema contract as the other knn variants
+    assert approx.columns == ["query_id", "cand_id", "cosine_sim", "rank"]
