@@ -320,6 +320,20 @@ def s3_knn_lsh(spark, sf_dir):
     return SIM.knn_lsh(emb, queries, k=5, dim=64, n_planes=4)
 
 
+@q(
+    "s4_knn_ivf",
+    None,  # approximate recall is engine-defined -> rows-only; recall-vs-
+    # brute-force asserted in tests/test_similarity_ai.py
+    "IVF-flat approximate top-k (deterministic sampled+refined centroids, "
+    "nprobe cell probing via equi-join — the inverted-file scale path "
+    "beside LSH)",
+)
+def s4_knn_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.knn_ivf(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
 # =====================================================================
 # Multimodal columns
 # =====================================================================
@@ -355,6 +369,22 @@ def mm1_binary_metadata(spark, sf_dir):
 def mm2_media_features(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return MM.extract_features(MM.media_from_documents(d))
+
+
+@q(
+    "mm3_frame_sample",
+    None,  # frame bytes are stub-codec output -> rows-only; determinism and
+    # 1->N expansion asserted in tests/test_quality_multimodal.py
+    "video frame-sampling plumbing: 1 media row -> N frame rows inside "
+    "mapInPandas (no pre-built array explode), uniform fake timestamps, "
+    "content-derived frame payloads",
+)
+def mm3_frame_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    frames = MM.sample_frames(MM.media_from_documents(d), n_frames=3)
+    return frames.select(
+        "media_id", "frame_no", "frame_ms", F.md5("frame").alias("frame_md5")
+    )
 
 
 # =====================================================================
