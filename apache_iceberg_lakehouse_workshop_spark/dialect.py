@@ -112,7 +112,6 @@ _DQUOTED = re.compile(r'"([A-Za-z_][A-Za-z0-9_]*)"')
 # ------------------------------------------------------------- FOLDER DDL
 
 _FOLDER = re.compile(r"\bCREATE\s+FOLDER\b", re.I)
-_AT_SOURCE = re.compile(r"@(\w+)")
 
 
 def translate(sql: str) -> str:

@@ -23,8 +23,6 @@ executors, one atomic commit at the end.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -98,7 +96,3 @@ def copy_into(
         else:
             projected.append(F.lit(None).cast(field.dataType).alias(field.name))
     return table.append(df.select(*projected))
-
-
-def _glob_to_regex(glob: str) -> str:
-    return "^" + re.escape(glob).replace(r"\*", ".*").replace(r"\?", ".") + "$"

@@ -17,7 +17,13 @@ def test_registry_shape(spark):
     assert set(oracles) <= set(qs)
     # every oracle-less query is one of the documented engine-internal ops
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"d4_simhash_neardup", "s3_knn_lsh", "mm2_media_features"}
+    assert rows_only == {
+        "d4_simhash_neardup",
+        "s3_knn_lsh",
+        "s4_knn_ivf",
+        "mm2_media_features",
+        "mm3_frame_sample",
+    }
 
 
 def test_all_queries_run_sf0001(spark, sf_dir):
