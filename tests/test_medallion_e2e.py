@@ -104,6 +104,58 @@ def test_finance_pnl_pipeline(spark, tmp_path):
     assert len(enriched) == 5  # every trade priced (J3 join is 1:1 here)
 
 
+def test_retail_ctas_rolling_pipeline(spark, tmp_path):
+    """Retail shape (retail.sql:88-134, 230-240 re-authored): messy status
+    casing -> CTAS-materialized silver with DISTRIBUTE BY -> 7-day rolling
+    revenue gold; hand-checkable rolling sums."""
+    lake = Lakehouse(spark, str(tmp_path / "whr"))
+    raw = spark.createDataFrame(
+        [
+            (1, "Paid", 10.0, "2025-08-01"),
+            (2, "PAID", 20.0, "2025-08-02"),
+            (3, "paid", 30.0, "2025-08-03"),
+            (4, "canceled", 99.0, "2025-08-03"),   # excluded from revenue
+            (5, "Paid", 40.0, "2025-08-09"),       # outside 7d of 08-01
+            (6, "CANCELED", 7.0, "2025-08-09"),
+        ],
+        "order_id INT, status STRING, amount DOUBLE, d STRING",
+    ).withColumn("d", F.col("d").cast("timestamp"))
+    pipe = (
+        MedallionPipeline(spark, lake)
+        .table("retail.raw.orders", lambda: raw)
+        .ctas(
+            "retail.silver.orders_std",
+            """SELECT order_id, UPPER(TRIM(status)) AS status_std, amount, d
+               FROM orders""",
+            distribute_by="order_id",
+        )
+        .view(
+            "retail.gold.rolling_revenue",
+            """SELECT d, daily,
+                      SUM(daily) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                        AS rev_7d
+               FROM (SELECT d, SUM(amount) AS daily FROM orders_std
+                     WHERE status_std = 'PAID' GROUP BY d)""",
+        )
+        .assert_empty(
+            "quality.unknown_status",
+            "SELECT * FROM orders_std WHERE status_std NOT IN ('PAID','CANCELED')",
+        )
+    )
+    results = pipe.run()
+    assert all(r.ok for r in results)
+    # CTAS silver is a real lakehouse table with standardized values
+    silver = lake.table("retail.silver.orders_std").read()
+    assert {r.status_std for r in silver.collect()} == {"PAID", "CANCELED"}
+    rolling = {str(r.d)[:10]: r.rev_7d for r in spark.table("rolling_revenue").collect()}
+    # ROWS BETWEEN 6 PRECEDING is ROW-based over daily rows (the reference's
+    # exact frame, retail.sql:230-240) — so 08-09 still sums all 4 daily rows
+    # despite the calendar gap. SURVEY §2.5 W2 documents this gap hazard; the
+    # gap-robust variant is rangeBetween, deliberately not used here.
+    assert rolling == {"2025-08-01": 10.0, "2025-08-02": 30.0,
+                       "2025-08-03": 60.0, "2025-08-09": 100.0}
+
+
 def test_quality_gate_fails_on_violation(spark, tmp_path):
     lake = Lakehouse(spark, str(tmp_path / "wh2"))
     pipe = (
