@@ -456,7 +456,11 @@ def j9_inline_values_dim(spark, sf_dir):
        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
        GROUP BY l_returnflag, l_linestatus""",
     "A1/A3/A9 flagship pricing summary (TPC-H Q1 shape; mirrors dremio.sql:4-8 "
-    "full-scan multi-AVG and the A-family rows). The engine's headline scan-agg.",
+    "full-scan multi-AVG and the A-family rows). The engine's headline scan-agg. "
+    "Money math is DECIMAL by design (measured ~5x slower than double at sf0.1): "
+    "the reference types money as DECIMAL(18,x) (SURVEY §1.2) and long-scaled "
+    "integer sums would overflow at 100 TB row counts (~1e21 > int64), while "
+    "decimal partial sums widen to (22,2) and stay exact at any scale.",
 )
 def a1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")

@@ -192,6 +192,42 @@ def q8_kpi_null_checks(spark, sf_dir):
 
 
 @q(
+    "w5_rolling_range",
+    """WITH daily AS (
+         SELECT date_trunc('day', o_orderdate) AS d,
+                SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS daily_rev
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY date_trunc('day', o_orderdate))
+       SELECT d, CAST(daily_rev AS DOUBLE) AS daily_rev,
+              CAST(SUM(daily_rev) OVER (ORDER BY d
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS rev_7d
+       FROM daily""",
+    "W2's gap-robust variant (SURVEY §2.5 note: 'engine should offer "
+    "rangeBetween variant'): RANGE frame over the time axis — calendar gaps "
+    "shrink the window instead of silently widening it like the reference's "
+    "ROWS frame (retail.sql:230-240).",
+)
+def w5_rolling_range(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("d")
+    ).agg(F.sum(_dec("o_totalprice")).alias("daily_rev"))
+    daily.createOrReplaceTempView("w5_daily")
+    # DataFrame rangeBetween needs numeric bounds; the SQL interval-range
+    # frame is the idiomatic Spark form for time axes.
+    return spark.sql(
+        """SELECT d, CAST(daily_rev AS DOUBLE) AS daily_rev,
+                  CAST(SUM(daily_rev) OVER (ORDER BY d
+                         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) AS rev_7d
+           FROM w5_daily"""
+    )
+
+
+@q(
     "a17_rollup_hierarchy",
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
               COALESCE(l_linestatus, 'ALL') AS linestatus,

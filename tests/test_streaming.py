@@ -115,6 +115,43 @@ def test_running_user_totals_stateful(spark, events_dir, tmp_path):
     assert final[3] == (0, 0.0)
 
 
+def test_stream_driver_events_parquet_matches_batch(spark, tmp_path):
+    """Stream the driver's real events.parquet (nanosecond timestamps)
+    through the tumbling rollup and match the e1 batch twin — the backfill
+    path: same code, availableNow trigger, production table."""
+    from pyspark.sql.types import StructType
+
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    batch = load_table(spark, sf, "events")
+    # stream with the raw parquet schema (ts arrives as nanos LONG under the
+    # legacy conf); convert exactly as tables.load_table does
+    raw_schema = StructType.fromJson(spark.read.parquet(f"{sf}/events.parquet").schema.jsonValue())
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf)
+        .withColumn(
+            "ts",
+            F.expr(
+                "to_timestamp(timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
+            ),
+        )
+    )
+    got = _drain(tumbling_rollup(stream, "1 day"), spark, "t_prod", tmp_path, "complete")
+    exp = (
+        batch.groupBy(F.date_trunc("day", "ts").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+    )
+    g = {(str(r.window_start)[:10], r.event_type): (r.n_events, round(r.total_value, 4))
+         for r in got.collect()}
+    b = {(str(r.w)[:10], r.event_type): (r.n, r.v) for r in exp.collect()}
+    assert g == b
+    assert len(g) > 10
+
+
 def test_stream_to_lakehouse_snapshot_appends(spark, events_dir, tmp_path):
     lake = Lakehouse(spark, str(tmp_path / "wh"))
     t = lake.create_table(
