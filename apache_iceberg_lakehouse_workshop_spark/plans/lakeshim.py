@@ -457,6 +457,19 @@ class LakeTable:
         self._commit(meta)
         return removed
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """``CALL system.rollback_to_snapshot`` — make an earlier snapshot
+        current again. Pure metadata: appends a new history entry pointing at
+        the old snapshot's files (nothing is rewritten; the rolled-back-over
+        snapshots stay readable until expired)."""
+        meta = self._load_meta()
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        if snapshot_id not in by_id:
+            raise ValueError(f"unknown snapshot {snapshot_id} for {self.name}")
+        snap = self._new_snapshot(meta, "rollback", list(by_id[snapshot_id]["commit_dirs"]))
+        self._commit(meta)
+        return snap["id"]
+
     def maintain(self, target_file_mb: int = 128, keep_last: int = 3) -> None:
         """One-call table optimization — the engine twin of the reference's
         "automated table optimization" (readme.md:391-401)."""
@@ -574,3 +587,23 @@ class Lakehouse:
             d for d in os.listdir(base)
             if os.path.exists(os.path.join(base, d, "metadata.json"))
         )
+
+    def _walk_tables(self) -> list[str]:
+        out = []
+        for root, _dirs, names in os.walk(self.root):
+            if "metadata.json" in names:
+                rel = os.path.relpath(root, self.root)
+                out.append(rel.replace(os.sep, "."))
+        return sorted(out)
+
+    def run_script(self, sql: str):
+        """Run a (Dremio-dialect) SQL script against the warehouse: every
+        table is registered as a temp view under its leaf name, then the
+        script executes through the dialect layer — the 'paste your workshop
+        script at the engine' surface. Returns the last statement's result."""
+        from .. import dialect
+
+        for name in self._walk_tables():
+            leaf = name.split(".")[-1]
+            self.table(name).read().createOrReplaceTempView(leaf)
+        return dialect.run(self.spark, sql)

@@ -243,6 +243,23 @@ def test_refresh_incremental(lake, spark):
     assert {r.order_id for r in acc.resolve("big_orders").collect()} == {2, 11, 12}
 
 
+def test_rollback_and_run_script(lake, spark):
+    t = lake.create_table_as("db.raw.rb_orders", _mk_orders(spark))
+    t.append(_mk_orders(spark).withColumn("order_id", F.col("order_id") + 10))
+    assert t.read().count() == 6
+    t.rollback_to(1)
+    assert t.read().count() == 3  # metadata-only revert
+    assert [r.operation for r in t.snapshots().collect()][-1] == "rollback"
+    assert t.read(snapshot_id=2).count() == 6  # rolled-over snapshot readable
+
+    out = lake.run_script(
+        """SELECT customer_id, SUM(amount) AS total, LISTAGG(DISTINCT customer_id, ',') AS ids
+           FROM rb_orders GROUP BY customer_id"""
+    )
+    got = {r.customer_id: r.total for r in out.collect()}
+    assert got == {10: 175.0, 11: 250.0}
+
+
 def test_merge_upsert(lake, spark):
     """MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT (Iceberg
     CoW upsert): matched keys replaced, new keys appended, one snapshot."""
@@ -315,6 +332,37 @@ def test_result_cache(lake, spark):
     other = acc.cached_sql(sql + " HAVING SUM(amount) > 300", ["db.raw.o"])
     assert {r.customer_id for r in other.collect()} == {10, 11}
     assert len(acc.status()) == 2
+
+
+def test_lakehouse_roundtrip_driver_data(lake, spark):
+    """Storage-layer integration at real data volume: lineitem (sf0.001)
+    into a hidden-day-partitioned lakehouse table; the flagship agg over the
+    lakehouse read must equal the same agg over the raw parquet."""
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    t = lake.create_table(
+        "tpch.raw.lineitem", li.schema, partition_by=["days(l_shipdate)"]
+    )
+    t.append(li)
+
+    def summary(df):
+        return sorted(
+            map(
+                tuple,
+                df.groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"),
+                )
+                .collect(),
+            )
+        )
+
+    assert summary(t.read()) == summary(li)
+    # partition pruning: a one-day predicate reads a strict subset of files
+    one_day = t.read().filter("l_shipdate = TIMESTAMP '1998-06-01 00:00:00'")
+    assert one_day.count() == li.filter("l_shipdate = TIMESTAMP '1998-06-01 00:00:00'").count()
 
 
 # ------------------------------------------------------------- sources
