@@ -159,6 +159,83 @@ def j10_view_stack(spark, sf_dir):
 
 
 @q(
+    "j11_full_outer",
+    """WITH cust_orders AS (
+         SELECT CAST(o_custkey AS BIGINT) AS custkey, COUNT(*) AS n_orders
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+       cust AS (
+         SELECT CAST(c_custkey AS BIGINT) AS custkey, c_mktsegment
+         FROM customer WHERE c_acctbal > 9000)
+       SELECT COALESCE(co.custkey, c.custkey) AS custkey,
+              CAST(COALESCE(co.n_orders, 0) AS BIGINT) AS n_orders,
+              COALESCE(c.c_mktsegment, 'NONE') AS segment
+       FROM cust_orders co FULL OUTER JOIN cust c ON co.custkey = c.custkey""",
+    "Full outer join (engine extension — SURVEY §2.3 notes right/full outer "
+    "absent from the reference; free in Spark). COALESCE over both null "
+    "sides, the standard reconciliation shape.",
+)
+def j11_full_outer(spark, sf_dir):
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").cast("long").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").cast("long").alias("custkey"), "c_mktsegment")
+    )
+    j = o.join(c, "custkey", "full_outer")
+    return j.select(
+        F.col("custkey"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment"),
+    )
+
+
+@q(
+    "j12_cross_join",
+    """SELECT r.r_name, n.n_name,
+              CAST(r.r_regionkey = n.n_regionkey AS BOOLEAN) AS is_member
+       FROM region r CROSS JOIN nation n""",
+    "Explicit cross join of two small dims (engine extension; the scale "
+    "rule: cross joins are only ever dim x dim — fact-side cross joins are "
+    "forbidden by construction, see similarity/dedup LSH bucketing)",
+)
+def j12_cross_join(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name", "n_name", (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_member")
+    )
+
+
+@q(
+    "u4_union_distinct",
+    """SELECT custkey FROM (
+         SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_totalprice > 300000
+         UNION
+         SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer WHERE c_acctbal > 9900)""",
+    "UNION (distinct) — engine extension (reference only uses UNION ALL, "
+    "SURVEY §2.7); dedup happens in the same shuffle as the union, no "
+    "separate distinct pass",
+)
+def u4_union_distinct(spark, sf_dir):
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").cast("long").alias("custkey"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_custkey").cast("long").alias("custkey"))
+    )
+    return o.union(c).distinct()
+
+
+@q(
     "q8_kpi_null_checks",
     """WITH kpi AS (
          SELECT n_name,
