@@ -113,6 +113,27 @@ _DQUOTED = re.compile(r'"([A-Za-z_][A-Za-z0-9_]*)"')
 
 _FOLDER = re.compile(r"\bCREATE\s+FOLDER\b", re.I)
 
+# metadata TVFs: TABLE(table_snapshot('ns.t')) / TABLE(table_history('ns.t'))
+# (readme.md:360-370) -> the `<leaf>__snapshots` / `<leaf>__history` views
+# that Lakehouse.run_script registers per table.
+_META_TVF = re.compile(
+    r"TABLE\s*\(\s*table_(snapshot|history)\s*\(\s*'([\w.]+)'\s*\)\s*\)", re.I
+)
+
+# TABLE(LIST_FILES('@src/path' | '/path')) (ai_generate.sql:19-21) -> a
+# binaryFile-backed temp view registered on the fly by run().
+_LIST_FILES = re.compile(r"TABLE\s*\(\s*LIST_FILES\s*\(\s*'([^']+)'\s*\)\s*\)", re.I)
+
+
+def _rewrite_meta_tvfs(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        kind, name = m.group(1).lower(), m.group(2)
+        leaf = name.split(".")[-1]
+        suffix = "snapshots" if kind == "snapshot" else "history"
+        return f"{leaf}__{suffix}"
+
+    return _META_TVF.sub(repl, sql)
+
 
 def translate(sql: str) -> str:
     """Translate one Dremio-dialect statement to Spark SQL."""
@@ -129,6 +150,7 @@ def translate(sql: str) -> str:
     out = _map_code_regions(sql, code)
     out = _rewrite_to_fn(out)
     out = _rewrite_listagg(out)
+    out = _rewrite_meta_tvfs(out)
     return out
 
 
@@ -153,6 +175,20 @@ def run(spark, sql: str):
     result = None
     for st in statements:
         st = st.strip()
-        if st:
-            result = spark.sql(translate(st))
+        if not st:
+            continue
+        # LIST_FILES: register a binaryFile view per distinct path, then
+        # substitute the view name for the TVF call.
+        for m in set(_LIST_FILES.findall(st)):
+            from .sources import list_files
+
+            view = "files_" + re.sub(r"\W", "_", m).strip("_")
+            path = m.split("/", 1)[1] if m.startswith("@") else m
+            if m.startswith("@") and "/" in m:
+                path = "/" + path
+            list_files(spark, path).createOrReplaceTempView(view)
+            st = _LIST_FILES.sub(
+                lambda mm, v=view, orig=m: v if mm.group(1) == orig else mm.group(0), st
+            )
+        result = spark.sql(translate(st))
     return result

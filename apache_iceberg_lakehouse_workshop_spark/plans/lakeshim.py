@@ -598,12 +598,17 @@ class Lakehouse:
 
     def run_script(self, sql: str):
         """Run a (Dremio-dialect) SQL script against the warehouse: every
-        table is registered as a temp view under its leaf name, then the
-        script executes through the dialect layer — the 'paste your workshop
-        script at the engine' surface. Returns the last statement's result."""
+        table is registered as a temp view under its leaf name (plus
+        ``<leaf>__snapshots`` / ``<leaf>__history`` for the
+        ``TABLE(table_snapshot/table_history('t'))`` TVFs), then the script
+        executes through the dialect layer — the 'paste your workshop script
+        at the engine' surface. Returns the last statement's result."""
         from .. import dialect
 
         for name in self._walk_tables():
+            t = self.table(name)
             leaf = name.split(".")[-1]
-            self.table(name).read().createOrReplaceTempView(leaf)
+            t.read().createOrReplaceTempView(leaf)
+            t.snapshots().createOrReplaceTempView(f"{leaf}__snapshots")
+            t.history().createOrReplaceTempView(f"{leaf}__history")
         return dialect.run(self.spark, sql)

@@ -259,6 +259,27 @@ def test_rollback_and_run_script(lake, spark):
     got = {r.customer_id: r.total for r in out.collect()}
     assert got == {10: 175.0, 11: 250.0}
 
+    # metadata TVFs resolve through the dialect (readme.md:360-370 surface)
+    snaps = lake.run_script("SELECT * FROM TABLE(table_snapshot('db.raw.rb_orders'))")
+    assert [r.operation for r in snaps.collect()] == ["overwrite", "append", "rollback"]
+    hist = lake.run_script("SELECT * FROM TABLE(table_history('db.raw.rb_orders'))")
+    assert [r.is_current for r in hist.collect()] == [False, False, True]
+
+
+def test_dialect_list_files_tvf(spark, tmp_path):
+    from apache_iceberg_lakehouse_workshop_spark.dialect import run as dialect_run
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(b"%PDF-a")
+    (d / "b.txt").write_bytes(b"text")
+    out = dialect_run(
+        spark,
+        f"SELECT path, length FROM TABLE(LIST_FILES('{d}')) WHERE path LIKE '%.pdf'",
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].path.endswith("a.pdf") and rows[0].length == 6
+
 
 def test_merge_upsert(lake, spark):
     """MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT (Iceberg
