@@ -48,6 +48,56 @@ class AcceleratorRegistry:
         self._defs: dict[str, tuple[Callable[[], DataFrame], list[str]]] = {}
         # name -> {anchor: snapshot_id} recorded at materialization
         self._anchors: dict[str, dict[str, int | None]] = {}
+        # name -> SQL text, for reflections whose definition IS a SQL string
+        # (these survive process restarts via the registry file)
+        self._sql_defs: dict[str, str] = {}
+        self._load_registry()
+
+    # ------------------------------------------------------- persistence
+
+    @property
+    def _registry_path(self) -> str:
+        import os
+
+        return os.path.join(self.lake.root, _REFLECTION_NS, "registry.json")
+
+    def _save_registry(self) -> None:
+        """Persist SQL-defined reflections (name, SQL, anchors, recorded
+        snapshot ids). Thunk-defined reflections are code and stay
+        session-scoped — same split as Dremio (SQL datasets persist; ad-hoc
+        acceleration is per-session)."""
+        import json
+        import os
+
+        entries = {
+            name: {
+                "sql": sql,
+                "anchors": self._defs[name][1],
+                "anchor_snapshots": self._anchors.get(name, {}),
+            }
+            for name, sql in self._sql_defs.items()
+        }
+        tmp = self._registry_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, self._registry_path)
+
+    def _load_registry(self) -> None:
+        import json
+        import os
+
+        if not os.path.exists(self._registry_path):
+            return
+        with open(self._registry_path) as f:
+            entries = json.load(f)
+        for name, e in entries.items():
+            sql = e["sql"]
+            self._sql_defs[name] = sql
+            self._defs[name] = (
+                (lambda s=sql: self.lake.spark.sql(s)),
+                list(e["anchors"]),
+            )
+            self._anchors[name] = dict(e["anchor_snapshots"])
 
     # ----------------------------------------------------------- helpers
 
@@ -66,19 +116,27 @@ class AcceleratorRegistry:
     def create_reflection(
         self,
         name: str,
-        definition: Callable[[], DataFrame],
+        definition: Callable[[], DataFrame] | str,
         anchor_tables: list[str],
         partition_by: list[str] | None = None,
     ) -> None:
         """``ALTER DATASET … CREATE REFLECTION name USING RAW``
         (readme.md:322-326). ``definition`` is a zero-arg thunk returning the
         view DataFrame (thunk, not DataFrame, so refresh re-reads anchors at
-        their *new* snapshots). RAW vs AGGREGATION reflections differ only in
-        what the definition computes."""
+        their *new* snapshots) or a SQL string — SQL-defined reflections
+        persist across sessions in the registry file. RAW vs AGGREGATION
+        reflections differ only in what the definition computes."""
+        if isinstance(definition, str):
+            sql = definition
+            self._sql_defs[name] = sql
+            definition = lambda: self.lake.spark.sql(sql)  # noqa: E731
+        else:
+            self._sql_defs.pop(name, None)
         self._defs[name] = (definition, anchor_tables)
         self.lake.drop_table(self._storage_name(name))
         self.lake.create_table_as(self._storage_name(name), definition(), partition_by)
         self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        self._save_registry()
 
     def is_fresh(self, name: str) -> bool:
         if name not in self._anchors:
@@ -100,6 +158,8 @@ class AcceleratorRegistry:
         definition, anchor_tables = self._defs[name]
         self.lake.table(self._storage_name(name)).overwrite(definition())
         self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        if name in self._sql_defs:
+            self._save_registry()
 
     def refresh_incremental(self, name: str, delta_definition: Callable[[DataFrame], DataFrame]) -> bool:
         """Incremental refresh for single-anchor RAW reflections (row-wise
@@ -125,13 +185,18 @@ class AcceleratorRegistry:
             return False
         self.lake.table(self._storage_name(name)).append(delta_definition(delta))
         self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        if name in self._sql_defs:
+            self._save_registry()
         return True
 
     def drop_reflection(self, name: str) -> None:
         """Reflection retirement (readme.md:381-389 autonomous retire)."""
         self._defs.pop(name, None)
         self._anchors.pop(name, None)
+        was_sql = self._sql_defs.pop(name, None) is not None
         self.lake.drop_table(self._storage_name(name))
+        if was_sql:
+            self._save_registry()
 
     def status(self) -> list[dict]:
         return [
@@ -163,7 +228,8 @@ class AcceleratorRegistry:
         digest = hashlib.md5(sql.encode()).hexdigest()[:16]
         name = f"rc_{digest}"
         if name not in self._defs:
-            self.create_reflection(name, lambda: self.lake.spark.sql(sql), anchor_tables)
+            # SQL-defined => persisted; cache hits survive process restarts
+            self.create_reflection(name, sql, anchor_tables)
         elif not self.is_fresh(name):
             self.refresh(name)
         return self.resolve(name)

@@ -333,6 +333,35 @@ def test_schema_evolution(lake, spark):
     }
 
 
+def test_sql_reflection_persists_across_registry_instances(lake, spark):
+    """SQL-defined reflections survive a 'restart': a fresh
+    AcceleratorRegistry over the same warehouse reloads definition, anchors
+    and freshness from the registry file."""
+    t = lake.create_table_as("db.raw.p_orders", _mk_orders(spark))
+    t.read().createOrReplaceTempView("p_orders")
+    acc1 = AcceleratorRegistry(lake)
+    acc1.create_reflection(
+        "p_spend",
+        "SELECT customer_id, SUM(amount) AS total FROM p_orders GROUP BY customer_id",
+        ["db.raw.p_orders"],
+    )
+    assert acc1.is_fresh("p_spend")
+
+    acc2 = AcceleratorRegistry(lake)  # fresh instance = process restart
+    assert acc2.is_fresh("p_spend")
+    got = {r.customer_id: r.total for r in acc2.resolve("p_spend").collect()}
+    assert got == {10: 175.0, 11: 250.0}
+
+    # staleness propagates to the reloaded instance; refresh re-persists
+    t.append(_mk_orders(spark))
+    t.read().createOrReplaceTempView("p_orders")
+    assert not acc2.is_fresh("p_spend")
+    acc2.refresh("p_spend")
+    acc3 = AcceleratorRegistry(lake)
+    assert acc3.is_fresh("p_spend")
+    assert {r.total for r in acc3.resolve("p_spend").collect()} == {350.0, 500.0}
+
+
 def test_result_cache(lake, spark):
     t = lake.create_table_as("db.raw.o", _mk_orders(spark))
     t.read().createOrReplaceTempView("rc_orders")
