@@ -191,9 +191,13 @@ class LakeTable:
         """``DELETE FROM t WHERE condition`` — copy-on-write: surviving rows
         are rewritten; prior snapshots remain readable
         (industry-examples/logistics_AI.sql:60; media_ai.sql:49; Iceberg CoW
-        delete). ``condition='true'`` clears the table."""
+        delete). ``condition='true'`` clears the table.
+
+        SQL DELETE removes only rows where the predicate is TRUE; rows where
+        it evaluates to NULL (e.g. a NULL column compared with ``=``) must
+        survive — hence ``IS NOT TRUE``, not ``NOT (...)``."""
         meta = self._load_meta()
-        survivors = self.read().filter(f"NOT ({condition})")
+        survivors = self.read().filter(f"({condition}) IS NOT TRUE")
         if survivors.isEmpty():
             snap = self._new_snapshot(meta, "delete", [])
             self._commit(meta)

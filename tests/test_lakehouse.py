@@ -76,6 +76,23 @@ def test_delete_where_cow(lake, spark):
     assert t.read().count() == 0
 
 
+def test_delete_where_null_predicate(lake, spark):
+    """SQL DELETE removes only rows where the predicate is TRUE — rows where
+    it evaluates to NULL (nullable column) must survive (Iceberg/Dremio
+    DELETE semantics; logistics_AI.sql:60 shape on a nullable column)."""
+    t = lake.create_table("db.dn", "order_id INT, channel STRING")
+    t.append(
+        spark.createDataFrame(
+            [(1, "web"), (2, None), (3, "app")], "order_id INT, channel STRING"
+        )
+    )
+    t.delete_where("channel = 'web'")
+    # order 2 has channel NULL -> predicate NULL -> must NOT be deleted
+    assert {r.order_id for r in t.read().collect()} == {2, 3}
+    t.delete_where("channel IS NULL")
+    assert {r.order_id for r in t.read().collect()} == {3}
+
+
 def test_ctas_distribute_and_maintenance(lake, spark):
     df = _mk_orders(spark)
     t = lake.create_table_as("db.gold.orders_agg", df, distribute_by="customer_id")
