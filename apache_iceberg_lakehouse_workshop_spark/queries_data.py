@@ -119,6 +119,42 @@ def t3_quality_score(spark, sf_dir):
     )
 
 
+@q(
+    "t2_lang_quality",
+    f"""WITH tok AS (SELECT doc_id, lang, text, {_TOKS} AS w FROM documents),
+       hits AS (SELECT doc_id, lang, text, len(w) AS nw,
+                       {_EN} AS h_en, {_ES} AS h_es, {_FR} AS h_fr, {_DE} AS h_de
+                FROM tok),
+       feat AS (SELECT doc_id, lang, h_en, h_es, h_fr, h_de,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1) AS punct,
+                       CAST(h_en AS DOUBLE) / greatest(nw, 1) AS sw
+                FROM hits)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+              CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en > 0 THEN 'en'
+                   WHEN h_es >= h_fr AND h_es >= h_de AND h_es > 0 THEN 'es'
+                   WHEN h_fr >= h_de AND h_fr > 0 THEN 'fr'
+                   WHEN h_de > 0 THEN 'de'
+                   ELSE 'und' END AS lang_pred,
+              round(least(n_chars / 500.0, 1.0) * 0.5
+                    + least(sw * 4.0, 1.0) * 0.3
+                    + (1.0 - least(punct * 5.0, 1.0)) * 0.2, 6) AS quality_score
+       FROM feat""",
+    "T2+T3 merged: language-ID via stopword-hit argmax AND heuristic "
+    "quality scoring (length/punct/stopword features, C4/Gopher-style) in "
+    "one map-only pass over documents — same text normalization, one scan",
+)
+def t2_lang_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        TS.lang_id(F.col("text")).alias("lang_pred"),
+        TS.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
 # =====================================================================
 # Deduplication
 # =====================================================================
@@ -462,6 +498,43 @@ def ai3_generate_struct(spark, sf_dir):
     )
     return d.select(F.col("doc_id").cast("long").alias("doc_id"), g.alias("g")).select(
         "doc_id",
+        F.col("g.summary").alias("summary"),
+        F.col("g.n_words").cast("long").alias("n_words"),
+        F.col("g.sentiment").alias("sentiment"),
+    )
+
+
+@q(
+    "ai23_complete_generate",
+    f"""WITH tok AS (SELECT doc_id, text, {_TOKS} AS w FROM documents WHERE doc_id < 200)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              'echo[' || CAST(length('Summarize: ' || text) AS VARCHAR) || ']:'
+                || upper(substr(trim('Summarize: ' || text), 1, 16)) AS reply,
+              array_to_string(w[1:5], ' ') AS summary,
+              CAST(len(w) AS BIGINT) AS n_words,
+              CASE WHEN len(list_filter(w, x -> x = 'fast')) > len(list_filter(w, x -> x = 'slow'))
+                        THEN 'positive'
+                   WHEN len(list_filter(w, x -> x = 'slow')) > len(list_filter(w, x -> x = 'fast'))
+                        THEN 'negative'
+                   ELSE 'neutral' END AS sentiment
+       FROM tok""",
+    "AI2+AI3 merged: AI_COMPLETE free-text reply and AI_GENERATE WITH "
+    "SCHEMA ROW(...) typed-struct extraction + flatten over the same 200-doc "
+    "scope, one scan (logistics_AI.sql:126-161,220-240; ai_generate.sql:5-23)",
+)
+def ai23_complete_generate(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    prompt = F.concat(F.lit("Summarize: "), F.col("text"))
+    g = ai_generate(
+        F.col("text"), [("summary", "string"), ("n_words", "int"), ("sentiment", "string")]
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ai_complete(prompt).alias("reply"),
+        g.alias("g"),
+    ).select(
+        "doc_id",
+        "reply",
         F.col("g.summary").alias("summary"),
         F.col("g.n_words").cast("long").alias("n_words"),
         F.col("g.sentiment").alias("sentiment"),

@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from apache_iceberg_lakehouse_workshop_spark.registry import registry
+from apache_iceberg_lakehouse_workshop_spark.registry import full_registry
 from apache_iceberg_lakehouse_workshop_spark.session import get_spark
 from apache_iceberg_lakehouse_workshop_spark.tables import load_table
 
@@ -115,7 +115,9 @@ def _reflection_probe(spark) -> dict[str, float]:
 
 def main() -> None:
     spark = get_spark("bench")
-    reg = registry()
+    # full registry: bench probes target specific plan shapes, including
+    # singletons that the exposed registry has folded into batteries
+    reg = full_registry()
     # warm the session (JIT, codegen caches) on an unrelated trivial job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 

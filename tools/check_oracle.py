@@ -97,12 +97,17 @@ def compare(name, spark_df, duck_rel):
 
 def main():
     name_filters = sys.argv[1:]
-    import __spark_entry__ as entry_mod
+    from apache_iceberg_lakehouse_workshop_spark.registry import full_registry
     from apache_iceberg_lakehouse_workshop_spark.session import get_spark
 
     spark = get_spark("oracle-check")
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # full registry: the driver sees the exposed <=50 entries, but the local
+    # gate also re-verifies every absorbed singleton so a regression inside
+    # a battery branch is still pinpointed to its operator
+    qs = {name: query.fn for name, query in full_registry().items()}
+    oracles = {
+        name: query.oracle for name, query in full_registry().items() if query.oracle
+    }
     con = duck_con()
 
     n_pass = n_fail = 0
