@@ -109,6 +109,48 @@ def _rewrite_listagg(sql: str) -> str:
 _DQUOTED = re.compile(r'"([A-Za-z_][A-Za-z0-9_]*)"')
 
 
+# ------------------------------------------------------- ARRAY constructor
+
+_ARRAY_LIT = re.compile(r"\bARRAY\s*\[", re.I)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """Dremio ``ARRAY['a','b']`` -> Spark ``array('a','b')``
+    (recipes.sql:7,18; logistics_AI.sql:197). String-aware bracket matching;
+    struct field access ``col['f']`` is untouched (no ARRAY keyword)."""
+    out = sql
+    while True:
+        m = _ARRAY_LIT.search(out)
+        if m is None:
+            return out
+        depth, i = 0, m.end() - 1
+        close = None
+        while i < len(out):
+            ch = out[i]
+            if ch == "'":
+                j = out.find("'", i + 1)
+                i = len(out) if j == -1 else j
+            elif ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+            i += 1
+        if close is None:
+            return out  # unbalanced: leave for the SQL parser to report
+        inner = out[m.end() : close]
+        out = out[: m.start()] + "array(" + inner + ")" + out[close + 1 :]
+
+
+_ARRAY_TO_STRING = re.compile(r"\bARRAY_TO_STRING\s*\(", re.I)
+
+# Dremio allows bare VARCHAR in CAST (logistics_AI.sql:195); Spark requires
+# a length, so bare VARCHAR becomes STRING (VARCHAR(n) passes through).
+_BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.I)
+
+
 # ------------------------------------------------------------- FOLDER DDL
 
 _FOLDER = re.compile(r"\bCREATE\s+FOLDER\b", re.I)
@@ -141,6 +183,8 @@ def translate(sql: str) -> str:
     def code(c: str) -> str:
         c = _FOLDER.sub("CREATE NAMESPACE", c)
         c = _DQUOTED.sub(r"`\1`", c)
+        c = _ARRAY_TO_STRING.sub("array_join(", c)
+        c = _BARE_VARCHAR.sub("STRING", c)
         return c
 
     # Identifier/DDL rewrites are region-scoped (never touch string
@@ -148,35 +192,70 @@ def translate(sql: str) -> str:
     # including its quoted format/separator argument, and are anchored on
     # the function names so literals stay safe.
     out = _map_code_regions(sql, code)
+    out = _rewrite_array_literals(out)
     out = _rewrite_to_fn(out)
     out = _rewrite_listagg(out)
     out = _rewrite_meta_tvfs(out)
     return out
 
 
-def run(spark, sql: str):
-    """Translate + execute. For scripts: split on ';' outside strings and
-    run each statement; returns the last result DataFrame."""
-    statements, buf = [], []
-    for m in _STRING_OR_CODE.finditer(sql):
-        lit, codepart = m.group(1), m.group(2)
-        if lit is not None:
-            buf.append(lit)
+def split_statements(sql: str) -> list[str]:
+    """Split a script into statements on ';', with a real scanner: semicolons
+    inside single-quoted strings, double-quoted identifiers, ``--`` line
+    comments, and ``/* */`` block comments do not split, and comment text is
+    stripped from the output (a quote or ';' inside a comment must not
+    confuse later stages — reference scripts open with comment banners,
+    finance_example.sql:1-3)."""
+    statements: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if ch == "-" and nxt == "-":  # line comment
+            j = sql.find("\n", i)
+            i = n if j == -1 else j  # keep the newline as whitespace
             continue
-        pieces = codepart.split(";")
-        for piece in pieces[:-1]:
-            buf.append(piece)
-            statements.append("".join(buf))
+        if ch == "/" and nxt == "*":  # block comment
+            j = sql.find("*/", i + 2)
+            buf.append(" ")
+            i = n if j == -1 else j + 2
+            continue
+        if ch == "'":  # string literal ('' escapes)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and (j + 1 >= n or sql[j + 1] != "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            buf.append(sql[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        if ch == '"':  # quoted identifier
+            j = sql.find('"', i + 1)
+            j = n - 1 if j == -1 else j
+            buf.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == ";":
+            st = "".join(buf).strip()
+            if st:
+                statements.append(st)
             buf = []
-        buf.append(pieces[-1])
-    if "".join(buf).strip():
-        statements.append("".join(buf))
-
-    result = None
-    for st in statements:
-        st = st.strip()
-        if not st:
+            i += 1
             continue
+        buf.append(ch)
+        i += 1
+    st = "".join(buf).strip()
+    if st:
+        statements.append(st)
+    return statements
+
+
+def run(spark, sql: str):
+    """Translate + execute. For scripts: split statements (comment-aware)
+    and run each; returns the last result DataFrame."""
+    result = None
+    for st in split_statements(sql):
         # LIST_FILES: register a binaryFile view per distinct path, then
         # substitute the view name for the TVF call.
         for m in set(_LIST_FILES.findall(st)):
@@ -190,5 +269,13 @@ def run(spark, sql: str):
             st = _LIST_FILES.sub(
                 lambda mm, v=view, orig=m: v if mm.group(1) == orig else mm.group(0), st
             )
-        result = spark.sql(translate(st))
+        # AI functions from SQL: AI_CLASSIFY/AI_COMPLETE are named UDFs;
+        # AI_GENERATE(... WITH SCHEMA ROW(...)) registers a per-schema
+        # struct UDF and rewrites the call site (functions/ai.py).
+        from .functions import ai as _ai
+
+        _ai.register_sql_udfs(spark)
+        st = translate(st)
+        st = _ai.rewrite_ai_generate(spark, st)
+        result = spark.sql(st)
     return result

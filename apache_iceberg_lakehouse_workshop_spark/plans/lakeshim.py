@@ -79,6 +79,22 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _nullable_type(dt: T.DataType) -> T.DataType:
+    """Recursively mark a type fully nullable. Declared table schemas are
+    normalized this way: parquet round-trips drop non-null guarantees (a
+    read always yields containsNull=true arrays etc.), and Spark 4 refuses
+    to cast e.g. array<string NOT NULL> from a nullable read."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _nullable_type(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_nullable_type(dt.keyType), _nullable_type(dt.valueType), True)
+    return dt
+
+
 class LakeTable:
     """One snapshot-versioned table. Obtained via :class:`Lakehouse`."""
 
@@ -113,7 +129,13 @@ class LakeTable:
         by_id = {s["id"]: s for s in snaps}
         return by_id[meta["current_snapshot_id"]]
 
-    def _new_snapshot(self, meta: dict, operation: str, commit_dirs: list[str]) -> dict:
+    def _new_snapshot(
+        self,
+        meta: dict,
+        operation: str,
+        commit_dirs: list[str],
+        props: dict | None = None,
+    ) -> dict:
         cur = self._current_snapshot(meta)
         snap = {
             "id": (cur["id"] + 1) if cur else 1,
@@ -122,6 +144,11 @@ class LakeTable:
             "operation": operation,
             "commit_dirs": commit_dirs,
         }
+        if props:
+            # arbitrary commit properties riding the atomic metadata swap —
+            # the Iceberg snapshot-summary mechanism (streaming sinks store
+            # their batch id here for exactly-once replay)
+            snap["props"] = props
         meta["snapshots"].append(snap)
         meta["current_snapshot_id"] = snap["id"]
         return snap
@@ -167,14 +194,15 @@ class LakeTable:
         w.parquet(out)
         return commit
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, snapshot_props: dict | None = None) -> int:
         """Append rows; returns new snapshot id. (DataFrameWriterV2.append
-        analogue — /root/reference/spark.py:88-89.)"""
+        analogue — /root/reference/spark.py:88-89.) ``snapshot_props`` ride
+        the same atomic commit (Iceberg snapshot summary)."""
         meta = self._load_meta()
         commit = self._write_commit_dir(df, meta)
         cur = self._current_snapshot(meta)
         dirs = (cur["commit_dirs"] if cur else []) + [commit]
-        snap = self._new_snapshot(meta, "append", dirs)
+        snap = self._new_snapshot(meta, "append", dirs, snapshot_props)
         self._commit(meta)
         return snap["id"]
 
@@ -209,6 +237,27 @@ class LakeTable:
 
     # ------------------------------------------------------------- reads
 
+    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+        """Scan a list of commit dirs as one DataFrame.
+
+        Each commit is read with itself as basePath (its partition dirs
+        become columns) and the commits union by name — sibling commit dirs
+        under one basePath would make Spark's partition discovery fail with
+        CONFLICTING_DIRECTORY_STRUCTURES, and per-commit scans keep
+        partition pruning intact per scan. ``mergeSchema`` + missing-column
+        union cover commits written before an ALTER TABLE ADD COLUMN
+        (Iceberg schema-evolution read semantics, SURVEY §1.3). Commit
+        counts stay small because ``compact()`` folds history; at 100 TB a
+        scan is a union of a few large partitioned scans."""
+        parts = [
+            self.spark.read.option("basePath", d).option("mergeSchema", "true").parquet(d)
+            for d in dirs
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df
+
     def read(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
         """Current or time-travel read (``VERSION AS OF`` / ``TIMESTAMP AS
         OF`` — readme.md:357-370). Derived hidden-partition columns are
@@ -236,14 +285,7 @@ class LakeTable:
             if schema is None:
                 raise ValueError(f"table {self.name} is empty and has no declared schema")
             return self.spark.createDataFrame([], schema)
-        # mergeSchema: commits written before an ALTER TABLE ADD COLUMN lack
-        # the new column — union the file schemas so it surfaces as NULL
-        # there (Iceberg schema-evolution read semantics, SURVEY §1.3).
-        df = (
-            self.spark.read.option("basePath", os.path.join(self.path, "data"))
-            .option("mergeSchema", "true")
-            .parquet(*dirs)
-        )
+        df = self._read_dirs(dirs)
         drop = [c for c in df.columns if c.startswith(_HP_PREFIX)]
         user_cols = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
         if schema is not None:
@@ -356,12 +398,7 @@ class LakeTable:
         new_dirs = [d for d in end["commit_dirs"] if d not in base]
         if not new_dirs:
             return self.read(snapshot_id=from_snapshot_id).limit(0)
-        dirs = [os.path.join(self.path, "data", d) for d in new_dirs]
-        df = (
-            self.spark.read.option("basePath", os.path.join(self.path, "data"))
-            .option("mergeSchema", "true")
-            .parquet(*dirs)
-        )
+        df = self._read_dirs([os.path.join(self.path, "data", d) for d in new_dirs])
         keep = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
         return df.select(*keep)
 
@@ -540,6 +577,8 @@ class Lakehouse:
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
+        if schema is not None:
+            schema = _nullable_type(schema)
         meta = {
             "name": name,
             "schema": schema.jsonValue() if schema is not None else None,
@@ -600,19 +639,19 @@ class Lakehouse:
                 out.append(rel.replace(os.sep, "."))
         return sorted(out)
 
-    def run_script(self, sql: str):
-        """Run a (Dremio-dialect) SQL script against the warehouse: every
-        table is registered as a temp view under its leaf name (plus
-        ``<leaf>__snapshots`` / ``<leaf>__history`` for the
-        ``TABLE(table_snapshot/table_history('t'))`` TVFs), then the script
-        executes through the dialect layer — the 'paste your workshop script
-        at the engine' surface. Returns the last statement's result."""
-        from .. import dialect
+    def run_script(self, sql: str, source_roots: dict[str, str] | None = None):
+        """Run a (Dremio-dialect) SQL script against the warehouse — the
+        'paste your workshop script at the engine' surface. DDL/DML
+        (CREATE FOLDER/TABLE/CTAS, INSERT, DELETE, DROP, stacked views)
+        routes to the lakehouse; queries run through the dialect layer with
+        multi-part table names resolved and ``TABLE(table_snapshot/
+        table_history('t'))`` TVFs mapped to metadata views. View
+        definitions persist across calls (one runner per Lakehouse).
+        Returns the last statement's result DataFrame, or None."""
+        from .script import ScriptRunner
 
-        for name in self._walk_tables():
-            t = self.table(name)
-            leaf = name.split(".")[-1]
-            t.read().createOrReplaceTempView(leaf)
-            t.snapshots().createOrReplaceTempView(f"{leaf}__snapshots")
-            t.history().createOrReplaceTempView(f"{leaf}__history")
-        return dialect.run(self.spark, sql)
+        if not hasattr(self, "_script_runner"):
+            self._script_runner = ScriptRunner(self)
+        if source_roots:
+            self._script_runner.source_roots.update(source_roots)
+        return self._script_runner.run(sql)

@@ -1,0 +1,456 @@
+"""Verbatim reference-script execution: DDL/DML routed to the lakehouse.
+
+The reference's industry examples are self-contained SQL scripts that
+create namespaces and tables, load sample rows, and stack views
+(``/root/reference/industry-examples/finance_example.sql:4-109``,
+``retail.sql:88-100`` DROP+CTAS, ``logistics_AI.sql:60`` DELETE FROM).
+``dialect.run`` handles the query dialect; this module adds the statement
+router so those scripts execute end-to-end against a :class:`Lakehouse`:
+
+- ``CREATE FOLDER/NAMESPACE [IF NOT EXISTS] ns`` -> ``create_namespace``
+- ``CREATE TABLE [IF NOT EXISTS] t (cols) [PARTITION BY (...)]`` ->
+  ``create_table`` (``DAY(ts)`` et al. become hidden-partition transforms)
+- ``CREATE TABLE t [PARTITION BY (...)] [DISTRIBUTE BY (...)] AS SELECT``
+  -> ``create_table_as``
+- ``INSERT INTO t [(cols)] VALUES ... | SELECT ...`` -> ``append``
+- ``DELETE FROM t [WHERE cond]`` -> ``delete_where`` (CoW snapshot)
+- ``DROP TABLE [IF EXISTS] t`` -> ``drop_table``
+- ``CREATE [OR REPLACE] VIEW v AS body`` -> tracked logical view
+- anything else -> dialect-translated ``spark.sql``
+
+Multi-part names (``dremio.finance.raw.trades``) are resolved by
+registering each lake table as a temp view named with ``__`` separators and
+rewriting references in query text (code regions only — string literals
+are never touched). Views re-materialize before every statement, so a
+query always sees the current table snapshots. That refresh is metadata-
+only (lazy DataFrames over the current file list) — at 100 TB it costs a
+JSON read per table, not a data scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import dialect
+
+# ------------------------------------------------------------ statement REs
+
+_RE_FOLDER = re.compile(
+    r"^CREATE\s+(?:FOLDER|NAMESPACE)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*$", re.I
+)
+_RE_CREATE_TABLE = re.compile(
+    r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(.*)$", re.I | re.S
+)
+_RE_INSERT = re.compile(
+    r"^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(VALUES\b.*|SELECT\b.*)$",
+    re.I | re.S,
+)
+_RE_DELETE = re.compile(
+    r"^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S
+)
+_RE_DROP = re.compile(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I)
+_RE_COPY_INTO = re.compile(
+    r"^COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'"
+    r"(?:\s+REGEX\s+'([^']*)')?"
+    r"(?:\s+FILE_FORMAT\s+'(\w+)')?"
+    r"(?:\s*\((.*)\))?\s*$",
+    re.I | re.S,
+)
+_RE_COPY_OPT = re.compile(r"(\w+)\s+(?:'((?:[^']|'')*)'|([^\s,]+))")
+_RE_CREATE_REFLECTION = re.compile(
+    r"^ALTER\s+DATASET\s+([\w.]+)\s+CREATE\s+(?:(?:RAW|AGGREGATE)\s+)?"
+    r"REFLECTION\s+(\w+)\s+USING\s+(.*)$",
+    re.I | re.S,
+)
+_RE_DROP_REFLECTION = re.compile(
+    r"^ALTER\s+DATASET\s+[\w.]+\s+DROP\s+REFLECTION\s+(\w+)\s*$", re.I
+)
+_RE_USING_DISPLAY = re.compile(r"^DISPLAY\s*\(", re.I)
+_RE_USING_DIMENSIONS = re.compile(r"^DIMENSIONS\s*\(", re.I)
+_RE_MEASURES = re.compile(r"\bMEASURES\s*\(", re.I)
+_RE_MEASURE_ITEM = re.compile(r"(\w+)\s*(?:\(([^)]*)\))?")
+_RE_VIEW = re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$", re.I | re.S
+)
+_RE_PARTITION = re.compile(r"\bPARTITION\s+BY\s*\(", re.I)
+_RE_DISTRIBUTE = re.compile(r"\bDISTRIBUTE\s+BY\s*\(", re.I)
+_RE_LOCALSORT = re.compile(r"\bLOCALSORT\s+BY\s*\(", re.I)
+
+
+def _clause(pattern: re.Pattern, text: str) -> str | None:
+    """Balanced-paren clause body, e.g. PARTITION BY (DAY(ts)) -> 'DAY(ts)'."""
+    m = pattern.search(text)
+    if not m:
+        return None
+    start = m.end() - 1
+    return text[start + 1 : _find_matching_paren(text, start)]
+
+# Dremio partition transforms -> lakeshim transform spec
+_TRANSFORM_MAP = {"day": "days", "month": "months", "year": "years", "hour": "hours"}
+_RE_TRANSFORM = re.compile(r"^(\w+)\s*\(\s*(\w+)\s*\)$")
+
+# Dremio/SQL type spellings Spark's DDL parser does not take verbatim
+_TYPE_MAP = [
+    (re.compile(r"\bVARCHAR\s*(\(\s*\d+\s*\))?", re.I), "STRING"),
+    (re.compile(r"\bINTEGER\b", re.I), "INT"),
+]
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas at paren depth 0."""
+    parts, buf, depth = [], [], 0
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _partition_specs(clause: str) -> list[str]:
+    specs = []
+    for item in _split_top_level(clause):
+        m = _RE_TRANSFORM.match(item.strip())
+        if m and m.group(1).lower() in _TRANSFORM_MAP:
+            specs.append(f"{_TRANSFORM_MAP[m.group(1).lower()]}({m.group(2)})")
+        else:
+            specs.append(item.strip())
+    return specs
+
+
+def _schema_from_coldefs(coldefs: str) -> T.StructType:
+    cols = []
+    for item in _split_top_level(coldefs):
+        name, _, dtype = item.strip().partition(" ")
+        dtype = dtype.strip()
+        for pat, repl in _TYPE_MAP:
+            dtype = pat.sub(repl, dtype)
+        cols.append(f"{name} {dtype}")
+    return T.StructType.fromDDL(", ".join(cols))
+
+
+def _find_matching_paren(text: str, start: int) -> int:
+    depth = 0
+    i = start
+    while i < len(text):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        elif text[i] == "'":
+            j = text.find("'", i + 1)
+            i = len(text) if j == -1 else j
+        i += 1
+    raise ValueError("unbalanced parentheses in statement")
+
+
+class ScriptRunner:
+    """Executes Dremio-dialect scripts (DDL+DML+queries) on a Lakehouse."""
+
+    def __init__(self, lake, source_roots: dict[str, str] | None = None):
+        self.lake = lake
+        self.spark = lake.spark
+        # view full-name -> translated body SQL, in creation order (views
+        # may only reference tables and earlier views, like the reference's
+        # silver -> gold stacking)
+        self.views: dict[str, str] = {}
+        # Dremio external-source handles: '@name/rest' in COPY INTO /
+        # LIST_FILES paths resolves to source_roots['name'] + '/rest'
+        # (example.sql:14 '@s3/...'). Unmapped handles raise.
+        self.source_roots = dict(source_roots or {})
+
+    def _resolve_path(self, path: str) -> str:
+        if not path.startswith("@"):
+            return path
+        handle, _, rest = path[1:].partition("/")
+        if handle not in self.source_roots:
+            raise ValueError(
+                f"unmapped external source '@{handle}' — pass source_roots="
+                f"{{'{handle}': '/local/dir'}} to run_script/ScriptRunner"
+            )
+        import os
+
+        return os.path.join(self.source_roots[handle], rest)
+
+    # ------------------------------------------------------------ naming
+
+    @staticmethod
+    def _vname(full: str) -> str:
+        return full.replace(".", "__")
+
+    def _known_names(self) -> list[str]:
+        names = set(self.lake._walk_tables()) | set(self.views)
+        # longest-first so a.b.c rewrites before a.b
+        return sorted(names, key=len, reverse=True)
+
+    def _rewrite_names(self, sql: str) -> str:
+        names = self._known_names()
+
+        def rewrite(code: str) -> str:
+            for full in names:
+                if "." not in full:
+                    continue  # leaf names resolve as real temp views
+                pat = r"(?<![\w.`])" + re.escape(full) + r"(?![\w.])"
+                code = re.sub(pat, self._vname(full), code)
+            return code
+
+        return dialect._map_code_regions(sql, rewrite)
+
+    def _refresh(self) -> None:
+        """(Re-)register every table + stacked view as temp views. Lazy
+        DataFrames over current snapshots — metadata cost only."""
+        for full in self.lake._walk_tables():
+            t = self.lake.table(full)
+            df = t.read()
+            df.createOrReplaceTempView(self._vname(full))
+            leaf = full.split(".")[-1]
+            df.createOrReplaceTempView(leaf)
+            t.snapshots().createOrReplaceTempView(f"{leaf}__snapshots")
+            t.history().createOrReplaceTempView(f"{leaf}__history")
+        for vfull, body in self.views.items():
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW {self._vname(vfull)} AS "
+                + self._rewrite_names(body)
+            )
+            leaf = vfull.split(".")[-1]
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW {leaf} AS "
+                f"SELECT * FROM {self._vname(vfull)}"
+            )
+        # reflections are queryable by name: materialized scan when fresh,
+        # transparent recompute when stale (accelerator.resolve contract)
+        if hasattr(self, "_accelerator"):
+            for entry in self._accelerator.status():
+                self._accelerator.resolve(entry["name"]).createOrReplaceTempView(
+                    entry["name"]
+                )
+
+    # ------------------------------------------------------------ handlers
+
+    def _query(self, sql: str) -> DataFrame:
+        self._refresh()
+        return dialect.run(self.spark, self._rewrite_names(sql))
+
+    def _create_table(self, m: re.Match) -> None:
+        if_not_exists, name, rest = bool(m.group(1)), m.group(2), m.group(3).strip()
+        # CTAS: CREATE TABLE t [PARTITION BY..] [DISTRIBUTE BY..] AS SELECT
+        ctas = re.search(r"\bAS\s+(SELECT\b.*|WITH\b.*)$", rest, re.I | re.S)
+        if ctas and not rest.startswith("("):
+            head = rest[: ctas.start()]
+            part, dist = _clause(_RE_PARTITION, head), _clause(_RE_DISTRIBUTE, head)
+            df = self._query(ctas.group(1))
+            srt = _clause(_RE_LOCALSORT, head)
+            if srt:  # LOCALSORT BY (cols): sort within files at write
+                df = df.sortWithinPartitions(*[c.strip() for c in srt.split(",")])
+            if self.lake.table_exists(name) and if_not_exists:
+                return
+            self.lake.create_table_as(
+                name,
+                df,
+                partition_by=_partition_specs(part) if part else None,
+                distribute_by=dist.strip() if dist else None,
+            )
+            return
+        if not rest.startswith("("):
+            raise ValueError(f"unsupported CREATE TABLE shape: {rest[:80]}")
+        end = _find_matching_paren(rest, 0)
+        schema = _schema_from_coldefs(rest[1:end])
+        part = _clause(_RE_PARTITION, rest[end + 1 :])
+        self.lake.create_table(
+            name,
+            schema,
+            partition_by=_partition_specs(part) if part else None,
+            if_not_exists=if_not_exists,
+        )
+
+    def _insert(self, m: re.Match) -> None:
+        name, collist, payload = m.group(1), m.group(2), m.group(3).strip()
+        t = self.lake.table(name)
+        schema = t.read().schema
+        if payload.upper().startswith("VALUES"):
+            src = self.spark.sql(dialect.translate(payload))
+        else:
+            src = self._query(payload)
+        # positional mapping: explicit column list, else full table order
+        names = (
+            [c.strip() for c in collist.split(",")]
+            if collist
+            else [f.name for f in schema.fields]
+        )
+        if len(src.columns) != len(names):
+            raise ValueError(
+                f"INSERT INTO {name}: {len(src.columns)} values for {len(names)} columns"
+            )
+        src = src.toDF(*names)
+        by_name = {f.name: f for f in schema.fields}
+        cols = []
+        for f in schema.fields:
+            if f.name in src.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        unknown = [c for c in names if c not in by_name]
+        if unknown:
+            raise ValueError(f"INSERT INTO {name}: unknown columns {unknown}")
+        t.append(src.select(*cols))
+
+    def _copy_into(self, m: re.Match) -> None:
+        """COPY INTO t FROM '@src/dir' [REGEX '...'] [FILE_FORMAT 'csv']
+        [(EXTRACT_HEADER TRUE, FIELD_DELIMITER ',', RECORD_DELIMITER '\\n')]
+        (COPY INTO EXAMPLE/example.sql:13-21) -> sources.copy_into."""
+        from ..sources import copy_into
+
+        name, path, regex, fmt, opts_text = m.groups()
+        opts: dict[str, str] = {}
+        for key, quoted, bare in _RE_COPY_OPT.findall(opts_text or ""):
+            opts[key.upper()] = quoted if quoted else bare
+        kwargs: dict = {}
+        if "EXTRACT_HEADER" in opts:
+            kwargs["extract_header"] = opts.pop("EXTRACT_HEADER").lower() in ("true", "1")
+        if "FIELD_DELIMITER" in opts:
+            kwargs["field_delimiter"] = opts.pop("FIELD_DELIMITER")
+        rec = opts.pop("RECORD_DELIMITER", None)
+        if rec is not None:
+            line_sep = rec.encode().decode("unicode_escape")
+            if line_sep != "\n":  # Spark's csv default; only pass overrides
+                kwargs["lineSep"] = line_sep
+        kwargs.update({k.lower(): v for k, v in opts.items()})
+        copy_into(
+            self.lake.table(name),
+            self._resolve_path(path),
+            regex=regex or None,
+            file_format=(fmt or "csv").lower(),
+            **kwargs,
+        )
+
+    # --------------------------------------------------------- reflections
+
+    @property
+    def accelerator(self):
+        from .accelerator import AcceleratorRegistry
+
+        if not hasattr(self, "_accelerator"):
+            self._accelerator = AcceleratorRegistry(self.lake)
+        return self._accelerator
+
+    def _dataset_anchors(self, dataset: str) -> list[str]:
+        """Lake tables a dataset depends on: itself if it is a table, else
+        the tables referenced (transitively) by the view chain."""
+        if self.lake.table_exists(dataset):
+            return [dataset]
+        if dataset not in self.views:
+            raise ValueError(f"unknown dataset: {dataset}")
+        seen: set[str] = set()
+        stack = [self.views[dataset]]
+        anchors: set[str] = set()
+        tables = self.lake._walk_tables()
+        while stack:
+            body = stack.pop()
+            for t in tables:
+                if re.search(r"(?<![\w.`])" + re.escape(t) + r"(?![\w.])", body):
+                    anchors.add(t)
+            for v, vbody in self.views.items():
+                if v not in seen and re.search(
+                    r"(?<![\w.`])" + re.escape(v) + r"(?![\w.])", body
+                ):
+                    seen.add(v)
+                    stack.append(vbody)
+        return sorted(anchors)
+
+    def _create_reflection(self, m: re.Match) -> None:
+        """``ALTER DATASET d CREATE [RAW|AGGREGATE] REFLECTION r USING ...``
+        (readme.md:322-326) -> plans.accelerator. USING forms:
+        RAW (full materialization), DISPLAY (cols), DIMENSIONS (d1,..)
+        MEASURES (m (SUM, COUNT), ..) for aggregation reflections."""
+        dataset, name, using = m.group(1), m.group(2), m.group(3).strip()
+        src = self._vname(dataset) if "." in dataset else dataset
+        if using.upper().rstrip(" ;") == "RAW":
+            body = f"SELECT * FROM {src}"
+        elif _RE_USING_DISPLAY.match(using):
+            cols = _clause(_RE_USING_DISPLAY, using)
+            body = f"SELECT {cols} FROM {src}"
+        elif _RE_USING_DIMENSIONS.match(using):
+            dims = _clause(_RE_USING_DIMENSIONS, using)
+            meas_txt = _clause(_RE_MEASURES, using)
+            parts = [d.strip() for d in _split_top_level(dims)]
+            for item in _split_top_level(meas_txt or ""):
+                mm = _RE_MEASURE_ITEM.match(item.strip())
+                col, aggs = mm.group(1), (mm.group(2) or "SUM")
+                for agg in (a.strip().upper() for a in aggs.split(",")):
+                    parts.append(f"{agg}({col}) AS {col}_{agg.lower()}")
+            body = (
+                f"SELECT {', '.join(parts)} FROM {src} "
+                f"GROUP BY {', '.join(d.strip() for d in _split_top_level(dims))}"
+            )
+        else:
+            raise ValueError(f"unsupported USING clause: {using[:60]}")
+        self._refresh()
+        self.accelerator.create_reflection(
+            name, self._rewrite_names(body), self._dataset_anchors(dataset)
+        )
+
+    # ------------------------------------------------------------- driver
+
+    def run(self, sql: str):
+        """Execute a script; returns the last query's DataFrame (or None if
+        the script ends with DDL/DML)."""
+        result = None
+        for st in dialect.split_statements(sql):
+            m = _RE_FOLDER.match(st)
+            if m:
+                self.lake.create_namespace(m.group(1))
+                continue
+            m = _RE_VIEW.match(st)
+            if m:
+                from ..functions import ai as _ai
+
+                _ai.register_sql_udfs(self.spark)
+                self.views[m.group(1)] = _ai.rewrite_ai_generate(
+                    self.spark, dialect.translate(m.group(2))
+                )
+                continue
+            m = _RE_CREATE_TABLE.match(st)
+            if m:
+                self._create_table(m)
+                continue
+            m = _RE_INSERT.match(st)
+            if m:
+                self._insert(m)
+                continue
+            m = _RE_DELETE.match(st)
+            if m:
+                cond = dialect.translate(m.group(2)) if m.group(2) else "true"
+                self.lake.table(m.group(1)).delete_where(cond)
+                continue
+            m = _RE_DROP.match(st)
+            if m:
+                self.lake.drop_table(m.group(2), if_exists=bool(m.group(1)))
+                continue
+            m = _RE_COPY_INTO.match(st)
+            if m:
+                self._copy_into(m)
+                continue
+            m = _RE_CREATE_REFLECTION.match(st)
+            if m:
+                self._create_reflection(m)
+                continue
+            m = _RE_DROP_REFLECTION.match(st)
+            if m:
+                self.accelerator.drop_reflection(m.group(1))
+                continue
+            result = self._query(st)
+        return result

@@ -1,0 +1,227 @@
+"""Verbatim reference-script execution (plans/script.ScriptRunner).
+
+The gold check: /root/reference/industry-examples/finance_example.sql runs
+unmodified — namespaces, day-partitioned tables, INSERT VALUES, stacked
+silver/gold views — and the P&L output matches hand-computed values.
+"""
+
+import decimal
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.dialect import split_statements
+from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+FINANCE_SQL = "/root/reference/industry-examples/finance_example.sql"
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "warehouse"))
+
+
+def test_split_statements_comment_aware():
+    sql = """-- banner; with 'quote' and ; semicolon
+    SELECT 1 AS a; /* block ; 'c' */ SELECT 'x;y' AS b -- tail
+    ; SELECT "q;id" FROM t"""
+    out = split_statements(sql)
+    assert out == ["SELECT 1 AS a", "SELECT 'x;y' AS b", 'SELECT "q;id" FROM t']
+
+
+def test_finance_example_verbatim(lake):
+    """finance_example.sql:4-109 executes end-to-end; the gold P&L view
+    returns exactly the 8 hand-computed rows:
+    BUY:  (close - exec) * qty,  SELL: (exec - close) * qty."""
+    with open(FINANCE_SQL) as f:
+        lake.run_script(f.read())
+
+    # tables created with the declared partitioning
+    assert lake.table_exists("dremio.finance.raw.trades")
+    assert lake.table_exists("dremio.finance.raw.daily_prices")
+    t = lake.table("dremio.finance.raw.trades")
+    assert t._load_meta()["partition_by"] == ["days(trade_ts)"]
+    assert t.read().count() == 8
+    assert lake.table("dremio.finance.raw.daily_prices").read().count() == 12
+
+    out = lake.run_script(
+        "SELECT account_id, symbol, trade_date, pnl"
+        " FROM dremio.finance.gold.pnl_by_account_symbol"
+    )
+    got = {
+        (r.account_id, r.symbol, str(r.trade_date)): decimal.Decimal(r.pnl)
+        for r in out.collect()
+    }
+    expected = {
+        ("ACC-001", "AAPL", "2025-08-18"): decimal.Decimal("52.50"),   # (194.25-193.20)*50
+        ("ACC-002", "AAPL", "2025-08-18"): decimal.Decimal("-3.00"),   # (194.10-194.25)*20
+        ("ACC-001", "MSFT", "2025-08-18"): decimal.Decimal("16.50"),   # (424.10-423.55)*30
+        ("ACC-003", "GOOG", "2025-08-19"): decimal.Decimal("2.50"),    # (171.05-170.80)*10
+        ("ACC-002", "AAPL", "2025-08-19"): decimal.Decimal("6.75"),    # (195.50-195.05)*15
+        ("ACC-001", "MSFT", "2025-08-19"): decimal.Decimal("3.50"),    # (424.25-423.90)*10
+        ("ACC-003", "GOOG", "2025-08-20"): decimal.Decimal("-1.00"),   # (171.40-171.60)*5
+        ("ACC-004", "AMZN", "2025-08-20"): decimal.Decimal("3.60"),    # (183.40-183.10)*12
+    }
+    assert len(got) == 8
+    for key, want in expected.items():
+        assert got[key] == want, key
+
+    # silver view also queryable by its leaf name (legacy surface)
+    enriched = lake.run_script("SELECT COUNT(*) AS n FROM trades_enriched")
+    assert enriched.first().n == 8
+
+
+def test_script_ddl_dml_roundtrip(lake, spark):
+    """The logistics/retail statement shapes: CREATE..PARTITION BY(DAY(ts)),
+    DELETE FROM (full clear + predicate), DROP TABLE IF EXISTS, CTAS with
+    DISTRIBUTE BY, INSERT INTO .. SELECT."""
+    lake.run_script(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.lgx.raw;
+        CREATE TABLE IF NOT EXISTS dremio.lgx.raw.events (
+          event_id   BIGINT,
+          status     VARCHAR,
+          note       VARCHAR,
+          event_ts   TIMESTAMP
+        )
+        PARTITION BY (DAY(event_ts));
+        DELETE FROM dremio.lgx.raw.events;  -- for repeatable runs
+        INSERT INTO dremio.lgx.raw.events (event_id, status, note, event_ts) VALUES
+          (1, 'DELIVERED', 'on time', TIMESTAMP '2025-08-18 10:00:00'),
+          (2, 'DELAYED', NULL, TIMESTAMP '2025-08-19 11:00:00'),
+          (3, 'DELIVERED', 'left at door', TIMESTAMP '2025-08-19 12:00:00');
+        """
+    )
+    t = lake.table("dremio.lgx.raw.events")
+    assert t.read().count() == 3
+
+    # NULL-predicate DELETE keeps the NULL-note row (SQL DELETE semantics)
+    lake.run_script("DELETE FROM dremio.lgx.raw.events WHERE note LIKE 'on%'")
+    assert {r.event_id for r in t.read().collect()} == {2, 3}
+
+    lake.run_script(
+        """
+        DROP TABLE IF EXISTS dremio.lgx.silver.events_clean;
+        CREATE TABLE dremio.lgx.silver.events_clean
+        PARTITION BY (event_date)
+        DISTRIBUTE BY (event_id)
+        AS
+        SELECT event_id, UPPER(TRIM(status)) AS status_std,
+               TO_DATE(event_ts) AS event_date
+        FROM dremio.lgx.raw.events;
+        """
+    )
+    clean = lake.table("dremio.lgx.silver.events_clean")
+    assert {r.status_std for r in clean.read().collect()} == {"DELAYED", "DELIVERED"}
+
+    # INSERT INTO .. SELECT appends through the same positional contract
+    lake.run_script(
+        "INSERT INTO dremio.lgx.silver.events_clean "
+        "SELECT event_id + 10, status, TO_DATE(event_ts) FROM dremio.lgx.raw.events"
+    )
+    assert clean.read().count() == 4
+    # DROP without IF EXISTS on a missing table raises
+    with pytest.raises(ValueError):
+        lake.run_script("DROP TABLE dremio.lgx.silver.missing")
+
+
+def test_copy_into_example_verbatim(lake, tmp_path):
+    """COPY INTO EXAMPLE/example.sql runs unmodified against its 5 shipped
+    CSVs: the '@s3/...' source handle maps to a local root, the REGEX /
+    FILE_FORMAT / option block parse, and every CSV data row lands."""
+    import shutil
+
+    src_dir = "/root/reference/industry-examples/COPY INTO EXAMPLE"
+    # lay the shipped CSVs out under the path the script's '@s3' URI names
+    root = tmp_path / "s3root"
+    dest = root / "alex-merced-demo-2026" / "copy-into-example"
+    dest.mkdir(parents=True)
+    expected_rows = 0
+    for f in sorted(os.listdir(src_dir)):
+        if f.endswith(".csv"):
+            shutil.copy(os.path.join(src_dir, f), dest / f)
+            with open(os.path.join(src_dir, f)) as fh:
+                expected_rows += sum(1 for line in fh if line.strip()) - 1  # minus header
+
+    with open(os.path.join(src_dir, "example.sql")) as f:
+        lake.run_script(f.read(), source_roots={"s3": str(root)})
+
+    t = lake.table("dremio.copy_demo.transactions")
+    df = t.read()
+    assert df.count() == expected_rows
+    assert df.columns == ["id", "name", "amount", "event_date"]
+    got = {r.id: (r.name, r.amount, str(r.event_date)) for r in df.collect()}
+    assert got[1] == ("Alice", 10.5, "2024-01-01")
+    # declared types applied (DOUBLE amount, DATE event_date)
+    assert dict(df.dtypes)["amount"] == "double"
+    assert dict(df.dtypes)["event_date"] == "date"
+
+
+def test_create_reflection_sql(lake):
+    """readme.md:322-326 verbatim: ALTER DATASET … CREATE REFLECTION …
+    USING RAW on a view, resolved through SQL — materialized scan when
+    fresh, transparent recompute after the anchor table advances."""
+    lake.run_script(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.orders (customer_id BIGINT, amount DOUBLE);
+        INSERT INTO dremio.demo.orders VALUES (10, 100.0), (10, 75.0), (11, 250.0);
+        CREATE OR REPLACE VIEW dremio.demo.customer_spend AS
+        SELECT customer_id, SUM(amount) AS total_spend
+        FROM dremio.demo.orders GROUP BY customer_id;
+        ALTER DATASET dremio.demo.customer_spend
+        CREATE REFLECTION customer_spend_reflection
+        USING RAW;
+        """
+    )
+    runner = lake._script_runner
+    acc = runner.accelerator
+    assert acc.is_fresh("customer_spend_reflection")
+    # fresh: the SQL-visible reflection serves from storage (no Aggregate)
+    out = lake.run_script("SELECT * FROM customer_spend_reflection")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan
+    assert {(r.customer_id, r.total_spend) for r in out.collect()} == {
+        (10, 175.0), (11, 250.0),
+    }
+
+    # anchor advances -> stale -> recompute stays correct
+    lake.run_script("INSERT INTO dremio.demo.orders VALUES (11, 50.0)")
+    assert not acc.is_fresh("customer_spend_reflection")
+    out2 = lake.run_script("SELECT * FROM customer_spend_reflection")
+    assert {(r.customer_id, r.total_spend) for r in out2.collect()} == {
+        (10, 175.0), (11, 300.0),
+    }
+
+    # aggregation reflection + drop
+    lake.run_script(
+        """ALTER DATASET dremio.demo.orders
+           CREATE AGGREGATE REFLECTION spend_agg
+           USING DIMENSIONS (customer_id) MEASURES (amount (SUM, COUNT))"""
+    )
+    agg = lake.run_script("SELECT * FROM spend_agg")
+    got = {(r.customer_id, r.amount_sum, r.amount_count) for r in agg.collect()}
+    assert got == {(10, 175.0, 2), (11, 300.0, 2)}
+    lake.run_script("ALTER DATASET dremio.demo.orders DROP REFLECTION spend_agg")
+    assert [e["name"] for e in acc.status()] == ["customer_spend_reflection"]
+
+
+def test_retail_silver_ctas_stack(lake):
+    """retail.sql:17-100 prefix verbatim: raw DDL + inserts + the first
+    DROP+CTAS silver step, then a hand-checked rollup."""
+    with open("/root/reference/industry-examples/retail.sql") as f:
+        script = f.read()
+    # run the raw layer + first silver CTAS (statements up to orders_clean)
+    stmts = split_statements(script)
+    upto = next(
+        i for i, s in enumerate(stmts) if "silver.orders_clean" in s and "CREATE" in s
+    )
+    lake.run_script(";\n".join(stmts[: upto + 1]) + ";")
+    oc = lake.table("dremio.retail.silver.orders_clean")
+    rows = {r.order_id: r.status_std for r in oc.read().collect()}
+    # retail.sql:46-53 inserts 5 orders; free-text status upper/trimmed
+    assert rows == {
+        5001: "PAID", 5002: "CREATED", 5003: "PAID",
+        5004: "SHIPPED", 5005: "CANCELED",
+    }
