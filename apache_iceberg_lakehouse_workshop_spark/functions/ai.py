@@ -30,7 +30,15 @@ from typing import Callable
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # --------------------------------------------------------------- tokenizer
 # Must stay in lockstep with operators/textstats.normalized_text so SQL
@@ -68,14 +76,34 @@ class MockBackend:
         return prompts.map(lambda p: f"echo[{len(p or '')}]:" + (p or "").strip()[:16].upper())
 
     def generate(self, prompts: pd.Series, fields: list[tuple[str, str]]) -> pd.DataFrame:
-        """Typed-struct extraction. Field rules (deterministic):
+        """Typed-struct extraction. Field rules (deterministic, chosen to be
+        replicable in plain SQL for oracle/golden tests):
         - summary: first 5 normalized tokens joined by ' '
         - n_words: token count
         - sentiment: 'positive'/'negative'/'neutral' by fast-vs-slow counts
+        - primary_issue: first of Traffic/Weather/Access/Mechanical/Customer
+          whose keyword appears in the text, else 'None'
+          (logistics_AI.sql:131 closed set)
+        - issue_category: Delay / Damage / 'Delay and Damage' / None from
+          delay|late and damage|damaged keyword hits (logistics_AI.sql:132)
+        - estimated_delay_minutes: first integer literal in the text, else 0
+        - requires_apology: upset or damage mentioned, or delay > 30 min
+          (logistics_AI.sql:134 rule, mock-deterministic)
         """
         out: dict[str, list] = {name: [] for name, _ in fields}
         for p in prompts:
-            toks = _norm_tokens(p)
+            # instruction/payload split: when the prompt embeds its document
+            # after a 'NOTES:' marker (logistics_AI.sql:126-134 prompt
+            # shape), analyze only the document — otherwise the instruction
+            # text's own keywords would dominate every row
+            low = (p or "").lower()
+            body = p[low.rindex("notes:") + 6 :] if "notes:" in low else p
+            toks = _norm_tokens(body)
+            tokset = set(toks)
+            delay = bool({"delay", "delayed", "late"} & tokset)
+            damage = bool({"damage", "damaged"} & tokset)
+            delay_min_m = re.search(r"\d+", body or "")
+            delay_min = int(delay_min_m.group(0)) if delay_min_m else 0
             for name, _typ in fields:
                 if name == "summary":
                     out[name].append(" ".join(toks[:5]))
@@ -86,6 +114,28 @@ class MockBackend:
                     neg = sum(1 for w in toks if w == "slow")
                     out[name].append(
                         "positive" if pos > neg else ("negative" if neg > pos else "neutral")
+                    )
+                elif name == "primary_issue":
+                    hit = next(
+                        (
+                            lab
+                            for lab in ("Traffic", "Weather", "Access", "Mechanical", "Customer")
+                            if lab.lower() in tokset
+                        ),
+                        "None",
+                    )
+                    out[name].append(hit)
+                elif name == "issue_category":
+                    out[name].append(
+                        "Delay and Damage"
+                        if delay and damage
+                        else ("Delay" if delay else ("Damage" if damage else "None"))
+                    )
+                elif name == "estimated_delay_minutes":
+                    out[name].append(delay_min if delay else 0)
+                elif name == "requires_apology":
+                    out[name].append(
+                        ("upset" in tokset) or damage or (delay and delay_min > 30)
                     )
                 else:  # unknown field -> NULL (schema-coercion failure contract)
                     out[name].append(None)
@@ -156,6 +206,17 @@ def ai_complete(prompt: Column) -> Column:
 
 _TYPE_MAP = {"string": StringType(), "int": IntegerType()}
 
+# SQL-side type spellings for WITH SCHEMA ROW(...) (logistics_AI.sql:135-140)
+_SQL_TYPE_MAP = {
+    "varchar": StringType(),
+    "string": StringType(),
+    "int": IntegerType(),
+    "integer": IntegerType(),
+    "boolean": BooleanType(),
+    "bigint": LongType(),
+    "double": DoubleType(),
+}
+
 
 def ai_generate(prompt: Column, schema: list[tuple[str, str]]) -> Column:
     """AI_GENERATE(prompt WITH SCHEMA ROW(f1 T1, ...)) -> StructType column
@@ -168,6 +229,117 @@ def ai_generate(prompt: Column, schema: list[tuple[str, str]]) -> Column:
         return _BACKEND.generate(s, schema)
 
     return _udf(prompt)
+
+
+# ------------------------------------------------------------- SQL surface
+#
+# The reference calls the AI functions from SQL (recipes.sql:18
+# AI_CLASSIFY(text, ARRAY[...]); logistics_AI.sql:126-141 AI_GENERATE(...
+# WITH SCHEMA ROW(...)); logistics_AI.sql:220-240 AI_COMPLETE). AI_CLASSIFY
+# and AI_COMPLETE register directly as named pandas UDFs; AI_GENERATE's
+# return type depends on its ROW schema, so the dialect layer calls
+# rewrite_ai_generate() to register a per-schema UDF on the fly and rewrite
+# the call site to it.
+
+_REGISTERED_SESSIONS: set[int] = set()
+_GENERATE_UDFS: set[str] = set()
+
+
+def register_sql_udfs(spark) -> None:
+    """Register AI_CLASSIFY / AI_COMPLETE for SQL use (idempotent)."""
+    key = id(spark)
+    if key in _REGISTERED_SESSIONS:
+        return
+    _REGISTERED_SESSIONS.add(key)
+
+    @F.pandas_udf(StringType())
+    def _classify_sql(text: pd.Series, labels: pd.Series) -> pd.Series:
+        out = []
+        for t, labs in zip(text, labels):
+            label_list = [] if labs is None else list(labs)  # numpy array -> list
+            out.append(_BACKEND.classify(pd.Series([t]), label_list).iloc[0])
+        return pd.Series(out)
+
+    @F.pandas_udf(StringType())
+    def _complete_sql(prompt: pd.Series) -> pd.Series:
+        return _BACKEND.complete(prompt)
+
+    spark.udf.register("AI_CLASSIFY", _classify_sql)
+    spark.udf.register("AI_COMPLETE", _complete_sql)
+
+
+_WITH_SCHEMA_ROW = re.compile(r"\bWITH\s+SCHEMA\s+ROW\s*\(", re.I)
+_AI_GENERATE_CALL = re.compile(r"\bAI_GENERATE\s*\(", re.I)
+
+
+def _matching_paren(text: str, start: int) -> int:
+    """Index of the ')' matching the '(' at ``start`` (string-aware)."""
+    depth, i = 0, start
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            i = len(text) if j == -1 else j
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses in AI_GENERATE call")
+
+
+def rewrite_ai_generate(spark, sql: str) -> str:
+    """Rewrite every ``AI_GENERATE(prompt WITH SCHEMA ROW(f T, ...))`` call
+    to a per-schema registered struct UDF call ``ai_generate_<digest>
+    (prompt)``. Schema-less AI_GENERATE calls pass through untouched (they
+    are plain text generation — treated as AI_COMPLETE semantics)."""
+    import hashlib
+
+    out = sql
+    pos = 0
+    while True:
+        m = _AI_GENERATE_CALL.search(out, pos)
+        if m is None:
+            return out
+        open_idx = m.end() - 1
+        close_idx = _matching_paren(out, open_idx)
+        call_body = out[open_idx + 1 : close_idx]
+        sm = _WITH_SCHEMA_ROW.search(call_body)
+        if sm is None:
+            pos = close_idx + 1
+            continue
+        prompt_expr = call_body[: sm.start()].strip()
+        row_open = sm.end() - 1
+        row_close = _matching_paren(call_body, row_open)
+        fields = []
+        for item in call_body[row_open + 1 : row_close].split(","):
+            name, _, typ = item.strip().partition(" ")
+            typ = typ.strip().lower()
+            if typ not in _SQL_TYPE_MAP:
+                raise ValueError(f"WITH SCHEMA ROW: unsupported type {typ!r}")
+            fields.append((name, typ))
+        digest = hashlib.md5(repr(fields).encode()).hexdigest()[:8]
+        udf_name = f"ai_generate_{digest}"
+        if udf_name not in _GENERATE_UDFS:
+            schema = StructType(
+                [StructField(n, _SQL_TYPE_MAP[t]) for n, t in fields]
+            )
+
+            def _make(fields_t: tuple):
+                # closure factory: pandas_udf requires type hints on every
+                # parameter, so the field list cannot ride as a default arg
+                @F.pandas_udf(schema)
+                def _generate_sql(prompts: pd.Series) -> pd.DataFrame:
+                    return _BACKEND.generate(prompts, list(fields_t))
+
+                return _generate_sql
+
+            spark.udf.register(udf_name, _make(tuple(fields)))
+            _GENERATE_UDFS.add(udf_name)
+        out = out[: m.start()] + f"{udf_name}({prompt_expr})" + out[close_idx + 1 :]
+        pos = m.start() + len(udf_name)
 
 
 def ai_generate_file(prompt: Column, content: Column, schema: list[tuple[str, str]]) -> Column:
