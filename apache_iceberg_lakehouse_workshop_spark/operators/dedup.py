@@ -160,6 +160,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_id: int | None = None,
+    partitions: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard above a threshold (exact, for small scopes /
     verification; the scale path is minhash_lsh_pairs)."""
@@ -170,8 +171,11 @@ def ngram_jaccard_pairs(
     if max_id is not None:
         docs = docs.filter(F.col("id") < max_id)
     # small-scope exact operator: coalesce so the theta self-join doesn't
-    # explode into n_partitions^2 tasks (scale path = minhash_lsh_pairs)
-    docs = docs.coalesce(4)
+    # explode into n_partitions^2 tasks (scale path = minhash_lsh_pairs).
+    # Width follows the cluster unless the caller pins it.
+    if partitions is None:
+        partitions = max(2, df.sparkSession.sparkContext.defaultParallelism // 8)
+    docs = docs.coalesce(partitions)
     a, b = docs.alias("a"), docs.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
@@ -219,13 +223,29 @@ def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+    """Near-dup pairs by SimHash hamming distance, blocked on equal-width
+    signature chunks (pigeonhole blocking).
 
-    Pigeonhole: two signatures within hamming distance <= 3*chunks/4 share at
-    least one exact 16-bit chunk — candidates come from an equi-join on
-    (chunk_id, chunk_value), all-pairs never materializes."""
+    Pigeonhole guarantee: two 64-bit signatures within hamming distance
+    ``d`` differ in at most ``d`` chunks, so with ``n_chunks`` chunks they
+    share at least one exact chunk whenever ``d <= n_chunks - 1`` —
+    candidates come from an equi-join on (chunk_id, chunk_value) and
+    all-pairs never materializes. ``max_hamming > n_chunks - 1`` would
+    silently drop pairs, so it raises: raise ``n_chunks`` instead (8 chunks
+    of 8 bits covers hamming <= 7; coarser chunks => bigger candidate
+    buckets, the standard recall/cost dial)."""
+    if 64 % n_chunks != 0:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"{n_chunks}-chunk blocking (<= {n_chunks - 1}); raise n_chunks"
+        )
+    chunk_bits = 64 // n_chunks
+    chunk_mask = (1 << chunk_bits) - 1
     sig = df.select(
         F.col(id_col).cast("long").alias("id"), simhash64(F.col(text_col)).alias("sig")
     )
@@ -237,9 +257,11 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftrightunsigned("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+                        F.shiftrightunsigned("sig", chunk_bits * i)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("chunk_val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

@@ -100,14 +100,18 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above threshold."""
     # all-pairs is a deliberate small-scope operator (verification / final
     # dedup pass); coalesce so the non-equi self-join doesn't fan out to
-    # n_partitions^2 tiny tasks. The scale path is LSH bucketing.
+    # n_partitions^2 tiny tasks. Width follows the cluster unless pinned.
+    # The scale path is LSH bucketing.
+    if partitions is None:
+        partitions = max(2, corpus.sparkSession.sparkContext.defaultParallelism // 8)
     v = corpus.select(
         F.col(id_col).cast("long").alias("id"), quantized(F.col(vec_col)).alias("v")
-    ).coalesce(4)
+    ).coalesce(partitions)
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))

@@ -39,7 +39,19 @@ def salted_join(
     mod S — uniform, reproducible); the small side is replicated S times so
     every (key, salt) pair finds its match. Result equals
     ``big.join(small, key, how)`` row-for-row.
+
+    Only big-side-preserving modes are valid: a big row carries exactly one
+    salt, but an *unmatched small row* exists once per salt replica, so
+    right/full outer would emit it ``salt_buckets`` times. Those modes raise
+    — flip the join around or use AQE skew handling instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — unmatched small-side "
+            f"rows would duplicate x{salt_buckets}; use inner/left/semi/anti"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     big_s = big.withColumn("_salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")

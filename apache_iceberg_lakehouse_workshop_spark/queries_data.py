@@ -265,7 +265,8 @@ def d4_simhash_neardup(spark, sf_dir):
     dup = d.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    return DD.simhash_neardup_pairs(d.unionAll(dup), max_hamming=8)
+    # 8x8-bit chunk blocking: pigeonhole-complete for hamming <= 7
+    return DD.simhash_neardup_pairs(d.unionAll(dup), max_hamming=7, n_chunks=8)
 
 
 # =====================================================================

@@ -184,14 +184,37 @@ def running_user_totals(events: DataFrame, idle_timeout_ms: int = 30_000) -> Dat
     )
 
 
+def append_stream_batch(lake_table, checkpoint_dir: str, batch_df: DataFrame, batch_id: int) -> bool:
+    """Idempotently commit one micro-batch: the (checkpoint, batch_id) pair
+    rides the snapshot commit's atomic metadata swap, so a foreachBatch
+    replay of an already-committed batch (Structured Streaming's
+    at-least-once redelivery after a failure between sink write and
+    checkpoint advance) is detected and skipped — table contents are
+    exactly-once. Returns True if the batch was appended, False if it was a
+    replay. Same mechanism as Iceberg's streaming sink, which stores the
+    batch id in the snapshot summary."""
+    for snap in lake_table._load_meta()["snapshots"]:
+        props = snap.get("props") or {}
+        if props.get("checkpoint") == checkpoint_dir and props.get("batch_id") is not None \
+                and int(props["batch_id"]) >= batch_id:
+            return False
+    if batch_df.isEmpty():
+        return False
+    lake_table.append(
+        batch_df, snapshot_props={"checkpoint": checkpoint_dir, "batch_id": batch_id}
+    )
+    return True
+
+
 def stream_to_table(stream_df: DataFrame, lake_table, checkpoint_dir: str, trigger_available_now: bool = True):
     """Sink a stream into a lakehouse table: each micro-batch is one atomic
-    snapshot append (exactly the Iceberg streaming-sink contract — writers
-    produce files, one metadata commit per batch)."""
+    snapshot append carrying its batch id, so replays dedupe and the table
+    is exactly-once (see :func:`append_stream_batch` — the Iceberg
+    streaming-sink contract: writers produce files, one metadata commit per
+    batch, batch id in the snapshot summary)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            lake_table.append(batch_df)
+        append_stream_batch(lake_table, checkpoint_dir, batch_df, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

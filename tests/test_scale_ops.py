@@ -79,3 +79,15 @@ def test_approx_count_distinct_bounds(spark, sf_dir):
     exact = o.select(F.countDistinct("o_custkey")).first()[0]
     approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.02)).first()[0]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_salted_join_rejects_small_side_outer(spark):
+    """right/full outer would emit each unmatched small-side row once per
+    salt replica — the operator must refuse rather than silently duplicate."""
+    import pytest
+
+    fact = _skewed_fact(spark)
+    dim = spark.createDataFrame([(1, "one"), (99, "orphan")], "k BIGINT, name STRING")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, "k", salt_buckets=4, how=how)

@@ -167,3 +167,24 @@ def test_stream_to_lakehouse_snapshot_appends(spark, events_dir, tmp_path):
     assert ops and all(op == "append" for op in ops)
     assert len(ops) >= 2  # maxFilesPerTrigger=1 over 2 files
     assert t.read(snapshot_id=1).count() < 6
+
+
+def test_stream_batch_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch redelivers a batch after a crash between sink write and
+    checkpoint advance; the snapshot-props batch id makes the replay a
+    no-op so table contents are exactly-once."""
+    from apache_iceberg_lakehouse_workshop_spark.streaming.pipeline import append_stream_batch
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lake.create_table("db.s.once", "event_id BIGINT, value DOUBLE")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.createDataFrame([(1, 1.0), (2, 2.0)], "event_id BIGINT, value DOUBLE")
+
+    assert append_stream_batch(t, ckpt, batch, batch_id=0) is True
+    assert append_stream_batch(t, ckpt, batch, batch_id=0) is False  # replay
+    assert t.read().count() == 2
+    assert append_stream_batch(t, ckpt, batch, batch_id=1) is True
+    assert t.read().count() == 4
+    # a different checkpoint (independent stream) is not deduped
+    assert append_stream_batch(t, str(tmp_path / "ckpt2"), batch, batch_id=0) is True
+    assert t.read().count() == 6

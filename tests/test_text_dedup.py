@@ -88,3 +88,20 @@ def test_simhash_identical_distance_zero(spark):
     assert (1, 2) in {(p.doc_a, p.doc_b) for p in pairs}
     found = {(p.doc_a, p.doc_b): p.hamming for p in pairs}
     assert found[(1, 2)] == 0
+
+
+def test_simhash_blocking_contract(spark):
+    """Pigeonhole blocking guarantee: max_hamming beyond n_chunks-1 raises
+    (it would silently drop pairs); 8x8-bit chunks extend recall to
+    hamming<=7 and find at least everything the 4-chunk blocking finds."""
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_neardup_pairs(docs_df(spark), max_hamming=8)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_neardup_pairs(docs_df(spark), max_hamming=4, n_chunks=4)
+    narrow = {(r.doc_a, r.doc_b) for r in
+              DD.simhash_neardup_pairs(docs_df(spark), max_hamming=3, n_chunks=4).collect()}
+    wide = {(r.doc_a, r.doc_b) for r in
+            DD.simhash_neardup_pairs(docs_df(spark), max_hamming=3, n_chunks=8).collect()}
+    assert narrow <= wide or narrow == wide
