@@ -11,14 +11,16 @@ anywhere in the plan space show up here.
 
 Timings exclude session startup (the reference's 15s number is query time on
 a warm engine, readme.md "cold run" = no result/reflection cache, not JVM
-boot). Each query executes once, cold caches, via count-style actions that
-force full materialization without driver-side collect of large results.
+boot). Each probe runs REPS (default 3) times and the median is reported —
+the sandbox shows ~±25% wall-clock noise between runs, so single-run numbers
+cannot resolve a real regression from drift.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,6 +31,10 @@ from apache_iceberg_lakehouse_workshop_spark.session import get_spark
 from apache_iceberg_lakehouse_workshop_spark.tables import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# single-run numbers cannot resolve regressions under the sandbox's ~±25%
+# wall-clock noise (r1->r2 showed a uniform 1.1-1.6x drift with zero code
+# change) -> run each probe REPS times and report the median
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # name -> registry query name (None => custom probe defined below)
 BENCH_QUERIES = [
@@ -68,7 +74,16 @@ def _reflection_probe(spark) -> dict[str, float]:
     """BASELINE.md probe 3 — dremio.sql:10-13's reflection-accelerated
     multi-AVG, on different columns than the cold probe (same trick the
     reference uses to bypass its result cache). Materializes a per-returnflag
-    aggregation accelerator (SURVEY §4 R7) and serves the AVGs from it."""
+    aggregation accelerator (SURVEY §4 R7) and serves the AVGs from it.
+
+    The cold side scans a 16x self-union of lineitem (~9.6M rows at sf0.1):
+    at plain sf0.1 both paths sit on the ~0.2s job-launch floor and the
+    ratio measures noise, not acceleration. Scaling the *same source* up
+    lets the scan-cardinality advantage (~10M rows -> 3 rows) show in wall
+    time, which is the scale-invariant quantity the reference's 338M-row
+    demo exhibits. Both paths run REPS times; medians reported; build time
+    reported separately (Dremio also excludes materialization from serve
+    latency)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -76,40 +91,48 @@ def _reflection_probe(spark) -> dict[str, float]:
     from apache_iceberg_lakehouse_workshop_spark.plans import AcceleratorRegistry, Lakehouse
 
     li = load_table(spark, SF_DIR, "lineitem")
+    big = li
+    for _ in range(4):  # 16x
+        big = big.unionAll(big)
 
     def agg_def():
         # AGGREGATION reflection: partials per returnflag; any AVG over these
         # columns is a cheap finalize over ~3 rows.
-        return li.groupBy("l_returnflag").agg(
+        return big.groupBy("l_returnflag").agg(
             F.sum("l_tax").alias("sum_tax"),
             F.sum("l_extendedprice").alias("sum_price"),
             F.count("*").alias("n"),
         )
 
-    t0 = time.time()
-    df = li.agg(F.avg("l_tax").alias("avg_tax"), F.avg("l_extendedprice").alias("avg_price"))
-    cold = df.collect()
-    cold_s = time.time() - t0
+    cold_runs, cold = [], None
+    for _ in range(REPS):
+        t0 = time.time()
+        cold = big.agg(
+            F.avg("l_tax").alias("avg_tax"), F.avg("l_extendedprice").alias("avg_price")
+        ).collect()
+        cold_runs.append(time.time() - t0)
 
     with tempfile.TemporaryDirectory() as wh:
         lake = Lakehouse(spark, wh)
         acc = AcceleratorRegistry(lake)
+        t0 = time.time()
         acc.create_reflection("li_agg_by_flag", agg_def, [])
-        t1 = time.time()
-        mat = acc.resolve("li_agg_by_flag")
-        accel = mat.agg(
-            (F.sum("sum_tax") / F.sum("n")).alias("avg_tax"),
-            (F.sum("sum_price") / F.sum("n")).alias("avg_price"),
-        ).collect()
-        accel_s = time.time() - t1
-        n_mat = mat.count()
+        build_s = time.time() - t0
+        accel_runs, accel = [], None
+        for _ in range(REPS):
+            t1 = time.time()
+            mat = acc.resolve("li_agg_by_flag")
+            accel = mat.agg(
+                (F.sum("sum_tax") / F.sum("n")).alias("avg_tax"),
+                (F.sum("sum_price") / F.sum("n")).alias("avg_price"),
+            ).collect()
+            accel_runs.append(time.time() - t1)
+        n_mat = acc.resolve("li_agg_by_flag").count()
         assert abs(accel[0]["avg_tax"] - cold[0]["avg_tax"]) < 1e-9
-    # At sf0.1 both paths are floor-bound by fixed job-launch overhead
-    # (~0.2s); the scan-cardinality ratio is the scale-invariant signal —
-    # at 338M rows (dremio.sql) the accelerated path still reads ~3 rows.
-    return {"multi_avg_cold_s": round(cold_s, 4),
-            "multi_avg_accelerated_s": round(accel_s, 4),
-            "cold_input_rows": li.count(),
+    return {"multi_avg_cold_s": round(statistics.median(cold_runs), 4),
+            "multi_avg_accelerated_s": round(statistics.median(accel_runs), 4),
+            "reflection_build_s": round(build_s, 4),
+            "cold_input_rows": big.count(),
             "accelerated_input_rows": n_mat}
 
 
@@ -125,11 +148,14 @@ def main() -> None:
     n_rows = load_table(spark, SF_DIR, "lineitem").count()
     for name in BENCH_QUERIES:
         df_fn = reg[name].fn if name in reg else None
-        t0 = time.time()
-        df = df_fn(spark, SF_DIR) if df_fn else _custom(spark, name)
-        # force full execution; tiny results -> collect is the honest action
-        df.collect()
-        timings[name] = round(time.time() - t0, 4)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            df = df_fn(spark, SF_DIR) if df_fn else _custom(spark, name)
+            # force full execution; tiny results -> collect is honest
+            df.collect()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 4)
 
     reflection = _reflection_probe(spark)
     total = round(sum(timings.values()), 4)
@@ -140,6 +166,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "reps": REPS,
         "lineitem_rows": n_rows,
         "rows_per_sec_multi_avg": round(n_rows / timings["multi_avg_scan"], 1),
         "reflection": reflection,
