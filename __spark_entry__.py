@@ -36,8 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle twins. Queries without an entry here are inherently
-    engine-internal (hash-seeded signatures, approximate ANN, stubbed
-    codecs) and get the driver's rows-only check; their exact semantics are
-    pinned by tests/ instead."""
+    """DuckDB oracle twins — one per exposed query, including the
+    approximate operators (their hashing is engine-portable: md5 simhash,
+    integer-exact LSH buckets, md5-ordered IVF seeds, hex frame
+    payloads)."""
     return {name: query.oracle for name, query in registry().items() if query.oracle}

@@ -191,13 +191,8 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- simhash
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash of the token multiset (xxhash64 per token, bit-majority).
-
-    Engine-internal signature (JVM hash seed) — compared via hamming distance,
-    not against a cross-engine oracle."""
-    toks = tokens(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def _simhash_from_hashes(hashes: Column) -> Column:
+    """Bit-majority 64-bit signature from an array<long> of token hashes."""
 
     def signed_mask(i: int) -> int:
         # bit 63 must be expressed as the sign bit of a signed int64
@@ -219,15 +214,43 @@ def simhash64(col: Column) -> Column:
     return out
 
 
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of the token multiset (xxhash64 per token, bit-majority).
+
+    Engine-internal signature (JVM hash function) — the fastest path; for a
+    signature an external SQL oracle can replicate use
+    :func:`simhash64_md5`."""
+    return _simhash_from_hashes(F.transform(tokens(col), lambda t: F.xxhash64(t)))
+
+
+def simhash64_md5(col: Column) -> Column:
+    """64-bit SimHash with md5-derived token hashes — engine-portable: the
+    per-token 64 bits are the first 16 hex chars of md5('sh:' || token)
+    (two 32-bit halves), so the whole signature is replicable in any SQL
+    engine with md5 (the d4 oracle twin does exactly this in DuckDB).
+    ~2x the hash cost of xxhash64; same blocking/verify machinery."""
+
+    def h64(t: Column) -> Column:
+        d = F.md5(F.concat(F.lit("sh:"), t))
+        hi = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    return _simhash_from_hashes(F.transform(tokens(col), h64))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_chunks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on equal-width
-    signature chunks (pigeonhole blocking).
+    signature chunks (pigeonhole blocking). ``portable=True`` uses the
+    md5-derived signature (:func:`simhash64_md5`) so results are
+    replicable by a cross-engine SQL oracle.
 
     Pigeonhole guarantee: two 64-bit signatures within hamming distance
     ``d`` differ in at most ``d`` chunks, so with ``n_chunks`` chunks they
@@ -246,8 +269,9 @@ def simhash_neardup_pairs(
         )
     chunk_bits = 64 // n_chunks
     chunk_mask = (1 << chunk_bits) - 1
+    hash_fn = simhash64_md5 if portable else simhash64
     sig = df.select(
-        F.col(id_col).cast("long").alias("id"), simhash64(F.col(text_col)).alias("sig")
+        F.col(id_col).cast("long").alias("id"), hash_fn(F.col(text_col)).alias("sig")
     )
     chunks = sig.select(
         "id",

@@ -177,7 +177,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     ids.append(mid)
                     nos.append(i)
                     mss.append(i * duration_ms // n_frames)
-                    frames.append(hashlib.md5(raw + bytes([i])).digest())
+                    # fake frame payload: the per-frame digest's hex string
+                    # as bytes (UTF-8-safe, so downstream digests of the
+                    # frame are replicable in any engine's SQL)
+                    frames.append(hashlib.md5(raw + bytes([i])).hexdigest().encode())
             yield pd.DataFrame(
                 {"media_id": ids, "frame_no": nos, "frame_ms": mss, "frame": frames}
             )

@@ -129,14 +129,17 @@ def embedding_neardup_pairs(
 
 def hyperplane_bits(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from fixed random hyperplanes (deterministic,
-    hardcoded planes -> reproducible)."""
+    hardcoded planes -> reproducible).
+
+    ``vec`` must be a *quantized* ``array<bigint>`` (see :func:`quantized`);
+    the plane weights are /1000 rationals, so they scale to exact ints and
+    the sign test is pure integer arithmetic — no floating-point sign flips
+    near the boundary, and bit-replicable by any SQL engine (the s3 oracle
+    twin recomputes the same buckets in DuckDB)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        w = F.array(*[F.lit(int(round(x * 1000))).cast("long") for x in p])
+        dot = int_dot(vec, w)
         bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
 
@@ -181,12 +184,13 @@ def ivf_centroids(
     corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Coarse quantizer: ``n_cells`` centroids sampled deterministically
-    (min-hash-of-id order — reproducible, no RNG) then refined with one
-    distributed Lloyd step (assign → per-cell mean via posexplode/groupBy).
-    K stays driver-small; the refinement is two narrow shuffles."""
+    (min-md5-of-id order — reproducible, no RNG, engine-portable) then
+    refined with one distributed Lloyd step (assign → per-cell mean via
+    posexplode/groupBy). K stays driver-small; the refinement is two narrow
+    shuffles."""
     seed_pick = (
         corpus.select(F.col(id_col).cast("long").alias("sid"), quantized(F.col(vec_col)).alias("v"))
-        .orderBy(F.abs(F.hash(F.col("sid"))), F.asc("sid"))
+        .orderBy(F.md5(F.col("sid").cast("string")), F.asc("sid"))
         .limit(n_cells)
     )
     seeds = seed_pick.select(
@@ -205,7 +209,10 @@ def ivf_centroids(
     return (
         assigned.select("cell_id", F.posexplode("m_vec").alias("pos", "val"))
         .groupBy("cell_id", "pos")
-        .agg(F.avg("val").alias("mean_val"))
+        # mean as CAST(SUM AS DOUBLE)/COUNT: both inputs exact ints, one
+        # correctly-rounded IEEE division -> bit-identical in any engine
+        # (F.avg's internal accumulation order would not be)
+        .agg((F.sum("val").cast("double") / F.count("*")).alias("mean_val"))
         .groupBy("cell_id")
         .agg(
             F.transform(
@@ -288,18 +295,19 @@ def knn_lsh(
     ~2^n_planes/L-fold vs brute force, and the corpus never self-joins."""
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        qv = quantized(F.col(vec_col))
         buckets = []
         for t in range(n_tables):
             planes = _fixed_planes(dim, n_planes * (t + 1))[-n_planes:]
             buckets.append(
                 F.struct(
                     F.lit(t).alias("table_id"),
-                    hyperplane_bits(F.col(vec_col), planes).alias("bucket"),
+                    hyperplane_bits(qv, planes).alias("bucket"),
                 )
             )
         return df.select(
             F.col(id_col).cast("long").alias(out_id),
-            quantized(F.col(vec_col)).alias(f"{out_id}_vec"),
+            qv.alias(f"{out_id}_vec"),
             F.explode(F.array(*buckets)).alias("tb"),
         ).select(out_id, f"{out_id}_vec", "tb.table_id", "tb.bucket")
 

@@ -2,10 +2,11 @@
 embedding similarity search, multimodal columns, AI functions.
 
 These are the north-star extensions (BASELINE.json) layered on the
-reference's text/AI surface (SURVEY.md §2.10). Oracles replicate the exact
-arithmetic in DuckDB SQL; operators that are inherently engine-internal
-(SimHash over xxhash64, LSH-bucketed ANN) are rows-only checked, with their
-exact twins covered by tests instead.
+reference's text/AI surface (SURVEY.md §2.10). Every query has a DuckDB
+oracle replicating the exact arithmetic — including the approximate
+operators, whose hashing was made engine-portable for exactly this reason
+(md5-derived simhash, integer-exact LSH hyperplane buckets, md5-ordered IVF
+seeding, hex-string fake frame payloads).
 
 Shared normalization contract (MUST stay in lockstep across
 operators/textstats.py, functions/ai.py and every oracle below):
@@ -253,20 +254,63 @@ def d3_ngram_jaccard_pairs(spark, sf_dir):
     return DD.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.02, max_id=120)
 
 
+def _simhash_oracle() -> str:
+    """DuckDB twin of the portable (md5-based) SimHash near-dup pipeline:
+    per-token 64-bit hashes from md5('sh:'||token) hex halves, bit-majority
+    votes (64 aggregates), signature as two 32-bit ints, 8x8-bit pigeonhole
+    blocking, hamming verify — byte-for-byte the engine's arithmetic."""
+    corpus = (
+        "SELECT doc_id AS id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10"
+    )
+    votes = ",\n            ".join(
+        [f"SUM(CASE WHEN (hi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_hi_{j}"
+         for j in range(32)]
+        + [f"SUM(CASE WHEN (lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_lo_{j}"
+           for j in range(32)]
+    )
+    sig_hi = " + ".join(f"(CASE WHEN v_hi_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    sig_lo = " + ".join(f"(CASE WHEN v_lo_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""WITH corpus AS ({corpus}),
+       tok AS (SELECT id, {_TOKS} AS w FROM corpus),
+       toks AS (SELECT id, unnest(w) AS t FROM tok),
+       h AS (SELECT id,
+                    ('0x' || substr(md5('sh:' || t), 1, 8))::BIGINT AS hi,
+                    ('0x' || substr(md5('sh:' || t), 9, 8))::BIGINT AS lo
+             FROM toks),
+       votes AS (SELECT id,
+            {votes}
+         FROM h GROUP BY id),
+       sig AS (SELECT id, {sig_hi} AS sig_hi, {sig_lo} AS sig_lo FROM votes),
+       chunk AS (SELECT id, sig_hi, sig_lo, t.i AS chunk_id,
+                        CASE WHEN t.i < 4 THEN (sig_lo >> (8 * t.i::INT)) & 255
+                             ELSE (sig_hi >> (8 * (t.i::INT - 4))) & 255 END AS chunk_val
+                 FROM sig CROSS JOIN range(0, 8) t(i)),
+       cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+                       a.sig_hi AS ha, a.sig_lo AS la, b.sig_hi AS hb, b.sig_lo AS lb
+                FROM chunk a JOIN chunk b
+                  ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.id < b.id)
+       SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+              CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+       FROM cand
+       WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 7"""
+
+
 @q(
     "d4_simhash_neardup",
-    None,  # xxhash64-based signature is engine-internal -> rows-only check;
-    # exact semantics are pinned by tests/test_dedup.py instead
-    "SimHash 64-bit near-dup with 16-bit-chunk pigeonhole blocking "
-    "(engine-internal hash; rows-only driver check)",
+    _simhash_oracle(),
+    "SimHash 64-bit near-dup with 8x8-bit-chunk pigeonhole blocking "
+    "(pigeonhole-complete for hamming <= 7). Portable md5-derived "
+    "signature, fully replicated by the DuckDB oracle.",
 )
 def d4_simhash_neardup(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    # 8x8-bit chunk blocking: pigeonhole-complete for hamming <= 7
-    return DD.simhash_neardup_pairs(d.unionAll(dup), max_hamming=7, n_chunks=8)
+    return DD.simhash_neardup_pairs(
+        d.unionAll(dup), max_hamming=7, n_chunks=8, portable=True
+    )
 
 
 # =====================================================================
@@ -344,12 +388,59 @@ def s2_embedding_neardup(spark, sf_dir):
     return SIM.embedding_neardup_pairs(corpus, threshold=0.99)
 
 
+def _lsh_oracle(n_tables: int = 8, n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of knn_lsh: the hyperplane weights are deterministic
+    (xorshift64 /1000 rationals), so they embed as integer literals and the
+    bucket assignment is the same exact integer sign test the engine runs;
+    candidate generation and quantized-cosine top-k mirror the plan."""
+    rows = []
+    for t in range(n_tables):
+        planes = SIM._fixed_planes(dim, n_planes * (t + 1))[-n_planes:]
+        for j, p in enumerate(planes):
+            w = ", ".join(str(int(round(x * 1000))) for x in p)
+            rows.append(f"({t}, {j}, [{w}]::BIGINT[])")
+    values = ",\n              ".join(rows)
+    return f"""WITH pl(table_id, plane_id, w) AS (VALUES
+              {values}),
+       v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+       dots AS (SELECT v.vec_id, pl.table_id, pl.plane_id,
+                       list_dot_product(v.qv, pl.w) AS dot
+                FROM v CROSS JOIN pl),
+       buck AS (SELECT vec_id, table_id,
+                       SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << plane_id::INT)
+                                ELSE 0 END) AS bucket
+                FROM dots GROUP BY vec_id, table_id),
+       qb AS (SELECT * FROM buck WHERE vec_id < 10),
+       cand AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS cand_id
+                FROM buck c JOIN qb ON c.table_id = qb.table_id AND c.bucket = qb.bucket
+                WHERE c.vec_id <> qb.vec_id),
+       n AS (SELECT vec_id, qv,
+                    (SELECT SUM(qv[t.i] * qv[t.i]) FROM range(1, {dim + 1}) t(i)) AS nrm
+             FROM v),
+       p AS (SELECT cand.query_id, cand.cand_id,
+                    (SELECT SUM(a.qv[t.i] * b.qv[t.i]) FROM range(1, {dim + 1}) t(i)) AS dot,
+                    a.nrm AS na, b.nrm AS nb
+             FROM cand JOIN n a ON a.vec_id = cand.cand_id
+                       JOIN n b ON b.vec_id = cand.query_id),
+       s AS (SELECT query_id, cand_id,
+                    round(CASE WHEN na > 0 AND nb > 0
+                               THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                               ELSE 0.0 END, 6) AS cosine_sim
+             FROM p)
+       SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
+              cosine_sim, CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_sim DESC, cand_id) AS rnk
+             FROM s) t
+       WHERE rnk <= 5"""
+
+
 @q(
     "s3_knn_lsh",
-    None,  # approximate recall is engine-defined -> rows-only; recall-vs-
-    # brute-force is asserted in tests/test_similarity.py
+    _lsh_oracle(),
     "LSH-bucketed approximate top-k (random-hyperplane sign buckets; the "
-    "100 TB scale path — candidates shrink 2^planes-fold)",
+    "100 TB scale path — candidates shrink 2^planes-fold). Integer-exact "
+    "bucket assignment, fully replicated by the DuckDB oracle.",
 )
 def s3_knn_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -357,13 +448,82 @@ def s3_knn_lsh(spark, sf_dir):
     return SIM.knn_lsh(emb, queries, k=5, dim=64, n_planes=4)
 
 
+def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of knn_ivf: md5-ordered seed sampling, one Lloyd step
+    (exact-int sums, one IEEE division, HALF_UP round), nprobe cell probing
+    and quantized-cosine top-k — the same arithmetic the engine runs."""
+    d1 = dim + 1
+    cos = (
+        "CASE WHEN {na} > 0 AND {nc} > 0 "
+        "THEN CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nc} AS DOUBLE)) "
+        "ELSE 0.0 END"
+    )
+    return f"""WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+       seed_ids AS (SELECT vec_id AS sid FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}),
+       seeds AS (SELECT row_number() OVER (ORDER BY sid) AS cell_id, v.qv AS centroid
+                 FROM seed_ids JOIN v ON v.vec_id = seed_ids.sid),
+       vn AS (SELECT vec_id, qv,
+                     (SELECT SUM(qv[t.i] * qv[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM v),
+       sn AS (SELECT cell_id, centroid,
+                     (SELECT SUM(centroid[t.i] * centroid[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM seeds),
+       sa AS (SELECT vn.vec_id, sn.cell_id,
+                     {cos.format(dot=f"(SELECT SUM(vn.qv[t.i] * sn.centroid[t.i]) FROM range(1, {d1}) t(i))", na="vn.nrm", nc="sn.nrm")} AS sim
+              FROM vn CROSS JOIN sn),
+       a1 AS (SELECT vec_id, cell_id
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY sim DESC, cell_id) AS rn FROM sa)
+              WHERE rn = 1),
+       cmeans AS (SELECT a1.cell_id, t.i AS pos,
+                         round(CAST(SUM(v.qv[t.i]) AS DOUBLE) / COUNT(*)) AS mval
+                  FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, {d1}) t(i)
+                  GROUP BY a1.cell_id, t.i),
+       cents AS (SELECT cell_id, list(mval::BIGINT ORDER BY pos) AS centroid
+                 FROM cmeans GROUP BY cell_id),
+       cn AS (SELECT cell_id, centroid,
+                     (SELECT SUM(centroid[t.i] * centroid[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM cents),
+       ca AS (SELECT vn.vec_id, cn.cell_id,
+                     {cos.format(dot=f"(SELECT SUM(vn.qv[t.i] * cn.centroid[t.i]) FROM range(1, {d1}) t(i))", na="vn.nrm", nc="cn.nrm")} AS sim
+              FROM vn CROSS JOIN cn),
+       corpus_cell AS (SELECT vec_id, cell_id
+                       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                          ORDER BY sim DESC, cell_id) AS rn FROM ca)
+                       WHERE rn = 1),
+       query_cells AS (SELECT vec_id, cell_id
+                       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                          ORDER BY sim DESC, cell_id) AS rn FROM ca)
+                       WHERE rn <= {nprobe} AND vec_id < 10),
+       cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+                FROM corpus_cell c JOIN query_cells q USING (cell_id)
+                WHERE c.vec_id <> q.vec_id),
+       p AS (SELECT cand.query_id, cand.cand_id,
+                    (SELECT SUM(a.qv[t.i] * b.qv[t.i]) FROM range(1, {d1}) t(i)) AS dot,
+                    a.nrm AS na, b.nrm AS nb
+             FROM cand JOIN vn a ON a.vec_id = cand.cand_id
+                       JOIN vn b ON b.vec_id = cand.query_id),
+       s AS (SELECT query_id, cand_id,
+                    round(CASE WHEN na > 0 AND nb > 0
+                               THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                               ELSE 0.0 END, 6) AS cosine_sim
+             FROM p)
+       SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
+              cosine_sim, CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_sim DESC, cand_id) AS rnk
+             FROM s) t
+       WHERE rnk <= {k}"""
+
+
 @q(
     "s4_knn_ivf",
-    None,  # approximate recall is engine-defined -> rows-only; recall-vs-
-    # brute-force asserted in tests/test_similarity_ai.py
+    _ivf_oracle(),
     "IVF-flat approximate top-k (deterministic sampled+refined centroids, "
     "nprobe cell probing via equi-join — the inverted-file scale path "
-    "beside LSH)",
+    "beside LSH). Portable arithmetic, fully replicated by the DuckDB "
+    "oracle.",
 )
 def s4_knn_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -399,9 +559,18 @@ def mm1_binary_metadata(spark, sf_dir):
 
 @q(
     "mm2_media_features",
-    None,  # fake-decoder output is engine-defined -> rows-only check
-    "mapInPandas feature extraction over binary media payloads (Arrow batches; "
-    "decode stubbed behind a deterministic fake — see operators/multimodal.py)",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS content_md5,
+              CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS BIGINT) AS width,
+              CAST(64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS BIGINT) AS height,
+              CASE ('0x' || substr(md5(text), 5, 2))::INT % 3
+                   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+       FROM documents""",
+    "mapInPandas feature extraction over binary media payloads (Arrow "
+    "batches; decode stubbed behind a deterministic md5-derived fake — see "
+    "operators/multimodal.py). The fake's byte rules are replicated in SQL "
+    "from the payload digest's hex pairs, so the oracle pins every value.",
 )
 def mm2_media_features(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -410,11 +579,16 @@ def mm2_media_features(spark, sf_dir):
 
 @q(
     "mm3_frame_sample",
-    None,  # frame bytes are stub-codec output -> rows-only; determinism and
-    # 1->N expansion asserted in tests/test_quality_multimodal.py
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+              CAST(t.i AS BIGINT) AS frame_no,
+              CAST(t.i * (1000 + ('0x' || substr(md5(text), 1, 4))::INT) // 3 AS BIGINT)
+                AS frame_ms,
+              md5(md5(text || chr(t.i::INT))) AS frame_md5
+       FROM documents CROSS JOIN range(0, 3) t(i)""",
     "video frame-sampling plumbing: 1 media row -> N frame rows inside "
     "mapInPandas (no pre-built array explode), uniform fake timestamps, "
-    "content-derived frame payloads",
+    "content-derived hex frame payloads — fully replicated by the SQL "
+    "oracle (duration and per-frame digests from the payload md5)",
 )
 def mm3_frame_sample(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")

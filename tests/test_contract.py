@@ -25,15 +25,11 @@ def test_registry_shape(spark):
     assert len(qs) <= DRIVER_WINDOW
     assert len(qs) >= 45
     assert set(oracles) <= set(qs)
-    # every oracle-less query is one of the documented engine-internal ops
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "d4_simhash_neardup",
-        "s3_knn_lsh",
-        "s4_knn_ivf",
-        "mm2_media_features",
-        "mm3_frame_sample",
-    }
+    # every exposed query carries a DuckDB oracle twin — the approximate /
+    # hash-seeded operators were made engine-portable (md5 simhash, integer
+    # LSH buckets, portable IVF seeding, hex frame payloads) so nothing is
+    # rows-only anymore
+    assert set(qs) == set(oracles)
 
 
 def test_family_coverage():
