@@ -55,11 +55,13 @@ _FMT_MAP = [
 def translate_datetime_format(fmt: str) -> str:
     """Dremio/Oracle-style codes → Spark SimpleDateFormat-style
     (semantic_example.sql:113 'YYYY/MM/DD HH24:MI:SS' → 'yyyy/MM/dd
-    HH:mm:ss'; SURVEY §2.8 date/time row)."""
+    HH:mm:ss'; SURVEY §2.8 date/time row). Dremio quotes literal text with
+    double quotes ('YYYY-MM-DD"T"HH24:MI:SS"Z"', semantic_example.sql:117)
+    — Spark's pattern syntax uses single quotes for literals."""
     out = fmt
     for a, b in _FMT_MAP:
         out = out.replace(a, b)
-    return out
+    return re.sub(r'"([^"]*)"', r"'\1'", out)
 
 
 _TO_FN_FMT = re.compile(
@@ -75,7 +77,9 @@ def _rewrite_to_fn(sql: str) -> str:
 
     def repl(m: re.Match) -> str:
         fn, arg, fmt = m.group(1), m.group(2), m.group(3)
-        spark_fmt = translate_datetime_format(fmt)
+        # literal quotes in the pattern ("T" -> 'T') double up inside the
+        # SQL string literal
+        spark_fmt = translate_datetime_format(fmt).replace("'", "''")
         lenient = m.group(0).rstrip(")").rstrip().endswith("1")
         base = fn.lower()
         name = ("try_" + base) if lenient else base
@@ -251,24 +255,43 @@ def split_statements(sql: str) -> list[str]:
     return statements
 
 
-def run(spark, sql: str):
+def rewrite_list_files(spark, st: str, resolve_path=None) -> str:
+    """Replace each ``TABLE(LIST_FILES('p'))`` with a registered binaryFile
+    temp view over ``p``. ``resolve_path`` maps Dremio external-source
+    handles ('@s3/dir') to local paths — the ScriptRunner passes its
+    source_roots resolver; without one, '@h/rest' falls back to '/rest'
+    (absolute-path handles)."""
+    for m in set(_LIST_FILES.findall(st)):
+        from pyspark.sql import functions as F
+
+        from .sources import list_files
+
+        view = "files_" + re.sub(r"\W", "_", m).strip("_")
+        if resolve_path is not None:
+            path = resolve_path(m)
+        else:
+            path = m.split("/", 1)[1] if m.startswith("@") else m
+            if m.startswith("@") and "/" in m:
+                path = "/" + path
+        df = list_files(spark, path)
+        # Dremio LIST_FILES rows expose a `file` handle struct accessed as
+        # file['path'] and passed whole to AI_GENERATE (ai_generate.sql:7-21)
+        df = df.withColumn(
+            "file", F.struct("path", "modification_time", "length", "content")
+        )
+        df.createOrReplaceTempView(view)
+        st = _LIST_FILES.sub(
+            lambda mm, v=view, orig=m: v if mm.group(1) == orig else mm.group(0), st
+        )
+    return st
+
+
+def run(spark, sql: str, resolve_path=None):
     """Translate + execute. For scripts: split statements (comment-aware)
     and run each; returns the last result DataFrame."""
     result = None
     for st in split_statements(sql):
-        # LIST_FILES: register a binaryFile view per distinct path, then
-        # substitute the view name for the TVF call.
-        for m in set(_LIST_FILES.findall(st)):
-            from .sources import list_files
-
-            view = "files_" + re.sub(r"\W", "_", m).strip("_")
-            path = m.split("/", 1)[1] if m.startswith("@") else m
-            if m.startswith("@") and "/" in m:
-                path = "/" + path
-            list_files(spark, path).createOrReplaceTempView(view)
-            st = _LIST_FILES.sub(
-                lambda mm, v=view, orig=m: v if mm.group(1) == orig else mm.group(0), st
-            )
+        st = rewrite_list_files(spark, st, resolve_path)
         # AI functions from SQL: AI_CLASSIFY/AI_COMPLETE are named UDFs;
         # AI_GENERATE(... WITH SCHEMA ROW(...)) registers a per-schema
         # struct UDF and rewrites the call site (functions/ai.py).

@@ -290,11 +290,49 @@ def _matching_paren(text: str, start: int) -> int:
     raise ValueError("unbalanced parentheses in AI_GENERATE call")
 
 
+def _split_args_top_level(text: str) -> list[str]:
+    """Split on commas at paren depth 0, respecting single-quoted strings
+    (prompt literals contain commas: ai_generate.sql:10)."""
+    parts, buf, depth, i = [], [], 0, 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            j = len(text) - 1 if j == -1 else j
+            buf.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+_MODEL_ARG = re.compile(r"^'[^']*'\s*,\s*")
+
+
 def rewrite_ai_generate(spark, sql: str) -> str:
     """Rewrite every ``AI_GENERATE(prompt WITH SCHEMA ROW(f T, ...))`` call
     to a per-schema registered struct UDF call ``ai_generate_<digest>
     (prompt)``. Schema-less AI_GENERATE calls pass through untouched (they
-    are plain text generation — treated as AI_COMPLETE semantics)."""
+    are plain text generation — treated as AI_COMPLETE semantics).
+
+    Two multimodal shapes route to the 2-arg file UDF (prompt, bytes):
+    ``AI_GENERATE((prompt, file) WITH SCHEMA ...)`` (ai_generate.sql:7-17)
+    and ``AI_GENERATE('model', (prompt, file) WITH SCHEMA ...)``
+    (media_ai.sql:233-245; the model-name argument selects a backend in
+    Dremio — our backend is process-global, so it is accepted and
+    dropped)."""
     import hashlib
 
     out = sql
@@ -321,24 +359,53 @@ def rewrite_ai_generate(spark, sql: str) -> str:
                 raise ValueError(f"WITH SCHEMA ROW: unsupported type {typ!r}")
             fields.append((name, typ))
         digest = hashlib.md5(repr(fields).encode()).hexdigest()[:8]
-        udf_name = f"ai_generate_{digest}"
-        if udf_name not in _GENERATE_UDFS:
-            schema = StructType(
-                [StructField(n, _SQL_TYPE_MAP[t]) for n, t in fields]
-            )
+        schema = StructType([StructField(n, _SQL_TYPE_MAP[t]) for n, t in fields])
 
-            def _make(fields_t: tuple):
-                # closure factory: pandas_udf requires type hints on every
-                # parameter, so the field list cannot ride as a default arg
-                @F.pandas_udf(schema)
-                def _generate_sql(prompts: pd.Series) -> pd.DataFrame:
-                    return _BACKEND.generate(prompts, list(fields_t))
+        # multimodal tuple form: [optional 'model',] (prompt, file)
+        mm2 = _MODEL_ARG.match(prompt_expr)
+        body_expr = prompt_expr[mm2.end() :].strip() if mm2 else prompt_expr
+        file_args = None
+        if body_expr.startswith("(") and _matching_paren(body_expr, 0) == len(body_expr) - 1:
+            items = _split_args_top_level(body_expr[1:-1])
+            if len(items) == 2:
+                file_args = items
 
-                return _generate_sql
+        if file_args is not None:
+            udf_name = f"ai_generate_file_{digest}"
+            if udf_name not in _GENERATE_UDFS:
 
-            spark.udf.register(udf_name, _make(tuple(fields)))
-            _GENERATE_UDFS.add(udf_name)
-        out = out[: m.start()] + f"{udf_name}({prompt_expr})" + out[close_idx + 1 :]
+                def _make_file(fields_t: tuple):
+                    @F.pandas_udf(schema)
+                    def _generate_file_sql(
+                        prompts: pd.Series, payloads: pd.Series
+                    ) -> pd.DataFrame:
+                        return _BACKEND.generate_file(prompts, payloads, list(fields_t))
+
+                    return _generate_file_sql
+
+                spark.udf.register(udf_name, _make_file(tuple(fields)))
+                _GENERATE_UDFS.add(udf_name)
+            fexpr = file_args[1]
+            if not re.fullmatch(r"[\w.]+", fexpr):
+                fexpr = f"({fexpr})"
+            call = f"{udf_name}({file_args[0]}, {fexpr}.content)"
+        else:
+            udf_name = f"ai_generate_{digest}"
+            if udf_name not in _GENERATE_UDFS:
+
+                def _make(fields_t: tuple):
+                    # closure factory: pandas_udf requires type hints on every
+                    # parameter, so the field list cannot ride as a default arg
+                    @F.pandas_udf(schema)
+                    def _generate_sql(prompts: pd.Series) -> pd.DataFrame:
+                        return _BACKEND.generate(prompts, list(fields_t))
+
+                    return _generate_sql
+
+                spark.udf.register(udf_name, _make(tuple(fields)))
+                _GENERATE_UDFS.add(udf_name)
+            call = f"{udf_name}({prompt_expr})"
+        out = out[: m.start()] + call + out[close_idx + 1 :]
         pos = m.start() + len(udf_name)
 
 

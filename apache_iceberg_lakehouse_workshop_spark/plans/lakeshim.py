@@ -550,6 +550,68 @@ class Lakehouse:
             and not os.path.exists(os.path.join(base, d, "metadata.json"))
         )
 
+    # ------------------------------------------------------------ grants
+
+    @property
+    def _grants_path(self) -> str:
+        return os.path.join(self.root, "_grants.json")
+
+    def _load_grants(self) -> list[dict]:
+        if not os.path.exists(self._grants_path):
+            return []
+        with open(self._grants_path) as f:
+            return json.load(f)
+
+    def grant(
+        self,
+        privileges: list[str],
+        object_type: str,
+        object_name: str,
+        grantee_type: str,
+        grantee: str,
+    ) -> None:
+        """``GRANT p1, p2 ON PROJECT|FOLDER|TABLE obj TO USER|ROLE who``
+        (industry-examples/permissions.sql:1-11, SURVEY §2.1 S16).
+
+        Advisory RBAC registry: grants are catalog metadata the engine
+        records and answers queries about (:meth:`grants`,
+        :meth:`has_privilege`); enforcement inside Spark jobs is out of
+        OSS-Spark scope and stays the deployment's concern (Ranger/ACLs),
+        as the reference delegates it to the Dremio platform."""
+        entries = self._load_grants()
+        entry = {
+            "privileges": sorted({p.strip().upper() for p in privileges if p.strip()}),
+            "object_type": object_type.upper(),
+            "object_name": object_name or "",
+            "grantee_type": grantee_type.upper(),
+            "grantee": grantee,
+        }
+        if entry not in entries:
+            entries.append(entry)
+        with open(self._grants_path, "w") as f:
+            json.dump(entries, f, indent=1)
+
+    def grants(self, grantee: str | None = None) -> list[dict]:
+        out = self._load_grants()
+        if grantee is not None:
+            out = [g for g in out if g["grantee"] == grantee]
+        return out
+
+    def has_privilege(self, grantee: str, privilege: str, object_name: str = "") -> bool:
+        """Hierarchy-aware check: a PROJECT grant covers every object; a
+        FOLDER grant covers the folder and all descendants (dot-path
+        prefix); TABLE/VIEW grants are exact-name."""
+        privilege = privilege.strip().upper()
+        for g in self._load_grants():
+            if g["grantee"] != grantee or privilege not in g["privileges"]:
+                continue
+            if g["object_type"] == "PROJECT":
+                return True
+            scope = g["object_name"]
+            if object_name == scope or object_name.startswith(scope + "."):
+                return True
+        return False
+
     # ------------------------------------------------------------ tables
 
     def _table_path(self, name: str) -> str:

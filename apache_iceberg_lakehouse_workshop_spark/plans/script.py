@@ -53,6 +53,11 @@ _RE_DELETE = re.compile(
     r"^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S
 )
 _RE_DROP = re.compile(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I)
+_RE_GRANT = re.compile(
+    r"^GRANT\s+(.*?)\s+ON\s+(PROJECT|FOLDER|TABLE|VIEW)\s*"
+    r"(\"[^\"]+\"|[\w.]+)?\s+TO\s+(USER|ROLE)\s+(\"[^\"]+\"|[\w.@-]+)\s*$",
+    re.I | re.S,
+)
 _RE_COPY_INTO = re.compile(
     r"^COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'"
     r"(?:\s+REGEX\s+'([^']*)')?"
@@ -137,7 +142,9 @@ def _schema_from_coldefs(coldefs: str) -> T.StructType:
         dtype = dtype.strip()
         for pat, repl in _TYPE_MAP:
             dtype = pat.sub(repl, dtype)
-        cols.append(f"{name} {dtype}")
+        # Dremio quotes reserved column names with double quotes
+        # (manufacturing.sql:42 '"value" DECIMAL(10,3)') -> backticks
+        cols.append(f"`{name.strip(chr(34))}` {dtype}")
     return T.StructType.fromDDL(", ".join(cols))
 
 
@@ -243,7 +250,9 @@ class ScriptRunner:
 
     def _query(self, sql: str) -> DataFrame:
         self._refresh()
-        return dialect.run(self.spark, self._rewrite_names(sql))
+        return dialect.run(
+            self.spark, self._rewrite_names(sql), resolve_path=self._resolve_path
+        )
 
     def _create_table(self, m: re.Match) -> None:
         if_not_exists, name, rest = bool(m.group(1)), m.group(2), m.group(3).strip()
@@ -286,8 +295,9 @@ class ScriptRunner:
         else:
             src = self._query(payload)
         # positional mapping: explicit column list, else full table order
+        # (column names may be double-quoted: manufacturing.sql:48 '"value"')
         names = (
-            [c.strip() for c in collist.split(",")]
+            [c.strip().strip('"') for c in collist.split(",")]
             if collist
             else [f.name for f in schema.fields]
         )
@@ -419,8 +429,11 @@ class ScriptRunner:
                 from ..functions import ai as _ai
 
                 _ai.register_sql_udfs(self.spark)
+                body = dialect.rewrite_list_files(
+                    self.spark, m.group(2), self._resolve_path
+                )
                 self.views[m.group(1)] = _ai.rewrite_ai_generate(
-                    self.spark, dialect.translate(m.group(2))
+                    self.spark, dialect.translate(body)
                 )
                 continue
             m = _RE_CREATE_TABLE.match(st)
@@ -439,6 +452,17 @@ class ScriptRunner:
             m = _RE_DROP.match(st)
             if m:
                 self.lake.drop_table(m.group(2), if_exists=bool(m.group(1)))
+                continue
+            m = _RE_GRANT.match(st)
+            if m:
+                privs, obj_type, obj_name, who_type, who = m.groups()
+                self.lake.grant(
+                    [p.strip() for p in privs.replace("\n", " ").split(",")],
+                    obj_type,
+                    (obj_name or "").strip('"'),
+                    who_type,
+                    who.strip('"'),
+                )
                 continue
             m = _RE_COPY_INTO.match(st)
             if m:

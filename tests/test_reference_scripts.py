@@ -225,3 +225,94 @@ def test_retail_silver_ctas_stack(lake):
         5001: "PAID", 5002: "CREATED", 5003: "PAID",
         5004: "SHIPPED", 5005: "CANCELED",
     }
+
+
+# ---------------------------------------------------------- full sweep
+
+ALL_SCRIPTS = sorted(
+    f
+    for f in os.listdir("/root/reference/industry-examples")
+    if f.endswith(".sql")
+)
+
+
+@pytest.fixture(scope="module")
+def source_tree(tmp_path_factory):
+    """Local stand-in for the Dremio external sources the AI scripts list
+    files from ('@s3/alex-merced-demo-2026/pdf-example', ai_generate.sql:20;
+    '@media_files/press_releases/2025', media_ai.sql:247)."""
+    root = tmp_path_factory.mktemp("srcroot")
+    for sub in ("alex-merced-demo-2026/pdf-example", "press_releases/2025"):
+        d = root / sub
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(2):
+            (d / f"doc{i}.pdf").write_bytes(b"%PDF-1.4 fake doc " + str(i).encode())
+    return str(root)
+
+
+@pytest.mark.parametrize("script", ALL_SCRIPTS)
+def test_industry_script_verbatim(lake, source_tree, script):
+    """EVERY industry-example script executes end-to-end unmodified, and
+    every view it registers materializes (a view body that only parses but
+    cannot analyze — bad dialect translation, unresolved LIST_FILES — fails
+    here). This is the 'a reference user can paste their workshop scripts
+    at the engine' parity claim, script by script."""
+    with open(os.path.join("/root/reference/industry-examples", script)) as f:
+        sql = f.read()
+    roots = {h: source_tree for h in ("s3", "media_files", "media", "logistics_docs")}
+    lake.run_script(sql, source_roots=roots)
+    runner = lake._script_runner
+    for vname in list(runner.views):
+        n = lake.run_script(f"SELECT COUNT(*) AS n FROM {vname}").first().n
+        assert n >= 0, vname
+
+
+def test_permissions_grants_verbatim(lake):
+    """permissions.sql:1-11 verbatim -> the grants registry records all
+    three statements; has_privilege answers hierarchy-aware checks
+    (PROJECT covers everything, FOLDER covers descendants)."""
+    with open("/root/reference/industry-examples/permissions.sql") as f:
+        lake.run_script(f.read())
+    user = "alphatest2user@alexmerced.com"
+    gs = lake.grants(grantee=user)
+    assert len(gs) == 3
+    assert {g["object_type"] for g in gs} == {"PROJECT", "FOLDER"}
+    # PROJECT grant covers any object
+    assert lake.has_privilege(user, "EXTERNAL QUERY", "anything.at.all")
+    # FOLDER dremio.recipes covers descendants, not siblings
+    assert lake.has_privilege(user, "WRITE", "dremio.recipes.some_table")
+    assert lake.has_privilege(user, "WRITE", "dremio.other")  # FOLDER "dremio"
+    assert not lake.has_privilege("someone_else", "SELECT", "dremio.recipes")
+
+
+def test_ai_generate_file_tuple(lake, source_tree):
+    """ai_generate.sql verbatim: TABLE(LIST_FILES(...)) rows expose the
+    `file` handle struct (file['path'] projection + WHERE), and
+    AI_GENERATE((prompt, file) WITH SCHEMA ROW(...)) routes prompt + file
+    bytes to the 2-arg multimodal UDF (CTAS target lands one typed struct
+    row per pdf)."""
+    with open("/root/reference/industry-examples/ai_generate.sql") as f:
+        lake.run_script(f.read(), source_roots={"s3": source_tree})
+    t = lake.table("dremio.ai_generate_example.people")
+    rows = t.read().collect()
+    assert len(rows) == 2  # two fixture pdfs
+    assert all(r.file_path.endswith(".pdf") for r in rows)
+    schema = {f.name: f.dataType.simpleString() for f in t.read().schema["extracted"].dataType}
+    assert schema == {"first_last_name": "string", "age": "int", "birth_date": "string"}
+
+
+def test_datetime_literal_quoting():
+    """Dremio quotes pattern literals with double quotes
+    (semantic_example.sql:117 'YYYY-MM-DD"T"HH24:MI:SS"Z"'); Spark wants
+    single quotes, doubled when embedded in a SQL string literal."""
+    from apache_iceberg_lakehouse_workshop_spark.dialect import (
+        translate,
+        translate_datetime_format,
+    )
+
+    assert (
+        translate_datetime_format('YYYY-MM-DD"T"HH24:MI:SS"Z"')
+        == "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
+    out = translate("SELECT TO_TIMESTAMP(x, 'YYYY-MM-DD\"T\"HH24:MI:SS\"Z\"', 1) FROM t")
+    assert "try_to_timestamp(x, 'yyyy-MM-dd''T''HH:mm:ss''Z''')" in out
