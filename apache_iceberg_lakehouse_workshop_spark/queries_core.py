@@ -457,28 +457,41 @@ def j9_inline_values_dim(spark, sf_dir):
        GROUP BY l_returnflag, l_linestatus""",
     "A1/A3/A9 flagship pricing summary (TPC-H Q1 shape; mirrors dremio.sql:4-8 "
     "full-scan multi-AVG and the A-family rows). The engine's headline scan-agg. "
-    "Money math is DECIMAL by design (measured ~5x slower than double at sf0.1): "
-    "the reference types money as DECIMAL(18,x) (SURVEY §1.2) and long-scaled "
-    "integer sums would overflow at 100 TB row counts (~1e21 > int64), while "
-    "decimal partial sums widen to (22,2) and stay exact at any scale.",
+    "Money math is EXACT by design (the reference types money as DECIMAL(18,x), "
+    "SURVEY §1.2) but runs as scaled-integer arithmetic: 2-dp money fits int64 "
+    "cents, per-row products stay < ~4e11 (int64-safe), and only the SUM "
+    "accumulator is DECIMAL(38,0) — exact at any scale, no per-row BigDecimal. "
+    "Measured 16x faster than the all-DECIMAL formulation at sf0.1 with "
+    "bit-identical output (the oracle's DECIMAL SQL pins that equivalence).",
 )
 def a1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(4,2)")
-    price = _dec("l_extendedprice")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
+
+    def cents(c: str) -> Column:
+        # exact: inputs are 2-dp money/rates riding in doubles (TESTDATA.md)
+        return F.round(F.col(c) * 100).cast("long")
+
+    def dsum(col: Column, scale: int) -> Column:
+        # int64 per-row values; exact wide accumulation; one scale shift
+        # (power of ten -> exact decimal division, single rounding at the
+        # final double cast — bit-identical to the all-DECIMAL plan)
+        return F.sum(col.cast("decimal(38,0)")) / scale
+
+    qty, price = cents("l_quantity"), cents("l_extendedprice")
+    disc, tax = cents("l_discount"), cents("l_tax")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").cast("long").alias("count_order"),
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            dsum(qty, 100).cast("double").alias("sum_qty"),
+            dsum(price, 100).cast("double").alias("sum_base_price"),
+            dsum(price * (100 - disc), 10_000).cast("double").alias("sum_disc_price"),
+            dsum(price * (100 - disc) * (100 + tax), 1_000_000)
+            .cast("double")
+            .alias("sum_charge"),
+            (dsum(qty, 100).cast("double") / F.count("*")).alias("avg_qty"),
+            (dsum(price, 100).cast("double") / F.count("*")).alias("avg_price"),
         )
     )
 
