@@ -1,0 +1,170 @@
+"""Workload-based reflection recommendations (SURVEY §4 R8).
+
+The reference describes autonomous reflection management — the platform
+watches the query workload and creates/refreshes/retires reflections by
+itself (``/root/reference/readme.md:381-389`` "intelligently creates and
+maintains reflections based on query patterns"; ``workshop.md:57-67``).
+
+Spark-first equivalent: a query-log frequency counter. Every aggregate
+query the :class:`~.script.ScriptRunner` executes is fingerprinted as
+(dataset, GROUP BY dimensions, aggregate measures); shapes seen at least
+``min_count`` times become AGGREGATE-reflection recommendations, and
+``apply()`` materializes them through the
+:class:`~.accelerator.AcceleratorRegistry` — the same registry SQL
+``ALTER DATASET … CREATE AGGREGATE REFLECTION`` statements use, so a
+recommended reflection is indistinguishable from a hand-declared one.
+
+Scale note: observation is a driver-side regex over the statement text
+(O(statement length), zero cluster work) and the log is bounded counts per
+distinct shape — watching a 100 TB workload costs the same as watching a
+laptop's.
+"""
+
+from __future__ import annotations
+
+import re
+
+# single-table aggregate query: SELECT <exprs> FROM <name> [WHERE ...]
+# GROUP BY <cols> — the shape Dremio's aggregation reflections serve
+# (readme.md:331-355). Joins/subqueries are skipped: RAW reflections on the
+# joined view cover those, and recommending them needs view-dependency
+# info the runner already has (pass dataset= explicitly via observe()).
+_RE_AGG_QUERY = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[\w.]+)\s*"
+    r"(?:WHERE\s+.*?)?GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*(?:ORDER\s+BY.*|HAVING.*)?$",
+    re.I | re.S,
+)
+_RE_MEASURE = re.compile(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?([\w.*]+)\s*\)", re.I)
+_AVG_EXPANDS = ("SUM", "COUNT")  # an AVG is servable from SUM+COUNT partials
+
+
+class WorkloadAdvisor:
+    """Counts aggregate-query shapes and recommends reflections.
+
+    ``observe_sql`` is cheap enough to call on every statement; wire it into
+    a script runner or call :meth:`observe` directly with a known shape.
+    """
+
+    def __init__(self, accelerator, min_count: int = 3):
+        self.accelerator = accelerator
+        self.min_count = min_count
+        # (dataset, dims tuple) -> {"count": n, "measures": {(col, agg), ...}}
+        self._shapes: dict[tuple, dict] = {}
+
+    # ---------------------------------------------------------- observing
+
+    def observe(self, dataset: str, dims: list[str], measures: list[tuple[str, str]]) -> None:
+        """Record one execution of an aggregate shape. ``measures`` is a
+        list of (column, AGG) pairs; AVG expands to SUM+COUNT (the partials
+        an aggregation reflection stores — finalize is a cheap division)."""
+        key = (dataset, tuple(sorted(d.strip() for d in dims if d.strip())))
+        entry = self._shapes.setdefault(key, {"count": 0, "measures": set()})
+        entry["count"] += 1
+        for col, agg in measures:
+            agg = agg.upper()
+            if agg == "AVG":
+                for a in _AVG_EXPANDS:
+                    entry["measures"].add((col, a))
+            elif agg == "COUNT" and col == "*":
+                entry["measures"].add(("*", "COUNT"))
+            else:
+                entry["measures"].add((col, agg))
+
+    def observe_sql(self, sql: str) -> bool:
+        """Fingerprint a statement; returns True if it was an aggregate
+        shape worth counting (single-table GROUP BY aggregate)."""
+        m = _RE_AGG_QUERY.match(sql)
+        if not m:
+            return False
+        measures = [
+            (col, agg)
+            for agg, distinct, col in _RE_MEASURE.findall(m.group("select"))
+            if not distinct  # DISTINCT aggs are not servable from partials
+        ]
+        if not measures:
+            return False
+        dims = [d.strip() for d in m.group("group").split(",")]
+        self.observe(m.group("table"), dims, measures)
+        return True
+
+    # ------------------------------------------------------ recommending
+
+    def recommendations(self) -> list[dict]:
+        """Shapes seen >= min_count times, hottest first, that do not
+        already have a reflection registered."""
+        existing = {e["name"] for e in self.accelerator.status()}
+        out = []
+        for (dataset, dims), entry in sorted(
+            self._shapes.items(), key=lambda kv: -kv[1]["count"]
+        ):
+            if entry["count"] < self.min_count:
+                continue
+            name = self._reflection_name(dataset, dims)
+            if name in existing:
+                continue
+            out.append(
+                {
+                    "name": name,
+                    "dataset": dataset,
+                    "dimensions": list(dims),
+                    "measures": sorted(entry["measures"]),
+                    "hits": entry["count"],
+                }
+            )
+        return out
+
+    @staticmethod
+    def _reflection_name(dataset: str, dims: tuple) -> str:
+        return "auto_" + re.sub(r"\W", "_", dataset.split(".")[-1]) + "_by_" + "_".join(
+            re.sub(r"\W", "_", d) for d in dims
+        )
+
+    def apply(self, anchors_for=None, prepare_sql=None) -> list[str]:
+        """Materialize every recommendation as an AGGREGATE reflection.
+        ``anchors_for(dataset) -> list[str]`` maps a dataset to the lake
+        tables it depends on (the ScriptRunner passes its view-dependency
+        walker); defaults to the dataset itself. ``prepare_sql(body)``
+        adapts the definition SQL to the execution surface (the runner
+        rewrites dotted lake names to its registered temp views)."""
+        created = []
+        for rec in self.recommendations():
+            cols = []
+            for col, agg in rec["measures"]:
+                if col == "*":
+                    cols.append("COUNT(*) AS n_rows")
+                else:
+                    cols.append(f"{agg}({col}) AS {col}_{agg.lower()}")
+            body = (
+                f"SELECT {', '.join(list(rec['dimensions']) + cols)} "
+                f"FROM {rec['dataset']} GROUP BY {', '.join(rec['dimensions'])}"
+            )
+            if prepare_sql is not None:
+                body = prepare_sql(body)
+            anchors = (
+                anchors_for(rec["dataset"]) if anchors_for else [rec["dataset"]]
+            )
+            self.accelerator.create_reflection(rec["name"], body, anchors)
+            created.append(rec["name"])
+        return created
+
+    def retire_cold(self, names: list[str] | None = None) -> list[str]:
+        """Drop auto-created reflections whose shape went cold (not seen at
+        min_count since the advisor started watching) — the retire half of
+        the reference's lifecycle (readme.md:387 'removes unnecessary
+        reflections')."""
+        hot = {r["name"] for r in self.recommendations()} | {
+            self._reflection_name(ds, dims)
+            for (ds, dims), e in self._shapes.items()
+            if e["count"] >= self.min_count
+        }
+        dropped = []
+        for entry in self.accelerator.status():
+            name = entry["name"]
+            if not name.startswith("auto_"):
+                continue
+            if names is not None and name not in names:
+                continue
+            if name not in hot:
+                self.accelerator.drop_reflection(name)
+                dropped.append(name)
+        return dropped

@@ -250,6 +250,10 @@ class ScriptRunner:
 
     def _query(self, sql: str) -> DataFrame:
         self._refresh()
+        if hasattr(self, "_advisor"):
+            # workload watcher (SURVEY §4 R8): fingerprint aggregate shapes
+            # on the pre-rewrite text so dataset names stay dotted
+            self._advisor.observe_sql(sql)
         return dialect.run(
             self.spark, self._rewrite_names(sql), resolve_path=self._resolve_path
         )
@@ -357,12 +361,44 @@ class ScriptRunner:
             self._accelerator = AcceleratorRegistry(self.lake)
         return self._accelerator
 
+    @property
+    def advisor(self):
+        """Workload-based reflection recommender (readme.md:381-389; SURVEY
+        §4 R8). Accessing it turns on observation; then
+        ``advisor.recommendations()`` / ``runner.accelerate()``."""
+        from .advisor import WorkloadAdvisor
+
+        if not hasattr(self, "_advisor"):
+            self._advisor = WorkloadAdvisor(self.accelerator)
+        return self._advisor
+
+    def accelerate(self) -> list[str]:
+        """Create every recommended reflection, anchored through the view
+        stack (a recommendation on a view anchors to its base tables)."""
+
+        def prepare(body: str) -> str:
+            self._refresh()
+            return self._rewrite_names(body)
+
+        return self.advisor.apply(
+            anchors_for=self._dataset_anchors, prepare_sql=prepare
+        )
+
     def _dataset_anchors(self, dataset: str) -> list[str]:
         """Lake tables a dataset depends on: itself if it is a table, else
         the tables referenced (transitively) by the view chain."""
         if self.lake.table_exists(dataset):
             return [dataset]
         if dataset not in self.views:
+            # leaf-name reference (tables/views register under their leaf
+            # too): resolve when unambiguous
+            matches = [
+                full
+                for full in list(self.lake._walk_tables()) + list(self.views)
+                if full.split(".")[-1] == dataset
+            ]
+            if len(matches) == 1:
+                return self._dataset_anchors(matches[0])
             raise ValueError(f"unknown dataset: {dataset}")
         seen: set[str] = set()
         stack = [self.views[dataset]]

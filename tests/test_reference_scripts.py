@@ -316,3 +316,56 @@ def test_datetime_literal_quoting():
     )
     out = translate("SELECT TO_TIMESTAMP(x, 'YYYY-MM-DD\"T\"HH24:MI:SS\"Z\"', 1) FROM t")
     assert "try_to_timestamp(x, 'yyyy-MM-dd''T''HH:mm:ss''Z''')" in out
+
+
+def test_workload_advisor_lifecycle(lake):
+    """SURVEY §4 R8 (readme.md:381-389 'intelligently creates and maintains
+    reflections based on query patterns'): repeated aggregate shapes are
+    fingerprinted from the workload, recommended, materialized as AGGREGATE
+    reflections (AVG expands to SUM+COUNT partials), and retired when the
+    shape goes cold."""
+    lake.run_script(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.shop;
+        CREATE TABLE dremio.shop.sales (region VARCHAR, amount DOUBLE, qty INT);
+        INSERT INTO dremio.shop.sales VALUES
+          ('EU', 10.0, 1), ('EU', 20.0, 2), ('US', 40.0, 4);
+        """
+    )
+    runner = lake._script_runner
+    advisor = runner.advisor  # turns on observation
+    hot = ("SELECT region, SUM(amount), AVG(qty) FROM dremio.shop.sales "
+           "GROUP BY region")
+    for _ in range(3):
+        lake.run_script(hot)
+    # one-off shape stays below min_count -> never recommended
+    lake.run_script("SELECT qty, COUNT(*) FROM dremio.shop.sales GROUP BY qty")
+
+    recs = advisor.recommendations()
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["dataset"] == "dremio.shop.sales"
+    assert rec["dimensions"] == ["region"]
+    # AVG(qty) stored as servable partials
+    assert ("qty", "SUM") in rec["measures"] and ("qty", "COUNT") in rec["measures"]
+    assert rec["hits"] == 3
+
+    created = runner.accelerate()
+    assert created == [rec["name"]]
+    # materialized and query-serving: 2 rows of partials, fresh
+    acc = runner.accelerator
+    assert acc.is_fresh(rec["name"])
+    got = {
+        (r.region, r.amount_sum, r.qty_sum, r.qty_count)
+        for r in lake.run_script(f"SELECT * FROM {rec['name']}").collect()
+    }
+    assert got == {("EU", 30.0, 3, 2), ("US", 40.0, 4, 1)}
+    # already-covered shape is not re-recommended
+    assert advisor.recommendations() == []
+
+    # retire: a fresh advisor that never saw the shape drops the auto- one
+    from apache_iceberg_lakehouse_workshop_spark.plans.advisor import WorkloadAdvisor
+
+    cold_watch = WorkloadAdvisor(acc)
+    assert cold_watch.retire_cold() == [rec["name"]]
+    assert [e["name"] for e in acc.status()] == []
