@@ -286,19 +286,54 @@ def rewrite_list_files(spark, st: str, resolve_path=None) -> str:
     return st
 
 
+def split_args_top_level(text: str) -> list[str]:
+    """Split on commas at paren depth 0, respecting single-quoted strings
+    (SQL literals contain commas: ai_generate.sql:10)."""
+    parts, buf, depth, i = [], [], 0, 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            j = len(text) - 1 if j == -1 else j
+            buf.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def prepare_statement(spark, st: str, resolve_path=None) -> str:
+    """One statement, Dremio dialect → executable Spark SQL: LIST_FILES
+    rewrite, AI UDF registration + call-site rewrites, dialect translation.
+    The returned text is what ``spark.sql`` runs (the result cache keys on
+    it, so two spellings that prepare identically share a cache entry)."""
+    st = rewrite_list_files(spark, st, resolve_path)
+    # AI functions from SQL: AI_CLASSIFY/AI_COMPLETE are named UDFs;
+    # AI_GENERATE(... WITH SCHEMA ROW(...)) registers a per-schema
+    # struct UDF and rewrites the call site (functions/ai.py).
+    from .functions import ai as _ai
+
+    _ai.register_sql_udfs(spark)
+    st = translate(st)
+    return _ai.rewrite_ai_generate(spark, st)
+
+
 def run(spark, sql: str, resolve_path=None):
     """Translate + execute. For scripts: split statements (comment-aware)
     and run each; returns the last result DataFrame."""
     result = None
     for st in split_statements(sql):
-        st = rewrite_list_files(spark, st, resolve_path)
-        # AI functions from SQL: AI_CLASSIFY/AI_COMPLETE are named UDFs;
-        # AI_GENERATE(... WITH SCHEMA ROW(...)) registers a per-schema
-        # struct UDF and rewrites the call site (functions/ai.py).
-        from .functions import ai as _ai
-
-        _ai.register_sql_udfs(spark)
-        st = translate(st)
-        st = _ai.rewrite_ai_generate(spark, st)
-        result = spark.sql(st)
+        result = spark.sql(prepare_statement(spark, st, resolve_path))
     return result

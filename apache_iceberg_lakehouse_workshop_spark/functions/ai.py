@@ -290,34 +290,6 @@ def _matching_paren(text: str, start: int) -> int:
     raise ValueError("unbalanced parentheses in AI_GENERATE call")
 
 
-def _split_args_top_level(text: str) -> list[str]:
-    """Split on commas at paren depth 0, respecting single-quoted strings
-    (prompt literals contain commas: ai_generate.sql:10)."""
-    parts, buf, depth, i = [], [], 0, 0
-    while i < len(text):
-        ch = text[i]
-        if ch == "'":
-            j = text.find("'", i + 1)
-            j = len(text) - 1 if j == -1 else j
-            buf.append(text[i : j + 1])
-            i = j + 1
-            continue
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(buf).strip())
-            buf = []
-        else:
-            buf.append(ch)
-        i += 1
-    tail = "".join(buf).strip()
-    if tail:
-        parts.append(tail)
-    return parts
-
-
 _MODEL_ARG = re.compile(r"^'[^']*'\s*,\s*")
 
 
@@ -366,7 +338,9 @@ def rewrite_ai_generate(spark, sql: str) -> str:
         body_expr = prompt_expr[mm2.end() :].strip() if mm2 else prompt_expr
         file_args = None
         if body_expr.startswith("(") and _matching_paren(body_expr, 0) == len(body_expr) - 1:
-            items = _split_args_top_level(body_expr[1:-1])
+            from ..dialect import split_args_top_level
+
+            items = split_args_top_level(body_expr[1:-1])
             if len(items) == 2:
                 file_args = items
 

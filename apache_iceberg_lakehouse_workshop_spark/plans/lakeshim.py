@@ -235,6 +235,34 @@ class LakeTable:
         self._commit(meta)
         return snap["id"]
 
+    def update_where(self, assignments: dict[str, str], condition: str = "true") -> int:
+        """``UPDATE t SET col = expr[, ...] [WHERE cond]`` — copy-on-write
+        (Dremio/Iceberg UPDATE; the DML completion of the reference's
+        INSERT/DELETE surface). Only rows where the predicate is TRUE are
+        updated (NULL predicate keeps the old row, mirroring
+        :meth:`delete_where`); assignment expressions may reference any
+        column's pre-update value, and cast to the declared column type."""
+        meta = self._load_meta()
+        cond = F.expr(condition)
+        current = self.read()
+        by_name = {f.name: f for f in current.schema.fields}
+        unknown = [c for c in assignments if c not in by_name]
+        if unknown:
+            raise ValueError(f"UPDATE {self.name}: unknown columns {unknown}")
+        cols = []
+        for f in current.schema.fields:
+            if f.name in assignments:
+                new_val = F.expr(assignments[f.name]).cast(f.dataType)
+                cols.append(
+                    F.when(cond, new_val).otherwise(F.col(f.name)).alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        commit = self._write_commit_dir(current.select(*cols), meta)
+        snap = self._new_snapshot(meta, "update", [commit])
+        self._commit(meta)
+        return snap["id"]
+
     # ------------------------------------------------------------- reads
 
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
@@ -717,3 +745,17 @@ class Lakehouse:
         if source_roots:
             self._script_runner.source_roots.update(source_roots)
         return self._script_runner.run(sql)
+
+    def enable_result_cache(self) -> None:
+        """Serve repeated SELECTs from the snapshot-keyed result cache
+        (readme.md:405-411 'result cache'; SURVEY §4 R10): identical
+        prepared SQL at identical anchor snapshots reads the materialized
+        result; any anchor advance recomputes. Opt-in because every
+        distinct query materializes its first result (the reference's
+        result cache is likewise a warm-engine feature, not a first-run
+        speedup)."""
+        from .script import ScriptRunner
+
+        if not hasattr(self, "_script_runner"):
+            self._script_runner = ScriptRunner(self)
+        self._script_runner.use_result_cache = True

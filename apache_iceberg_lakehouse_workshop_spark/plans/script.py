@@ -52,6 +52,17 @@ _RE_INSERT = re.compile(
 _RE_DELETE = re.compile(
     r"^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S
 )
+_RE_UPDATE = re.compile(
+    r"^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S
+)
+_RE_MERGE = re.compile(
+    r"^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.*?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    re.I | re.S,
+)
+_RE_MERGE_KEY = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
 _RE_DROP = re.compile(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I)
 _RE_GRANT = re.compile(
     r"^GRANT\s+(.*?)\s+ON\s+(PROJECT|FOLDER|TABLE|VIEW)\s*"
@@ -254,9 +265,48 @@ class ScriptRunner:
             # workload watcher (SURVEY §4 R8): fingerprint aggregate shapes
             # on the pre-rewrite text so dataset names stay dotted
             self._advisor.observe_sql(sql)
+        if getattr(self, "use_result_cache", False) and re.match(
+            r"^\s*(?:SELECT|WITH)\b", sql, re.I
+        ):
+            anchors = self._anchors_in_sql(sql)
+            if anchors:
+                prepared = dialect.prepare_statement(
+                    self.spark, self._rewrite_names(sql), self._resolve_path
+                )
+                return self.accelerator.cached_sql(prepared, anchors)
         return dialect.run(
             self.spark, self._rewrite_names(sql), resolve_path=self._resolve_path
         )
+
+    def _anchors_in_sql(self, sql: str) -> list[str]:
+        """Lake tables a statement depends on, walking view references
+        (result-cache freshness keys on their snapshot ids)."""
+        anchors: set[str] = set()
+        tables = self.lake._walk_tables()
+        leaf_tables = {}
+        for t in tables:
+            leaf_tables.setdefault(t.split(".")[-1], []).append(t)
+        seen: set[str] = set()
+        stack = [sql]
+        while stack:
+            body = stack.pop()
+            for t in tables:
+                if re.search(r"(?<![\w.`])" + re.escape(t) + r"(?![\w.])", body):
+                    anchors.add(t)
+            for leaf, fulls in leaf_tables.items():
+                if len(fulls) == 1 and re.search(
+                    r"(?<![\w.`])" + re.escape(leaf) + r"(?![\w.])", body
+                ):
+                    anchors.add(fulls[0])
+            for v, vbody in self.views.items():
+                names = {v, v.split(".")[-1]}
+                if v not in seen and any(
+                    re.search(r"(?<![\w.`])" + re.escape(n) + r"(?![\w.])", body)
+                    for n in names
+                ):
+                    seen.add(v)
+                    stack.append(vbody)
+        return sorted(anchors)
 
     def _create_table(self, m: re.Match) -> None:
         if_not_exists, name, rest = bool(m.group(1)), m.group(2), m.group(3).strip()
@@ -321,6 +371,46 @@ class ScriptRunner:
         if unknown:
             raise ValueError(f"INSERT INTO {name}: unknown columns {unknown}")
         t.append(src.select(*cols))
+
+    def _update(self, m: re.Match) -> None:
+        """``UPDATE t SET a = expr[, ...] [WHERE cond]`` (Dremio/Iceberg
+        UPDATE; DML completion of the reference's INSERT/DELETE surface) ->
+        :meth:`LakeTable.update_where` copy-on-write."""
+        name, set_clause, cond = m.groups()
+        assignments: dict[str, str] = {}
+        for item in dialect.split_args_top_level(set_clause):
+            col, eq, expr = item.partition("=")
+            if not eq:
+                raise ValueError(f"UPDATE {name}: bad assignment {item!r}")
+            assignments[col.strip().strip('"')] = dialect.translate(expr.strip())
+        self.lake.table(name).update_where(
+            assignments, dialect.translate(cond) if cond else "true"
+        )
+
+    def _merge(self, m: re.Match) -> None:
+        """``MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND ...]
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` —
+        the standard Iceberg upsert form -> :meth:`LakeTable.merge`.
+        Column-wise SET lists / extra WHEN clauses are out of the dialect's
+        scope and raise."""
+        target, talias, source, salias, on = m.groups()
+        talias = talias or target.split(".")[-1]
+        salias = salias or source.split(".")[-1]
+        keys = []
+        for clause in re.split(r"\s+AND\s+", on.strip(), flags=re.I):
+            km = _RE_MERGE_KEY.match(clause.strip())
+            if not km:
+                raise ValueError(f"MERGE ON must be alias.col = alias.col: {clause!r}")
+            a_al, a_col, b_al, b_col = km.groups()
+            pair = {a_al: a_col, b_al: b_col}
+            if set(pair) != {talias, salias} or a_col != b_col:
+                raise ValueError(
+                    f"MERGE ON must equate the same column across target and "
+                    f"source aliases ({talias}, {salias}): {clause!r}"
+                )
+            keys.append(a_col)
+        src_df = self._query(f"SELECT * FROM {source}")
+        self.lake.table(target).merge(src_df, keys)
 
     def _copy_into(self, m: re.Match) -> None:
         """COPY INTO t FROM '@src/dir' [REGEX '...'] [FILE_FORMAT 'csv']
@@ -484,6 +574,14 @@ class ScriptRunner:
             if m:
                 cond = dialect.translate(m.group(2)) if m.group(2) else "true"
                 self.lake.table(m.group(1)).delete_where(cond)
+                continue
+            m = _RE_UPDATE.match(st)
+            if m:
+                self._update(m)
+                continue
+            m = _RE_MERGE.match(st)
+            if m:
+                self._merge(m)
                 continue
             m = _RE_DROP.match(st)
             if m:

@@ -369,3 +369,87 @@ def test_workload_advisor_lifecycle(lake):
     cold_watch = WorkloadAdvisor(acc)
     assert cold_watch.retire_cold() == [rec["name"]]
     assert [e["name"] for e in acc.status()] == []
+
+
+def test_result_cache_through_scripts(lake):
+    """SURVEY §4 R10 (readme.md:405-411): with the result cache enabled,
+    a repeated SELECT serves from the materialized result (scan-only plan,
+    no recompute), different SQL misses (the dremio.sql:10-13 trick of
+    changing columns to bypass the cache), and an anchor-table append
+    invalidates — correctness always wins."""
+    lake.run_script(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.rc;
+        CREATE TABLE dremio.rc.pay (region VARCHAR, amount DOUBLE);
+        INSERT INTO dremio.rc.pay VALUES ('EU', 10.0), ('EU', 5.0), ('US', 40.0);
+        CREATE OR REPLACE VIEW dremio.rc.by_region AS
+        SELECT region, SUM(amount) AS total FROM dremio.rc.pay GROUP BY region;
+        """
+    )
+    lake.enable_result_cache()
+    q = "SELECT region, total FROM dremio.rc.by_region"
+    first = {(r.region, r.total) for r in lake.run_script(q).collect()}
+    assert first == {("EU", 15.0), ("US", 40.0)}
+
+    # warm: served from the cache table — optimized plan has no Aggregate
+    warm = lake.run_script(q)
+    plan = warm._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan
+    assert {(r.region, r.total) for r in warm.collect()} == first
+
+    # different SQL -> different cache entry (recomputes, still right)
+    other = lake.run_script(q + " WHERE region = 'EU'")
+    assert {(r.region, r.total) for r in other.collect()} == {("EU", 15.0)}
+
+    # anchor advances -> stale entry recomputes with the new data
+    lake.run_script("INSERT INTO dremio.rc.pay VALUES ('US', 1.0)")
+    fresh = {(r.region, r.total) for r in lake.run_script(q).collect()}
+    assert fresh == {("EU", 15.0), ("US", 41.0)}
+
+
+def test_update_and_merge_sql(lake):
+    """UPDATE ... SET ... WHERE and the standard Iceberg upsert MERGE
+    (UPDATE SET * / INSERT *) execute as copy-on-write DML through the
+    script surface — the DML completion of the reference's INSERT/DELETE
+    surface. UPDATE keeps NULL-predicate rows untouched (same IS TRUE
+    discipline as DELETE)."""
+    lake.run_script(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.dml;
+        CREATE TABLE dremio.dml.inv (sku VARCHAR, qty INT, price DOUBLE);
+        INSERT INTO dremio.dml.inv VALUES
+          ('A', 5, 10.0), ('B', 0, 20.0), ('C', NULL, 30.0);
+        UPDATE dremio.dml.inv SET price = price * 2, qty = qty + 1
+        WHERE qty > 0;
+        """
+    )
+    t = lake.table("dremio.dml.inv")
+    got = {r.sku: (r.qty, r.price) for r in t.read().collect()}
+    # A matched (updated), B qty=0 not TRUE, C NULL-predicate -> untouched
+    assert got == {"A": (6, 20.0), "B": (0, 20.0), "C": (None, 30.0)}
+
+    lake.run_script(
+        """
+        CREATE TABLE dremio.dml.delta (sku VARCHAR, qty INT, price DOUBLE);
+        INSERT INTO dremio.dml.delta VALUES ('B', 9, 21.0), ('D', 7, 40.0);
+        MERGE INTO dremio.dml.inv AS tgt
+        USING dremio.dml.delta AS src
+        ON tgt.sku = src.sku
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *;
+        """
+    )
+    got = {r.sku: (r.qty, r.price) for r in t.read().collect()}
+    assert got == {
+        "A": (6, 20.0), "B": (9, 21.0), "C": (None, 30.0), "D": (7, 40.0),
+    }
+    # snapshot history records the DML operations (time travel intact)
+    ops = [r.operation for r in t.snapshots().collect()]
+    assert "update" in ops and "merge" in ops
+    # unsupported MERGE shapes are a loud error, not silent misexecution
+    with pytest.raises(ValueError, match="MERGE ON"):
+        lake.run_script(
+            "MERGE INTO dremio.dml.inv AS t USING dremio.dml.delta AS s "
+            "ON t.sku = s.other WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
