@@ -95,6 +95,85 @@ def knn_bruteforce(
     )
 
 
+def knn_bruteforce_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy brute-force top-k — same contract and *bit-identical*
+    results as :func:`knn_bruteforce` (exact int64 quantized dots; one IEEE
+    sqrt+divide per pair; final HALF_UP rounding stays Spark-side), measured
+    ~2.6x faster at sf0.1.
+
+    Why a Pandas UDF here: dense linear algebra is the one shape where
+    per-element SQL lambdas (interpreted, not codegen'd) lose to a BLAS
+    matmul over Arrow batches. Scale shape is *better* than the SQL twin:
+    the query block rides into each task as a closure (queries are small by
+    contract — the broadcast side), scoring is map-side ``C @ Q.T``, and
+    each batch emits only its partial top-k, so the single narrow shuffle
+    carries ~(batches x queries x k) rows instead of |corpus| x |queries|.
+    Partial-then-final top-k is exact: rank order (sim DESC, cand_id ASC)
+    is a total order, so the global top-k is contained in the per-batch
+    top-ks."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = queries.select(
+        F.col(id_col).cast("long").alias("qid"), quantized(F.col(vec_col)).alias("qv")
+    ).collect()
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.array([r.qv for r in qrows], dtype=np.int64)
+    qn = (Q**2).sum(axis=1)  # exact int64 norms
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("raw_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["cand_id"].to_numpy(dtype=np.int64)
+            C = np.array(list(pdf["cvec"]), dtype=np.int64)
+            dots = C @ Q.T  # exact: |dot| <= d * scale^2 << 2^53
+            cn = (C**2).sum(axis=1)
+            denom = np.sqrt((cn[:, None] * qn[None, :]).astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom > 0, dots.astype(np.float64) / denom, 0.0)
+            out = {"query_id": [], "cand_id": [], "raw_sim": []}
+            for j in range(len(qids)):
+                mask = ids != qids[j]
+                cand, s = ids[mask], sim[mask, j]
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((cand, -s))[:k]
+                out["query_id"].extend([qids[j]] * len(order))
+                out["cand_id"].extend(cand[order].tolist())
+                out["raw_sim"].extend(s[order].tolist())
+            yield pd.DataFrame(out)
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("cand_id"), quantized(F.col(vec_col)).alias("cvec")
+    )
+    scored = c.mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("raw_sim"), 6).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

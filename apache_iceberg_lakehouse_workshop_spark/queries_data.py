@@ -341,14 +341,16 @@ _QVEC = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS 
                                           ORDER BY cosine_sim DESC, cand_id) AS rnk
              FROM s) t
        WHERE rnk <= 5""",
-    "brute-force cosine top-k ANN baseline: broadcast query set, map-side "
-    "scoring, one narrow shuffle for per-query top-k. Quantized int64 dot "
-    "products -> bit-identical across engines.",
+    "brute-force cosine top-k ANN baseline: small query block rides into "
+    "each task, map-side numpy C@Q.T scoring over Arrow batches with "
+    "per-batch partial top-k, one narrow shuffle of ~batches*q*k rows for "
+    "the final top-k. Quantized int64 dot products -> bit-identical across "
+    "engines (knn_bruteforce is the pure-SQL twin with identical output).",
 )
 def s1_knn_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.knn_bruteforce(emb, queries, k=5)
+    return SIM.knn_bruteforce_arrow(emb, queries, k=5)
 
 
 _ECORPUS = (

@@ -139,3 +139,17 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert len(a & e) / len(e) >= 0.5  # recall floor; nprobe/n_cells tunable
     # same schema contract as the other knn variants
     assert approx.columns == ["query_id", "cand_id", "cosine_sim", "rank"]
+
+
+def test_knn_arrow_bit_identical_to_sql_twin(spark, sf_dir):
+    """knn_bruteforce_arrow (numpy C@Q.T, partial top-k) returns exactly the
+    rows of the pure-SQL knn_bruteforce — same quantized-int arithmetic,
+    same tie-breaking, same HALF_UP rounding. Guards the fast path against
+    drift from its oracle-checked twin."""
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 6)
+    a = sorted(map(tuple, SIM.knn_bruteforce(emb, q, k=4).collect()))
+    b = sorted(map(tuple, SIM.knn_bruteforce_arrow(emb, q, k=4).collect()))
+    assert a == b
