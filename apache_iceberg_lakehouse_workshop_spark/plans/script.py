@@ -64,6 +64,15 @@ _RE_MERGE = re.compile(
 )
 _RE_MERGE_KEY = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
 _RE_DROP = re.compile(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I)
+_RE_OPTIMIZE = re.compile(r"^OPTIMIZE\s+TABLE\s+([\w.]+)\s*$", re.I)
+_RE_ADD_COL = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*\"?(\w+)\"?\s+([\w(),]+)\s*\)?\s*$",
+    re.I,
+)
+_RE_RENAME_COL = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+\"?(\w+)\"?\s+TO\s+\"?(\w+)\"?\s*$",
+    re.I,
+)
 _RE_GRANT = re.compile(
     r"^GRANT\s+(.*?)\s+ON\s+(PROJECT|FOLDER|TABLE|VIEW)\s*"
     r"(\"[^\"]+\"|[\w.]+)?\s+TO\s+(USER|ROLE)\s+(\"[^\"]+\"|[\w.@-]+)\s*$",
@@ -586,6 +595,26 @@ class ScriptRunner:
             m = _RE_DROP.match(st)
             if m:
                 self.lake.drop_table(m.group(2), if_exists=bool(m.group(1)))
+                continue
+            m = _RE_OPTIMIZE.match(st)
+            if m:
+                # the traditional Iceberg maintenance command Dremio
+                # automates (readme.md:393): bin-pack small files + expire
+                # old snapshots (SURVEY §4 R9)
+                self.lake.table(m.group(1)).maintain()
+                continue
+            m = _RE_ADD_COL.match(st)
+            if m:
+                # Iceberg schema evolution (readme.md:357 region; metadata-
+                # only, no data rewrite — existing rows read as NULL)
+                dtype = m.group(3)
+                for pat, repl in _TYPE_MAP:
+                    dtype = pat.sub(repl, dtype)
+                self.lake.table(m.group(1)).add_column(m.group(2), dtype)
+                continue
+            m = _RE_RENAME_COL.match(st)
+            if m:
+                self.lake.table(m.group(1)).rename_column(m.group(2), m.group(3))
                 continue
             m = _RE_GRANT.match(st)
             if m:

@@ -453,3 +453,45 @@ def test_update_and_merge_sql(lake):
             "ON t.sku = s.other WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_optimize_table_statement(lake):
+    """OPTIMIZE TABLE t — the traditional Iceberg maintenance command the
+    reference's platform automates (readme.md:393) — bin-packs small commit
+    files and expires old snapshots through the script surface, preserving
+    data and the time-travel contract for retained history."""
+    lake.run_script(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.maint;
+        CREATE TABLE dremio.maint.t (k INT, v DOUBLE);
+        INSERT INTO dremio.maint.t VALUES (1, 1.0);
+        INSERT INTO dremio.maint.t VALUES (2, 2.0);
+        INSERT INTO dremio.maint.t VALUES (3, 3.0);
+        INSERT INTO dremio.maint.t VALUES (4, 4.0);
+        """
+    )
+    t = lake.table("dremio.maint.t")
+    files_before = t.files().count()
+    lake.run_script("OPTIMIZE TABLE dremio.maint.t")
+    assert t.files().count() < files_before  # bin-packed
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)}
+
+
+def test_alter_table_schema_evolution_sql(lake):
+    """ALTER TABLE ADD/RENAME COLUMN — Iceberg metadata-only schema
+    evolution through the script surface: pre-evolution rows read the new
+    column as NULL; renames apply without a data rewrite."""
+    lake.run_script(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.evo;
+        CREATE TABLE dremio.evo.t (k INT, v DOUBLE);
+        INSERT INTO dremio.evo.t VALUES (1, 1.5);
+        ALTER TABLE dremio.evo.t ADD COLUMN note VARCHAR;
+        INSERT INTO dremio.evo.t VALUES (2, 2.5, 'new');
+        ALTER TABLE dremio.evo.t RENAME COLUMN v TO amount;
+        """
+    )
+    out = lake.run_script("SELECT k, amount, note FROM dremio.evo.t")
+    got = {(r.k, r.amount, r.note) for r in out.collect()}
+    assert got == {(1, 1.5, None), (2, 2.5, "new")}
