@@ -38,6 +38,19 @@ def _dec(c: Column | str, p: int = 12, s: int = 2) -> Column:
     return col.cast(f"decimal({p},{s})")
 
 
+def _dsum2(c: Column | str) -> Column:
+    """Exact 2-dp money sum as DOUBLE — bit-identical to
+    ``F.sum(_dec(c)).cast("double")`` but ~10x cheaper: values scale to
+    int64 cents per row (whole-stage codegen, no per-row BigDecimal), the
+    accumulator widens to DECIMAL(38,0) (exact at any row count — no int64
+    overflow at 100 TB), and the /100 scale shift is an exact decimal
+    division with a single rounding at the final double cast. See
+    a1_pricing_summary for the full-product variant and rationale."""
+    col = F.col(c) if isinstance(c, str) else c
+    cents = F.round(col * 100).cast("long")
+    return (F.sum(cents.cast("decimal(38,0)")) / 100).cast("double")
+
+
 QUERIES: list[Query] = []
 
 
@@ -211,7 +224,7 @@ def j1_inner_equi(spark, sf_dir):
         .groupBy(c.c_custkey, c.c_name)
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            _dsum2("o_totalprice").alias("total_spend"),
         )
         .select(F.col("c_custkey").cast("long").alias("c_custkey"), "c_name", "n_orders", "total_spend")
     )
@@ -334,7 +347,7 @@ def j5_interval_join(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("long").alias("n_lines_in_window"),
-            F.sum(_dec("l_quantity")).cast("double").alias("qty_in_window"),
+            _dsum2("l_quantity").alias("qty_in_window"),
         )
     )
 
@@ -398,7 +411,7 @@ def j8_multiway(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+            _dsum2("c_acctbal").alias("sum_acctbal"),
         )
     )
 
@@ -605,7 +618,7 @@ def a11_global_agg(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("total_revenue"),
+        _dsum2("l_extendedprice").alias("total_revenue"),
         F.min("l_extendedprice").cast("double").alias("min_price"),
         F.max("l_extendedprice").cast("double").alias("max_price"),
     )
@@ -670,7 +683,7 @@ def a14_distinct_then_avg(spark, sf_dir):
     )
     return d.groupBy("o_orderstatus").agg(
         F.count("*").cast("long").alias("n_orders"),
-        (F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_order_value"),
+        (_dsum2("o_totalprice") / F.count("*")).alias("avg_order_value"),
     )
 
 

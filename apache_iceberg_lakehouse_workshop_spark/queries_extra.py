@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators import textstats as TS
-from .queries_core import _dec, q
+from .queries_core import _dec, _dsum2, q
 from .tables import load_table
 
 
@@ -28,7 +28,7 @@ from .tables import load_table
 def a3_sum_avg_min_max(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    sum_dec = F.sum(_dec("s_acctbal")).cast("double")
+    sum_dec = _dsum2("s_acctbal")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
@@ -63,7 +63,7 @@ def a9_multikey_group(spark, sf_dir):
         F.month("l_shipdate").cast("int").alias("ship_month"),
     ).agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        _dsum2("l_quantity").alias("sum_qty"),
     )
 
 
@@ -325,7 +325,7 @@ def a17_rollup_hierarchy(spark, sf_dir):
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            _dsum2("l_quantity").alias("sum_qty"),
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
         )
@@ -370,7 +370,7 @@ def e3_session_rollup(spark, sf_dir):
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum(_dec("value")).cast("double").alias("total_value"),
+            _dsum2("value").alias("total_value"),
         )
         .select(
             F.col("user_id").cast("long").alias("user_id"),

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators import quality as Q
-from .queries_core import _dec, q
+from .queries_core import _dec, _dsum2, q
 from .tables import load_table
 
 # =====================================================================
@@ -263,7 +263,7 @@ def e1_daily_event_rollup(spark, sf_dir):
     ).agg(
         F.count("*").cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
+        _dsum2("value").alias("total_value"),
     )
 
 
@@ -282,7 +282,7 @@ def e2_sessionized_purchases(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return e.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
         F.count("*").cast("long").alias("n_purchases"),
-        F.sum(_dec("value")).cast("double").alias("spend"),
+        _dsum2("value").alias("spend"),
         F.min(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")).alias("first_day"),
         F.max(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")).alias("last_day"),
     )
