@@ -45,6 +45,22 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+#: GPT-2-style pre-tokenization regex (contraction suffixes, letter runs,
+#: digit runs, punctuation runs, whitespace runs) — the standard BPE
+#: pre-split shape. Kept to constructs RE2 and Java regex share, so the
+#: DuckDB oracle applies the identical pattern.
+BPE_SPLIT_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """LLM-ish token estimate: count of BPE pre-tokenizer segments. Real
+    BPE merges only split *within* these segments, so this upper-bounds a
+    GPT-2-family token count at ~word granularity — the cheap, JVM-side
+    signal a 100 TB pipeline can afford per document (an exact tokenizer
+    is a vocab-file lookup inside the same map stage if needed)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), 0)).cast("long")
+
+
 def char_count(col: Column) -> Column:
     return F.length(col).cast("long")
 

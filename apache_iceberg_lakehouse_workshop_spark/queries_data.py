@@ -42,11 +42,15 @@ _TOKS = (
     f"""WITH tok AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
        SELECT CAST(doc_id AS BIGINT) AS doc_id,
               CAST(len(w) AS BIGINT) AS n_tokens,
+              CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+                   AS BIGINT) AS n_bpe_tokens,
               CAST(length(text) AS BIGINT) AS n_chars_obs,
               md5(array_to_string(w, ' ')) AS fingerprint
        FROM tok""",
-    "token counting + exact-content fingerprint (md5 of normalized text) — "
-    "text-analysis ops over the documents table",
+    "token counting (whitespace + GPT-2-style BPE pre-tokenizer regex) + "
+    "exact-content fingerprint (md5 of normalized text) — text-analysis "
+    "ops over the documents table",
 )
 def t1_token_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -54,6 +58,7 @@ def t1_token_stats(spark, sf_dir):
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         TS.token_count(c).alias("n_tokens"),
+        TS.bpe_token_count(c).alias("n_bpe_tokens"),
         TS.char_count(c).alias("n_chars_obs"),
         TS.fingerprint(c).alias("fingerprint"),
     )

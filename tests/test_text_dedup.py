@@ -105,3 +105,22 @@ def test_simhash_blocking_contract(spark):
     wide = {(r.doc_a, r.doc_b) for r in
             DD.simhash_neardup_pairs(docs_df(spark), max_hamming=3, n_chunks=8).collect()}
     assert narrow <= wide or narrow == wide
+
+
+def test_bpe_token_count(spark):
+    """GPT-2-style pre-tokenizer segments: contraction suffixes split,
+    letter/digit/punctuation runs each count once (with their leading
+    space), matching the upper-bound-of-BPE contract."""
+    rows = [
+        ("don't stop", 3),        # don | 't | _stop
+        ("hello world", 2),       # hello | _world
+        ("abc123 x!", 4),         # abc | 123 | _x | !
+        ("", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    got = [r[0] for r in df.select(TS.bpe_token_count(F.col("text"))).collect()]
+    # pin against hand counts AND a reference re.findall of the same pattern
+    import re as _re
+    for (text, hand), n in zip(rows, got):
+        expect = len(_re.findall(TS.BPE_SPLIT_PATTERN, text))
+        assert n == expect == hand, (text, n, expect, hand)
