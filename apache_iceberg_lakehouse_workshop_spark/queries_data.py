@@ -39,18 +39,30 @@ _TOKS = (
 
 @q(
     "t1_token_stats",
-    f"""WITH tok AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
+    f"""WITH tok AS (SELECT doc_id, text, {_TOKS} AS w FROM documents),
+       norm AS (SELECT *, array_to_string(w, ' ') AS s,
+                list_transform(string_split_regex(array_to_string(w, ' '), ''),
+                               c -> CAST(unicode(c) AS BIGINT)) AS cp
+                FROM tok)
        SELECT CAST(doc_id AS BIGINT) AS doc_id,
               CAST(len(w) AS BIGINT) AS n_tokens,
               CAST(len(regexp_extract_all(text,
                    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
                    AS BIGINT) AS n_bpe_tokens,
               CAST(length(text) AS BIGINT) AS n_chars_obs,
-              md5(array_to_string(w, ' ')) AS fingerprint
-       FROM tok""",
+              md5(s) AS fingerprint,
+              CASE WHEN length(s) = 0 THEN CAST(0 AS BIGINT) ELSE
+                list_reduce(list_prepend(CAST(0 AS BIGINT), cp),
+                            (acc, x) -> (acc * 257 + x) % 2147483647)
+                  * 1073741824 +
+                list_reduce(list_prepend(CAST(0 AS BIGINT), cp),
+                            (acc, x) -> (acc * 131 + x) % 1000000007)
+              END AS rolling_fp
+       FROM norm""",
     "token counting (whitespace + GPT-2-style BPE pre-tokenizer regex) + "
-    "exact-content fingerprint (md5 of normalized text) — text-analysis "
-    "ops over the documents table",
+    "exact-content fingerprints: md5 of normalized text AND a dual "
+    "Rabin-Karp polynomial rolling hash (bit-identical int64 fold on both "
+    "engines) — text-analysis ops over the documents table",
 )
 def t1_token_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -61,6 +73,7 @@ def t1_token_stats(spark, sf_dir):
         TS.bpe_token_count(c).alias("n_bpe_tokens"),
         TS.char_count(c).alias("n_chars_obs"),
         TS.fingerprint(c).alias("fingerprint"),
+        TS.rolling_fingerprint(c).alias("rolling_fp"),
     )
 
 

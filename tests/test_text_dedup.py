@@ -124,3 +124,68 @@ def test_bpe_token_count(spark):
     for (text, hand), n in zip(rows, got):
         expect = len(_re.findall(TS.BPE_SPLIT_PATTERN, text))
         assert n == expect == hand, (text, n, expect, hand)
+
+
+def _py_norm(text):
+    import re as _re
+    s = _re.sub(" +", " ", _re.sub("[^a-z ]", " ", text.lower())).strip()
+    return " ".join(w for w in s.split(" ") if w)
+
+
+def _py_poly(cps, base, mod):
+    acc = 0
+    for c in cps:
+        acc = (acc * base + c) % mod
+    return acc
+
+
+def _py_rolling_fp(text):
+    s = _py_norm(text)
+    if not s:
+        return 0
+    cps = [ord(c) for c in s]
+    return _py_poly(cps, 257, 2147483647) * 1073741824 + _py_poly(cps, 131, 1000000007)
+
+
+def _py_winnow(text, k=5, w=4):
+    cps = [ord(c) for c in _py_norm(text)]
+    hashes = [_py_poly(cps[i:i + k], 257, 2147483647)
+              for i in range(len(cps) - k + 1)]
+    if not hashes:
+        return []
+    if len(hashes) < w:
+        return sorted({min(hashes)})
+    return sorted({min(hashes[j:j + w]) for j in range(len(hashes) - w + 1)})
+
+
+def test_rolling_fingerprint_matches_python_reference(spark):
+    df = docs_df(spark).select(
+        "doc_id", "text", TS.rolling_fingerprint(F.col("text")).alias("fp"))
+    for r in df.collect():
+        assert r.fp == _py_rolling_fp(r.text), r.doc_id
+    got = {r.doc_id: r.fp for r in df.collect()}
+    assert got[1] == got[2] and got[5] == 0 and got[1] != got[4]
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    df = docs_df(spark).select(
+        "doc_id", "text", TS.winnow_fingerprints(F.col("text")).alias("fps"))
+    for r in df.collect():
+        assert list(r.fps) == _py_winnow(r.text), r.doc_id
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k + w - 1 (normalized) must
+    share >= 1 winnowing fingerprint; tiny docs degenerate gracefully."""
+    k, w = 5, 4
+    shared = "identical plagiarized passage inside"
+    rows = [(1, "lead-in text then " + shared + " and a unique tail"),
+            (2, shared + " wrapped by other words entirely"),
+            (3, "nothing in common with those two documents"),
+            (4, "tiny")]  # < k chars after norm -> min-of-all fallback
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", TS.winnow_fingerprints(F.col("text"), k=k, w=w).alias("fps"))
+    got = {r.doc_id: set(r.fps) for r in df.collect()}
+    assert got[1] & got[2], "winnowing guarantee violated"
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+    assert got[4] == set(_py_winnow("tiny", k, w))
