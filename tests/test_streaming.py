@@ -125,21 +125,27 @@ def test_stream_driver_events_parquet_matches_batch(spark, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     batch = load_table(spark, sf, "events")
-    # stream with the raw parquet schema (ts arrives as nanos LONG under the
-    # legacy conf); convert exactly as tables.load_table does
+    # stream with the raw parquet schema; if ts arrives as nanos LONG (under
+    # the legacy conf) convert exactly as tables.load_table does — testdata
+    # generations vary between micro (reads as TIMESTAMP_NTZ) and nano
     raw_schema = StructType.fromJson(spark.read.parquet(f"{sf}/events.parquet").schema.jsonValue())
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf)
-        .withColumn(
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
             "ts",
             F.expr(
                 "to_timestamp(timestampadd(MICROSECOND, ts div 1000,"
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
             ),
         )
-    )
+    else:
+        # watermarks need TIMESTAMP (LTZ); session tz is UTC so the cast
+        # from TIMESTAMP_NTZ preserves the wall-clock value
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     got = _drain(tumbling_rollup(stream, "1 day"), spark, "t_prod", tmp_path, "complete")
     exp = (
         batch.groupBy(F.date_trunc("day", "ts").alias("w"), "event_type")
