@@ -119,10 +119,12 @@ jb_join_battery = _register_battery(
     "J2/J3/J4/J7/J9 join shapes in one verified battery: composite key, "
     "expression key, left outer, semi, inline-VALUES dim "
     "(supply_chain_example.sql:88-91; finance_example.sql:86-89; "
-    "gov_example.sql:89-91; manufacturing.sql:82-154). Each branch keeps "
-    "its own join strategy (broadcast dims, shuffle fact joins).",
+    "gov_example.sql:89-91; manufacturing.sql:82-154), plus the J13 as-of "
+    "join extension (operators/asof.py union+window plan vs DuckDB native "
+    "ASOF JOIN). Each branch keeps its own join strategy (broadcast dims, "
+    "shuffle fact joins, single-window as-of).",
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("t1", "timestamp"),
-     ("n1", "bigint"), ("v1", "double")],
+     ("t2", "timestamp"), ("n1", "bigint"), ("v1", "double"), ("v2", "double")],
     [
         ("j2_composite_key", "j2_composite_key",
          {"l_orderkey": "k1", "l_linenumber": "k2", "pair_qty": "v1", "pair_lines": "n1"}),
@@ -134,6 +136,10 @@ jb_join_battery = _register_battery(
          {"c_custkey": "k1", "c_mktsegment": "s1"}),
         ("j9_inline_values_dim", "j9_inline_values_dim",
          {"tier": "s1", "n_customers": "n1"}),
+        ("j13_asof", "j13_asof_join",
+         {"purchase_id": "k1", "prior_event_id": "k2", "user_id": "n1",
+          "purchase_ts": "t1", "prior_ts": "t2", "prior_type": "s1",
+          "purchase_value": "v1", "prior_value": "v2"}),
     ],
 )
 
@@ -180,7 +186,9 @@ ab_shapes_battery = _register_battery(
     "A11/A12/A14/A15/A16 aggregate shapes: global agg, HAVING dup "
     "detection, dedup-then-AVG, guarded ratio-of-aggregates, two-CTE "
     "aggregate-then-join (semantics.sql:191-194; manufacturing.sql:86-91; "
-    "healthcare_example.sql:106-125; insurance_example.sql:95-136).",
+    "healthcare_example.sql:106-125; insurance_example.sql:95-136), plus "
+    "the A18 exact-percentile extension (Spark percentile() vs DuckDB "
+    "quantile_cont, both linear interpolation).",
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("t1", "timestamp"),
      ("n1", "bigint"), ("n2", "bigint"), ("v1", "double"), ("v2", "double"),
      ("v3", "double")],
@@ -196,6 +204,9 @@ ab_shapes_battery = _register_battery(
           "return_rate_pct": "v1"}),
         ("a16_agg_then_join", "a16_agg_then_join",
          {"month": "t1", "order_value": "v1", "n_orders": "n1", "shipped_value": "v2"}),
+        ("a18_percentiles", "a18_percentiles",
+         {"l_returnflag": "s1", "n": "n1", "p50_price": "v1",
+          "p95_price": "v2", "p50_qty": "v3"}),
     ],
 )
 
@@ -308,6 +319,7 @@ ABSORBED = {
     "j4_left_outer": "jb_join_battery",
     "j7_semi_join": "jb_join_battery",
     "j9_inline_values_dim": "jb_join_battery",
+    "j13_asof_join": "jb_join_battery",
     "j11_full_outer": "j11_outer_cross",
     "j12_cross_join": "j11_outer_cross",
     "a4_conditional_sum": "ab_conditional_battery",
@@ -319,6 +331,7 @@ ABSORBED = {
     "a14_distinct_then_avg": "ab_shapes_battery",
     "a15_ratio_guard": "ab_shapes_battery",
     "a16_agg_then_join": "ab_shapes_battery",
+    "a18_percentiles": "ab_shapes_battery",
     "w2_rolling_7day": "wb_window_battery",
     "w3_lead_gap": "wb_window_battery",
     "u1_union_all": "ub_setops_battery",

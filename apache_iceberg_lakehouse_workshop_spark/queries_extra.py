@@ -398,3 +398,77 @@ def t4_fingerprint(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         TS.fingerprint(F.col("text")).alias("fingerprint"),
     )
+
+
+@q(
+    "j13_asof_join",
+    """SELECT p.event_id AS purchase_id,
+              CAST(p.user_id AS BIGINT) AS user_id,
+              p.ts AS purchase_ts,
+              p.value AS purchase_value,
+              b.ts AS prior_ts,
+              b.event_id AS prior_event_id,
+              b.event_type AS prior_type,
+              b.value AS prior_value
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN
+            (SELECT * FROM events WHERE event_type IN ('view', 'click')) b
+         ON p.user_id = b.user_id AND p.ts >= b.ts""",
+    "J13 as-of join (engine extension): each purchase matched to the same "
+    "user's most recent prior view/click. Generalizes the reference's "
+    "nearest-event window idioms (healthcare_example.sql:82-85; "
+    "manufacturing.sql:288-317) into a first-class operator. Spark side is "
+    "operators.asof.asof_join — union + single window, |L|+|R| shuffle "
+    "volume, no candidate explosion; oracle is DuckDB's native ASOF JOIN, "
+    "an independent merge-join implementation of the same semantics.",
+)
+def j13_asof_join(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(e.event_type == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    browses = e.filter(e.event_type.isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("prior_ts"),
+        F.col("event_id").alias("prior_event_id"),
+        F.col("event_type").alias("prior_type"),
+        F.col("value").alias("prior_value"),
+    )
+    return asof_join(
+        purchases,
+        browses,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="prior_ts",
+    )
+
+
+@q(
+    "a18_percentiles",
+    """SELECT l_returnflag,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_price,
+              round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95_price,
+              round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50_qty
+       FROM lineitem GROUP BY l_returnflag""",
+    "A18 exact percentiles per group (engine extension; SURVEY §2.4 notes "
+    "the reference lacks percentile/median — standard OLAP surface). Spark "
+    "percentile() and DuckDB quantile_cont both use linear interpolation at "
+    "rank p*(n-1); results rounded to 4dp so the last-ulp of the two "
+    "engines' interpolation arithmetic cannot flip the value hash. At "
+    "100 TB swap in approx_percentile(col, p, accuracy) — same plan shape, "
+    "sketch-mergeable partials instead of a per-group sort.",
+)
+def a18_percentiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+    )

@@ -1,0 +1,130 @@
+"""operators/asof.py — as-of join semantics (SURVEY §2.3 J13 extension).
+
+Registry query j13_asof_join pins the backward direction against DuckDB's
+native ASOF JOIN at sf0.01; these tests pin the corners the oracle data
+can't reach deterministically: equality inclusion, no-match NULLs,
+forward direction, tolerance, and equivalence with a naive
+join+row_number reference implementation on real event data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.operators.asof import asof_join
+from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _micro(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "l-a"),   # exact-tie with right r-10
+            (1, _ts("2024-01-01T12:00:00"), "l-b"),   # between r-10 and r-11
+            (1, _ts("2024-01-01T09:00:00"), "l-c"),   # before every right row
+            (2, _ts("2024-01-01T10:00:00"), "l-d"),   # key with no right rows
+        ],
+        ["k", "lts", "ltag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "r-10"),
+            (1, _ts("2024-01-01T11:00:00"), "r-11"),
+            (1, _ts("2024-01-01T13:00:00"), "r-13"),
+        ],
+        ["k", "rts", "rtag"],
+    )
+    return left, right
+
+
+def test_backward_equality_nomatch_and_nulls(spark):
+    left, right = _micro(spark)
+    out = {
+        r["ltag"]: r
+        for r in asof_join(left, right, ["k"], "lts", "rts").collect()
+    }
+    assert len(out) == 4                       # left join: every left row survives
+    assert out["l-a"]["rtag"] == "r-10"        # ties at equality are included
+    assert out["l-b"]["rtag"] == "r-11"        # most recent prior, not just any
+    assert out["l-c"]["rtag"] is None          # nothing at-or-before -> NULLs
+    assert out["l-d"]["rtag"] is None          # key absent on right -> NULLs
+    assert out["l-c"]["rts"] is None
+
+
+def test_forward_direction(spark):
+    left, right = _micro(spark)
+    out = {
+        r["ltag"]: r
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", direction="forward"
+        ).collect()
+    }
+    assert out["l-a"]["rtag"] == "r-10"        # equality counts forward too
+    assert out["l-b"]["rtag"] == "r-13"        # earliest at-or-after
+    assert out["l-c"]["rtag"] == "r-10"
+    assert out["l-d"]["rtag"] is None
+
+
+def test_tolerance_nulls_far_matches(spark):
+    left, right = _micro(spark)
+    out = {
+        r["ltag"]: r
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts",
+            tolerance=F.expr("INTERVAL 90 MINUTES"),
+        ).collect()
+    }
+    assert out["l-a"]["rtag"] == "r-10"        # distance 0 <= 90min
+    assert out["l-b"]["rtag"] == "r-11"        # 60min <= 90min
+    assert len(out) == 4                       # rows survive even when nulled
+
+
+def test_matches_naive_reference_on_events(spark, sf_dir):
+    """Forward as-of vs the naive join+row_number plan on sf0.001 events.
+
+    (Backward is already pinned by the DuckDB native-ASOF oracle at
+    sf0.01; this pins the mirror direction on real data with a completely
+    different candidate-explosion reference plan.)"""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(e.event_type == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    errors = e.filter(e.event_type == "error").select(
+        "user_id", F.col("ts").alias("ets"), F.col("event_id").alias("eid")
+    )
+
+    ours = asof_join(
+        purchases, errors, ["user_id"], "pts", "ets", direction="forward"
+    ).select("pid", "ets", "eid")
+
+    w = Window.partitionBy("pid").orderBy(F.asc("ets"), F.asc("eid"))
+    naive = (
+        purchases.join(errors, "user_id", "left")
+        .filter(F.col("ets").isNull() | (F.col("ets") >= F.col("pts")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("pid", "ets", "eid")
+    )
+    got = {r["pid"]: (r["ets"], r["eid"]) for r in ours.collect()}
+    want = {r["pid"]: (r["ets"], r["eid"]) for r in naive.collect()}
+    # the naive plan drops purchases whose only error rows are all earlier
+    # (filter removes every candidate) -- re-add them as NULL matches
+    for r in purchases.collect():
+        want.setdefault(r["pid"], (None, None))
+    assert got == want
+
+
+def test_right_payload_collision_raises(spark):
+    left, right = _micro(spark)
+    try:
+        asof_join(left, right.withColumnRenamed("rtag", "ltag"), ["k"], "lts", "rts")
+    except ValueError as e:
+        assert "collide" in str(e)
+    else:
+        raise AssertionError("expected ValueError on colliding payload column")
