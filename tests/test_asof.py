@@ -128,3 +128,65 @@ def test_right_payload_collision_raises(spark):
         assert "collide" in str(e)
     else:
         raise AssertionError("expected ValueError on colliding payload column")
+
+
+def test_matches_pandas_merge_asof_random(spark):
+    """Random-data equivalence with pandas merge_asof — an independent,
+    widely-deployed as-of implementation — on 3 seeds x both directions
+    x (no tolerance | 1h tolerance). Right (key, ts) pairs are unique so
+    every implementation's tie-break agrees."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        base = pd.Timestamp("2024-01-01")
+        n_keys = 8
+
+        def frame(n, prefix):
+            ks = rng.integers(0, n_keys, n)
+            # unique (key, ts): distinct second offsets per key
+            offs = []
+            for k in range(n_keys):
+                idx = np.where(ks == k)[0]
+                offs.append(
+                    (k, idx, rng.choice(200_000, size=len(idx), replace=False))
+                )
+            ts = np.empty(n, dtype="int64")
+            for _, idx, o in offs:
+                ts[idx] = o
+            return pd.DataFrame(
+                {
+                    "k": ks,
+                    f"{prefix}ts": base + pd.to_timedelta(ts, unit="s"),
+                    f"{prefix}v": rng.normal(size=n).round(6),
+                }
+            )
+
+        lpd = frame(120, "l")
+        rpd = frame(180, "r")
+        for direction in ("backward", "forward"):
+            for tol_expr, tol_pd in ((None, None), ("INTERVAL 1 HOUR", pd.Timedelta(hours=1))):
+                want = pd.merge_asof(
+                    lpd.sort_values("lts", kind="stable"),
+                    rpd.sort_values("rts", kind="stable"),
+                    left_on="lts",
+                    right_on="rts",
+                    by="k",
+                    direction=direction,
+                    tolerance=tol_pd,
+                    allow_exact_matches=True,
+                )
+                got = asof_join(
+                    spark.createDataFrame(lpd),
+                    spark.createDataFrame(rpd),
+                    ["k"],
+                    "lts",
+                    "rts",
+                    direction=direction,
+                    tolerance=F.expr(tol_expr) if tol_expr else None,
+                ).toPandas()
+                key = ["k", "lts", "lv"]
+                want = want.sort_values(key, kind="stable").reset_index(drop=True)
+                got = got.sort_values(key, kind="stable").reset_index(drop=True)[want.columns]
+                pd.testing.assert_frame_equal(got, want, check_dtype=False)
