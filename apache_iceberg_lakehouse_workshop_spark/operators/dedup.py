@@ -114,21 +114,37 @@ def minhash_lsh_pairs(
       4. verify candidates with exact Jaccard on the shingle sets
     """
     n_bands = num_hashes // band_size
-    sig = minhash_signature(F.col("shingles"), num_hashes)
     docs = df.select(
         F.col(id_col).cast("long").alias("id"),
         shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    banded = docs.select(
+    # Minhashes via explode -> groupBy(min): the shingle array is built
+    # ONCE and the k mins are partial-aggregated map-side. (Computing the
+    # k signatures as array_min(transform(...)) columns under the band
+    # posexplode re-evaluates the whole shingle+md5 tree per band row,
+    # interpreted, ~10x slower — and ships the shingle arrays through the
+    # LSH shuffle. Here the banded shuffle carries only hex strings.)
+    ex = docs.select("id", F.explode("shingles").alias("g"))
+    mh = ex.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("g")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    banded = mh.select(
         "id",
-        "shingles",
-        F.array(
-            *[
-                F.concat_ws("|", *sig[b * band_size : (b + 1) * band_size]).alias(f"b{b}")
-                for b in range(n_bands)
-            ]
-        ).alias("bands"),
-    ).select("id", "shingles", F.posexplode("bands").alias("band_id", "band_sig"))
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{j}") for j in range(b * band_size, (b + 1) * band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -138,16 +154,18 @@ def minhash_lsh_pairs(
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Verify the (few) candidates with exact Jaccard: join the shingle
+    # sets back by id — candidates << corpus, so these are narrow
+    # hash-join probes, and shingle arrays never enter the LSH shuffle.
+    sh_a = docs.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = docs.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard_sim")
     )
@@ -310,3 +328,82 @@ def simhash_neardup_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------ cluster formation
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_rep).
+
+    Pair emitters (minhash_lsh_pairs, ngram_jaccard_pairs, simhash) give
+    EDGES; an actual dedup pipeline must then pick ONE canonical document
+    per transitive group — "A~B, B~C" dedupes to one survivor even though
+    (A, C) was never emitted. cluster_rep is the component's minimum id
+    (deterministic), so `keep = (doc_id == cluster_rep)`.
+
+    Algorithm: min-label propagation. Every vertex starts labeled with its
+    own id; each round takes the min of its label and its neighbors'
+    labels; fixpoint = components. Each round is one shuffle join + one
+    partial-aggregated groupBy — all JVM-side, no UDFs. Rounds needed =
+    eccentricity of each component's min vertex; near-dup clusters are
+    shallow (pair generators emit most intra-cluster edges directly), so
+    this converges in 2-4 rounds in practice. ``localCheckpoint`` truncates
+    the growing lineage every round (iterative plans otherwise re-derive
+    the whole chain each action).
+
+    At 100 TB: same pattern as Hash-to-Min / GraphFrames CC — shuffle
+    volume per round is O(edges); convergence checks are one count per
+    round on an already-materialized frame. A pathological long chain of
+    near-dups (diameter > max_iter) raises rather than silently returning
+    partial clusters.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        # materialize ONCE: edges are re-joined every round, and the pair
+        # generator upstream (LSH banding etc.) must not re-run per round
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
+            )
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds — "
+        "component diameter exceeds max_iter; raise max_iter"
+    )

@@ -210,6 +210,27 @@ ab_shapes_battery = _register_battery(
     ],
 )
 
+db_neardup_battery = _register_battery(
+    "db_neardup_battery",
+    "D2/D3/D5 near-dup pipeline end-to-end in one verified battery: "
+    "MinHash-LSH candidate pairs, exact n-gram Jaccard verification pairs, "
+    "and duplicate-cluster formation (connected components over the LSH "
+    "pairs, canonical = component min id). The cluster branch pins the "
+    "keep/drop decision itself: Spark min-label propagation vs a DuckDB "
+    "recursive-CTE transitive closure.",
+    [("k1", "bigint"), ("k2", "bigint"), ("n1", "bigint"), ("n2", "bigint"),
+     ("v1", "double")],
+    [
+        ("d2_minhash_lsh", "d2_minhash_lsh_pairs",
+         {"doc_a": "k1", "doc_b": "k2", "jaccard_sim": "v1"}),
+        ("d3_ngram_jaccard", "d3_ngram_jaccard_pairs",
+         {"doc_a": "k1", "doc_b": "k2", "jaccard_sim": "v1"}),
+        ("d5_dup_clusters", "d5_dup_clusters",
+         {"doc_id": "k1", "cluster_rep": "k2", "cluster_size": "n1",
+          "is_canonical": "n2"}),
+    ],
+)
+
 wb_window_battery = _register_battery(
     "wb_window_battery",
     "W2+W3 window frames: 7-day ROWS-frame rolling revenue and LEAD "
@@ -320,6 +341,9 @@ ABSORBED = {
     "j7_semi_join": "jb_join_battery",
     "j9_inline_values_dim": "jb_join_battery",
     "j13_asof_join": "jb_join_battery",
+    "d2_minhash_lsh_pairs": "db_neardup_battery",
+    "d3_ngram_jaccard_pairs": "db_neardup_battery",
+    "d5_dup_clusters": "db_neardup_battery",
     "j11_full_outer": "j11_outer_cross",
     "j12_cross_join": "j11_outer_cross",
     "a4_conditional_sum": "ab_conditional_battery",

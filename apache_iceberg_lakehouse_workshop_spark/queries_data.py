@@ -734,3 +734,63 @@ def ai23_complete_generate(spark, sf_dir):
         F.col("g.n_words").cast("long").alias("n_words"),
         F.col("g.sentiment").alias("sentiment"),
     )
+
+
+def _d2_oracle() -> str:
+    from .queries_core import QUERIES
+
+    return next(q_.oracle for q_ in QUERIES if q_.name == "d2_minhash_lsh_pairs")
+
+
+@q(
+    "d5_dup_clusters",
+    f"""WITH RECURSIVE pairs AS (
+{_d2_oracle()}
+       ),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS a, doc_a AS b FROM pairs),
+       verts AS (SELECT DISTINCT a AS v FROM edges),
+       reach(src, node) AS (
+           SELECT v, v FROM verts
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+       ),
+       comp AS (SELECT src AS doc_id, MIN(node) AS cluster_rep
+                FROM reach GROUP BY src)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(cluster_rep AS BIGINT) AS cluster_rep,
+              CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+                  AS cluster_size,
+              CAST(CASE WHEN doc_id = cluster_rep THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_canonical
+       FROM comp""",
+    "D5 duplicate-cluster formation (engine extension): connected components "
+    "over the d2 MinHash-LSH verified pair set, canonical doc = component "
+    "min id. Spark side is operators.dedup.duplicate_clusters (min-label "
+    "propagation: O(edges) shuffle per round, JVM-only, lineage truncated "
+    "per round); oracle is a DuckDB recursive-CTE transitive closure — an "
+    "independent algorithm for the same components. This is the step that "
+    "turns near-dup PAIRS into the keep/drop decision a training-data "
+    "pipeline actually executes ('A~B, B~C' must dedupe to one survivor "
+    "even though (A,C) was never emitted).",
+)
+def d5_dup_clusters(spark, sf_dir):
+    pairs = _d2_pairs_cached(spark, sf_dir)
+    clusters = DD.duplicate_clusters(pairs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_rep")
+    return clusters.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_rep")).cast("long").alias("is_canonical"),
+    )
+
+
+def _d2_pairs_cached(spark, sf_dir):
+    from .queries_core import QUERIES
+
+    d2 = next(q_.fn for q_ in QUERIES if q_.name == "d2_minhash_lsh_pairs")
+    return d2(spark, sf_dir)

@@ -46,8 +46,8 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
     "E event analytics": ["e1_daily_event_rollup", "e2_sessionized_purchases",
                           "e3_session_rollup"],
     "T text analysis": ["t1_token_stats", "t2_lang_quality"],
-    "D deduplication": ["d1_exact_dup_groups", "d2_minhash_lsh_pairs",
-                        "d3_ngram_jaccard_pairs", "d4_simhash_neardup"],
+    "D deduplication": ["d1_exact_dup_groups", "db_neardup_battery",
+                        "d4_simhash_neardup"],
     "S similarity search": ["s1_knn_bruteforce", "s2_embedding_neardup",
                             "s3_knn_lsh", "s4_knn_ivf"],
     "MM multimodal": ["mm1_binary_metadata", "mm2_media_features",

@@ -189,3 +189,44 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert got[1] & got[2], "winnowing guarantee violated"
     assert not (got[1] & got[3]) and not (got[2] & got[3])
     assert got[4] == set(_py_winnow("tiny", k, w))
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A~B, B~C, D~E: components must close transitively (A,B,C together
+    even though (A,C) was never emitted), rep = min id, singleton-free
+    (docs without pairs are not clustered)."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 7), (7, 3), (10, 12), (20, 2)], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: r["cluster_rep"] for r in duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 7: 1, 3: 1, 10: 10, 12: 10, 20: 2, 2: 2}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 12-node path graph (worst-case diameter for label propagation)
+    still converges inside the default round budget and labels every
+    node with the chain head."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: r["cluster_rep"] for r in duplicate_clusters(pairs).collect()}
+    assert set(out) == set(range(100, 113))
+    assert set(out.values()) == {100}
+
+
+def test_duplicate_clusters_diameter_guard(spark):
+    """max_iter smaller than the component diameter raises instead of
+    silently returning partial clusters."""
+    import pytest
+
+    from apache_iceberg_lakehouse_workshop_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 210)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=2)
