@@ -257,6 +257,65 @@ def simhash64_md5(col: Column) -> Column:
     return _simhash_from_hashes(F.transform(tokens(col), h64))
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """(id, sig) SimHash signatures via explode -> groupBy bit votes.
+
+    The column-level :func:`simhash64`/:func:`simhash64_md5` forms are
+    convenient inside a select, but Catalyst inlines the token+hash
+    expression tree into each of the 64 ``F.aggregate`` votes (and again
+    under any downstream Generate), so tokenization+hashing runs 64x per
+    row, interpreted. This frame-level form hashes each token ONCE
+    (explode -> one md5/xxhash64 per token row) and takes the 64 bit
+    votes as partial-aggregated conditional SUMs — the shape that scales:
+    map-side combine, one narrow shuffle of (id, 64 ints).
+
+    Docs whose text yields zero tokens keep an all-zero signature (same
+    contract as the column form, whose empty-array votes are all 0)."""
+
+    def signed_mask(i: int) -> int:
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    if portable:
+        d = F.md5(F.concat(F.lit("sh:"), F.col("t")))
+        h64 = (
+            F.shiftleft(F.conv(F.substring(d, 1, 8), 16, 10).cast("long"), 32)
+            .bitwiseOR(F.conv(F.substring(d, 9, 8), 16, 10).cast("long"))
+        )
+    else:
+        h64 = F.xxhash64(F.col("t"))
+
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    tok = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).select("id", h64.alias("h"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(signed_mask(i)).cast("long")) != 0, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(signed_mask(i)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return (
+        ids.join(votes.select("id", sig.alias("sig")), "id", "left")
+        .select("id", F.coalesce("sig", F.lit(0).cast("long")).alias("sig"))
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -287,10 +346,7 @@ def simhash_neardup_pairs(
         )
     chunk_bits = 64 // n_chunks
     chunk_mask = (1 << chunk_bits) - 1
-    hash_fn = simhash64_md5 if portable else simhash64
-    sig = df.select(
-        F.col(id_col).cast("long").alias("id"), hash_fn(F.col(text_col)).alias("sig")
-    )
+    sig = simhash_signatures(df, text_col, id_col, portable=portable)
     chunks = sig.select(
         "id",
         "sig",

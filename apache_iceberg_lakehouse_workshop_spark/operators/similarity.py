@@ -373,37 +373,72 @@ def knn_lsh(
     come from one equi-join on (table_id, bucket) — scored set shrinks
     ~2^n_planes/L-fold vs brute force, and the corpus never self-joins."""
 
+    # Same bucket math as hyperplane_bits (sign of the exact integer dot
+    # against /1000-rational planes), restructured as a fully NARROW
+    # two-stage aggregation: explode vectors to (id, pos, v), broadcast-
+    # join a (plane_idx, pos, w) weights table, sum per (id, plane), then
+    # sum sign-bits per (id, table). No wide 32-column aggregate (whose
+    # codegen compile alone cost seconds), no interpreted array lambdas,
+    # and the bucket shuffle carries (id, table_id, bucket) longs only —
+    # vectors never ride the LSH exchange (candidates join their vectors
+    # back by id for scoring). Row inflation is |vecs| x dim x planes of
+    # slim longs, partial-aggregated map-side before either shuffle.
+    spark = corpus.sparkSession
+    plane_rows = []
+    for t in range(n_tables):
+        planes = _fixed_planes(dim, n_planes * (t + 1))[-n_planes:]
+        for i, p in enumerate(planes):
+            for pos, x in enumerate(p):
+                plane_rows.append((t * n_planes + i, pos, int(round(x * 1000))))
+    planes_df = spark.createDataFrame(plane_rows, ["plane_idx", "pos", "w"])
+
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
-        qv = quantized(F.col(vec_col))
-        buckets = []
-        for t in range(n_tables):
-            planes = _fixed_planes(dim, n_planes * (t + 1))[-n_planes:]
-            buckets.append(
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    hyperplane_bits(qv, planes).alias("bucket"),
-                )
-            )
-        return df.select(
+        ex = df.select(
             F.col(id_col).cast("long").alias(out_id),
-            qv.alias(f"{out_id}_vec"),
-            F.explode(F.array(*buckets)).alias("tb"),
-        ).select(out_id, f"{out_id}_vec", "tb.table_id", "tb.bucket")
+            F.posexplode(quantized(F.col(vec_col))).alias("pos", "v"),
+        )
+        dots = (
+            ex.join(F.broadcast(planes_df), "pos")
+            .groupBy(out_id, "plane_idx")
+            .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+        )
+        return (
+            dots.select(
+                out_id,
+                (F.col("plane_idx") / n_planes).cast("int").alias("table_id"),
+                F.when(
+                    F.col("dot") >= 0,
+                    F.expr(f"shiftleft(1, plane_idx % {n_planes})").cast("long"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+                .alias("bit"),
+            )
+            .groupBy(out_id, "table_id")
+            .agg(F.sum("bit").alias("bucket"))
+        )
 
     c = bucketed(corpus, "cand_id")
     q = bucketed(queries, "query_id")
     cand = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "query_id_vec", "cand_id", "cand_id_vec")
+        .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "cand_id",
-        F.round(cosine_quantized(F.col("query_id_vec"), F.col("cand_id_vec")), 6).alias(
-            "cosine_sim"
-        ),
+    qvecs = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), quantized(F.col(vec_col)).alias("qvec")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).cast("long").alias("cand_id"), quantized(F.col(vec_col)).alias("cvec")
+    )
+    scored = (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(cvecs, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_quantized(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
     return (
