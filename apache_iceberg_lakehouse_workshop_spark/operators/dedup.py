@@ -114,18 +114,27 @@ def minhash_lsh_pairs(
       4. verify candidates with exact Jaccard on the shingle sets
     """
     n_bands = num_hashes // band_size
-    docs = df.select(
+    # Shingles via posexplode + window LEAD instead of the array-lambda
+    # shingles() column: per-token codegen'd string ops replace an
+    # interpreted transform(sequence, concat_ws(element_at...)) per doc
+    # (~6x at sf0.1). One shuffle on id positions the window; every
+    # downstream per-doc aggregate reuses that exchange.
+    tok = df.select(
         F.col(id_col).cast("long").alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    # Minhashes via explode -> groupBy(min): the shingle array is built
-    # ONCE and the k mins are partial-aggregated map-side. (Computing the
-    # k signatures as array_min(transform(...)) columns under the band
-    # posexplode re-evaluates the whole shingle+md5 tree per band row,
-    # interpreted, ~10x slower — and ships the shingle arrays through the
-    # LSH shuffle. Here the banded shuffle carries only hex strings.)
-    ex = docs.select("id", F.explode("shingles").alias("g"))
-    mh = ex.groupBy("id").agg(
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, shingle_n)]
+    grams = (
+        tok.select("id", F.lead("w", shingle_n - 1).over(win).alias("_last"),
+                   F.concat_ws(" ", *lead_cols).alias("g"))
+        .filter(F.col("_last").isNotNull())
+        .select("id", "g")
+    )
+    # Minhashes via groupBy(min): duplicate grams cannot change a MIN, so
+    # no distinct needed; the k mins are partial-aggregated map-side and
+    # the banded shuffle carries only hex strings.
+    mh = grams.groupBy("id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("g")))).alias(f"h{i}")
             for i in range(num_hashes)
@@ -157,11 +166,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Verify the (few) candidates with exact Jaccard: join the shingle
-    # sets back by id — candidates << corpus, so these are narrow
+    # Verify the (few) candidates with exact Jaccard: join the distinct
+    # shingle sets back by id — candidates << corpus, so these are narrow
     # hash-join probes, and shingle arrays never enter the LSH shuffle.
-    sh_a = docs.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = docs.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sets = grams.groupBy("id").agg(F.collect_set("g").alias("shingles"))
+    sh_a = sets.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sets.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")

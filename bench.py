@@ -49,7 +49,9 @@ BENCH_QUERIES = [
     "m1_medallion_gold",   # view-stack pipeline
     "t1_token_stats",      # text analysis (codegen string ops)
     "d1_exact_dup_groups", # content-hash dedup
+    "d2_minhash_lsh_pairs",# MinHash-LSH near-dup (bucketed candidate join)
     "s1_knn_bruteforce",   # ANN brute force
+    "j13_asof_join",       # as-of join (union + single-window merge plan)
     "e1_daily_event_rollup",
     "e3_session_rollup",   # dynamic session windows (sort-heavy stateful shape)
 ]
