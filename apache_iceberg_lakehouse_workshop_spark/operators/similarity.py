@@ -188,16 +188,28 @@ def embedding_neardup_pairs(
     # The scale path is LSH bucketing.
     if partitions is None:
         partitions = max(2, corpus.sparkSession.sparkContext.defaultParallelism // 8)
+    # Per-vector norms hoisted OUT of the pair loop: int_dot(v,v) is
+    # computed once per vector (n interpreted aggregates) instead of
+    # twice per pair (n^2) — the remaining per-pair work is the single
+    # cross dot. Same exact integer arithmetic, same results.
     v = corpus.select(
         F.col(id_col).cast("long").alias("id"), quantized(F.col(vec_col)).alias("v")
-    ).coalesce(partitions)
+    )
+    v = v.select("id", "v", int_dot(F.col("v"), F.col("v")).alias("n2")).coalesce(
+        partitions
+    )
     a, b = v.alias("a"), v.alias("b")
+    dot = int_dot(F.col("a.v"), F.col("b.v")).cast("double")
+    cos = F.when(
+        (F.col("a.n2") > 0) & (F.col("b.n2") > 0),
+        dot / F.sqrt(F.col("a.n2").cast("double") * F.col("b.n2").cast("double")),
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("vec_a"),
             F.col("b.id").alias("vec_b"),
-            F.round(cosine_quantized(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            F.round(cos, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
