@@ -1,0 +1,108 @@
+"""Deterministic sampling & dataset splitting for training-data pipelines.
+
+Not in the reference SQL surface (north-star extension, same family as the
+dedup/similarity operators): corpus curation needs *reproducible* sampling
+— re-running the pipeline, on any cluster layout, must select the same
+rows, and adding data must not reshuffle previous selections. Spark's
+``df.sample``/``sampleBy`` are seed-stable only for a fixed partitioning,
+which a 1000-executor re-run does not guarantee.
+
+The portable primitive: a row's sampling coordinate is the first 8 hex
+chars of ``md5(seed | key...)`` — a uniform 32-bit value compared against
+a hex threshold ``floor(rate * 16^8)``. Pure string ops on a hash both
+engines (and any SQL dialect with md5) compute identically; membership is
+a pure function of (seed, key), independent of partitioning, ordering, or
+engine. Everything is JVM-side codegen — no UDFs, no RNG state.
+
+Keyed-hash sampling is also the idiom's scale story: no shuffle at all
+(map-only filter), and consistent across tables — sampling two tables by
+the same join key yields co-sampled rows (the classic "sample users, keep
+all their events" trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sample_coord", "deterministic_sample", "stratified_sample", "assign_split"]
+
+_SPACE = 1 << 32  # 8 hex chars
+
+
+def _threshold_hex(rate: float) -> str:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(_SPACE, int(rate * _SPACE)), "08x")
+
+
+def sample_coord(key_cols: list[str], seed: str = "smp") -> Column:
+    """The row's deterministic sampling coordinate: 8 lowercase hex chars,
+    uniform over the key space."""
+    parts = [F.col(c).cast("string") for c in key_cols]
+    return F.substring(F.md5(F.concat_ws("|", F.lit(seed), *parts)), 1, 8)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_cols: list[str], seed: str = "smp"
+) -> DataFrame:
+    """Keep ~``rate`` of rows, reproducibly (membership is a pure function
+    of seed + key, never of partitioning)."""
+    return df.filter(sample_coord(key_cols, seed) < F.lit(_threshold_hex(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_cols: list[str],
+    seed: str = "smp",
+) -> DataFrame:
+    """Per-stratum rates (e.g. downsample dominant languages, keep rare
+    ones whole). Strata absent from ``rates`` are dropped."""
+    coord = sample_coord(key_cols, seed)
+    keep = F.lit(False)
+    for stratum, rate in sorted(rates.items()):
+        keep = keep | (
+            (F.col(strata_col) == F.lit(stratum)) & (coord < F.lit(_threshold_hex(rate)))
+        )
+    return df.filter(keep)
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, upper-threshold-hex) per split in sorted-name order; the last
+    split's threshold is None (catch-all). Shared by the Column form and
+    any SQL oracle so both sides use bit-identical boundaries."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    items = sorted(weights.items())
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    for name, w in items[:-1]:
+        acc += w
+        out.append((name, _threshold_hex(acc)))
+    out.append((items[-1][0], None))
+    return out
+
+
+def assign_split(
+    key_cols: list[str],
+    weights: dict[str, float],
+    seed: str = "split",
+) -> Column:
+    """Label each row 'train'/'val'/'test' (any names) by contiguous hash
+    ranges sized by ``weights`` (must sum to ~1). Deterministic, disjoint,
+    exhaustive — the standard leakage-safe split: key the hash on the
+    GROUPING entity (user id, document id) so all of an entity's rows land
+    in the same split."""
+    coord = sample_coord(key_cols, seed)
+    expr = None
+    for name, thr in split_thresholds(weights):
+        if thr is None:
+            return (F.lit(name) if expr is None else expr.otherwise(F.lit(name))).alias(
+                "split"
+            )
+        cond = coord < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    raise AssertionError("unreachable")

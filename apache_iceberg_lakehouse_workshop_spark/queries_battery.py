@@ -231,6 +231,23 @@ db_neardup_battery = _register_battery(
     ],
 )
 
+tb_sample_battery = _register_battery(
+    "tb_sample_battery",
+    "T5+T6 reproducible data curation: deterministic stratified sampling "
+    "(per-stratum md5-hash-threshold membership) and leakage-safe "
+    "train/val/test splitting by entity-keyed hash ranges. Map-only, "
+    "shuffle-free, engine-portable — the oracle recomputes identical "
+    "coordinates and thresholds in DuckDB.",
+    [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar")],
+    [
+        ("t5_stratified_sample", "t5_stratified_sample",
+         {"l_orderkey": "k1", "l_linenumber": "k2", "l_returnflag": "s1",
+          "coord": "s2"}),
+        ("t6_train_val_test", "t6_train_val_test",
+         {"o_orderkey": "k1", "o_custkey": "k2", "split": "s1"}),
+    ],
+)
+
 wb_window_battery = _register_battery(
     "wb_window_battery",
     "W2+W3 window frames: 7-day ROWS-frame rolling revenue and LEAD "
@@ -344,6 +361,8 @@ ABSORBED = {
     "d2_minhash_lsh_pairs": "db_neardup_battery",
     "d3_ngram_jaccard_pairs": "db_neardup_battery",
     "d5_dup_clusters": "db_neardup_battery",
+    "t5_stratified_sample": "tb_sample_battery",
+    "t6_train_val_test": "tb_sample_battery",
     "j11_full_outer": "j11_outer_cross",
     "j12_cross_join": "j11_outer_cross",
     "a4_conditional_sum": "ab_conditional_battery",

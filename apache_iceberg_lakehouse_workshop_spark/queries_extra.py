@@ -472,3 +472,83 @@ def a18_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
     )
+
+
+# ---------------------------------------------------------------- sampling
+
+from .operators.sampling import (  # noqa: E402
+    _threshold_hex,
+    assign_split,
+    sample_coord,
+    split_thresholds,
+    stratified_sample,
+)
+
+_SAMPLE_RATES = {"A": 0.15, "N": 0.6, "R": 0.35}
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _stratified_oracle() -> str:
+    arms = " OR ".join(
+        f"(l_returnflag = '{s}' AND coord < '{_threshold_hex(r)}')"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""WITH c AS (
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                l_returnflag,
+                substring(md5('smp' || '|' || CAST(l_orderkey AS VARCHAR)
+                              || '|' || CAST(l_linenumber AS VARCHAR)), 1, 8)
+                    AS coord
+         FROM lineitem)
+       SELECT l_orderkey, l_linenumber, l_returnflag, coord
+       FROM c WHERE {arms}"""
+
+
+def _split_oracle() -> str:
+    case = "CASE"
+    for name, thr in split_thresholds(_SPLIT_WEIGHTS):
+        if thr is None:
+            case += f" ELSE '{name}' END"
+        else:
+            case += f" WHEN coord < '{thr}' THEN '{name}'"
+    return f"""WITH c AS (
+         SELECT o_orderkey, o_custkey,
+                substring(md5('split' || '|' || CAST(o_custkey AS VARCHAR)), 1, 8)
+                    AS coord
+         FROM orders)
+       SELECT o_orderkey, o_custkey, {case} AS split FROM c"""
+
+
+@q(
+    "t5_stratified_sample",
+    _stratified_oracle(),
+    "T5 deterministic stratified sampling (north-star extension): keep "
+    "15%/60%/35% per l_returnflag stratum, membership a pure function of "
+    "md5(seed|key) — reproducible across runs, partitionings, and engines "
+    "(the oracle recomputes the identical coordinate in DuckDB). Map-only, "
+    "no shuffle, no RNG state; operators/sampling.py.",
+)
+def t5_stratified_sample(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber"]
+    return stratified_sample(li, "l_returnflag", _SAMPLE_RATES, keys).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+        sample_coord(keys).alias("coord"),
+    )
+
+
+@q(
+    "t6_train_val_test",
+    _split_oracle(),
+    "T6 leakage-safe train/val/test assignment (north-star extension): "
+    "80/10/10 by contiguous hash ranges keyed on o_custkey — the GROUPING "
+    "entity, so every order of a customer lands in one split; disjoint, "
+    "exhaustive, engine-portable (shared threshold table with the oracle).",
+)
+def t6_train_val_test(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_custkey", assign_split(["o_custkey"], _SPLIT_WEIGHTS)
+    )

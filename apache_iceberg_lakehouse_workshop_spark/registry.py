@@ -45,7 +45,8 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
     "M medallion pipeline": ["m1_medallion_gold"],
     "E event analytics": ["e1_daily_event_rollup", "e2_sessionized_purchases",
                           "e3_session_rollup"],
-    "T text analysis": ["t1_token_stats", "t2_lang_quality"],
+    "T text analysis / curation": ["t1_token_stats", "t2_lang_quality",
+                                   "tb_sample_battery"],
     "D deduplication": ["d1_exact_dup_groups", "db_neardup_battery",
                         "d4_simhash_neardup"],
     "S similarity search": ["s1_knn_bruteforce", "s2_embedding_neardup",

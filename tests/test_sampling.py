@@ -1,0 +1,79 @@
+"""operators/sampling.py — deterministic sampling & splitting contracts.
+
+The registry battery (tb_sample_battery) pins exact membership against
+DuckDB; these tests pin the CONTRACTS: partitioning-independence, rate
+accuracy, split disjointness/exhaustiveness, and entity-level consistency
+(the leakage-safety property).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.operators.sampling import (
+    assign_split,
+    deterministic_sample,
+    split_thresholds,
+    stratified_sample,
+)
+from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+
+def test_sample_is_partitioning_independent(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber"]
+    a = deterministic_sample(li, 0.3, keys)
+    b = deterministic_sample(li.repartition(17, "l_partkey"), 0.3, keys)
+    ka = {(r["l_orderkey"], r["l_linenumber"]) for r in a.select(*keys).collect()}
+    kb = {(r["l_orderkey"], r["l_linenumber"]) for r in b.select(*keys).collect()}
+    assert ka == kb and ka
+
+
+def test_sample_rate_accuracy(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    got = deterministic_sample(li, 0.25, ["l_orderkey", "l_linenumber"]).count()
+    assert abs(got / n - 0.25) < 0.02  # ~6k rows at sf0.001 -> tight
+
+
+def test_stratified_rates_and_drop(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rates = {"A": 0.1, "R": 0.9}  # N absent -> dropped entirely
+    out = stratified_sample(li, "l_returnflag", rates, ["l_orderkey", "l_linenumber"])
+    by_flag = {r["l_returnflag"]: r["n"] for r in
+               out.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()}
+    totals = {r["l_returnflag"]: r["n"] for r in
+              li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()}
+    assert "N" not in by_flag
+    assert abs(by_flag["A"] / totals["A"] - 0.1) < 0.04
+    assert abs(by_flag["R"] / totals["R"] - 0.9) < 0.04
+
+
+def test_split_disjoint_exhaustive_entity_consistent(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = o.select("o_orderkey", "o_custkey",
+                   assign_split(["o_custkey"], {"train": 0.8, "val": 0.1, "test": 0.1}))
+    n = o.count()
+    assert out.count() == n                                   # exhaustive
+    assert out.filter(F.col("split").isNull()).count() == 0
+    # every customer maps to exactly one split (leakage safety)
+    assert (out.groupBy("o_custkey")
+               .agg(F.countDistinct("split").alias("k"))
+               .filter("k > 1").count() == 0)
+    shares = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(shares) == {"train", "val", "test"}
+    # shares follow weights loosely (entity-level split over ~1k customers)
+    assert shares["train"] / n > 0.6
+
+
+def test_split_weights_must_sum_to_one():
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_thresholds({"train": 0.8, "val": 0.1})
+
+
+def test_bad_rate_raises(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="rate"):
+        deterministic_sample(li, 1.5, ["l_orderkey"])
