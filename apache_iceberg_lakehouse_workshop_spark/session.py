@@ -35,6 +35,13 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # --- broadcast: dims up to 64 MB broadcast instead of shuffling the fact.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # --- runtime row-group pruning on the fact side of selective joins:
+    # inject a bloom filter built from the dim side's join keys so the
+    # fact scan skips non-matching row groups before the shuffle. At
+    # 100 TB this is the difference between scanning the full fact table
+    # and scanning only the joined slice. (No-op when stats say it won't
+    # pay; creation thresholds are the Spark defaults.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # --- scans: 128 MB split target keeps partitions executor-memory-friendly.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # --- Arrow for pandas_udf / toPandas boundaries (AI + multimodal ops).
