@@ -231,6 +231,27 @@ db_neardup_battery = _register_battery(
     ],
 )
 
+eb_event_battery = _register_battery(
+    "eb_event_battery",
+    "E1/E2/E3 event analytics in one verified battery: daily rollup "
+    "(count/distinct-users/value), per-user purchase sessionization "
+    "(spend + first/last day), and dynamic session windows (30-min gap "
+    "session_window vs the gaps-and-islands SQL twin).",
+    [("k1", "bigint"), ("s1", "varchar"), ("t1", "timestamp"),
+     ("t2", "timestamp"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
+    [
+        ("e1_daily_rollup", "e1_daily_event_rollup",
+         {"event_date": "t1", "event_type": "s1", "n_events": "n1",
+          "n_users": "n2", "total_value": "v1"}),
+        ("e2_sessionized", "e2_sessionized_purchases",
+         {"user_id": "k1", "n_purchases": "n1", "spend": "v1",
+          "first_day": "t1", "last_day": "t2"}),
+        ("e3_session_windows", "e3_session_rollup",
+         {"user_id": "k1", "session_start": "t1", "n_events": "n1",
+          "total_value": "v1"}),
+    ],
+)
+
 tb_sample_battery = _register_battery(
     "tb_sample_battery",
     "T5+T6 reproducible data curation: deterministic stratified sampling "
@@ -363,6 +384,9 @@ ABSORBED = {
     "d5_dup_clusters": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
+    "e1_daily_event_rollup": "eb_event_battery",
+    "e2_sessionized_purchases": "eb_event_battery",
+    "e3_session_rollup": "eb_event_battery",
     "j11_full_outer": "j11_outer_cross",
     "j12_cross_join": "j11_outer_cross",
     "a4_conditional_sum": "ab_conditional_battery",

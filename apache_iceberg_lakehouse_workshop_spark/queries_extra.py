@@ -552,3 +552,60 @@ def t6_train_val_test(spark, sf_dir):
     return o.select(
         "o_orderkey", "o_custkey", assign_split(["o_custkey"], _SPLIT_WEIGHTS)
     )
+
+
+# ---------------------------------------------------------------- skew ops
+
+from .operators.skew import salted_join, two_phase_agg  # noqa: E402
+
+
+@q(
+    "sk1_salted_join",
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY o_orderpriority""",
+    "SK1 salted join (SURVEY §4 R5 skew lever): lineitem x orders with the "
+    "fact side's hot keys spread across 16 deterministic salt buckets and "
+    "the dim side replicated per salt — result must equal the plain join "
+    "row-for-row, which the oracle states as the UNSALTED join. Verifies "
+    "the operator's equivalence contract under the driver's value hash.",
+)
+def sk1_salted_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"), o,
+                         key="o_orderkey", salt_buckets=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        _dsum2("l_quantity").alias("sum_qty"),
+    )
+
+
+@q(
+    "sk2_two_phase_agg",
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY event_type""",
+    "SK2 two-phase (salted partial -> final) aggregation: decomposable "
+    "aggregates partial-agg on (key, salt) then combine on key, so no task "
+    "ever owns a whole hot group. Oracle is the plain one-phase GROUP BY — "
+    "the equivalence contract, exact via scaled-decimal money sums.",
+)
+def sk2_two_phase_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return two_phase_agg(
+        e,
+        ["event_type"],
+        {
+            "n_events": (F.count("*").cast("long"), "sum"),
+            "total_dec": (F.sum(_dec("value")), "sum"),
+        },
+        salt_buckets=16,
+    ).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_dec").cast("double").alias("total_value"),
+    )

@@ -43,8 +43,8 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
     "Q quality audits": ["q1_null_audit", "qb_audit_battery",
                          "q7_reconciliation", "q8_kpi_null_checks"],
     "M medallion pipeline": ["m1_medallion_gold"],
-    "E event analytics": ["e1_daily_event_rollup", "e2_sessionized_purchases",
-                          "e3_session_rollup"],
+    "E event analytics": ["eb_event_battery"],
+    "SK skew handling": ["sk1_salted_join", "sk2_two_phase_agg"],
     "T text analysis / curation": ["t1_token_stats", "t2_lang_quality",
                                    "tb_sample_battery"],
     "D deduplication": ["d1_exact_dup_groups", "db_neardup_battery",
