@@ -573,10 +573,13 @@ from .operators.skew import salted_join, two_phase_agg  # noqa: E402
     "the operator's equivalence contract under the driver's value hash.",
 )
 def sk1_salted_join(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
+    # project the fact to (key, measure) BEFORE salting: the salt hash and
+    # the salted shuffle then touch two columns, not the full row
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_linenumber"
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"), o,
-                         key="o_orderkey", salt_buckets=16)
+    joined = salted_join(li, o, key="o_orderkey", salt_buckets=16)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_lines"),
         _dsum2("l_quantity").alias("sum_qty"),
