@@ -3,6 +3,7 @@
 from .pipeline import (  # noqa: F401
     read_event_stream,
     session_rollup,
+    stream_asof_enrich,
     stream_dedup,
     stream_to_table,
     tumbling_rollup,

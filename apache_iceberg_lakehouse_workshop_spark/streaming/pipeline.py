@@ -222,3 +222,42 @@ def stream_to_table(stream_df: DataFrame, lake_table, checkpoint_dir: str, trigg
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_asof_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    sink,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    **asof_kwargs,
+):
+    """Enrich a stream with the nearest prior fact from a static or
+    slowly-changing dimension — the streaming twin of
+    :func:`~apache_iceberg_lakehouse_workshop_spark.operators.asof.asof_join`.
+
+    Window functions cannot run on an unbounded stream, so the as-of is
+    applied per micro-batch via ``foreachBatch``: each batch joins against
+    the (bounded) dimension with the exact batch operator. Enrichment is a
+    pure per-row function of (row, dim), so the drained result equals the
+    one-shot batch as-of regardless of micro-batch boundaries — pinned by
+    the batch-twin test. ``sink(enriched_df, batch_id)`` owns the write
+    (compose with :func:`append_stream_batch` for the exactly-once table
+    sink). For a dimension that itself updates, re-read it inside ``sink``
+    scheduling or restart the query on dim refresh — the per-batch join
+    always sees the dimension as of batch start.
+    """
+    from ..operators.asof import asof_join
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(asof_join(batch_df, dim_df, on, left_ts, right_ts, **asof_kwargs), batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -194,3 +194,44 @@ def test_stream_batch_replay_is_exactly_once(spark, tmp_path):
     # a different checkpoint (independent stream) is not deduped
     assert append_stream_batch(t, str(tmp_path / "ckpt2"), batch, batch_id=0) is True
     assert t.read().count() == 6
+
+
+def test_stream_asof_enrich_matches_batch_twin(spark, events_dir, tmp_path):
+    """Micro-batched as-of enrichment against a static dim must equal the
+    one-shot batch asof_join over the drained input, independent of batch
+    boundaries (maxFilesPerTrigger=1 forces multiple micro-batches)."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.asof import asof_join
+    from apache_iceberg_lakehouse_workshop_spark.streaming import stream_asof_enrich
+
+    # slowly-changing per-user tier: user 1 upgrades mid-day-1
+    dim = spark.createDataFrame(
+        [
+            (1, "2025-08-01 00:00:00", "bronze"),
+            (1, "2025-08-01 10:03:00", "gold"),
+            (2, "2025-08-01 00:00:00", "silver"),
+            # user 3 has no tier row before their event -> NULL tier
+            (3, "2025-08-02 23:00:00", "bronze"),
+        ],
+        ["user_id", "tier_ts", "tier"],
+    ).withColumn("tier_ts", F.to_timestamp("tier_ts"))
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    stream = stream.withColumn("ts", F.to_timestamp("ts"))
+    collected = []
+    q = stream_asof_enrich(
+        stream, dim, ["user_id"], "ts", "tier_ts",
+        sink=lambda df, bid: collected.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt_asof"),
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.schema(stream.schema).json(events_dir).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    want = asof_join(batch, dim, ["user_id"], "ts", "tier_ts").collect()
+    key = lambda r: (r["event_id"], r["value"], r["tier_ts"], r["tier"])
+    assert sorted(map(key, collected)) == sorted(map(key, want))
+    by_event = {r["event_id"]: r["tier"] for r in collected}
+    assert by_event[1] == "bronze"   # before the upgrade
+    assert by_event[2] == "gold"     # after 10:03 upgrade
+    assert by_event[4] is None       # user 3's tier starts later
