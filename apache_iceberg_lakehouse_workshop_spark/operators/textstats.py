@@ -14,7 +14,7 @@ shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -230,3 +230,61 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         fingerprint(c).alias("fingerprint"),
         rolling_fingerprint(c).alias("rolling_fp"),
     )
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fp) winnowing fingerprint ROWS — the scale form of
+    :func:`winnow_fingerprints`, identical selection (same k-gram hashes,
+    same window mins, distinct), built relationally:
+
+    characters posexplode once, the k-gram Rabin-Karp hash becomes a sum
+    of ``LEAD(c, j) * (base^(k-1-j) mod M)`` terms with one final pmod
+    (congruent to the iterated fold, and every partial sum fits int64),
+    and the w-window minimum is ``MIN(h) OVER (rows 0..w-1)``. One
+    exchange on the doc id; the three window passes reuse its sort; every
+    expression is whole-stage codegen. The array-lambda column form
+    re-evaluates the whole k-gram array inside each window slice — O(n²k)
+    interpreted per doc, ~100x slower on 300-char docs — keep it for
+    ad-hoc column use on short strings only.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    s = F.concat_ws(" ", tokens(F.col(text_col)))
+    chars = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.split(s, "")).alias("pos", "ch")
+    ).select("id", "pos", F.ascii("ch").cast("long").alias("c"))
+
+    win = Window.partitionBy("id").orderBy("pos")
+    acc = None
+    for j in range(k):
+        cj = F.col("c") if j == 0 else F.lead("c", j).over(win)
+        term = cj * F.lit(pow(_RH1_BASE, k - 1 - j, _RH1_MOD))
+        acc = term if acc is None else acc + term
+    kg = (
+        chars.select(
+            "id",
+            "pos",
+            F.pmod(acc, F.lit(_RH1_MOD)).alias("h"),
+            (F.lead("c", k - 1).over(win).isNotNull() if k > 1 else F.lit(True)).alias(
+                "full"
+            ),
+        )
+        .filter("full")
+    )
+    wmin = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    wcnt = Window.partitionBy("id")
+    mins = kg.select(
+        "id",
+        F.min("h").over(wmin).alias("fp"),
+        F.count("*").over(wcnt).alias("m"),
+        F.row_number().over(win.orderBy("pos")).alias("rn"),
+    )
+    full_windows = F.col("rn") <= F.col("m") - (w - 1)
+    degenerate = (F.col("m") < w) & (F.col("rn") == 1)
+    return mins.filter(full_windows | degenerate).select("id", "fp").distinct()

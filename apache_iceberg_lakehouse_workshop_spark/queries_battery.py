@@ -228,6 +228,8 @@ db_neardup_battery = _register_battery(
         ("d5_dup_clusters", "d5_dup_clusters",
          {"doc_id": "k1", "cluster_rep": "k2", "cluster_size": "n1",
           "is_canonical": "n2"}),
+        ("t7_winnow_overlap", "t7_winnow_overlap",
+         {"doc_a": "k1", "doc_b": "k2", "n_shared": "n1"}),
     ],
 )
 
@@ -382,6 +384,7 @@ ABSORBED = {
     "d2_minhash_lsh_pairs": "db_neardup_battery",
     "d3_ngram_jaccard_pairs": "db_neardup_battery",
     "d5_dup_clusters": "db_neardup_battery",
+    "t7_winnow_overlap": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",

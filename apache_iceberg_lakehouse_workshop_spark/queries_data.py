@@ -794,3 +794,70 @@ def _d2_pairs_cached(spark, sf_dir):
 
     d2 = next(q_.fn for q_ in QUERIES if q_.name == "d2_minhash_lsh_pairs")
     return d2(spark, sf_dir)
+
+
+@q(
+    "t7_winnow_overlap",
+    f"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+       chim AS (SELECT a.doc_id + 200000 AS doc_id,
+                       substring(a.text, 1, 150) || ' ' || substring(b.text, 1, 150) AS text
+                FROM base a JOIN base b ON b.doc_id = a.doc_id + 20
+                WHERE a.doc_id < 10),
+       corpus AS (SELECT * FROM base UNION ALL SELECT * FROM chim),
+       norm AS (SELECT doc_id,
+                       list_transform(string_split_regex(array_to_string({_TOKS}, ' '), ''),
+                                      c -> CAST(unicode(c) AS BIGINT)) AS cp
+                FROM corpus),
+       kg AS (SELECT doc_id,
+                     CASE WHEN len(cp) >= 12 THEN
+                       list_transform(range(1, len(cp) - 10), i ->
+                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                                  list_slice(cp, i, i + 11)),
+                                     (acc, x) -> (acc * 257 + x) % 2147483647))
+                     ELSE CAST([] AS BIGINT[]) END AS kgh
+              FROM norm),
+       mins AS (SELECT doc_id,
+                     CASE WHEN len(kgh) >= 8 THEN
+                       list_transform(range(1, len(kgh) - 6), j ->
+                                      list_min(list_slice(kgh, j, j + 7)))
+                     WHEN len(kgh) > 0 THEN [list_min(kgh)]
+                     ELSE CAST([] AS BIGINT[]) END AS m
+              FROM kg),
+       fps AS (SELECT DISTINCT doc_id, unnest(m) AS fp FROM mins)
+       SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+              CAST(b.doc_id AS BIGINT) AS doc_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING COUNT(*) >= 3""",
+    "T7 winnowing partial-overlap pairs (MOSS fingerprinting): every "
+    "k=12-gram Rabin-Karp hash, min per w=8 sliding window, pairs sharing "
+    ">= 3 fingerprints via equi-join on fingerprint — local-similarity "
+    "complement to whole-doc dedup, no all-pairs comparison. Chimera docs "
+    "(first 150 chars of two sources spliced) are injected so true partial "
+    "overlaps exist deterministically; the winnowing guarantee makes them "
+    "discoverable (shared substring >= k+w-1 chars -> shared fingerprint).",
+)
+def t7_winnow_overlap(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    a = base.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("i"), F.substring("text", 1, 150).alias("ta")
+    )
+    b = base.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30)).select(
+        (F.col("doc_id") - 20).alias("i"), F.substring("text", 1, 150).alias("tb")
+    )
+    chim = a.join(b, "i").select(
+        (F.col("i") + 200000).alias("doc_id"),
+        F.concat(F.col("ta"), F.lit(" "), F.col("tb")).alias("text"),
+    )
+    corpus = base.unionByName(chim)
+    fps = TS.winnow_fingerprint_rows(corpus, k=12, w=8).select(
+        F.col("id").cast("long").alias("doc_id"), "fp"
+    )
+    fa, fb = fps.alias("a"), fps.alias("b")
+    return (
+        fa.join(fb, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )

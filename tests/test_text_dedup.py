@@ -230,3 +230,29 @@ def test_duplicate_clusters_diameter_guard(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(pairs, max_iter=2)
+
+
+def test_winnow_rows_match_column_form(spark, sf_dir):
+    """winnow_fingerprint_rows (relational scale form) selects EXACTLY the
+    fingerprints of the array-lambda column form, per doc, on real docs
+    and on degenerate short strings."""
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+    # truncate: the column form is O(n^2 k) interpreted (why the row form
+    # exists) — 120 chars keeps the parity check meaningful and fast
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 12).select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    extra = spark.createDataFrame(
+        [(9001, "tiny"), (9002, "ab"), (9003, "exactly five"), (9004, "")],
+        ["doc_id", "text"],
+    )
+    corpus = docs.unionByName(extra)
+    for k, w in ((5, 4), (12, 8)):
+        col_form = corpus.select(
+            "doc_id", F.explode(TS.winnow_fingerprints(F.col("text"), k=k, w=w)).alias("fp")
+        )
+        row_form = TS.winnow_fingerprint_rows(corpus, k=k, w=w)
+        want = {(r["doc_id"], r["fp"]) for r in col_form.collect()}
+        got = {(r["id"], r["fp"]) for r in row_form.collect()}
+        assert got == want, (k, w)
