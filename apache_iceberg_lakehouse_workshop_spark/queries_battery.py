@@ -305,7 +305,9 @@ fb_scalar_battery = _register_battery(
     "fb_scalar_battery",
     "Scalar function battery 1 — string family (UPPER/TRIM/||/SUBSTR/"
     "REPLACE/LENGTH/REGEXP), conditional family (CASE/COALESCE/NULLIF), "
-    "conversion family (CAST DECIMAL money / BIGINT) "
+    "conversion family (CAST DECIMAL money / BIGINT), JSON family "
+    "(JSONPath extract / validity over events.props — engine extension, "
+    "reference has no JSON functions) "
     "(retail.sql:96-187; manufacturing.sql:116-131; "
     "semantic_example.sql:112-150).",
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar"),
@@ -319,6 +321,9 @@ fb_scalar_battery = _register_battery(
          {"c_custkey": "k1", "seg_code": "s1", "bal_band": "s2", "seg_clean": "s3"}),
         ("f_cast_decimal_money", "f_cast_decimal_money",
          {"l_orderkey": "k1", "l_linenumber": "k2", "net_price": "v1", "qty_int": "n1"}),
+        ("f_json_funcs", "f_json_funcs",
+         {"event_id": "k1", "k_str": "s1", "k_num": "n1", "is_valid": "n2",
+          "k_high": "k2"}),
     ],
 )
 
@@ -411,6 +416,7 @@ ABSORBED = {
     "f_string_funcs": "fb_scalar_battery",
     "f_conditional_funcs": "fb_scalar_battery",
     "f_cast_decimal_money": "fb_scalar_battery",
+    "f_json_funcs": "fb_scalar_battery",
     "f_datetime_funcs": "fb_temporal_battery",
     "f_array_funcs": "fb_temporal_battery",
     "q2_out_of_range": "qb_audit_battery",

@@ -612,3 +612,32 @@ def sk2_two_phase_agg(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_dec").cast("double").alias("total_value"),
     )
+
+
+@q(
+    "f_json_funcs",
+    """SELECT event_id,
+              json_extract_string(props, '$.k') AS k_str,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+              CAST(json_valid(props) AS BIGINT) AS is_valid,
+              CAST(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                        THEN 1 ELSE 0 END AS BIGINT) AS k_high
+       FROM events WHERE event_id < 2000""",
+    "F-JSON scalar family (engine extension; SURVEY §2.8 notes the "
+    "reference has no JSON functions, but semi-structured props columns "
+    "are standard event-pipeline surface): string/number extraction by "
+    "JSONPath, validity flag, derived predicate — Spark get_json_object/"
+    "from_json vs DuckDB json_extract, all JVM-side codegen.",
+)
+def f_json_funcs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k_num = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_num.alias("k_num"),
+        # props rows are either valid JSON objects or not parseable at all:
+        # from_json yields a null struct exactly when parsing fails
+        F.from_json("props", "k LONG").isNotNull().cast("long").alias("is_valid"),
+        F.when(k_num > 50, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("k_high"),
+    )
