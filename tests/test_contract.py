@@ -65,3 +65,20 @@ def test_all_queries_run_sf0001(spark, sf_dir):
         n = df.count()
         assert n >= 0, name
         assert len(df.columns) > 0, name
+
+
+def test_no_python_udf_outside_ai_multimodal(spark, sf_dir):
+    """Scale invariant: every relational/text/dedup/similarity query plan
+    stays JVM-side — BatchEvalPython/ArrowEvalPython may appear ONLY in
+    the AI and multimodal families (Arrow pandas_udfs by design) and the
+    Arrow KNN fast path. A Python node sneaking into any other plan is a
+    100x-at-scale regression the oracle cannot see."""
+    allowed_prefixes = ("ai", "mm", "s1")
+    for name, query in registry().items():
+        if name.startswith(allowed_prefixes):
+            continue
+        df = query.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
