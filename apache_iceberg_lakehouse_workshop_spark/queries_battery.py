@@ -256,18 +256,23 @@ eb_event_battery = _register_battery(
 
 tb_sample_battery = _register_battery(
     "tb_sample_battery",
-    "T5+T6 reproducible data curation: deterministic stratified sampling "
-    "(per-stratum md5-hash-threshold membership) and leakage-safe "
-    "train/val/test splitting by entity-keyed hash ranges. Map-only, "
-    "shuffle-free, engine-portable — the oracle recomputes identical "
-    "coordinates and thresholds in DuckDB.",
-    [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar")],
+    "T5+T6+T8 reproducible data curation: deterministic stratified "
+    "sampling (per-stratum md5-hash-threshold membership), leakage-safe "
+    "train/val/test splitting by entity-keyed hash ranges, and corpus "
+    "vocabulary statistics (top-k term/doc frequency). Sampling/splits are "
+    "map-only and shuffle-free; vocab is partial-aggregated counts + "
+    "TakeOrderedAndProject — all engine-portable, the oracle recomputes "
+    "identical coordinates, thresholds, and rankings in DuckDB.",
+    [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar"),
+     ("n1", "bigint"), ("n2", "bigint")],
     [
         ("t5_stratified_sample", "t5_stratified_sample",
          {"l_orderkey": "k1", "l_linenumber": "k2", "l_returnflag": "s1",
           "coord": "s2"}),
         ("t6_train_val_test", "t6_train_val_test",
          {"o_orderkey": "k1", "o_custkey": "k2", "split": "s1"}),
+        ("t8_vocab_topk", "t8_vocab_topk",
+         {"rank": "k1", "token": "s1", "term_freq": "n1", "doc_freq": "n2"}),
     ],
 )
 
@@ -392,6 +397,7 @@ ABSORBED = {
     "t7_winnow_overlap": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
+    "t8_vocab_topk": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",
     "e2_sessionized_purchases": "eb_event_battery",
     "e3_session_rollup": "eb_event_battery",

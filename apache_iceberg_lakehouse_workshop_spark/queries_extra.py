@@ -641,3 +641,47 @@ def f_json_funcs(spark, sf_dir):
         F.from_json("props", "k LONG").isNotNull().cast("long").alias("is_valid"),
         F.when(k_num > 50, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("k_high"),
     )
+
+
+# DuckDB twin of operators.textstats.tokens over the documents.text column
+# (same normalization contract as queries_data._TOKS)
+_TOKS_DOC = (
+    "list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace("
+    "lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+@q(
+    "t8_vocab_topk",
+    f"""WITH tok AS (SELECT doc_id, unnest({_TOKS_DOC}) AS w FROM documents),
+       tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS term_freq,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+              FROM tok GROUP BY w)
+       SELECT CAST(row_number() OVER (ORDER BY term_freq DESC, w ASC) AS BIGINT)
+                  AS rank,
+              w AS token, term_freq, doc_freq
+       FROM tf ORDER BY term_freq DESC, w ASC LIMIT 50""",
+    "T8 corpus vocabulary statistics (engine extension): top-50 tokens by "
+    "term frequency with document frequency — the standard corpus-analysis "
+    "pass before vocab/tokenizer decisions. Explode -> partial-aggregated "
+    "count (map-side combine) -> global top-k via TakeOrderedAndProject; "
+    "ties broken lexicographically so the ranking is total and the value "
+    "hash pins it.",
+)
+def t8_vocab_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TS.tokens(F.col("text"))).alias("w"))
+    tf = tok.groupBy("w").agg(
+        F.count("*").cast("long").alias("term_freq"),
+        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+    )
+    top = tf.orderBy(F.desc("term_freq"), F.asc("w")).limit(50)
+    w = Window.orderBy(F.desc("term_freq"), F.asc("w"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("w").alias("token"),
+        "term_freq",
+        "doc_freq",
+    )
