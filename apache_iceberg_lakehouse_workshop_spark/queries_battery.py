@@ -140,6 +140,9 @@ jb_join_battery = _register_battery(
          {"purchase_id": "k1", "prior_event_id": "k2", "user_id": "n1",
           "purchase_ts": "t1", "prior_ts": "t2", "prior_type": "s1",
           "purchase_value": "v1", "prior_value": "v2"}),
+        ("j14_asof_forward", "j14_asof_forward",
+         {"purchase_id": "k1", "next_err_id": "k2", "user_id": "n1",
+          "purchase_ts": "t1", "next_err_ts": "t2", "next_err_value": "v1"}),
     ],
 )
 
@@ -391,6 +394,7 @@ ABSORBED = {
     "j7_semi_join": "jb_join_battery",
     "j9_inline_values_dim": "jb_join_battery",
     "j13_asof_join": "jb_join_battery",
+    "j14_asof_forward": "jb_join_battery",
     "d2_minhash_lsh_pairs": "db_neardup_battery",
     "d3_ngram_jaccard_pairs": "db_neardup_battery",
     "d5_dup_clusters": "db_neardup_battery",

@@ -685,3 +685,56 @@ def t8_vocab_topk(spark, sf_dir):
         "term_freq",
         "doc_freq",
     )
+
+
+@q(
+    "j14_asof_forward",
+    """WITH j AS (
+         SELECT p.event_id AS purchase_id,
+                CAST(p.user_id AS BIGINT) AS user_id,
+                p.ts AS purchase_ts,
+                e.ts AS next_err_ts,
+                e.event_id AS next_err_id,
+                e.value AS next_err_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           ON p.user_id = e.user_id AND p.ts <= e.ts)
+       SELECT purchase_id, user_id, purchase_ts,
+              CASE WHEN next_err_ts - purchase_ts <= INTERVAL 2 HOUR
+                   THEN next_err_ts END AS next_err_ts,
+              CASE WHEN next_err_ts - purchase_ts <= INTERVAL 2 HOUR
+                   THEN next_err_id END AS next_err_id,
+              CASE WHEN next_err_ts - purchase_ts <= INTERVAL 2 HOUR
+                   THEN next_err_value END AS next_err_value
+       FROM j""",
+    "J14 forward as-of with tolerance (engine extension): each purchase "
+    "matched to the same user's NEXT error event, nulled when farther "
+    "than 2 hours (pandas merge_asof tolerance semantics — the row "
+    "survives). Pins operators/asof.py's forward direction and tolerance "
+    "path under the driver gate; oracle is DuckDB ASOF with the "
+    "inequality flipped plus an interval guard.",
+)
+def j14_asof_forward(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(e.event_type == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    errors = e.filter(e.event_type == "error").select(
+        "user_id",
+        F.col("ts").alias("next_err_ts"),
+        F.col("event_id").alias("next_err_id"),
+        F.col("value").alias("next_err_value"),
+    )
+    return asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="next_err_ts",
+        direction="forward",
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    )
