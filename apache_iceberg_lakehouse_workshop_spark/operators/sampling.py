@@ -33,7 +33,14 @@ _SPACE = 1 << 32  # 8 hex chars
 def _threshold_hex(rate: float) -> str:
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return format(min(_SPACE, int(rate * _SPACE)), "08x")
+    if rate * _SPACE >= _SPACE:
+        # rate == 1.0 (or rounds up to the full space). format(2**32) would be
+        # the 9-char '100000000', which compares LESS than most 8-char coords
+        # lexicographically ('1' < '2'..'f') and silently drops ~94% of rows.
+        # 'g' sorts above every lowercase-hex string in any engine's binary
+        # string collation, so `coord < 'g'` keeps everything.
+        return "g"
+    return format(int(rate * _SPACE), "08x")
 
 
 def sample_coord(key_cols: list[str], seed: str = "smp") -> Column:

@@ -68,6 +68,32 @@ def test_split_disjoint_exhaustive_entity_consistent(spark, sf_dir):
     assert shares["train"] / n > 0.6
 
 
+def test_rate_one_keeps_every_row(spark, sf_dir):
+    # Regression: format(2**32) is the 9-char '100000000', which compares
+    # LESS than most 8-char hex coords and silently dropped ~94% of rows.
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    assert deterministic_sample(li, 1.0, ["l_orderkey", "l_linenumber"]).count() == n
+    out = stratified_sample(
+        li, "l_returnflag", {"A": 1.0, "N": 1.0, "R": 1.0},
+        ["l_orderkey", "l_linenumber"],
+    )
+    assert out.count() == n
+
+
+def test_split_with_zero_weight_trailing(spark, sf_dir):
+    # An intermediate cumulative weight of exactly 1.0 (zero-weight trailing
+    # split) must give the earlier splits everything and the empty split nothing.
+    o = load_table(spark, sf_dir, "orders")
+    out = o.select("o_custkey",
+                   assign_split(["o_custkey"], {"train": 1.0, "zz_empty": 0.0}))
+    n = o.count()
+    shares = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert shares.get("train", 0) == n
+    assert "zz_empty" not in shares
+
+
 def test_split_weights_must_sum_to_one():
     with pytest.raises(ValueError, match="sum to 1"):
         split_thresholds({"train": 0.8, "val": 0.1})
