@@ -63,6 +63,11 @@ def asof_join(
     ``F.expr("INTERVAL 7 DAYS")``); matches farther than that are nulled
     out, the left row survives (pandas ``merge_asof`` semantics).
 
+    NULL timestamps: a left row with NULL ``left_ts`` survives unmatched
+    (all payload columns NULL), and right rows with NULL ``right_ts`` are
+    ignored — matching pandas ``merge_asof``'s "no position on the time
+    axis, no match" semantics on both sides, in both directions.
+
     Equal ``right_ts`` ties within a key break on the last payload in the
     union sort — supply a deterministic tiebreak column in ``right_cols``
     and pre-sort semantics don't matter because ties are resolved by the
@@ -90,7 +95,10 @@ def asof_join(
     lrow = F.struct(*[F.col(c) for c in left.columns])
     lrow_type = left.select(lrow.alias("r")).schema["r"].dataType
 
-    r_side = right.select(
+    # NULL-ts right rows sort nulls-first under asc (backward) and would
+    # otherwise become phantom "earliest" matches; they have no position on
+    # the time axis, so drop them outright.
+    r_side = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -118,6 +126,10 @@ def asof_join(
         r_side.unionByName(l_side)
         .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
+        # A NULL-ts left row sorts nulls-last under desc (forward) and would
+        # otherwise "match" the key's extreme fact; it has no position on the
+        # time axis, so it survives unmatched.
+        .withColumn("__match", F.when(F.col("__ts").isNotNull(), F.col("__match")))
     )
 
     if tolerance is not None:

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .queries_core import QUERIES, q
+from .queries_data import _d2_pairs_cached as _d2_pairs_for_battery
 
 # battery column type -> (spark cast type, duckdb cast type)
 _TYPES = {
@@ -36,16 +37,20 @@ def _by_name():
 
 def _register_battery(name, doc, cols, parts):
     """cols: [(battery_col, type)], parts: [(op, singleton_name, mapping)]
-    where mapping is {singleton_output_col: battery_col}."""
+    or (op, singleton_name, mapping, fn_override) — the override replaces
+    the singleton's Spark fn (e.g. a cached variant) while the oracle SQL
+    still comes from the singleton registration.
+    mapping is {singleton_output_col: battery_col}."""
     reg = _by_name()
+    parts = [(*p, None) if len(p) == 3 else p for p in parts]
     missing = [p[1] for p in parts if p[1] not in reg]
     if missing:
         raise ValueError(f"battery {name} references unknown queries: {missing}")
 
     def fn(spark, sf_dir, _parts=parts, _cols=cols, _reg=reg):
         out = None
-        for op, qname, mapping in _parts:
-            base = _reg[qname].fn(spark, sf_dir)
+        for op, qname, mapping, override in _parts:
+            base = (override or _reg[qname].fn)(spark, sf_dir)
             inv = {v: k for k, v in mapping.items()}
             sel = [F.lit(op).alias("op")]
             for cname, ctype in _cols:
@@ -59,7 +64,7 @@ def _register_battery(name, doc, cols, parts):
         return out
 
     oracles = []
-    for op, qname, mapping in parts:
+    for op, qname, mapping, _override in parts:
         inner = reg[qname].oracle
         if inner is None:
             raise ValueError(f"battery {name}: {qname} has no oracle")
@@ -224,8 +229,11 @@ db_neardup_battery = _register_battery(
     [("k1", "bigint"), ("k2", "bigint"), ("n1", "bigint"), ("n2", "bigint"),
      ("v1", "double")],
     [
+        # fn override: reuse the localCheckpoint'd pair set that the d5
+        # branch also consumes, so the LSH pipeline runs once per battery.
         ("d2_minhash_lsh", "d2_minhash_lsh_pairs",
-         {"doc_a": "k1", "doc_b": "k2", "jaccard_sim": "v1"}),
+         {"doc_a": "k1", "doc_b": "k2", "jaccard_sim": "v1"},
+         _d2_pairs_for_battery),
         ("d3_ngram_jaccard", "d3_ngram_jaccard_pairs",
          {"doc_a": "k1", "doc_b": "k2", "jaccard_sim": "v1"}),
         ("d5_dup_clusters", "d5_dup_clusters",

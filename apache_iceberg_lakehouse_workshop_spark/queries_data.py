@@ -789,11 +789,23 @@ def d5_dup_clusters(spark, sf_dir):
     )
 
 
-def _d2_pairs_cached(spark, sf_dir):
-    from .queries_core import QUERIES
+_D2_PAIRS_CACHE: dict = {}
 
-    d2 = next(q_.fn for q_ in QUERIES if q_.name == "d2_minhash_lsh_pairs")
-    return d2(spark, sf_dir)
+
+def _d2_pairs_cached(spark, sf_dir):
+    """The d2 MinHash-LSH verified pair set, computed once per (session,
+    sf_dir) and reused via localCheckpoint — db_neardup_battery needs the
+    pairs twice (the d2 branch and d5's cluster input), and recomputing the
+    whole shingle->minhash->band pipeline doubles the battery's cost. The
+    d2 singleton fn itself stays un-cached so plan gates see the real plan."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _D2_PAIRS_CACHE.get(key)
+    if got is None:
+        from .queries_core import QUERIES
+
+        d2 = next(q_.fn for q_ in QUERIES if q_.name == "d2_minhash_lsh_pairs")
+        got = _D2_PAIRS_CACHE[key] = d2(spark, sf_dir).localCheckpoint()
+    return got
 
 
 @q(

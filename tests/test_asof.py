@@ -120,6 +120,38 @@ def test_matches_naive_reference_on_events(spark, sf_dir):
     assert got == want
 
 
+def test_null_timestamps_never_match(spark):
+    """NULL left ts -> row survives unmatched; NULL right ts -> ignored.
+
+    Regression: forward direction orders desc (nulls last), so a NULL-ts
+    left row used to 'match' the key's earliest right row; and backward
+    asc (nulls first) let a NULL-ts right row become a phantom match."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "l-real"), (1, None, "l-null")],
+        "k int, lts timestamp, ltag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "r-10"), (1, None, "r-null")],
+        "k int, rts timestamp, rtag string",
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r["ltag"]: r
+            for r in asof_join(
+                left, right, ["k"], "lts", "rts", direction=direction
+            ).collect()
+        }
+        assert len(out) == 2
+        assert out["l-null"]["rtag"] is None, direction
+        assert out["l-null"]["rts"] is None, direction
+        expected = "r-10"  # the only positioned right row, both directions...
+        got = out["l-real"]["rtag"]
+        if direction == "backward":
+            assert got == expected, direction
+        else:
+            assert got is None, direction  # nothing at-or-after 12:00
+
+
 def test_right_payload_collision_raises(spark):
     left, right = _micro(spark)
     try:
