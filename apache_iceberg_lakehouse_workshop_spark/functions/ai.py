@@ -6,9 +6,11 @@ Re-expresses Dremio's ``AI_GENERATE / AI_CLASSIFY / AI_COMPLETE``
 UDFs with a pluggable backend:
 
 - ``MockBackend`` — deterministic keyword rules, reproducible in plain SQL,
-  used by tests and the correctness oracle.
-- A real LLM backend plugs in through the same interface (HTTP calls batched
-  per Arrow batch; rate limiting belongs in the backend, not the plan).
+  used by tests and the correctness oracle (the default).
+- ``HttpBackend`` — the production path: JSON-over-HTTP requests batched per
+  Arrow batch with bounded concurrency, optional rate pacing, retry with
+  exponential backoff, and NULL-on-failure outputs (rate limiting lives in
+  the backend, not the plan).
 
 Design constraints carried over from the reference: AI functions run in the
 silver layer and their outputs are materialized once (CTAS), never recomputed
@@ -24,7 +26,13 @@ and never shuffle.
 
 from __future__ import annotations
 
+import base64
+import json
 import re
+import threading
+import time
+import urllib.error
+import urllib.request
 from typing import Callable
 
 import pandas as pd
@@ -168,14 +176,267 @@ class MockBackend:
         return pd.DataFrame(out)
 
 
-_BACKEND: MockBackend = MockBackend()
+class _RateLimiter:
+    """Thread-safe pacing: each acquire() reserves the next send slot at
+    1/rps spacing and sleeps until it. Per Python worker process — with W
+    workers per executor and E executors, configure
+    requests_per_second = cluster_budget / (W * E)."""
+
+    def __init__(self, rps: float):
+        self.interval = 1.0 / rps
+        self._next = 0.0
+        self._lock = threading.Lock()
+
+    def acquire(self) -> None:
+        with self._lock:
+            now = time.monotonic()
+            slot = max(self._next, now)
+            self._next = slot + self.interval
+        if slot > now:
+            time.sleep(slot - now)
+
+
+# WITH SCHEMA ROW(...) type spelling -> python-side coercion; anything that
+# does not coerce becomes NULL (the mock's NULL-on-parse-failure contract).
+def _coerce_field(val, typ: str):
+    if val is None:
+        return None
+    try:
+        if typ in ("int", "integer", "bigint"):
+            if isinstance(val, bool):
+                return None
+            return int(val)
+        if typ == "double":
+            if isinstance(val, bool):
+                return None
+            return float(val)
+        if typ == "boolean":
+            if isinstance(val, bool):
+                return val
+            if isinstance(val, str):
+                return {"true": True, "false": False}.get(val.strip().lower())
+            return None
+        # string/varchar: scalars stringify; structured values are a schema
+        # violation -> NULL
+        if isinstance(val, str):
+            return val
+        if isinstance(val, (int, float)) and not isinstance(val, bool):
+            return str(val)
+        return None
+    except (ValueError, TypeError, OverflowError):
+        return None
+
+
+class HttpBackend:
+    """Production LLM backend: JSON-over-HTTP, batched per Arrow batch.
+
+    The missing half of the AI surface the reference exercises against live
+    models (logistics_AI.sql:126-141, media_ai.sql:229-257): the plan stays
+    identical to the mock's (stateless map-only pandas UDFs), only the
+    backend object swaps via ``set_backend``. Wire protocol is a single
+    batch endpoint the serving side implements:
+
+        POST <url>   {"task": "classify"|"complete"|"generate"|"generate_file",
+                      "items": [...],            # one entry per row
+                      "labels": [...],           # classify only
+                      "schema": [{"name": n, "type": t}, ...]}  # generate*
+        -> 200       {"results": [...]}          # len == len(items)
+
+    For ``generate*`` each result must be a JSON object; the client coerces
+    fields to the WITH SCHEMA ROW types and NULLs anything that does not
+    coerce — the server is asked for schema-constrained output, but the
+    contract survives a server that ignores the ask.
+
+    Scale/robustness design (the parts that matter on a 1000-executor run):
+
+    - **Batching**: rows are chunked ``batch_size`` per request, chunks sent
+      by a bounded thread pool (``max_concurrency``) — many small HTTP
+      round-trips, not one giant payload, and never a request per row.
+    - **Rate limiting**: optional ``requests_per_second`` token pacing,
+      per worker process (divide the cluster budget by worker count).
+    - **Retry + null-on-failure**: transient failures (HTTP 5xx/429,
+      timeouts, malformed or length-mismatched responses) retry with
+      exponential backoff; a chunk that still fails resolves to NULL
+      outputs for its rows. An AI column never fails the job — identical
+      to the mock's NULL-on-parse-failure contract, and the only sane
+      behavior when row 7 billion of a backfill hits a flaky gateway.
+    - **Picklable**: instances ship inside UDF closures to executors;
+      locks/limiters are rebuilt lazily per worker process.
+
+    NULL prompts never reach the wire: they produce NULL outputs directly.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        *,
+        batch_size: int = 32,
+        max_concurrency: int = 4,
+        requests_per_second: float | None = None,
+        timeout: float = 30.0,
+        retries: int = 2,
+        backoff: float = 0.25,
+        headers: dict[str, str] | None = None,
+    ):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        if max_concurrency < 1:
+            raise ValueError(f"max_concurrency must be >= 1, got {max_concurrency}")
+        self.url = url
+        self.batch_size = batch_size
+        self.max_concurrency = max_concurrency
+        self.requests_per_second = requests_per_second
+        self.timeout = timeout
+        self.retries = retries
+        self.backoff = backoff
+        self.headers = dict(headers or {})
+        self._limiter = None
+        self._limiter_lock = threading.Lock()
+
+    # -- pickling: executors rebuild runtime-only state lazily
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_limiter"] = None
+        state["_limiter_lock"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._limiter_lock = threading.Lock()
+
+    def _get_limiter(self):
+        if self.requests_per_second is None:
+            return None
+        with self._limiter_lock:
+            if self._limiter is None:
+                self._limiter = _RateLimiter(self.requests_per_second)
+            return self._limiter
+
+    # -- one HTTP round-trip with retry; None on final failure
+    def _post(self, payload: dict, n_items: int):
+        body = json.dumps(payload).encode()
+        limiter = self._get_limiter()
+        for attempt in range(self.retries + 1):
+            if limiter is not None:
+                limiter.acquire()
+            try:
+                req = urllib.request.Request(
+                    self.url,
+                    data=body,
+                    headers={"Content-Type": "application/json", **self.headers},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    results = json.loads(resp.read()).get("results")
+                if isinstance(results, list) and len(results) == n_items:
+                    return results
+            except (urllib.error.URLError, OSError, ValueError):
+                pass  # transient or malformed -> retry below
+            if attempt < self.retries:
+                time.sleep(self.backoff * (2**attempt))
+        return None
+
+    def _run_chunks(self, items: list, build_payload):
+        """Chunk items, POST concurrently, return per-item results
+        (None-filled for failed chunks), order preserved."""
+        chunks = [
+            items[i : i + self.batch_size] for i in range(0, len(items), self.batch_size)
+        ]
+        if not chunks:
+            return []
+
+        def one(chunk):
+            got = self._post(build_payload(chunk), len(chunk))
+            return got if got is not None else [None] * len(chunk)
+
+        if len(chunks) == 1:
+            parts = [one(chunks[0])]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(self.max_concurrency, len(chunks))
+            ) as pool:
+                parts = list(pool.map(one, chunks))
+        return [r for part in parts for r in part]
+
+    # -- the backend interface (mirrors MockBackend)
+    def classify(self, texts: pd.Series, labels: list[str]) -> pd.Series:
+        idx = [i for i, t in enumerate(texts) if t is not None]
+        got = self._run_chunks(
+            [texts.iloc[i] for i in idx],
+            lambda chunk: {"task": "classify", "items": chunk, "labels": labels},
+        )
+        out = [None] * len(texts)
+        allowed = set(labels)
+        for i, r in zip(idx, got):
+            # closed label set is enforced client-side: an answered-but-
+            # out-of-set response is 'Unknown'; a failed chunk stays NULL
+            out[i] = r if r in allowed else ("Unknown" if r is not None else None)
+        return pd.Series(out, index=texts.index, dtype=object)
+
+    def complete(self, prompts: pd.Series) -> pd.Series:
+        idx = [i for i, p in enumerate(prompts) if p is not None]
+        got = self._run_chunks(
+            [prompts.iloc[i] for i in idx],
+            lambda chunk: {"task": "complete", "items": chunk},
+        )
+        out = [None] * len(prompts)
+        for i, r in zip(idx, got):
+            out[i] = r if isinstance(r, str) else None
+        return pd.Series(out, index=prompts.index, dtype=object)
+
+    def _generate_rows(self, task, items, idx, n, fields, extra=None):
+        schema_payload = [{"name": name, "type": typ} for name, typ in fields]
+        got = self._run_chunks(
+            items,
+            lambda chunk: {"task": task, "items": chunk, "schema": schema_payload,
+                           **(extra or {})},
+        )
+        out: dict[str, list] = {name: [None] * n for name, _ in fields}
+        for i, r in zip(idx, got):
+            if not isinstance(r, dict):
+                continue  # failed chunk or non-object response -> NULL row
+            for name, typ in fields:
+                out[name][i] = _coerce_field(r.get(name), typ)
+        return pd.DataFrame(out)
+
+    def generate(self, prompts: pd.Series, fields: list[tuple[str, str]]) -> pd.DataFrame:
+        idx = [i for i, p in enumerate(prompts) if p is not None]
+        return self._generate_rows(
+            "generate", [prompts.iloc[i] for i in idx], idx, len(prompts), fields
+        )
+
+    def generate_file(
+        self, prompts: pd.Series, payloads: pd.Series, fields: list[tuple[str, str]]
+    ) -> pd.DataFrame:
+        idx = [i for i in range(len(prompts)) if prompts.iloc[i] is not None]
+        items = [
+            {
+                "prompt": prompts.iloc[i],
+                "file_b64": base64.b64encode(
+                    bytes(payloads.iloc[i]) if payloads.iloc[i] is not None else b""
+                ).decode(),
+            }
+            for i in idx
+        ]
+        return self._generate_rows("generate_file", items, idx, len(prompts), fields)
+
+
+_BACKEND: object = MockBackend()
 
 
 def set_backend(backend) -> None:
-    """Swap the LLM backend (tests: MockBackend; prod: an HTTP-batched client
-    with the same three methods)."""
+    """Swap the LLM backend (default: MockBackend; prod: HttpBackend or any
+    object with the same four methods). The backend is captured into each AI
+    column/UDF at construction time and shipped to executors by value, so
+    swap it BEFORE building columns or translating SQL; already-registered
+    SQL UDFs are re-registered on next use."""
     global _BACKEND
     _BACKEND = backend
+    # force SQL-surface re-registration so named UDFs capture the new backend
+    _REGISTERED_SESSIONS.clear()
+    _GENERATE_UDFS.clear()
 
 
 # --------------------------------------------------------------- columns
@@ -185,10 +446,11 @@ def ai_classify(text: Column, labels: list[str]) -> Column:
     """AI_CLASSIFY(text, ARRAY[...]) -> closed-label StringType column
     (recipes.sql:18; ai_classify_examples.sql:31-35; logistics_AI.sql:188-198).
     The label set is enforced: output is one of ``labels`` or 'Unknown'."""
+    backend = _BACKEND  # captured by value -> ships to executors in the closure
 
     @F.pandas_udf(StringType())
     def _udf(s: pd.Series) -> pd.Series:
-        return _BACKEND.classify(s, labels)
+        return backend.classify(s, labels)
 
     return _udf(text)
 
@@ -196,10 +458,11 @@ def ai_classify(text: Column, labels: list[str]) -> Column:
 def ai_complete(prompt: Column) -> Column:
     """AI_COMPLETE(prompt) -> free-text VARCHAR ('intentionally simple',
     logistics_AI.sql:213,220-240)."""
+    backend = _BACKEND
 
     @F.pandas_udf(StringType())
     def _udf(s: pd.Series) -> pd.Series:
-        return _BACKEND.complete(s)
+        return backend.complete(s)
 
     return _udf(prompt)
 
@@ -223,10 +486,11 @@ def ai_generate(prompt: Column, schema: list[tuple[str, str]]) -> Column:
     (logistics_AI.sql:126-141; ai_generate.sql:5-23). ``schema`` is a list of
     (field_name, 'string'|'int') pairs; unparseable fields come back NULL."""
     spark_schema = StructType([StructField(n, _TYPE_MAP[t]) for n, t in schema])
+    backend = _BACKEND
 
     @F.pandas_udf(spark_schema)
     def _udf(s: pd.Series) -> pd.DataFrame:
-        return _BACKEND.generate(s, schema)
+        return backend.generate(s, schema)
 
     return _udf(prompt)
 
@@ -251,18 +515,19 @@ def register_sql_udfs(spark) -> None:
     if key in _REGISTERED_SESSIONS:
         return
     _REGISTERED_SESSIONS.add(key)
+    backend = _BACKEND
 
     @F.pandas_udf(StringType())
     def _classify_sql(text: pd.Series, labels: pd.Series) -> pd.Series:
         out = []
         for t, labs in zip(text, labels):
             label_list = [] if labs is None else list(labs)  # numpy array -> list
-            out.append(_BACKEND.classify(pd.Series([t]), label_list).iloc[0])
+            out.append(backend.classify(pd.Series([t]), label_list).iloc[0])
         return pd.Series(out)
 
     @F.pandas_udf(StringType())
     def _complete_sql(prompt: pd.Series) -> pd.Series:
-        return _BACKEND.complete(prompt)
+        return backend.complete(prompt)
 
     spark.udf.register("AI_CLASSIFY", _classify_sql)
     spark.udf.register("AI_COMPLETE", _complete_sql)
@@ -348,12 +613,14 @@ def rewrite_ai_generate(spark, sql: str) -> str:
             udf_name = f"ai_generate_file_{digest}"
             if udf_name not in _GENERATE_UDFS:
 
-                def _make_file(fields_t: tuple):
+                def _make_file(fields_t: tuple, backend=None):
+                    backend = backend if backend is not None else _BACKEND
+
                     @F.pandas_udf(schema)
                     def _generate_file_sql(
                         prompts: pd.Series, payloads: pd.Series
                     ) -> pd.DataFrame:
-                        return _BACKEND.generate_file(prompts, payloads, list(fields_t))
+                        return backend.generate_file(prompts, payloads, list(fields_t))
 
                     return _generate_file_sql
 
@@ -367,12 +634,14 @@ def rewrite_ai_generate(spark, sql: str) -> str:
             udf_name = f"ai_generate_{digest}"
             if udf_name not in _GENERATE_UDFS:
 
-                def _make(fields_t: tuple):
+                def _make(fields_t: tuple, backend=None):
                     # closure factory: pandas_udf requires type hints on every
                     # parameter, so the field list cannot ride as a default arg
+                    backend = backend if backend is not None else _BACKEND
+
                     @F.pandas_udf(schema)
                     def _generate_sql(prompts: pd.Series) -> pd.DataFrame:
-                        return _BACKEND.generate(prompts, list(fields_t))
+                        return backend.generate(prompts, list(fields_t))
 
                     return _generate_sql
 
@@ -396,9 +665,10 @@ def ai_generate_file(prompt: Column, content: Column, schema: list[tuple[str, st
     Arrow-batched and map-only like every AI function — the bytes never
     shuffle."""
     spark_schema = StructType([StructField(n, _TYPE_MAP[t]) for n, t in schema])
+    backend = _BACKEND
 
     @F.pandas_udf(spark_schema)
     def _udf(prompts: pd.Series, payloads: pd.Series) -> pd.DataFrame:
-        return _BACKEND.generate_file(prompts, payloads, schema)
+        return backend.generate_file(prompts, payloads, schema)
 
     return _udf(prompt, content)
