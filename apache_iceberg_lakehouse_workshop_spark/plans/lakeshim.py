@@ -33,7 +33,11 @@ O(files touched), reads are planned by Spark with full predicate pushdown /
 partition pruning on the partition dirs. At 100 TB the commit-dir layout is
 exactly the "many immutable files + small metadata" shape object stores want.
 Atomicity on a real deployment comes from the same rename-based metadata swap
-Iceberg's hadoop catalog uses (write temp, atomic rename).
+Iceberg's hadoop catalog uses (write temp, atomic rename), and commits carry
+optimistic concurrency: data files are written outside any lock, then a short
+create-if-absent-locked load-verify-swap either rebases (appends) or aborts
+with :class:`CommitConflictError` (rewrites whose base snapshot moved) — no
+concurrent writer can silently lose an update (Iceberg's commit invariant).
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ import os
 import re
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,6 +82,16 @@ def _param_transform(kind: str, n: int, col: str, dtype: str):
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed between this operation's base read and
+    its metadata swap. Appends never raise this (they rebase onto the fresh
+    snapshot under the commit lock); operations that REWRITE content derived
+    from their base snapshot (overwrite / delete / update / merge / compact)
+    abort with it instead of silently last-writer-winning — Iceberg's
+    serializable-isolation contract. Callers retry by redoing the whole
+    operation against the new current snapshot."""
 
 
 def _nullable_type(dt: T.DataType) -> T.DataType:
@@ -116,11 +131,74 @@ class LakeTable:
     def _commit(self, meta: dict) -> None:
         # Atomic swap: write-temp + rename — the same commit protocol shape
         # as Iceberg's hadoop catalog (SURVEY §3: "writers produce data
-        # files, then a single metadata commit").
+        # files, then a single metadata commit"). Callers must hold
+        # _commit_lock(); the rename alone orders the swap but cannot detect
+        # a lost update.
         tmp = self._meta_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(tmp, self._meta_path)
+
+    _LOCK_TIMEOUT_S = 60.0
+
+    @contextmanager
+    def _commit_lock(self):
+        """Exclusive commit section via O_CREAT|O_EXCL lock file — the one
+        atomic create-if-absent primitive every POSIX fs (and object-store
+        preconditioned PUT) offers; the same role Iceberg's catalog
+        compare-and-swap plays. Data-file writes happen OUTSIDE the lock
+        (they are the long part and touch only fresh uuid-named commit
+        dirs); only load-verify-swap runs inside, so the critical section is
+        milliseconds regardless of table size. Stale locks from crashed
+        writers are broken after _LOCK_TIMEOUT_S."""
+        lock = os.path.join(self.path, "metadata.lock")
+        deadline = time.monotonic() + self._LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > self._LOCK_TIMEOUT_S:
+                        os.unlink(lock)  # crashed writer; steal
+                        continue
+                except OSError:
+                    continue  # lock vanished between stat attempts
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock for table {self.name} held > "
+                        f"{self._LOCK_TIMEOUT_S}s"
+                    )
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def _commit_rewrite(
+        self,
+        base_parent: int | None,
+        operation: str,
+        commit_dirs: list[str],
+        props: dict | None = None,
+    ) -> dict:
+        """Verify-and-swap for rewrite-style commits: the new file set was
+        derived from the snapshot that was current at ``base_parent``; if
+        another writer moved the table since, committing would silently drop
+        their rows — abort instead (caller redoes the op)."""
+        with self._commit_lock():
+            meta = self._load_meta()
+            if meta.get("current_snapshot_id") != base_parent:
+                raise CommitConflictError(
+                    f"{operation} on {self.name}: base snapshot {base_parent} "
+                    f"is no longer current "
+                    f"(now {meta.get('current_snapshot_id')}); retry the "
+                    "operation against the new snapshot"
+                )
+            snap = self._new_snapshot(meta, operation, commit_dirs, props)
+            self._commit(meta)
+        return snap
 
     def _current_snapshot(self, meta: dict) -> dict | None:
         snaps = meta["snapshots"]
@@ -200,10 +278,15 @@ class LakeTable:
         the same atomic commit (Iceberg snapshot summary)."""
         meta = self._load_meta()
         commit = self._write_commit_dir(df, meta)
-        cur = self._current_snapshot(meta)
-        dirs = (cur["commit_dirs"] if cur else []) + [commit]
-        snap = self._new_snapshot(meta, "append", dirs, snapshot_props)
-        self._commit(meta)
+        # Appends rebase: reload under the commit lock and stack the new
+        # commit dir on whatever is current NOW — two concurrent appends
+        # both land, snapshots stay linear (Iceberg fast-append retry).
+        with self._commit_lock():
+            meta = self._load_meta()
+            cur = self._current_snapshot(meta)
+            dirs = (cur["commit_dirs"] if cur else []) + [commit]
+            snap = self._new_snapshot(meta, "append", dirs, snapshot_props)
+            self._commit(meta)
         return snap["id"]
 
     def overwrite(self, df: DataFrame) -> int:
@@ -211,9 +294,9 @@ class LakeTable:
         industry-examples/retail.sql:88-100 DROP+CTAS idiom)."""
         meta = self._load_meta()
         commit = self._write_commit_dir(df, meta)
-        snap = self._new_snapshot(meta, "overwrite", [commit])
-        self._commit(meta)
-        return snap["id"]
+        return self._commit_rewrite(
+            meta.get("current_snapshot_id"), "overwrite", [commit]
+        )["id"]
 
     def delete_where(self, condition: str) -> int:
         """``DELETE FROM t WHERE condition`` — copy-on-write: surviving rows
@@ -225,15 +308,12 @@ class LakeTable:
         it evaluates to NULL (e.g. a NULL column compared with ``=``) must
         survive — hence ``IS NOT TRUE``, not ``NOT (...)``."""
         meta = self._load_meta()
+        parent = meta.get("current_snapshot_id")
         survivors = self.read().filter(f"({condition}) IS NOT TRUE")
         if survivors.isEmpty():
-            snap = self._new_snapshot(meta, "delete", [])
-            self._commit(meta)
-            return snap["id"]
+            return self._commit_rewrite(parent, "delete", [])["id"]
         commit = self._write_commit_dir(survivors, meta)
-        snap = self._new_snapshot(meta, "delete", [commit])
-        self._commit(meta)
-        return snap["id"]
+        return self._commit_rewrite(parent, "delete", [commit])["id"]
 
     def update_where(self, assignments: dict[str, str], condition: str = "true") -> int:
         """``UPDATE t SET col = expr[, ...] [WHERE cond]`` — copy-on-write
@@ -259,9 +339,9 @@ class LakeTable:
             else:
                 cols.append(F.col(f.name))
         commit = self._write_commit_dir(current.select(*cols), meta)
-        snap = self._new_snapshot(meta, "update", [commit])
-        self._commit(meta)
-        return snap["id"]
+        return self._commit_rewrite(
+            meta.get("current_snapshot_id"), "update", [commit]
+        )["id"]
 
     # ------------------------------------------------------------- reads
 
@@ -356,9 +436,166 @@ class LakeTable:
         survivors = current.join(source.select(*keys), keys, "left_anti")
         merged = survivors.unionByName(source.select(*current.columns))
         commit = self._write_commit_dir(merged, meta)
-        snap = self._new_snapshot(meta, "merge", [commit])
-        self._commit(meta)
-        return snap["id"]
+        return self._commit_rewrite(
+            meta.get("current_snapshot_id"), "merge", [commit]
+        )["id"]
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: str,
+        matched: list[tuple] = (),
+        not_matched: list[tuple] = (),
+        target_alias: str = "t",
+        source_alias: str = "s",
+    ) -> int:
+        """General ``MERGE INTO`` (standard Iceberg/SQL:2003 semantics —
+        the full DML shape beyond :meth:`merge`'s plain upsert):
+
+        - ``matched``: ordered ``("update", cond_or_None, set)`` /
+          ``("delete", cond_or_None, None)`` clauses, where ``set`` is
+          ``"*"`` (every target column from the same-named source column)
+          or ``{target_col: sql_expr}``. First clause whose condition holds
+          wins; a matched row no clause accepts stays unchanged.
+        - ``not_matched``: ordered ``(cond_or_None, cols_or_None,
+          values_or_None)`` INSERT clauses; ``cols is None`` means
+          ``INSERT *`` (by name), else ``INSERT (cols) VALUES (exprs)``
+          with unlisted columns NULL.
+
+        Conditions and expressions are Spark SQL referencing
+        ``target_alias`` / ``source_alias``.
+
+        Plan (one CoW rewrite, Spark-first): tag both sides with presence
+        markers, ONE full-outer join on the raw ON condition, then
+        first-true CASE chains pick each row's clause — matched rows
+        project updated values (deletes filter out), source-only rows
+        project their INSERT clause, union, commit. At scale this costs
+        exactly one shuffle join plus the table rewrite every CoW MERGE
+        pays; clause evaluation is all JVM-side codegen.
+
+        Cardinality: standard MERGE requires each target row to match at
+        most one source row. Enforced conservatively via the ON clause's
+        equi-conjuncts (``t.c = s.c``): any duplicated source key that
+        also exists in the target raises before anything is written. The
+        ON condition must contain at least one such equi-conjunct (every
+        sane MERGE does; it is also what makes the join shuffle-plannable
+        rather than a cross product)."""
+        matched, not_matched = list(matched), list(not_matched)
+        if not matched and not not_matched:
+            raise ValueError("MERGE INTO needs at least one WHEN clause")
+        t, s = target_alias, source_alias
+        meta = self._load_meta()
+        parent = meta.get("current_snapshot_id")
+        current = self.read()
+        schema = current.schema
+
+        # -- cardinality pre-check on equi-conjuncts
+        pairs: list[tuple[str, str]] = []  # (target_col, source_col)
+        for conj in re.split(r"\s+AND\s+", on.strip(), flags=re.I):
+            m = re.match(r"^\(*\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)*$", conj.strip())
+            if not m:
+                continue
+            a_al, a_col, b_al, b_col = m.groups()
+            if a_al == t and b_al == s:
+                pairs.append((a_col, b_col))
+            elif a_al == s and b_al == t:
+                pairs.append((b_col, a_col))
+        if not pairs:
+            raise ValueError(
+                "MERGE ON must contain at least one target.col = source.col "
+                f"equality (aliases {t!r}, {s!r}); got: {on!r}"
+            )
+        src_keys = [sc for _, sc in pairs]
+        dup_src = (
+            source.groupBy(*src_keys).agg(F.count(F.lit(1)).alias("__n")).filter("__n > 1")
+        )
+        tgt_keys = current.select(
+            *[F.col(tc).alias(sc) for tc, sc in pairs]
+        ).dropDuplicates(src_keys)
+        if not dup_src.join(tgt_keys, src_keys, "left_semi").isEmpty():
+            raise ValueError(
+                f"MERGE INTO {self.name}: a target row matches multiple source "
+                f"rows (duplicate source keys on {src_keys}) — standard MERGE "
+                "cardinality violation"
+            )
+
+        bad = set(source.columns) & {"__t_present", "__s_present", "__clause"}
+        if bad:
+            raise ValueError(f"source columns collide with merge markers: {sorted(bad)}")
+        tgt = current.withColumn("__t_present", F.lit(True)).alias(t)
+        src = source.withColumn("__s_present", F.lit(True)).alias(s)
+        joined = tgt.join(src, F.expr(on), "full_outer")
+
+        def first_clause(clauses, conds):
+            expr = None
+            for i, cond in enumerate(conds):
+                c = F.expr(cond) if cond else F.lit(True)
+                expr = F.when(c, F.lit(i)) if expr is None else expr.when(c, F.lit(i))
+            return expr if expr is not None else F.lit(None).cast("int")
+
+        # -- target-present rows: update / delete / keep
+        is_matched = F.col("__t_present").isNotNull() & F.col("__s_present").isNotNull()
+        m_action = F.when(
+            is_matched, first_clause(matched, [c for _, c, _ in matched])
+        )
+        kept = joined.filter(F.col("__t_present").isNotNull()).withColumn(
+            "__clause", m_action
+        )
+        delete_idx = [i for i, (act, _, _) in enumerate(matched) if act == "delete"]
+        if delete_idx:
+            kept = kept.filter(
+                F.col("__clause").isNull() | ~F.col("__clause").isin(delete_idx)
+            )
+        out_cols = []
+        for f in schema.fields:
+            base = F.col(f"{t}.{f.name}")
+            case = None
+            for i, (act, _, assign) in enumerate(matched):
+                if act != "update":
+                    continue
+                if assign == "*":
+                    val = F.col(f"{s}.{f.name}")
+                elif f.name in assign:
+                    val = F.expr(assign[f.name])
+                else:
+                    continue  # clause doesn't touch this column
+                hit = F.col("__clause") == i
+                case = F.when(hit, val.cast(f.dataType)) if case is None else case.when(
+                    hit, val.cast(f.dataType)
+                )
+            out_cols.append(
+                (case.otherwise(base) if case is not None else base).alias(f.name)
+            )
+        result = kept.select(*out_cols)
+
+        # -- source-only rows: first applicable INSERT clause, else dropped
+        if not_matched:
+            ins = joined.filter(F.col("__t_present").isNull()).withColumn(
+                "__clause", first_clause(not_matched, [c for c, _, _ in not_matched])
+            )
+            src_cols = set(source.columns)
+            for i, (_, cols, values) in enumerate(not_matched):
+                if cols is not None:
+                    exprs = dict(zip([c.strip() for c in cols], values))
+                    unknown = [c for c in exprs if c not in schema.fieldNames()]
+                    if unknown:
+                        raise ValueError(
+                            f"MERGE INTO {self.name}: INSERT targets unknown "
+                            f"columns {unknown}"
+                        )
+                part_cols = []
+                for f in schema.fields:
+                    if cols is None:  # INSERT *: by name from the source
+                        val = F.col(f"{s}.{f.name}") if f.name in src_cols else F.lit(None)
+                    else:
+                        val = F.expr(exprs[f.name]) if f.name in exprs else F.lit(None)
+                    part_cols.append(val.cast(f.dataType).alias(f.name))
+                result = result.unionByName(
+                    ins.filter(F.col("__clause") == i).select(*part_cols)
+                )
+
+        commit = self._write_commit_dir(result, meta)
+        return self._commit_rewrite(parent, "merge", [commit])["id"]
 
     # ----------------------------------------------------- schema evolution
 
@@ -367,36 +604,38 @@ class LakeTable:
         rewrite; existing rows read as NULL (Iceberg schema evolution,
         SURVEY §1.3 / readme.md's Iceberg capability set). Requires a
         declared schema."""
-        meta = self._load_meta()
-        if meta.get("schema") is None:
-            raise ValueError("add_column requires a declared schema")
-        schema = T.StructType.fromJson(meta["schema"])
-        if name in schema.fieldNames():
-            raise ValueError(f"column exists: {name}")
-        schema = schema.add(T.StructField(name, T._parse_datatype_string(dtype)))
-        meta["schema"] = schema.jsonValue()
-        self._commit(meta)
+        with self._commit_lock():
+            meta = self._load_meta()
+            if meta.get("schema") is None:
+                raise ValueError("add_column requires a declared schema")
+            schema = T.StructType.fromJson(meta["schema"])
+            if name in schema.fieldNames():
+                raise ValueError(f"column exists: {name}")
+            schema = schema.add(T.StructField(name, T._parse_datatype_string(dtype)))
+            meta["schema"] = schema.jsonValue()
+            self._commit(meta)
 
     def rename_column(self, old: str, new: str) -> None:
         """``ALTER TABLE … RENAME COLUMN`` — metadata-only. Data files keep
         the old physical name; reads map it forward. (Iceberg does this by
         field id; the shim records a physical-name alias.)"""
-        meta = self._load_meta()
-        if meta.get("schema") is None:
-            raise ValueError("rename_column requires a declared schema")
-        schema = T.StructType.fromJson(meta["schema"])
-        if old not in schema.fieldNames():
-            raise ValueError(f"no such column: {old}")
-        fields = [
-            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
-            for f in schema.fields
-        ]
-        meta["schema"] = T.StructType(fields).jsonValue()
-        aliases = meta.setdefault("column_aliases", {})
-        # chase prior renames so the alias always points at a physical name
-        physical = aliases.pop(old, old)
-        aliases[new] = physical
-        self._commit(meta)
+        with self._commit_lock():
+            meta = self._load_meta()
+            if meta.get("schema") is None:
+                raise ValueError("rename_column requires a declared schema")
+            schema = T.StructType.fromJson(meta["schema"])
+            if old not in schema.fieldNames():
+                raise ValueError(f"no such column: {old}")
+            fields = [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+            meta["schema"] = T.StructType(fields).jsonValue()
+            aliases = meta.setdefault("column_aliases", {})
+            # chase prior renames so the alias always points at a physical name
+            physical = aliases.pop(old, old)
+            aliases[new] = physical
+            self._commit(meta)
 
     def read_incremental(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
         """Incremental scan: rows appended after ``from_snapshot_id`` (up to
@@ -498,32 +737,33 @@ class LakeTable:
         else:
             packed = current.repartition(n_files)
         commit = self._write_commit_dir(packed, meta)
-        snap = self._new_snapshot(meta, "compact", [commit])
-        self._commit(meta)
-        return snap["id"]
+        return self._commit_rewrite(
+            meta.get("current_snapshot_id"), "compact", [commit]
+        )["id"]
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop old snapshots and physically remove commit dirs no live
         snapshot references — ≈ ``expire_snapshots`` + ``remove_orphan_files``
         (readme.md:391-401). Returns number of commit dirs removed."""
-        meta = self._load_meta()
-        snaps = meta["snapshots"]
-        keep = snaps[-keep_last:] if keep_last > 0 else snaps
-        cur = self._current_snapshot(meta)
-        if cur and cur not in keep:
-            keep.append(cur)
-        live = {d for s in keep for d in s["commit_dirs"]}
-        removed = 0
-        data_root = os.path.join(self.path, "data")
-        if os.path.isdir(data_root):
-            import shutil
+        with self._commit_lock():
+            meta = self._load_meta()
+            snaps = meta["snapshots"]
+            keep = snaps[-keep_last:] if keep_last > 0 else snaps
+            cur = self._current_snapshot(meta)
+            if cur and cur not in keep:
+                keep.append(cur)
+            live = {d for s in keep for d in s["commit_dirs"]}
+            removed = 0
+            data_root = os.path.join(self.path, "data")
+            if os.path.isdir(data_root):
+                import shutil
 
-            for d in os.listdir(data_root):
-                if d not in live:
-                    shutil.rmtree(os.path.join(data_root, d))
-                    removed += 1
-        meta["snapshots"] = keep
-        self._commit(meta)
+                for d in os.listdir(data_root):
+                    if d not in live:
+                        shutil.rmtree(os.path.join(data_root, d))
+                        removed += 1
+            meta["snapshots"] = keep
+            self._commit(meta)
         return removed
 
     def rollback_to(self, snapshot_id: int) -> int:
@@ -531,12 +771,15 @@ class LakeTable:
         current again. Pure metadata: appends a new history entry pointing at
         the old snapshot's files (nothing is rewritten; the rolled-back-over
         snapshots stay readable until expired)."""
-        meta = self._load_meta()
-        by_id = {s["id"]: s for s in meta["snapshots"]}
-        if snapshot_id not in by_id:
-            raise ValueError(f"unknown snapshot {snapshot_id} for {self.name}")
-        snap = self._new_snapshot(meta, "rollback", list(by_id[snapshot_id]["commit_dirs"]))
-        self._commit(meta)
+        with self._commit_lock():
+            meta = self._load_meta()
+            by_id = {s["id"]: s for s in meta["snapshots"]}
+            if snapshot_id not in by_id:
+                raise ValueError(f"unknown snapshot {snapshot_id} for {self.name}")
+            snap = self._new_snapshot(
+                meta, "rollback", list(by_id[snapshot_id]["commit_dirs"])
+            )
+            self._commit(meta)
         return snap["id"]
 
     def maintain(self, target_file_mb: int = 128, keep_last: int = 3) -> None:
