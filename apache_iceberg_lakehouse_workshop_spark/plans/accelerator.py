@@ -51,6 +51,11 @@ class AcceleratorRegistry:
         # name -> SQL text, for reflections whose definition IS a SQL string
         # (these survive process restarts via the registry file)
         self._sql_defs: dict[str, str] = {}
+        # name -> {"dataset", "dims": [...], "measures": [(col, AGG), ...]}
+        # for AGGREGATE reflections whose storage follows the partial-column
+        # convention (dims verbatim, <col>_<agg> partials, n_rows) — the
+        # shapes subset routing can serve
+        self._agg_shapes: dict[str, dict] = {}
         self._load_registry()
 
     # ------------------------------------------------------- persistence
@@ -74,6 +79,11 @@ class AcceleratorRegistry:
                 "sql": sql,
                 "anchors": self._defs[name][1],
                 "anchor_snapshots": self._anchors.get(name, {}),
+                **(
+                    {"agg_shape": self._agg_shapes[name]}
+                    if name in self._agg_shapes
+                    else {}
+                ),
             }
             for name, sql in self._sql_defs.items()
         }
@@ -98,6 +108,10 @@ class AcceleratorRegistry:
                 list(e["anchors"]),
             )
             self._anchors[name] = dict(e["anchor_snapshots"])
+            if "agg_shape" in e:
+                shape = dict(e["agg_shape"])
+                shape["measures"] = [tuple(m) for m in shape["measures"]]
+                self._agg_shapes[name] = shape
 
     # ----------------------------------------------------------- helpers
 
@@ -189,10 +203,100 @@ class AcceleratorRegistry:
             self._save_registry()
         return True
 
+    def register_agg_shape(
+        self,
+        name: str,
+        dataset: str,
+        dims: list[str],
+        measures: list[tuple[str, str]],
+    ) -> None:
+        """Record that reflection ``name`` materializes the aggregate shape
+        ``SELECT dims, partials FROM dataset GROUP BY dims`` with the
+        partial-column convention ``<col>_<agg>`` (+ ``n_rows`` for
+        COUNT(*)). Only re-aggregable partials are registered (SUM, COUNT,
+        MIN, MAX; an AVG partial cannot be rolled up and is skipped) — this
+        is what makes the reflection servable for dim-SUBSET queries, not
+        just exact-shape matches."""
+        kept = [
+            (col, agg.upper())
+            for col, agg in measures
+            if agg.upper() in ("SUM", "COUNT", "MIN", "MAX")
+        ]
+        self._agg_shapes[name] = {
+            "dataset": dataset,
+            "dims": list(dims),
+            "measures": kept,
+        }
+        if name in self._sql_defs:
+            self._save_registry()
+
+    def route_aggregate(
+        self,
+        dataset: str,
+        dims: list[str],
+        measures: list[tuple[str, str, str]],
+    ) -> DataFrame | None:
+        """Serve ``SELECT dims, aggs FROM dataset GROUP BY dims`` from a
+        FRESH aggregate reflection whose dims are a superset and whose
+        stored partials cover every requested measure — Dremio's
+        covered-query substitution (readme.md:331-355: a reflection
+        'accelerates any query it covers', not only its defining query).
+
+        ``measures``: (AGG, col, out_alias). Rollup algebra over partials:
+        SUM = SUM(col_sum), COUNT(col) = SUM(col_count), COUNT(*) =
+        SUM(n_rows), MIN = MIN(col_min), MAX = MAX(col_max), AVG =
+        SUM(col_sum)/SUM(col_count). Returns None when no fresh covering
+        reflection exists (caller runs the plain plan). The reflection has
+        one row per fine-grained dim group, so this re-aggregation scans
+        O(groups) rows — the whole point of serving from it."""
+        from pyspark.sql import functions as F
+
+        def needed(agg: str, col: str) -> list[tuple[str, str]]:
+            if agg == "AVG":
+                return [(col, "SUM"), (col, "COUNT")]
+            if agg == "COUNT" and col == "*":
+                return [("*", "COUNT")]
+            return [(col, agg)]
+
+        req_dims = set(dims)
+        for name, shape in self._agg_shapes.items():
+            if shape["dataset"] != dataset or name not in self._defs:
+                continue
+            if not req_dims <= set(shape["dims"]):
+                continue
+            stored = set(shape["measures"])
+            if not all(
+                pair in stored
+                for agg, col, _ in measures
+                for pair in needed(agg, col)
+            ):
+                continue
+            if not self.is_fresh(name):
+                continue  # stale: correctness wins, plain plan runs
+            base = self.lake.table(self._storage_name(name)).read()
+            aggs = []
+            for agg, col, alias in measures:
+                if agg == "SUM":
+                    e = F.sum(f"{col}_sum")
+                elif agg == "MIN":
+                    e = F.min(f"{col}_min")
+                elif agg == "MAX":
+                    e = F.max(f"{col}_max")
+                elif agg == "COUNT":
+                    e = F.sum("n_rows") if col == "*" else F.sum(f"{col}_count")
+                elif agg == "AVG":
+                    e = F.sum(f"{col}_sum") / F.sum(f"{col}_count")
+                else:  # pragma: no cover - filtered by `needed`
+                    return None
+                aggs.append(e.alias(alias))
+            return base.groupBy(*dims).agg(*aggs)
+        return None
+
     def drop_reflection(self, name: str) -> None:
         """Reflection retirement (readme.md:381-389 autonomous retire)."""
         self._defs.pop(name, None)
         self._anchors.pop(name, None)
+        self._agg_shapes.pop(name, None)
         was_sql = self._sql_defs.pop(name, None) is not None
         self.lake.drop_table(self._storage_name(name))
         if was_sql:

@@ -37,6 +37,19 @@ _RE_AGG_QUERY = re.compile(
 _RE_MEASURE = re.compile(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?([\w.*]+)\s*\)", re.I)
 _AVG_EXPANDS = ("SUM", "COUNT")  # an AVG is servable from SUM+COUNT partials
 
+# routable-for-substitution query: no WHERE/HAVING/ORDER (a WHERE over raw
+# rows cannot be answered from pre-aggregated partials; dims-only WHERE
+# could, but the conservative gate keeps substitution provably exact)
+_RE_ROUTABLE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[\w.]+)\s*"
+    r"GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_RE_MEASURE_ALIASED = re.compile(
+    r"^(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*([\w.*]+)\s*\)\s+AS\s+(\w+)\s*$", re.I
+)
+_RE_BARE_DIM = re.compile(r"^[\w.]+$")
+
 
 class WorkloadAdvisor:
     """Counts aggregate-query shapes and recommends reflections.
@@ -86,6 +99,39 @@ class WorkloadAdvisor:
         dims = [d.strip() for d in m.group("group").split(",")]
         self.observe(m.group("table"), dims, measures)
         return True
+
+    # --------------------------------------------------------- routing
+
+    def route_sql(self, sql: str):
+        """Covered-query substitution (readme.md:331-355): if ``sql`` is a
+        single-table GROUP BY aggregate whose dims/measures a fresh
+        AGGREGATE reflection covers (dims may be a strict SUBSET of the
+        reflection's — AVG served from SUM+COUNT partials), return the
+        DataFrame that re-aggregates the materialized partials, with output
+        columns in the query's SELECT order. Returns None (run the plain
+        plan) for anything it cannot prove exactly servable: WHERE/HAVING,
+        expressions, DISTINCT aggs, un-aliased measures."""
+        m = _RE_ROUTABLE.match(sql)
+        if m is None:
+            return None
+        dims = [d.strip() for d in m.group("group").split(",") if d.strip()]
+        items = [i.strip() for i in m.group("select").split(",")]
+        order: list[str] = []
+        measures: list[tuple[str, str, str]] = []
+        for item in items:
+            mm = _RE_MEASURE_ALIASED.match(item)
+            if mm:
+                agg, col, alias = mm.group(1).upper(), mm.group(2), mm.group(3)
+                measures.append((agg, col, alias))
+                order.append(alias)
+            elif _RE_BARE_DIM.match(item) and item in dims:
+                order.append(item)
+            else:
+                return None  # expression/alias shape routing can't prove
+        if not measures:
+            return None
+        routed = self.accelerator.route_aggregate(m.group("table"), dims, measures)
+        return None if routed is None else routed.select(*order)
 
     # ------------------------------------------------------ recommending
 
@@ -144,6 +190,9 @@ class WorkloadAdvisor:
                 anchors_for(rec["dataset"]) if anchors_for else [rec["dataset"]]
             )
             self.accelerator.create_reflection(rec["name"], body, anchors)
+            self.accelerator.register_agg_shape(
+                rec["name"], rec["dataset"], list(rec["dimensions"]), rec["measures"]
+            )
             created.append(rec["name"])
         return created
 
