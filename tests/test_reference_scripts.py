@@ -446,12 +446,11 @@ def test_update_and_merge_sql(lake):
     # snapshot history records the DML operations (time travel intact)
     ops = [r.operation for r in t.snapshots().collect()]
     assert "update" in ops and "merge" in ops
-    # unsupported MERGE shapes are a loud error, not silent misexecution
-    with pytest.raises(ValueError, match="MERGE ON"):
+    # unsupported MERGE shapes are a loud dialect error naming the
+    # supported forms, not silent misexecution or a Spark parse error
+    with pytest.raises(ValueError, match="supported forms"):
         lake.run_script(
-            "MERGE INTO dremio.dml.inv AS t USING dremio.dml.delta AS s "
-            "ON t.sku = s.other WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
+            "MERGE INTO dremio.dml.inv USING dremio.dml.delta ON 1=1"
         )
 
 

@@ -1,0 +1,131 @@
+"""Covered-query reflection substitution (plans/advisor.route_sql +
+plans/accelerator.route_aggregate) — SURVEY §4 R7/R8, readme.md:331-355:
+a reflection accelerates any query it COVERS, not just its defining
+query. A never-before-seen SELECT whose dims are a subset of a fresh
+AGGREGATE reflection's (and whose AVG is derivable from SUM+COUNT
+partials) must be served by re-aggregating the materialized table, with
+values identical to the plain plan; staleness or anything unprovable
+falls back to the plain plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+
+@pytest.fixture()
+def runner(spark, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path / "warehouse"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.sales (region VARCHAR, product VARCHAR, amount DOUBLE);
+        INSERT INTO dremio.demo.sales VALUES
+          ('east', 'a', 10.0), ('east', 'a', 20.0), ('east', 'b', 5.0),
+          ('west', 'a', 7.0),  ('west', 'b', 9.0),  ('west', 'b', 11.0),
+          ('north', 'c', 100.0);
+        """
+    )
+    r.use_reflection_routing = True
+    return r
+
+
+def _reads_reflection(df) -> bool:
+    return any("_reflections" in f for f in df.inputFiles())
+
+
+_REFLECTION = """
+ALTER DATASET dremio.demo.sales CREATE AGGREGATE REFLECTION sales_agg
+USING DIMENSIONS (region, product) MEASURES (amount (SUM, COUNT, MIN, MAX))
+"""
+
+
+def test_subset_dims_and_avg_served_from_reflection(runner):
+    runner.run(_REFLECTION)
+    # never-before-seen query: dims {region} is a strict SUBSET of the
+    # reflection's (region, product); AVG comes from SUM/COUNT partials
+    sql = (
+        "SELECT region, SUM(amount) AS total, AVG(amount) AS avg_amt, "
+        "COUNT(amount) AS n FROM dremio.demo.sales GROUP BY region"
+    )
+    out = runner.run(sql)
+    assert _reads_reflection(out), "plan must scan the materialized reflection"
+    got = {r.region: (r.total, r.avg_amt, r.n) for r in out.collect()}
+
+    runner.use_reflection_routing = False
+    want = {r.region: (r.total, r.avg_amt, r.n) for r in runner.run(sql).collect()}
+    assert got == want
+    assert got["east"] == (35.0, 35.0 / 3, 3)
+
+
+def test_exact_shape_also_routes(runner):
+    runner.run(_REFLECTION)
+    out = runner.run(
+        "SELECT region, product, MIN(amount) AS lo, MAX(amount) AS hi "
+        "FROM dremio.demo.sales GROUP BY region, product"
+    )
+    assert _reads_reflection(out)
+    got = {(r.region, r.product): (r.lo, r.hi) for r in out.collect()}
+    assert got[("west", "b")] == (9.0, 11.0)
+    assert len(got) == 5
+
+
+def test_stale_reflection_falls_back_and_stays_correct(runner):
+    runner.run(_REFLECTION)
+    sql = "SELECT region, SUM(amount) AS total FROM dremio.demo.sales GROUP BY region"
+    assert _reads_reflection(runner.run(sql))
+    # anchor advances -> reflection stale -> plain plan, fresh values
+    runner.run("INSERT INTO dremio.demo.sales VALUES ('east', 'a', 1000.0)")
+    out = runner.run(sql)
+    assert not _reads_reflection(out)
+    assert {r.region: r.total for r in out.collect()}["east"] == 1035.0
+
+
+def test_uncovered_queries_fall_back(runner):
+    runner.run(_REFLECTION)
+    # WHERE over raw rows is not provably servable from partials
+    out = runner.run(
+        "SELECT region, SUM(amount) AS total FROM dremio.demo.sales "
+        "WHERE product = 'a' GROUP BY region"
+    )
+    assert not _reads_reflection(out)
+    assert {r.region: r.total for r in out.collect()} == {"east": 30.0, "west": 7.0}
+    # a dim the reflection lacks
+    out2 = runner.run(
+        "SELECT product, SUM(amount) AS t FROM dremio.demo.sales GROUP BY product"
+    )
+    # product IS covered (subset of dims) -> routes; sanity-check values
+    assert _reads_reflection(out2)
+    assert {r.product: r.t for r in out2.collect()} == {"a": 37.0, "b": 25.0, "c": 100.0}
+
+
+def test_advisor_recommended_reflection_routes_too(spark, tmp_path):
+    """The full R8 loop: repeated workload -> advisor recommends ->
+    accelerate() materializes -> a NEW subset query is served from it."""
+    lake = Lakehouse(spark, str(tmp_path / "wh2"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.ev (kind VARCHAR, day VARCHAR, val DOUBLE);
+        INSERT INTO dremio.demo.ev VALUES
+          ('click', 'mon', 1.0), ('click', 'tue', 2.0), ('view', 'mon', 3.0);
+        """
+    )
+    _ = r.advisor  # enable observation
+    hot = (
+        "SELECT kind, day, SUM(val) AS s, AVG(val) AS a "
+        "FROM dremio.demo.ev GROUP BY kind, day"
+    )
+    for _i in range(3):
+        r.run(hot)
+    created = r.accelerate()
+    assert created  # recommendation materialized
+    r.use_reflection_routing = True
+    out = r.run("SELECT kind, AVG(val) AS a FROM dremio.demo.ev GROUP BY kind")
+    assert _reads_reflection(out)
+    assert {x.kind: x.a for x in out.collect()} == {"click": 1.5, "view": 3.0}
