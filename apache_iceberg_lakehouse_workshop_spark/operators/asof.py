@@ -25,9 +25,15 @@ merge-scan strategy native ASOF implementations (DuckDB, QuestDB, kdb+ aj)
 use, expressed in pure Catalyst operators (whole-stage codegen, no UDFs).
 
 Skewed keys: the window sorts within one partition per key; a pathological
-single-key input degrades to one task, same as any windowed operator —
-pre-split such keys with coarse time-bucket sub-keys (bucket boundaries
-then need a small overlap pass) or operators.skew utilities.
+single-key input degrades to one task, same as any windowed operator.
+``split_bucket_seconds`` activates the time-bucket pre-split: the window
+partitions by (key, time-bucket) so a hot key spreads over as many tasks
+as it spans buckets, and boundary misses (a left row whose match lives in
+an earlier bucket) are repaired with a per-(key, bucket) "carry" — the
+nearest right payload from preceding buckets, ONE row per bucket, computed
+with a per-key prefix window over O(#buckets) rows and equi-joined back.
+Total cost stays |L|+|R| shuffle volume (now on the composite key) plus an
+O(#key-buckets) side plan; output is exactly equal to the unsplit plan.
 """
 
 from __future__ import annotations
@@ -49,6 +55,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     direction: str = "backward",
     tolerance: Column | None = None,
+    split_bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Attach to each left row the nearest right row per key.
 
@@ -74,9 +81,18 @@ def asof_join(
     window's stable (ts, side) order only; keep right timestamps unique
     per key for fully deterministic output (true of event streams with
     sub-second precision).
+
+    ``split_bucket_seconds`` — hot-key pre-split (see module docstring):
+    choose it so a hot key's densest bucket still fits one task comfortably
+    (e.g. 86400.0 for daily buckets on a key with months of events). Output
+    is exactly equal to the unsplit plan for any positive value.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if split_bucket_seconds is not None and not split_bucket_seconds > 0:
+        raise ValueError(
+            f"split_bucket_seconds must be > 0, got {split_bucket_seconds!r}"
+        )
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*on, right_ts)]
@@ -117,19 +133,75 @@ def asof_join(
     # before the left row so an exactly-simultaneous fact is visible.
     # Forward: descending ts, same side order -> nearest following fact.
     ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.asc("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        r_side.unionByName(l_side)
-        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-        # A NULL-ts left row sorts nulls-last under desc (forward) and would
-        # otherwise "match" the key's extreme fact; it has no position on the
-        # time axis, so it survives unmatched.
-        .withColumn("__match", F.when(F.col("__ts").isNotNull(), F.col("__match")))
+    if split_bucket_seconds is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts_order, F.asc("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            r_side.unionByName(l_side)
+            .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+            .filter(F.col("__side") == 1)
+        )
+    else:
+        # Hot-key pre-split: window per (key, time-bucket), then repair
+        # boundary misses with a per-bucket carry. Bucket is a monotone
+        # function of ts, so a right row at/before a left row is either in
+        # the same bucket (local window sees it — and it is strictly nearer
+        # than anything in an earlier bucket) or in an earlier bucket
+        # (the carry's prefix-last is exactly the nearest such row).
+        # TIMESTAMP_NTZ has no direct numeric cast; the intermediate
+        # cast("timestamp") is a no-op for ltz and a session-tz
+        # interpretation for ntz — monotone non-decreasing either way,
+        # which is the only property bucket assignment needs.
+        unioned = r_side.unionByName(l_side).withColumn(
+            "__bucket",
+            F.floor(
+                F.col("__ts").cast("timestamp").cast("double")
+                / F.lit(float(split_bucket_seconds))
+            ),
+        )
+        w_local = (
+            Window.partitionBy(*on, "__bucket")
+            .orderBy(ts_order, F.asc("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # One row per (key, bucket): the bucket's nearest-edge right payload
+        # (latest for backward, earliest for forward). max_by/min_by ignore
+        # NULL ordering values, so left rows (side=1) never win.
+        edge_ts = F.when(F.col("__side") == 0, F.col("__ts"))
+        pick = F.max_by if direction == "backward" else F.min_by
+        per_bucket = unioned.groupBy(*on, "__bucket").agg(
+            pick("__payload", edge_ts).alias("__edge")
+        )
+        # Prefix over buckets (ONE row each — the per-key window here is
+        # O(#buckets), not O(rows), so the hot key's serial portion is tiny):
+        # nearest right payload from strictly earlier (backward) / later
+        # (forward) buckets.
+        bucket_order = F.asc("__bucket") if direction == "backward" else F.desc("__bucket")
+        w_carry = (
+            Window.partitionBy(*on)
+            .orderBy(bucket_order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = per_bucket.select(
+            *on,
+            "__bucket",
+            F.last("__edge", ignorenulls=True).over(w_carry).alias("__carry"),
+        )
+        matched = (
+            unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w_local))
+            .filter(F.col("__side") == 1)
+            .join(carry, on=[*on, "__bucket"], how="left")
+            .withColumn("__match", F.coalesce(F.col("__match"), F.col("__carry")))
+            .drop("__bucket", "__carry")
+        )
+    # A NULL-ts left row sorts nulls-last under desc (forward) and would
+    # otherwise "match" the key's extreme fact; it has no position on the
+    # time axis, so it survives unmatched.
+    matched = matched.withColumn(
+        "__match", F.when(F.col("__ts").isNotNull(), F.col("__match"))
     )
 
     if tolerance is not None:

@@ -124,10 +124,11 @@ jb_join_battery = _register_battery(
     "J2/J3/J4/J7/J9 join shapes in one verified battery: composite key, "
     "expression key, left outer, semi, inline-VALUES dim "
     "(supply_chain_example.sql:88-91; finance_example.sql:86-89; "
-    "gov_example.sql:89-91; manufacturing.sql:82-154), plus the J13 as-of "
-    "join extension (operators/asof.py union+window plan vs DuckDB native "
-    "ASOF JOIN). Each branch keeps its own join strategy (broadcast dims, "
-    "shuffle fact joins, single-window as-of).",
+    "gov_example.sql:89-91; manufacturing.sql:82-154), plus the "
+    "J13/J14/J15 as-of join extensions (operators/asof.py union+window "
+    "plan — backward, forward, and hot-key-split variants — vs DuckDB "
+    "native ASOF JOIN). Each branch keeps its own join strategy "
+    "(broadcast dims, shuffle fact joins, single-window as-of).",
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("t1", "timestamp"),
      ("t2", "timestamp"), ("n1", "bigint"), ("v1", "double"), ("v2", "double")],
     [
@@ -148,6 +149,9 @@ jb_join_battery = _register_battery(
         ("j14_asof_forward", "j14_asof_forward",
          {"purchase_id": "k1", "next_err_id": "k2", "user_id": "n1",
           "purchase_ts": "t1", "next_err_ts": "t2", "next_err_value": "v1"}),
+        ("j15_asof_split", "j15_asof_split",
+         {"purchase_id": "k1", "prior_event_id": "k2", "user_id": "n1",
+          "purchase_ts": "t1", "prior_ts": "t2", "prior_value": "v1"}),
     ],
 )
 
@@ -403,6 +407,7 @@ ABSORBED = {
     "j9_inline_values_dim": "jb_join_battery",
     "j13_asof_join": "jb_join_battery",
     "j14_asof_forward": "jb_join_battery",
+    "j15_asof_split": "jb_join_battery",
     "d2_minhash_lsh_pairs": "db_neardup_battery",
     "d3_ngram_jaccard_pairs": "db_neardup_battery",
     "d5_dup_clusters": "db_neardup_battery",

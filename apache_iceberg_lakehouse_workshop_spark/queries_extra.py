@@ -449,6 +449,51 @@ def j13_asof_join(spark, sf_dir):
 
 
 @q(
+    "j15_asof_split",
+    """SELECT p.event_id AS purchase_id,
+              CAST(p.user_id AS BIGINT) AS user_id,
+              p.ts AS purchase_ts,
+              b.ts AS prior_ts,
+              b.event_id AS prior_event_id,
+              b.value AS prior_value
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN
+            (SELECT * FROM events WHERE event_type IN ('view', 'click')) b
+         ON p.user_id = b.user_id AND p.ts >= b.ts""",
+    "J15 hot-key pre-split as-of join (engine extension): the same "
+    "semantics as j13 but through asof_join(split_bucket_seconds=7d) — "
+    "window per (user, week-bucket) plus a per-bucket carry repair — so a "
+    "pathological single hot user no longer serializes into one task at "
+    "100 TB. Oracle is DuckDB's native ASOF JOIN again: the driver hash "
+    "pins that the split plan is value-identical to the merge-join "
+    "reference, not merely to our own unsplit plan.",
+)
+def j15_asof_split(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(e.event_type == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    browses = e.filter(e.event_type.isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("prior_ts"),
+        F.col("event_id").alias("prior_event_id"),
+        F.col("value").alias("prior_value"),
+    )
+    return asof_join(
+        purchases,
+        browses,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="prior_ts",
+        split_bucket_seconds=7 * 86400.0,
+    )
+
+
+@q(
     "a18_percentiles",
     """SELECT l_returnflag,
               CAST(COUNT(*) AS BIGINT) AS n,

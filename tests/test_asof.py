@@ -152,6 +152,108 @@ def test_null_timestamps_never_match(spark):
             assert got is None, direction  # nothing at-or-after 12:00
 
 
+def test_hot_key_split_equals_plain(spark):
+    """split_bucket_seconds: exact output equality with the unsplit plan on
+    a 90%-hot-key input, both directions, with and without tolerance, and
+    with a key that has right rows only in early buckets (carry-only
+    matches) — the skew hardening the module docstring promises."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    n_l, n_r = 400, 600
+    # 90% of rows on key 0, the rest spread over keys 1..9
+    lk = np.where(rng.random(n_l) < 0.9, 0, rng.integers(1, 10, n_l))
+    rk = np.where(rng.random(n_r) < 0.9, 0, rng.integers(1, 10, n_r))
+    lpd = pd.DataFrame(
+        {
+            "k": lk,
+            "lts": base + pd.to_timedelta(rng.choice(40 * 86400, n_l, replace=False), unit="s"),
+            "lv": np.arange(n_l),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rk,
+            # right rows only in the first 20 days: late-bucket left rows
+            # on every key must be served purely by the carry
+            "rts": base + pd.to_timedelta(rng.choice(20 * 86400, n_r, replace=False), unit="s"),
+            "rv": np.arange(n_r) * 10,
+        }
+    )
+    left, right = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+
+    for direction in ("backward", "forward"):
+        for tol in (None, F.expr("INTERVAL 36 HOURS")):
+            plain = asof_join(
+                left, right, ["k"], "lts", "rts", direction=direction, tolerance=tol
+            )
+            split = asof_join(
+                left, right, ["k"], "lts", "rts", direction=direction,
+                tolerance=tol, split_bucket_seconds=86400.0,
+            )
+            key = ["k", "lts", "lv"]
+            want = plain.toPandas().sort_values(key, kind="stable").reset_index(drop=True)
+            got = (
+                split.toPandas().sort_values(key, kind="stable").reset_index(drop=True)
+            )[want.columns]
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # the split plan really windows on (key, bucket): the hot key spans
+    # many daily buckets, so its sort no longer runs in one task
+    split = asof_join(left, right, ["k"], "lts", "rts", split_bucket_seconds=86400.0)
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan
+    hot_buckets = (
+        left.filter("k = 0")
+        .select(F.floor(F.col("lts").cast("double") / 86400.0).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert hot_buckets > 10
+
+
+def test_split_rejects_nonpositive_bucket(spark):
+    left, right = _micro(spark)
+    for bad in (0, -1.5):
+        try:
+            asof_join(left, right, ["k"], "lts", "rts", split_bucket_seconds=bad)
+        except ValueError as e:
+            assert "split_bucket_seconds" in str(e)
+        else:
+            raise AssertionError("expected ValueError on nonpositive bucket")
+
+
+def test_split_null_timestamps_never_match(spark):
+    """The NULL-ts guards hold on the split path too (null bucket rows get
+    no carry and the final guard nulls any phantom)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-05T12:00:00"), "l-real"), (1, None, "l-null")],
+        "k int, lts timestamp, ltag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "r-early"), (1, None, "r-null")],
+        "k int, rts timestamp, rtag string",
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r["ltag"]: r
+            for r in asof_join(
+                left, right, ["k"], "lts", "rts",
+                direction=direction, split_bucket_seconds=86400.0,
+            ).collect()
+        }
+        assert len(out) == 2
+        assert out["l-null"]["rtag"] is None, direction
+        # l-real is 4 buckets after r-early: backward must carry it in,
+        # forward has nothing at-or-after
+        if direction == "backward":
+            assert out["l-real"]["rtag"] == "r-early", direction
+        else:
+            assert out["l-real"]["rtag"] is None, direction
+
+
 def test_right_payload_collision_raises(spark):
     left, right = _micro(spark)
     try:
