@@ -200,10 +200,12 @@ ab_shapes_battery = _register_battery(
     "aggregate-then-join (semantics.sql:191-194; manufacturing.sql:86-91; "
     "healthcare_example.sql:106-125; insurance_example.sql:95-136), plus "
     "the A18 exact-percentile extension (Spark percentile() vs DuckDB "
-    "quantile_cont, both linear interpolation).",
-    [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("t1", "timestamp"),
-     ("n1", "bigint"), ("n2", "bigint"), ("v1", "double"), ("v2", "double"),
-     ("v3", "double")],
+    "quantile_cont, both linear interpolation) and the A19/A20 GROUPING "
+    "SETS / CUBE multi-dimensional subtotal extensions (one Expand pass, "
+    "GROUPING() flags).",
+    [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar"),
+     ("t1", "timestamp"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"),
+     ("v1", "double"), ("v2", "double"), ("v3", "double")],
     [
         ("a11_global_agg", "a11_global_agg",
          {"n_rows": "n1", "total_revenue": "v1", "min_price": "v2", "max_price": "v3"}),
@@ -219,6 +221,12 @@ ab_shapes_battery = _register_battery(
         ("a18_percentiles", "a18_percentiles",
          {"l_returnflag": "s1", "n": "n1", "p50_price": "v1",
           "p95_price": "v2", "p50_qty": "v3"}),
+        ("a19_grouping_sets", "a19_grouping_sets",
+         {"status": "s1", "priority": "s2", "n": "n1", "total_value": "v1",
+          "g_status": "n2", "g_priority": "n3"}),
+        ("a20_cube", "a20_cube",
+         {"segment": "s1", "nationkey": "k1", "n": "n1", "sum_bal": "v1",
+          "g_id": "n2"}),
     ],
 )
 
@@ -430,6 +438,8 @@ ABSORBED = {
     "a15_ratio_guard": "ab_shapes_battery",
     "a16_agg_then_join": "ab_shapes_battery",
     "a18_percentiles": "ab_shapes_battery",
+    "a19_grouping_sets": "ab_shapes_battery",
+    "a20_cube": "ab_shapes_battery",
     "w2_rolling_7day": "wb_window_battery",
     "w3_lead_gap": "wb_window_battery",
     "u1_union_all": "ub_setops_battery",

@@ -341,6 +341,85 @@ def a17_rollup_hierarchy(spark, sf_dir):
 
 
 @q(
+    "a19_grouping_sets",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              COALESCE(o_orderpriority, 'ALL') AS priority,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+              CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+              CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "A19 GROUPING SETS (engine extension; SURVEY §2.4 — present in "
+    "Dremio's dialect, absent from the reference scripts): two independent "
+    "one-dimension breakdowns plus the grand total in ONE scan (Expand + "
+    "partial/final hash agg), not three scans unioned. Money sums via the "
+    "scaled-int64 exact path. GROUPING() flags disambiguate a genuinely "
+    "NULL dimension value from a subtotal row.",
+)
+def a19_grouping_sets(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _dsum2("o_totalprice").alias("total_value"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total_value",
+            "g_status",
+            "g_priority",
+        )
+    )
+
+
+@q(
+    "a20_cube",
+    """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+              CAST(COALESCE(CAST(c_nationkey AS BIGINT), -1) AS BIGINT) AS nationkey,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+              CAST(GROUPING(c_mktsegment) AS INT) + 2 * CAST(GROUPING(c_nationkey) AS INT)
+                AS g_id
+       FROM customer
+       GROUP BY CUBE (c_mktsegment, c_nationkey)""",
+    "A20 CUBE (engine extension; completes the A17/A19 multi-dimensional "
+    "subtotal family): all four (segment x nation) grouping combinations "
+    "in one Expand pass. The combined g_id encodes which dimensions are "
+    "aggregated-away, the pattern BI tools key legends off.",
+)
+def a20_cube(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.cube("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _dsum2("c_acctbal").alias("sum_bal"),
+            (
+                F.grouping("c_mktsegment").cast("int")
+                + F.lit(2) * F.grouping("c_nationkey").cast("int")
+            ).alias("g_id"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("c_nationkey").cast("long"), F.lit(-1)).alias("nationkey"),
+            "n",
+            "sum_bal",
+            "g_id",
+        )
+    )
+
+
+@q(
     "e3_session_rollup",
     """WITH ordered AS (
          SELECT user_id, ts, value,
