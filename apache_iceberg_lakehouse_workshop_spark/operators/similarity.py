@@ -255,19 +255,54 @@ def _fixed_planes(dim: int, n_planes: int) -> list[list[float]]:
 
 
 def _assign_cells(df: DataFrame, centroids: DataFrame, out_id: str, nprobe: int) -> DataFrame:
-    """Assign each vector to its ``nprobe`` nearest centroid cells via a
-    broadcast join + per-vector top-n window (map-side scoring; K is tiny)."""
-    scored = df.join(F.broadcast(centroids), how="cross").select(
+    """Assign each vector to its ``nprobe`` nearest centroid cells.
+
+    Norms are hoisted OUT of the (vector x centroid) pair loop — the
+    vector's self-dot once per vector, the centroid's once per centroid on
+    the broadcast side — so each of the n_cells pairs costs one int dot
+    instead of three (~2.5x at 64-dim, and the savings grow with K). The
+    sim expression stays ``dot / sqrt(na * nb)`` over the same exact
+    integers, so values are bit-identical to the unhoisted form.
+
+    nprobe=1 (the corpus-assignment hot path, |corpus| * n_cells rows) is
+    a single partial-aggregated ``max_by`` — no sort, no window — with the
+    tie-break (max sim, then min cell_id) encoded in the struct ordering.
+    nprobe>1 runs only on the contractually-small query side."""
+    cent = F.broadcast(
+        centroids.select(
+            "cell_id",
+            "centroid",
+            int_dot(F.col("centroid"), F.col("centroid")).alias("__nb"),
+        )
+    )
+    base = df.withColumn(
+        "__na", int_dot(F.col(f"{out_id}_vec"), F.col(f"{out_id}_vec"))
+    )
+    dot = int_dot(F.col(f"{out_id}_vec"), F.col("centroid")).cast("double")
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    sim = F.when((na > 0) & (nb > 0), dot / F.sqrt(na * nb)).otherwise(F.lit(0.0))
+    scored = base.join(cent, how="cross").select(
         F.col(out_id),
         F.col(f"{out_id}_vec"),
         F.col("cell_id"),
-        cosine_quantized(F.col(f"{out_id}_vec"), F.col("centroid")).alias("cell_sim"),
+        sim.alias("cell_sim"),
     )
+    if nprobe == 1:
+        pick = F.max_by(
+            F.struct(F.col("cell_id"), F.col(f"{out_id}_vec")),
+            F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("__neg")),
+        )
+        return scored.groupBy(out_id).agg(pick.alias("__m")).select(
+            F.col(out_id),
+            F.col("__m.cell_id").alias("cell_id"),
+            F.col(f"__m.{out_id}_vec").alias(f"{out_id}_vec"),
+        )
     w = Window.partitionBy(out_id).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= nprobe)
-        .drop("crank", "cell_sim")
+        .drop("crank", "cell_sim", "__na")
     )
 
 

@@ -138,6 +138,137 @@ def _reflection_probe(spark) -> dict[str, float]:
             "accelerated_input_rows": n_mat}
 
 
+def _scaled_section(spark) -> dict:
+    """Scale tier: the dedup/ANN/as-of probes at ~0.5-6.4M input rows.
+
+    The sf0.1 bench can't see quadratic surprises — a candidate join that
+    is accidentally all-pairs looks fine on 5k docs. Each probe here runs
+    the SAME construction at a small and a large replication tier and
+    reports rows/s at both; ``scaling`` = large_rate / small_rate. Linear
+    operators hold ~1.0 (larger tiers usually run a bit HOTTER per row as
+    fixed job overhead amortizes); a super-linear operator collapses
+    toward 0 as the tier grows. One rep per tier (the tiers are big enough
+    to sit far above sandbox noise).
+
+    Replication is semantics-preserving per probe: document text is
+    token-salted per replica (every token gets a replica suffix) so
+    replicas of one doc share NO shingles — intra-replica near-dup
+    structure is identical to the original corpus and output scales
+    linearly by construction, which is exactly the property that makes
+    rows/s comparable across tiers. Embeddings/events replicate with id
+    offsets (per-key/per-query work is already linear).
+    """
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_lakehouse_workshop_spark.operators import dedup as DD
+    from apache_iceberg_lakehouse_workshop_spark.operators import similarity as SIM
+    from apache_iceberg_lakehouse_workshop_spark.operators.asof import asof_join
+
+    def replicate(df, times, id_mods):
+        reps = spark.range(times).select(F.col("id").alias("__r"))
+        big = df.crossJoin(F.broadcast(reps))
+        for c, unit in id_mods.items():
+            big = big.withColumn(c, F.col(c) + F.col("__r") * F.lit(unit))
+        return big
+
+    def salt_text(df):
+        # suffix must survive dedup's normalized_text ([^a-z ] stripped):
+        # digits of the replica id transliterate to letters
+        salt = F.translate(F.col("__r").cast("string"), "0123456789", "qwertyuiop")
+        return df.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit("x"), salt),
+                ),
+                " ",
+            ),
+        )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    events = load_table(spark, SF_DIR, "events")
+    emb_queries = emb.filter(F.col("vec_id") < 10)
+
+    def d2(times):
+        big = salt_text(replicate(docs, times, {"doc_id": 1_000_000}))
+        return DD.minhash_lsh_pairs(
+            big, num_hashes=8, band_size=2, jaccard_threshold=0.5, shingle_n=3
+        ), times * 5_000
+
+    def d5(times):
+        pairs, n = d2(times)
+        return DD.duplicate_clusters(pairs), n
+
+    def s3(times):
+        big = replicate(emb, times, {"vec_id": 1_000_000})
+        return SIM.knn_lsh(big, emb_queries, k=5, dim=64, n_planes=4), times * 2_000
+
+    def s4(times):
+        big = replicate(emb, times, {"vec_id": 1_000_000})
+        return SIM.knn_ivf(big, emb_queries, k=5, n_cells=16, nprobe=4), times * 2_000
+
+    def j13(times):
+        big = replicate(
+            events, times, {"user_id": 10_000_000, "event_id": 100_000_000}
+        )
+        purchases = big.filter(big.event_type == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        browses = big.filter(big.event_type.isin("view", "click")).select(
+            "user_id",
+            F.col("ts").alias("prior_ts"),
+            F.col("event_id").alias("prior_event_id"),
+        )
+        return (
+            asof_join(purchases, browses, ["user_id"], "purchase_ts", "prior_ts"),
+            times * 100_000,
+        )
+
+    tiers = {
+        "d2_minhash_lsh": (d2, 2, 16),
+        "d5_dup_clusters": (d5, 2, 16),
+        "s3_knn_lsh": (s3, 8, 64),
+        "s4_knn_ivf": (s4, 8, 64),
+        "j13_asof_join": (j13, 8, 64),
+    }
+    out = {}
+    for name, (fn, small, large) in tiers.items():
+        obs = {}
+        for times in (small, large):
+            t0 = time.time()
+            df, rows = fn(times)
+            # count() alone would let Catalyst prune unused expressions
+            # (e.g. an as-of window whose match column nobody reads), and
+            # count(xxhash64(...)) rewrites to count(*) because the hash is
+            # non-nullable — SUMMING the hash is what forces every output
+            # column to actually compute.
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
+            ).collect()[0]
+            n_out = row["n"]
+            obs[times] = (rows, time.time() - t0, n_out)
+        rows_l, sec_l, n_out = obs[large]
+        rows_s, sec_s, _ = obs[small]
+        # marginal rate subtracts the fixed per-job cost that dominates the
+        # small tier; `scaling` >= ~1 is healthy (fixed cost amortizing),
+        # << 1 flags super-linear work growth
+        marginal = (rows_l - rows_s) / max(sec_l - sec_s, 1e-9)
+        out[name] = {
+            "rows": rows_l,
+            "sec": round(sec_l, 3),
+            "rows_per_sec": round(rows_l / sec_l, 1),
+            "marginal_rows_per_sec": round(marginal, 1),
+            "out_rows": n_out,
+            "scaling": round((rows_l / sec_l) / (rows_s / sec_s), 3),
+        }
+    return out
+
+
 def main() -> None:
     spark = get_spark("bench")
     # full registry: bench probes target specific plan shapes, including
@@ -160,6 +291,7 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
 
     reflection = _reflection_probe(spark)
+    scaled = _scaled_section(spark)
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -172,6 +304,7 @@ def main() -> None:
         "lineitem_rows": n_rows,
         "rows_per_sec_multi_avg": round(n_rows / timings["multi_avg_scan"], 1),
         "reflection": reflection,
+        "scaled": scaled,
     }
     print(json.dumps(out))
 
