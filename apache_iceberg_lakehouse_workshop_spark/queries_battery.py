@@ -177,9 +177,12 @@ ab_conditional_battery = _register_battery(
     "A4-A8 conditional aggregation family: SUM(CASE) pivot, rate-as-AVG-of-"
     "flag, MAX(CASE) per-group flag, COUNT FILTER "
     "(finance_example.sql:102-107; gov_example.sql:103-107; "
-    "healthcare_example.sql:91-99; clinicdata.sql:326-334).",
-    [("k1", "bigint"), ("s1", "varchar"), ("n1", "bigint"), ("n2", "bigint"),
-     ("n3", "bigint"), ("v1", "double"), ("v2", "double")],
+    "healthcare_example.sql:91-99; clinicdata.sql:326-334), plus the "
+    "A21/A22 first-class PIVOT / UNPIVOT extensions (explicit value list "
+    "-> one-scan conditional agg; native unpivot Expand, NULLs excluded).",
+    [("k1", "bigint"), ("s1", "varchar"), ("s2", "varchar"), ("n1", "bigint"),
+     ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"), ("v2", "double"),
+     ("v3", "double")],
     [
         ("a4_conditional_sum", "a4_conditional_sum",
          {"o_orderpriority": "s1", "fulfilled_value": "v1", "open_value": "v2",
@@ -190,6 +193,11 @@ ab_conditional_battery = _register_battery(
          {"o_custkey": "k1", "has_big_order": "n1", "n_orders": "n2"}),
         ("a7_filtered_count", "a7_filtered_count",
          {"o_orderstatus": "s1", "n_urgent": "n1", "n_low": "n2", "n_total": "n3"}),
+        ("a21_pivot", "a21_pivot",
+         {"priority": "s1", "open_value": "v1", "filled_value": "v2",
+          "partial_value": "v3"}),
+        ("a22_unpivot", "a22_unpivot",
+         {"priority": "s1", "status": "s2", "value": "v1"}),
     ],
 )
 
@@ -432,6 +440,8 @@ ABSORBED = {
     "a5_rate_avg_flag": "ab_conditional_battery",
     "a6_max_case_flag": "ab_conditional_battery",
     "a7_filtered_count": "ab_conditional_battery",
+    "a21_pivot": "ab_conditional_battery",
+    "a22_unpivot": "ab_conditional_battery",
     "a11_global_agg": "ab_shapes_battery",
     "a12_having_dups": "ab_shapes_battery",
     "a14_distinct_then_avg": "ab_shapes_battery",

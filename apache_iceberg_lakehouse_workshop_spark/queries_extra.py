@@ -420,6 +420,71 @@ def a20_cube(spark, sf_dir):
 
 
 @q(
+    "a21_pivot",
+    """SELECT o_orderpriority AS priority,
+              CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS open_value,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS filled_value,
+              CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS partial_value
+       FROM orders GROUP BY o_orderpriority""",
+    "A21 PIVOT (engine extension; the reference reaches for SUM(CASE) "
+    "pivots — finance_example.sql:102-107 — this is the first-class form): "
+    "groupBy().pivot() with an EXPLICIT value list, which Spark compiles "
+    "to exactly the one-scan conditional-aggregate plan; omitting the list "
+    "would trigger a distinct-values pre-scan — never do that at 100 TB. "
+    "Oracle is the equivalent SUM(CASE) spelling.",
+)
+def a21_pivot(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(_dsum2("o_totalprice"))
+        .select(
+            "priority",
+            F.col("O").alias("open_value"),
+            F.col("F").alias("filled_value"),
+            F.col("P").alias("partial_value"),
+        )
+    )
+
+
+@q(
+    "a22_unpivot",
+    """WITH p AS (SELECT o_orderpriority AS priority,
+                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS open_value,
+                CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS filled_value,
+                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS partial_value
+         FROM orders GROUP BY o_orderpriority)
+       SELECT priority, status, value FROM (
+         SELECT priority, 'O' AS status, open_value AS value FROM p
+         UNION ALL SELECT priority, 'F', filled_value FROM p
+         UNION ALL SELECT priority, 'P', partial_value FROM p)
+       WHERE value IS NOT NULL""",
+    "A22 UNPIVOT (engine extension, inverse of A21): wide-to-long via the "
+    "native unpivot operator (one Expand pass over the wide frame — not a "
+    "rescan-per-column UNION). NULL cells drop, matching ANSI UNPIVOT "
+    "EXCLUDE NULLS.",
+)
+def a22_unpivot(spark, sf_dir):
+    wide = a21_pivot(spark, sf_dir)
+    code = F.create_map(
+        F.lit("open_value"), F.lit("O"),
+        F.lit("filled_value"), F.lit("F"),
+        F.lit("partial_value"), F.lit("P"),
+    )
+    return (
+        wide.unpivot(
+            ids=["priority"],
+            values=["open_value", "filled_value", "partial_value"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .filter(F.col("value").isNotNull())
+        .select("priority", code[F.col("measure")].alias("status"), "value")
+    )
+
+
+@q(
     "e3_session_rollup",
     """WITH ordered AS (
          SELECT user_id, ts, value,
