@@ -288,3 +288,162 @@ def winnow_fingerprint_rows(
     full_windows = F.col("rn") <= F.col("m") - (w - 1)
     degenerate = (F.col("m") < w) & (F.col("rn") == 1)
     return mins.filter(full_windows | degenerate).select("id", "fp").distinct()
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any exact n-token
+    gram with an eval/benchmark set -> (train_id, n_shared_grams,
+    n_bench_docs).
+
+    The standard pre-training hygiene pass (GPT-3 App. C / Llama style
+    13-gram overlap, n is a knob): any training document that reproduces a
+    full n-gram of a held-out benchmark is flagged so it can be dropped or
+    the benchmark result annotated. The reference has no counterpart
+    (SURVEY §2 north-star family T); this generalizes t7's winnowing
+    overlap to the asymmetric train-vs-eval shape.
+
+    Plan at 100 TB: token n-grams stream off posexplode + window LEAD
+    (same reused-exchange trick as minhash shingles); the BENCH side is
+    contractually tiny (benchmarks are MBs, corpora are TBs), so its
+    distinct gram set broadcasts and the flagging join is map-side — the
+    only shuffle over train-sized data is the per-doc window + final
+    groupBy. Swap the broadcast for a bloom-filter prefilter + shuffle
+    join if the benchmark suite ever outgrows executor memory. Gram
+    equality is on the gram STRING here (exact, engine-portable for the
+    oracle twin); at 100 TB join on xxhash64(gram) to keep the broadcast
+    table narrow — a false positive needs a 64-bit collision.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        tok = df.select(
+            F.col(id_col).cast("long").alias(out_id),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+        )
+        win = Window.partitionBy(out_id).orderBy("pos")
+        lead_cols = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+        return (
+            tok.select(
+                out_id,
+                (F.lead("w", n - 1).over(win).isNotNull() if n > 1 else F.lit(True)).alias("full"),
+                F.concat_ws(" ", *lead_cols).alias("g"),
+            )
+            .filter("full")
+            .select(out_id, "g")
+        )
+
+    tg = grams(train, "train_id")
+    bg = grams(bench, "bench_id").distinct()  # small side: distinct then broadcast
+    return (
+        tg.join(F.broadcast(bg), "g")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("g").cast("long").alias("n_shared_grams"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    (id, n_tokens, dup_token_frac, top_bigram, top_bigram_frac).
+
+    dup_token_frac = 1 - distinct/total tokens; top_bigram_frac = share of
+    all token bigrams taken by the single most frequent one (ties break to
+    the lexicographically smallest bigram, deterministic cross-engine).
+    High values of either are the classic generated/boilerplate-text
+    signature the Gopher rules (Rae et al. 2021, table A1) filter on.
+
+    Plan at 100 TB: one posexplode of tokens, ONE exchange on the doc id
+    that both the token-level aggregate and the bigram window+aggregate
+    reuse, partial aggregation everywhere, join back on id — no Python,
+    no all-token collect.
+    """
+    tok = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    tstats = tok.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        tok.select("id", F.concat_ws(" ", F.col("w"), F.lead("w").over(win)).alias("g"),
+                   F.lead("w").over(win).isNotNull().alias("full"))
+        .filter("full")
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    top = bg.groupBy("id").agg(
+        F.min_by("g", F.struct((-F.col("c")).alias("a"), F.col("g").alias("b"))).alias(
+            "top_bigram"
+        ),
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n_bigrams"),
+    )
+    return (
+        tstats.join(top, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            "top_bigram",
+            F.round(
+                F.coalesce(
+                    F.col("top_c").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+#: PII detection patterns, applied IN ORDER with count-then-redact on the
+#: progressively cleaned text: SSNs are matched (and tokenized away) before
+#: the looser phone pattern can swallow them, and replacement tokens
+#: contain no digits so later patterns cannot re-match inside them. The
+#: regex subset used (char classes, bounded quantifiers) behaves
+#: identically under Java regex (Spark) and RE2 (DuckDB/Trino), keeping
+#: the pass engine-portable.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + redaction per document: (id, n_emails, n_ssns,
+    n_phones, clean_len, redacted_md5) with the redacted text verifiable
+    via its md5.
+
+    The mandatory pre-release pass on any training corpus. Map-only,
+    all JVM regex (codegen) — at 100 TB this runs at scan speed with zero
+    shuffle; chain ``.withColumn(text_col, ...)`` variants of the same
+    expressions to persist the redacted corpus itself.
+    """
+    red = F.col(text_col)
+    out_counts = []
+    for name, pat, token in PII_PATTERNS:
+        out_counts.append(F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}s"))
+        red = F.regexp_replace(red, pat, token)
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *out_counts,
+        F.length(red).cast("long").alias("clean_len"),
+        F.md5(red).alias("redacted_md5"),
+    )

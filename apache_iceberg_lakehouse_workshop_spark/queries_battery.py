@@ -242,10 +242,11 @@ db_neardup_battery = _register_battery(
     "db_neardup_battery",
     "D2/D3/D5 near-dup pipeline end-to-end in one verified battery: "
     "MinHash-LSH candidate pairs, exact n-gram Jaccard verification pairs, "
-    "and duplicate-cluster formation (connected components over the LSH "
-    "pairs, canonical = component min id). The cluster branch pins the "
-    "keep/drop decision itself: Spark min-label propagation vs a DuckDB "
-    "recursive-CTE transitive closure.",
+    "duplicate-cluster formation (connected components over the LSH "
+    "pairs, canonical = component min id), winnowing overlap, and T9 "
+    "benchmark decontamination (exact 8-gram train-vs-eval overlap). The "
+    "cluster branch pins the keep/drop decision itself: Spark min-label "
+    "propagation vs a DuckDB recursive-CTE transitive closure.",
     [("k1", "bigint"), ("k2", "bigint"), ("n1", "bigint"), ("n2", "bigint"),
      ("v1", "double")],
     [
@@ -261,6 +262,8 @@ db_neardup_battery = _register_battery(
           "is_canonical": "n2"}),
         ("t7_winnow_overlap", "t7_winnow_overlap",
          {"doc_a": "k1", "doc_b": "k2", "n_shared": "n1"}),
+        ("t9_decontaminate", "t9_decontaminate",
+         {"train_id": "k1", "n_shared_grams": "n1", "n_bench_docs": "n2"}),
     ],
 )
 
@@ -293,9 +296,12 @@ tb_sample_battery = _register_battery(
     "vocabulary statistics (top-k term/doc frequency). Sampling/splits are "
     "map-only and shuffle-free; vocab is partial-aggregated counts + "
     "TakeOrderedAndProject — all engine-portable, the oracle recomputes "
-    "identical coordinates, thresholds, and rankings in DuckDB.",
+    "identical coordinates, thresholds, and rankings in DuckDB. Joined by "
+    "the T10 repetition-quality signals (Gopher dup-token / top-bigram "
+    "fractions) and the T11 PII count+redact pass (md5-pinned redaction).",
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar"),
-     ("n1", "bigint"), ("n2", "bigint")],
+     ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"),
+     ("v2", "double")],
     [
         ("t5_stratified_sample", "t5_stratified_sample",
          {"l_orderkey": "k1", "l_linenumber": "k2", "l_returnflag": "s1",
@@ -304,6 +310,12 @@ tb_sample_battery = _register_battery(
          {"o_orderkey": "k1", "o_custkey": "k2", "split": "s1"}),
         ("t8_vocab_topk", "t8_vocab_topk",
          {"rank": "k1", "token": "s1", "term_freq": "n1", "doc_freq": "n2"}),
+        ("t10_repetition", "t10_repetition",
+         {"doc_id": "k1", "n_tokens": "n1", "dup_token_frac": "v1",
+          "top_bigram": "s1", "top_bigram_frac": "v2"}),
+        ("t11_pii_scrub", "t11_pii_scrub",
+         {"doc_id": "k1", "n_emails": "n1", "n_ssns": "n2", "n_phones": "n3",
+          "clean_len": "k2", "redacted_md5": "s1"}),
     ],
 )
 
@@ -428,9 +440,12 @@ ABSORBED = {
     "d3_ngram_jaccard_pairs": "db_neardup_battery",
     "d5_dup_clusters": "db_neardup_battery",
     "t7_winnow_overlap": "db_neardup_battery",
+    "t9_decontaminate": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "t8_vocab_topk": "tb_sample_battery",
+    "t10_repetition": "tb_sample_battery",
+    "t11_pii_scrub": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",
     "e2_sessionized_purchases": "eb_event_battery",
     "e3_session_rollup": "eb_event_battery",

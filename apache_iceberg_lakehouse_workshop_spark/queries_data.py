@@ -873,3 +873,153 @@ def t7_winnow_overlap(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@q(
+    "t9_decontaminate",
+    f"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 15),
+       trainbase AS (SELECT doc_id, text FROM documents WHERE doc_id >= 15),
+       chim AS (SELECT a.doc_id + 300000 AS doc_id,
+                       substring(a.text, 1, 120) || ' ' || substring(b.text, 1, 120) AS text
+                FROM bench a JOIN documents b ON b.doc_id = a.doc_id + 100
+                WHERE a.doc_id < 10),
+       train AS (SELECT * FROM trainbase UNION ALL SELECT * FROM chim),
+       btok AS (SELECT doc_id AS bench_id, {_TOKS} AS w FROM bench),
+       bgr AS (SELECT DISTINCT bench_id, g FROM (
+           SELECT bench_id,
+                  unnest(CASE WHEN len(w) >= 8 THEN
+                           list_transform(range(1, len(w) - 6), i ->
+                             array_to_string(list_slice(w, i, i + 7), ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS g
+           FROM btok)),
+       ttok AS (SELECT doc_id AS train_id, {_TOKS} AS w FROM train),
+       tgr AS (SELECT train_id,
+                      unnest(CASE WHEN len(w) >= 8 THEN
+                               list_transform(range(1, len(w) - 6), i ->
+                                 array_to_string(list_slice(w, i, i + 7), ' '))
+                             ELSE CAST([] AS VARCHAR[]) END) AS g
+               FROM ttok),
+       hits AS (SELECT t.train_id, t.g, b.bench_id
+                FROM tgr t JOIN bgr b USING (g))
+       SELECT CAST(train_id AS BIGINT) AS train_id,
+              CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared_grams,
+              CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+       FROM hits GROUP BY train_id""",
+    "T9 benchmark decontamination (engine extension; north-star curation "
+    "family): flag every training doc sharing an exact 8-token gram with a "
+    "held-out benchmark set — the GPT-3/Llama n-gram-overlap hygiene pass. "
+    "Spark side is operators.textstats.ngram_contamination (train grams "
+    "off posexplode+LEAD, tiny bench gram set DISTINCTed then broadcast, "
+    "map-side flagging join); oracle recomputes the same token grams with "
+    "DuckDB list ops. The corpus seeds chimeric train docs that splice a "
+    "bench prefix onto an unrelated doc, so the probe pins real hits, and "
+    "doc_id<15 benchmark rows are excluded from the train side entirely.",
+)
+def t9_decontaminate(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 15).select("doc_id", "text")
+    trainbase = d.filter(F.col("doc_id") >= 15).select("doc_id", "text")
+    a = bench.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("i"), F.substring("text", 1, 120).alias("ta")
+    )
+    b = d.select((F.col("doc_id") - 100).alias("i"), F.substring("text", 1, 120).alias("tb"))
+    chim = a.join(b, "i").select(
+        (F.col("i") + 300000).alias("doc_id"),
+        F.concat(F.col("ta"), F.lit(" "), F.col("tb")).alias("text"),
+    )
+    train = trainbase.unionByName(chim)
+    return TS.ngram_contamination(train, bench, n=8)
+
+
+@q(
+    "t10_repetition",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+       base AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct, w
+                FROM tok WHERE len(w) > 0),
+       bg AS (SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 2 THEN
+                              list_transform(range(1, len(w)), i ->
+                                w[i] || ' ' || w[i + 1])
+                            ELSE CAST([] AS VARCHAR[]) END) AS g
+              FROM base),
+       cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+       top AS (SELECT doc_id, g AS top_bigram, c AS top_c,
+                      SUM(c) OVER (PARTITION BY doc_id) AS n_bigrams
+               FROM cnt
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, g ASC) = 1)
+       SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+              CAST(b.n_tokens AS BIGINT) AS n_tokens,
+              round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS dup_token_frac,
+              t.top_bigram,
+              round(COALESCE(CAST(t.top_c AS DOUBLE) / t.n_bigrams, 0.0), 6) AS top_bigram_frac
+       FROM base b LEFT JOIN top t USING (doc_id)""",
+    "T10 repetition-quality signals (engine extension; Gopher rules, Rae "
+    "et al. 2021 table A1): per-doc duplicate-token fraction and "
+    "top-bigram concentration — the boilerplate/generated-text signature "
+    "a curation pipeline filters on. Spark side is "
+    "operators.textstats.repetition_stats: one token explode, one "
+    "exchange on doc id reused by both aggregates, deterministic "
+    "lexicographic tie-break for the top bigram in both engines.",
+)
+def t10_repetition(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return TS.repetition_stats(d)
+
+
+_PII_SEED = (
+    " reach me at jane.doe+spam@mail-host.example.org or (415) 555-0132 ok"
+)
+_PII_SEED2 = " ssn 123-45-6789 on file"
+
+
+@q(
+    "t11_pii_scrub",
+    """WITH seeded AS (
+         SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 20 = 0
+                        THEN ' reach me at jane.doe+spam@mail-host.example.org or (415) 555-0132 ok'
+                        ELSE '' END
+                || CASE WHEN doc_id % 30 = 0
+                        THEN ' ssn 123-45-6789 on file' ELSE '' END AS t
+         FROM documents),
+       s1 AS (SELECT doc_id,
+                     len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+                     regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t
+              FROM seeded),
+       s2 AS (SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssns,
+                     regexp_replace(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t
+              FROM s1),
+       s3 AS (SELECT doc_id, n_emails, n_ssns,
+                     len(regexp_extract_all(t, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phones,
+                     regexp_replace(t, '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS t
+              FROM s2)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(n_emails AS BIGINT) AS n_emails,
+              CAST(n_ssns AS BIGINT) AS n_ssns,
+              CAST(n_phones AS BIGINT) AS n_phones,
+              CAST(length(t) AS BIGINT) AS clean_len,
+              md5(t) AS redacted_md5
+       FROM s3""",
+    "T11 PII detection + redaction (engine extension; the mandatory "
+    "pre-release corpus pass): email/SSN/phone counted then redacted "
+    "sequentially on the progressively cleaned text, so the loose phone "
+    "pattern cannot swallow SSNs and digit-free replacement tokens cannot "
+    "re-match. Spark side is operators.textstats.pii_scrub — map-only "
+    "codegen regex, zero shuffle at any scale; the md5 of the redacted "
+    "text pins byte-exact redaction output across engines. PII is seeded "
+    "deterministically into 1-in-20 docs (the synthetic corpus has none).",
+)
+def t11_pii_scrub(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 20 == 0, F.lit(_PII_SEED)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 30 == 0, F.lit(_PII_SEED2)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TS.pii_scrub(seeded)

@@ -1,0 +1,111 @@
+"""Curation operators: decontamination, repetition signals, PII scrub.
+
+Registry queries t9/t10/t11 pin these against DuckDB oracles at sf0.01;
+these tests pin the micro-semantics the synthetic corpus can't isolate:
+exact n-gram boundary behavior, tie-breaks, sequential PII redaction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.operators.textstats import (
+    ngram_contamination,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_contamination_exact_boundary(spark):
+    """A full 4-gram shared -> flagged; only a 3-gram shared -> clean."""
+    bench = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    train = _docs(
+        spark,
+        [
+            (10, "xx alpha beta gamma delta yy"),       # contains 4-gram
+            (11, "xx alpha beta gamma zz"),              # only 3-gram
+            (12, "unrelated words entirely here now"),   # clean
+        ],
+    )
+    out = {r["train_id"]: r for r in ngram_contamination(train, bench, n=4).collect()}
+    assert set(out) == {10}
+    assert out[10]["n_shared_grams"] == 1
+    assert out[10]["n_bench_docs"] == 1
+
+
+def test_contamination_counts_distinct_grams_and_docs(spark):
+    bench = _docs(
+        spark,
+        [(1, "one two three four"), (2, "two three four five")],
+    )
+    # contains "one two three four" (bench 1), "two three four" overlap
+    # spans both bench docs' gram sets at n=3
+    train = _docs(spark, [(10, "one two three four five")])
+    out = ngram_contamination(train, bench, n=3).collect()[0]
+    # train 3-grams: one-two-three, two-three-four, three-four-five
+    # bench grams: {one-two-three, two-three-four} u {two-three-four, three-four-five}
+    assert out["n_shared_grams"] == 3
+    assert out["n_bench_docs"] == 2
+
+
+def test_contamination_rejects_bad_n(spark):
+    d = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        ngram_contamination(d, d, n=0)
+
+
+def test_repetition_stats_micro(spark):
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            _docs(
+                spark,
+                [
+                    (1, "a a a b"),       # dup 2/4; bigrams: aa aa ab -> top 'a a' 2/3
+                    (2, "solo"),          # one token: no bigrams
+                    (3, "x y x y"),       # bigrams: xy yx xy -> top 'x y' 2/3
+                ],
+            )
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["dup_token_frac"] == 0.5
+    assert r1["top_bigram"] == "a a"
+    assert r1["top_bigram_frac"] == round(2 / 3, 6)
+    assert out[2]["top_bigram"] is None
+    assert out[2]["top_bigram_frac"] == 0.0
+    assert out[3]["top_bigram"] == "x y"   # tie 2-vs-1 resolved by count
+
+
+def test_repetition_tiebreak_lexicographic(spark):
+    # 'b b' and 'a a' both appear once -> lexicographically smallest wins
+    out = repetition_stats(_docs(spark, [(1, "b b c a a")])).collect()[0]
+    assert out["top_bigram"] == "a a"
+
+
+def test_pii_scrub_sequential_redaction(spark):
+    rows = [
+        (1, "mail jane.doe+x@host.example.com now"),
+        (2, "ssn 123-45-6789 and phone (415) 555-0132 here"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    out = {r["doc_id"]: r for r in pii_scrub(_docs(spark, rows)).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ssns"], out[1]["n_phones"]) == (1, 0, 0)
+    # the SSN must NOT also be counted by the looser phone pattern
+    assert (out[2]["n_emails"], out[2]["n_ssns"], out[2]["n_phones"]) == (0, 1, 1)
+    assert (out[3]["n_emails"], out[3]["n_ssns"], out[3]["n_phones"]) == (0, 0, 0)
+    # clean text passes through byte-identical
+    assert out[3]["clean_len"] == len(rows[2][1])
+
+
+def test_pii_scrub_redacted_text_has_no_digits_left(spark):
+    red = pii_scrub(
+        _docs(spark, [(1, "a 123-45-6789 b 650 555 0199 c x@y.io")]),
+    ).collect()[0]
+    assert red["n_ssns"] == 1 and red["n_phones"] == 1 and red["n_emails"] == 1

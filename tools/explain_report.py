@@ -63,6 +63,13 @@ PROBES: dict[str, list[str]] = {
     # hot-key split as-of: windows keyed by (key, __bucket) so a skewed key
     # parallelizes; still no join-node candidate explosion, no Python
     "j15_asof_split": ["bucketed_window", "no_python_udf", "no_cartesian_blowup"],
+    # decontamination: tiny bench gram set broadcast -> map-side flagging
+    # join; train-side work is window + partial-agg'd groupBy, no Python
+    "t9_decontaminate": ["broadcast_join", "no_python_udf", "partial_agg"],
+    # repetition signals: one token explode, partial-agg'd counts, no Python
+    "t10_repetition": ["partial_agg", "no_python_udf"],
+    # PII scrub: pure map — codegen regex, ZERO exchanges at any scale
+    "t11_pii_scrub": ["codegen", "no_python_udf", "no_exchange"],
 }
 
 # Each check sees (tree, full): `tree` is the FINAL post-AQE operator tree
@@ -83,6 +90,7 @@ CHECKS = {
     "expand_one_scan": lambda t, f: "Expand" in t
     and len(re.findall(r"Scan parquet", t)) == 1,
     "bucketed_window": lambda t, f: "__bucket" in f and "Window" in t,
+    "no_exchange": lambda t, f: "Exchange" not in t,
 }
 
 
