@@ -44,6 +44,12 @@ class AcceleratorRegistry:
     def __init__(self, lake: Lakehouse):
         self.lake = lake
         self.lake.create_namespace(_REFLECTION_NS)
+        # optional hook run before executing a SQL-defined reflection's
+        # definition: hosts whose SQL resolves against session temp views
+        # (ScriptRunner) re-register them here, so refresh()/resolve()
+        # called OUTSIDE a script never materialize a stale view of the
+        # anchors while recording their current snapshot ids
+        self.prepare_sql: Callable[[], None] | None = None
         # name -> (definition thunk, anchor table names)
         self._defs: dict[str, tuple[Callable[[], DataFrame], list[str]]] = {}
         # name -> {anchor: snapshot_id} recorded at materialization
@@ -104,7 +110,7 @@ class AcceleratorRegistry:
             sql = e["sql"]
             self._sql_defs[name] = sql
             self._defs[name] = (
-                (lambda s=sql: self.lake.spark.sql(s)),
+                (lambda s=sql: self._run_sql(s)),
                 list(e["anchors"]),
             )
             self._anchors[name] = dict(e["anchor_snapshots"])
@@ -114,6 +120,19 @@ class AcceleratorRegistry:
                 self._agg_shapes[name] = shape
 
     # ----------------------------------------------------------- helpers
+
+    def _run_sql(self, sql: str) -> DataFrame:
+        # re-entrancy guard: the prepare hook (ScriptRunner._refresh) itself
+        # resolves reflections, whose definitions land back here — the
+        # nested call runs against the views the outer prepare has already
+        # registered (tables first), without preparing again
+        if self.prepare_sql is not None and not getattr(self, "_preparing", False):
+            self._preparing = True
+            try:
+                self.prepare_sql()
+            finally:
+                self._preparing = False
+        return self.lake.spark.sql(sql)
 
     def _current_snapshot_ids(self, anchor_tables: list[str]) -> dict[str, int | None]:
         out: dict[str, int | None] = {}
@@ -143,7 +162,7 @@ class AcceleratorRegistry:
         if isinstance(definition, str):
             sql = definition
             self._sql_defs[name] = sql
-            definition = lambda: self.lake.spark.sql(sql)  # noqa: E731
+            definition = lambda: self._run_sql(sql)  # noqa: E731
         else:
             self._sql_defs.pop(name, None)
         self._defs[name] = (definition, anchor_tables)
@@ -198,6 +217,82 @@ class AcceleratorRegistry:
         except ValueError:
             return False
         self.lake.table(self._storage_name(name)).append(delta_definition(delta))
+        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        if name in self._sql_defs:
+            self._save_registry()
+        return True
+
+    def refresh_incremental_agg(self, name: str) -> bool:
+        """Incremental refresh for AGGREGATE reflections: aggregate ONLY the
+        rows appended since the recorded snapshot into delta partials, then
+        merge them into the stored partials with the rollup algebra
+        (sum-of-sums / sum-of-counts / min-of-mins / max-of-maxs) — Dremio's
+        incremental reflection refresh (readme.md:383-389) for the
+        AGGREGATE case. Cost is O(new data + groups), never O(table).
+
+        Applies when the reflection has a registered agg shape
+        (:meth:`register_agg_shape` partial-column convention, partials
+        computed from the raw anchor columns), a single anchor, and the
+        anchor history since the recorded snapshot is append-only. Returns
+        False otherwise — caller falls back to :meth:`refresh`. AVG is
+        never stored (not re-aggregable), so every stored partial merges
+        exactly: the merged table is value-identical to a full recompute.
+        """
+        shape = self._agg_shapes.get(name)
+        if name not in self._defs or shape is None:
+            return False
+        _, anchor_tables = self._defs[name]
+        if len(anchor_tables) != 1:
+            return False
+        anchor = anchor_tables[0]
+        recorded = self._anchors.get(name, {}).get(anchor)
+        if recorded is None:
+            return False
+        try:
+            delta = self.lake.table(anchor).read_incremental(recorded)
+        except ValueError:
+            return False
+
+        from pyspark.sql import functions as F
+
+        dims = shape["dims"]
+        delta_aggs, merge_aggs = [], []
+        for col, agg in shape["measures"]:
+            if col == "*" and agg == "COUNT":
+                cname = "n_rows"
+                delta_aggs.append(F.count("*").alias(cname))
+                merge_aggs.append(F.sum(cname).alias(cname))
+            elif agg == "SUM":
+                cname = f"{col}_sum"
+                delta_aggs.append(F.sum(col).alias(cname))
+                merge_aggs.append(F.sum(cname).alias(cname))
+            elif agg == "COUNT":
+                cname = f"{col}_count"
+                delta_aggs.append(F.count(col).alias(cname))
+                merge_aggs.append(F.sum(cname).alias(cname))
+            elif agg == "MIN":
+                cname = f"{col}_min"
+                delta_aggs.append(F.min(col).alias(cname))
+                merge_aggs.append(F.min(cname).alias(cname))
+            elif agg == "MAX":
+                cname = f"{col}_max"
+                delta_aggs.append(F.max(col).alias(cname))
+                merge_aggs.append(F.max(cname).alias(cname))
+            else:  # pragma: no cover - register_agg_shape filters these
+                return False
+        storage = self.lake.table(self._storage_name(name))
+        try:
+            merged = (
+                storage.read()
+                .unionByName(delta.groupBy(*dims).agg(*delta_aggs))
+                .groupBy(*dims)
+                .agg(*merge_aggs)
+            )
+        except Exception:
+            # storage columns drifted from the partial convention (e.g. a
+            # definition with custom casts): correctness wins, full refresh
+            return False
+        storage.overwrite(merged)
         self._anchors[name] = self._current_snapshot_ids(anchor_tables)
         if name in self._sql_defs:
             self._save_registry()

@@ -620,6 +620,10 @@ class ScriptRunner:
 
         if not hasattr(self, "_accelerator"):
             self._accelerator = AcceleratorRegistry(self.lake)
+            # reflection bodies reference this runner's temp views; refresh
+            # them before any out-of-script materialization so refresh()/
+            # resolve() never pin a stale registration of the anchors
+            self._accelerator.prepare_sql = self._refresh
         return self._accelerator
 
     @property

@@ -129,3 +129,50 @@ def test_advisor_recommended_reflection_routes_too(spark, tmp_path):
     out = r.run("SELECT kind, AVG(val) AS a FROM dremio.demo.ev GROUP BY kind")
     assert _reads_reflection(out)
     assert {x.kind: x.a for x in out.collect()} == {"click": 1.5, "view": 3.0}
+
+
+def test_incremental_agg_refresh_merges_partials(runner):
+    """Append-only anchor growth -> refresh_incremental_agg merges delta
+    partials in O(new data + groups) and the reflection serves values
+    identical to a full recompute."""
+    runner.run(_REFLECTION)
+    acc = runner.accelerator
+    assert acc.is_fresh("sales_agg")
+    runner.run(
+        "INSERT INTO dremio.demo.sales VALUES "
+        "('east', 'a', 40.0), ('south', 'd', 1.5), ('west', 'b', 2.0)"
+    )
+    assert not acc.is_fresh("sales_agg")
+
+    assert acc.refresh_incremental_agg("sales_agg") is True
+    assert acc.is_fresh("sales_agg")
+
+    sql = (
+        "SELECT region, SUM(amount) AS total, AVG(amount) AS avg_amt, "
+        "COUNT(amount) AS n, MIN(amount) AS lo, MAX(amount) AS hi "
+        "FROM dremio.demo.sales GROUP BY region"
+    )
+    out = runner.run(sql)
+    assert _reads_reflection(out), "refreshed reflection must serve the query"
+    got = {r.region: (r.total, r.avg_amt, r.n, r.lo, r.hi) for r in out.collect()}
+    runner.use_reflection_routing = False
+    want = {r.region: (r.total, r.avg_amt, r.n, r.lo, r.hi) for r in runner.run(sql).collect()}
+    assert got == want
+    assert got["east"] == (75.0, 75.0 / 4, 4, 5.0, 40.0)
+    assert got["south"] == (1.5, 1.5, 1, 1.5, 1.5)
+
+
+def test_incremental_agg_refresh_rejects_rewritten_history(runner):
+    """A DELETE in the anchor history rewrites rows -> incremental merge is
+    undefined; the method refuses and the caller falls back to refresh()."""
+    runner.run(_REFLECTION)
+    acc = runner.accelerator
+    runner.run("DELETE FROM dremio.demo.sales WHERE region = 'north'")
+    assert acc.refresh_incremental_agg("sales_agg") is False
+    acc.refresh("sales_agg")
+    assert acc.is_fresh("sales_agg")
+    out = runner.run(
+        "SELECT region, SUM(amount) AS total FROM dremio.demo.sales GROUP BY region"
+    )
+    assert _reads_reflection(out)
+    assert "north" not in {r.region for r in out.collect()}
