@@ -181,6 +181,87 @@ def _rewrite_meta_tvfs(sql: str) -> str:
     return _META_TVF.sub(repl, sql)
 
 
+# ------------------------------------------------------------- QUALIFY
+# Dremio (like DuckDB/Snowflake/BigQuery) filters on window results with
+# QUALIFY; Spark has no such clause. Rewrite:
+#   SELECT ... QUALIFY <pred> [ORDER BY/LIMIT tail]
+# -> alias predicate:  SELECT * FROM (SELECT ...) __q WHERE <pred> tail
+# -> windowed predicate (contains OVER): the window expr is injected into
+#    the select list as __qualify__ and stripped back out with * EXCEPT,
+#    because a window function cannot appear in WHERE:
+#      SELECT * EXCEPT (__qualify__) FROM
+#        (SELECT ..., (<pred>) AS __qualify__ FROM ...) __q
+#      WHERE __qualify__ tail
+# Top-level QUALIFY only (subquery QUALIFYs would need a recursive paren
+# walk; none of the reference scripts use the clause at all).
+
+
+def _scan_top_level_keyword(sql: str, words: tuple[str, ...], start: int = 0):
+    """Index + matched word of the first depth-0, non-string occurrence of
+    any keyword in ``words`` (each may be multi-word, e.g. 'ORDER BY')."""
+    depth, i, n = 0, start, len(sql)
+    lowered = sql.lower()
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = sql.find("'", i + 1)
+            i = (n - 1 if j == -1 else j) + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch.isalpha():
+            if i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"):
+                for w in words:
+                    j = i
+                    ok = True
+                    for idx, part in enumerate(w.lower().split()):
+                        if not lowered.startswith(part, j):
+                            ok = False
+                            break
+                        j += len(part)
+                        if j < n and (sql[j].isalnum() or sql[j] == "_"):
+                            ok = False
+                            break
+                        if idx < len(w.split()) - 1:
+                            k = j
+                            while k < n and sql[k].isspace():
+                                k += 1
+                            if k == j:
+                                ok = False
+                                break
+                            j = k
+                    if ok:
+                        return i, w
+            while i < n and (sql[i].isalnum() or sql[i] == "_"):
+                i += 1
+            continue
+        i += 1
+    return None, None
+
+
+def _rewrite_qualify(sql: str) -> str:
+    qi, _ = _scan_top_level_keyword(sql, ("QUALIFY",))
+    if qi is None:
+        return sql
+    head = sql[:qi].rstrip()
+    rest = sql[qi + len("QUALIFY"):]
+    ti, _ = _scan_top_level_keyword(rest, ("ORDER BY", "LIMIT", "OFFSET"))
+    pred = (rest if ti is None else rest[:ti]).strip()
+    tail = "" if ti is None else " " + rest[ti:].strip()
+    oi, _ = _scan_top_level_keyword(pred, ("OVER",))
+    if oi is None:
+        return f"SELECT * FROM ({head}) __q WHERE {pred}{tail}"
+    fi, _ = _scan_top_level_keyword(head, ("FROM",))
+    if fi is None:
+        return sql
+    inner = f"{head[:fi].rstrip()}, ({pred}) AS __qualify__ {head[fi:]}"
+    return (
+        f"SELECT * EXCEPT (__qualify__) FROM ({inner}) __q WHERE __qualify__{tail}"
+    )
+
+
 def translate(sql: str) -> str:
     """Translate one Dremio-dialect statement to Spark SQL."""
 
@@ -200,6 +281,7 @@ def translate(sql: str) -> str:
     out = _rewrite_to_fn(out)
     out = _rewrite_listagg(out)
     out = _rewrite_meta_tvfs(out)
+    out = _rewrite_qualify(out)
     return out
 
 

@@ -93,3 +93,42 @@ def test_manufacturing_script_via_dialect(spark):
     assert {r.reading_id for r in spark.table("q_before_install").collect()} == {7}
     # lenient timestamp parsing really went through the dialect layer
     assert spark.table("silver_readings").filter("ts IS NULL").count() == 0
+
+
+def test_qualify_rewrite(spark):
+    """Dremio/Snowflake-style QUALIFY -> Spark subquery rewrite: alias
+    predicates wrap in WHERE; window predicates inject __qualify__ and
+    strip it back out with * EXCEPT; ORDER BY/LIMIT tails survive; string
+    literals containing the keyword are untouched."""
+    from apache_iceberg_lakehouse_workshop_spark import dialect
+
+    spark.range(10).selectExpr("id", "id % 3 AS g", "id * 2 AS v").createOrReplaceTempView(
+        "qualify_t"
+    )
+    alias_form = spark.sql(dialect.translate(
+        "SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn "
+        "FROM qualify_t QUALIFY rn = 1"
+    ))
+    assert {(r.g, r.v) for r in alias_form.collect()} == {(0, 18), (1, 14), (2, 16)}
+
+    window_form = spark.sql(dialect.translate(
+        "SELECT g, v FROM qualify_t "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1"
+    ))
+    assert set(window_form.columns) == {"g", "v"}   # __qualify__ stripped
+    assert {(r.g, r.v) for r in window_form.collect()} == {(0, 18), (1, 14), (2, 16)}
+
+    tailed = spark.sql(dialect.translate(
+        "SELECT g, v, rank() OVER (PARTITION BY g ORDER BY v) AS r "
+        "FROM qualify_t QUALIFY r = 1 ORDER BY g LIMIT 2"
+    ))
+    assert [r.g for r in tailed.collect()] == [0, 1]
+
+    cte = spark.sql(dialect.translate(
+        "WITH c AS (SELECT g, v FROM qualify_t WHERE v > 2) "
+        "SELECT g, v FROM c QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) = 1"
+    ))
+    assert cte.count() == 3
+
+    untouched = "SELECT 'do not QUALIFY here' AS s FROM qualify_t"
+    assert dialect.translate(untouched) == untouched
