@@ -235,6 +235,9 @@ ab_shapes_battery = _register_battery(
         ("a20_cube", "a20_cube",
          {"segment": "s1", "nationkey": "k1", "n": "n1", "sum_bal": "v1",
           "g_id": "n2"}),
+        ("a23_stat_aggs", "a23_stat_aggs",
+         {"l_returnflag": "s1", "n": "n1", "var_qty": "v1",
+          "stddev_price": "v2", "corr_qty_price": "v3"}),
     ],
 )
 
@@ -322,16 +325,21 @@ tb_sample_battery = _register_battery(
 wb_window_battery = _register_battery(
     "wb_window_battery",
     "W2+W3 window frames: 7-day ROWS-frame rolling revenue and LEAD "
-    "adjacent-event gap (retail.sql:230-240; manufacturing.sql:288-317). "
-    "One sort per partition key per branch — no extra exchanges from the "
-    "union.",
+    "adjacent-event gap (retail.sql:230-240; manufacturing.sql:288-317), "
+    "plus the W6 ranking-family extension (NTILE/DENSE_RANK/PERCENT_RANK/"
+    "CUME_DIST/LAG-default sharing ONE window spec -> one sort). One sort "
+    "per partition key per branch — no extra exchanges from the union.",
     [("s1", "varchar"), ("t1", "timestamp"), ("k1", "bigint"), ("k2", "bigint"),
-     ("n1", "bigint"), ("v1", "double"), ("v2", "double")],
+     ("n1", "bigint"), ("n2", "bigint"), ("v1", "double"), ("v2", "double"),
+     ("v3", "double")],
     [
         ("w2_rolling_7day", "w2_rolling_7day",
          {"l_returnflag": "s1", "d": "t1", "day_rev": "v1", "rolling_7d_rev": "v2"}),
         ("w3_lead_gap", "w3_lead_gap",
          {"o_custkey": "k1", "o_orderkey": "k2", "days_to_next": "n1"}),
+        ("w6_window_funcs", "w6_window_funcs",
+         {"custkey": "k1", "orderkey": "k2", "quartile": "n1", "drank": "n2",
+          "pct_rank": "v1", "cume": "v2", "prev_price": "v3"}),
     ],
 )
 
@@ -465,8 +473,10 @@ ABSORBED = {
     "a18_percentiles": "ab_shapes_battery",
     "a19_grouping_sets": "ab_shapes_battery",
     "a20_cube": "ab_shapes_battery",
+    "a23_stat_aggs": "ab_shapes_battery",
     "w2_rolling_7day": "wb_window_battery",
     "w3_lead_gap": "wb_window_battery",
+    "w6_window_funcs": "wb_window_battery",
     "u1_union_all": "ub_setops_battery",
     "u2_distinct": "ub_setops_battery",
     "u3_intersect_except": "ub_setops_battery",

@@ -305,6 +305,112 @@ def w5_rolling_range(spark, sf_dir):
 
 
 @q(
+    "w6_window_funcs",
+    """SELECT CAST(o_custkey AS BIGINT) AS custkey,
+              CAST(o_orderkey AS BIGINT) AS orderkey,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              CAST(dense_rank() OVER w AS BIGINT) AS drank,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume,
+              CAST(COALESCE(lag(o_totalprice, 1) OVER w, 0.0) AS DOUBLE) AS prev_price
+       FROM orders
+       WHERE o_custkey < 200
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "W6 window-function extension battery member (SURVEY §2.5 'not "
+    "present' gap: RANK/NTILE/PERCENT_RANK/CUME_DIST/LAG-default): every "
+    "ranking family member over one deterministic (date, key) ordering — "
+    "ONE sort per partition serves all five functions (they share the "
+    "WINDOW spec, so Catalyst plans a single Window node).",
+)
+def w6_window_funcs(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.coalesce(F.lag("o_totalprice", 1).over(w), F.lit(0.0))
+        .cast("double")
+        .alias("prev_price"),
+    )
+
+
+@q(
+    "a23_stat_aggs",
+    """WITH c AS (SELECT l_returnflag,
+                         CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+                  FROM lineitem),
+       s AS (SELECT l_returnflag,
+                    COUNT(*) AS n,
+                    CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+                    CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+                    CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+                    CAST(SUM(CAST(p * p AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+                    CAST(SUM(CAST(q * p AS DECIMAL(38,0))) AS DOUBLE) AS sqp
+             FROM c GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              CAST(n AS BIGINT) AS n,
+              (sqq - sq * sq / n) / (n - 1) / 10000.0 AS var_qty,
+              sqrt((spp - sp * sp / n) / (n - 1)) / 100.0 AS stddev_price,
+              (CAST(n AS DOUBLE) * sqp - sq * sp)
+                / sqrt((CAST(n AS DOUBLE) * sqq - sq * sq)
+                       * (CAST(n AS DOUBLE) * spp - sp * sp))
+                AS corr_qty_price
+       FROM s""",
+    "A23 dispersion statistics (engine extension; SURVEY §2.4 'not "
+    "present': stddev/variance). Built-in stddev/corr accumulate doubles "
+    "in partition order — bitwise-unstable across engines AND across "
+    "partitionings — so these compute the moment formulas from EXACT "
+    "scaled-int64 sums (the f_cast_decimal_money discipline): every input "
+    "to the float ops is an exact integer, every float op is a correctly "
+    "rounded IEEE op, the result is bit-identical on any engine at any "
+    "partitioning. Moment sums accumulate in DECIMAL(38,0) (the _dsum2 "
+    "discipline) — int64 would wrap near 1e19, i.e. exactly the 100 TB "
+    "regime this engine targets.",
+)
+def a23_stat_aggs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+    def dsum(e):
+        # DECIMAL(38,0) accumulator: exact at any row count (int64 moment
+        # sums overflow near 1e19; decimal sums never wrap), one correctly
+        # rounded decimal->double conversion at the end
+        return F.sum(e.cast("decimal(38,0)")).cast("double")
+
+    s = c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("q")).alias("sq"),
+        dsum(F.col("p")).alias("sp"),
+        dsum(F.col("q") * F.col("q")).alias("sqq"),
+        dsum(F.col("p") * F.col("p")).alias("spp"),
+        dsum(F.col("q") * F.col("p")).alias("sqp"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    sq, sp, sqq, spp, sqp = (F.col(x) for x in ("sq", "sp", "sqq", "spp", "sqp"))
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        ((sqq - sq * sq / n) / (n - 1) / 10000.0).alias("var_qty"),
+        (F.sqrt((spp - sp * sp / n) / (n - 1)) / 100.0).alias("stddev_price"),
+        (
+            (nd * sqp - sq * sp)
+            / F.sqrt((nd * sqq - sq * sq) * (nd * spp - sp * sp))
+        ).alias("corr_qty_price"),
+    )
+
+
+@q(
     "a17_rollup_hierarchy",
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
               COALESCE(l_linestatus, 'ALL') AS linestatus,

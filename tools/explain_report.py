@@ -70,6 +70,10 @@ PROBES: dict[str, list[str]] = {
     "t10_repetition": ["partial_agg", "no_python_udf"],
     # PII scrub: pure map — codegen regex, ZERO exchanges at any scale
     "t11_pii_scrub": ["codegen", "no_python_udf", "no_exchange"],
+    # five ranking functions share one WINDOW spec -> ONE Window/sort node
+    "w6_window_funcs": ["single_sort_window", "no_python_udf"],
+    # exact moment sums: partial+final hash agg over scaled ints, no Python
+    "a23_stat_aggs": ["partial_agg", "codegen", "no_python_udf"],
 }
 
 # Each check sees (tree, full): `tree` is the FINAL post-AQE operator tree
