@@ -94,6 +94,70 @@ def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
     ]
 
 
+def _token_grams(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    """(id, g) token shingles via posexplode + window LEAD instead of the
+    array-lambda shingles() column: per-token codegen'd string ops replace
+    an interpreted transform(sequence, concat_ws(element_at...)) per doc
+    (~6x at sf0.1). One shuffle on id positions the window; every
+    downstream per-doc aggregate reuses that exchange."""
+    tok = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, shingle_n)]
+    return (
+        tok.select("id", F.lead("w", shingle_n - 1).over(win).alias("_last"),
+                   F.concat_ws(" ", *lead_cols).alias("g"))
+        .filter(F.col("_last").isNotNull())
+        .select("id", "g")
+    )
+
+
+def _banded(grams: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(id, band_id, band_sig) banded MinHash signatures from a gram set.
+    Minhashes via groupBy(min): duplicate grams cannot change a MIN, so no
+    distinct needed; the k mins are partial-aggregated map-side and the
+    banded shuffle carries only hex strings."""
+    n_bands = num_hashes // band_size
+    mh = grams.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("g")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mh.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{j}") for j in range(b * band_size, (b + 1) * band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+
+
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_id, band_sig) banded MinHash signatures — the LSH blocking
+    state of :func:`minhash_lsh_pairs`, exposed for consumers that persist
+    or stream it (streaming near-dup ingest keeps this as its cross-batch
+    state table; two docs sharing any (band_id, band_sig) row are LSH
+    candidates)."""
+    return _banded(_token_grams(df, text_col, id_col, shingle_n), num_hashes, band_size)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -113,47 +177,8 @@ def minhash_lsh_pairs(
       3. self-join within bucket (a.id < b.id) -> candidate pairs
       4. verify candidates with exact Jaccard on the shingle sets
     """
-    n_bands = num_hashes // band_size
-    # Shingles via posexplode + window LEAD instead of the array-lambda
-    # shingles() column: per-token codegen'd string ops replace an
-    # interpreted transform(sequence, concat_ws(element_at...)) per doc
-    # (~6x at sf0.1). One shuffle on id positions the window; every
-    # downstream per-doc aggregate reuses that exchange.
-    tok = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
-    )
-    win = Window.partitionBy("id").orderBy("pos")
-    lead_cols = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, shingle_n)]
-    grams = (
-        tok.select("id", F.lead("w", shingle_n - 1).over(win).alias("_last"),
-                   F.concat_ws(" ", *lead_cols).alias("g"))
-        .filter(F.col("_last").isNotNull())
-        .select("id", "g")
-    )
-    # Minhashes via groupBy(min): duplicate grams cannot change a MIN, so
-    # no distinct needed; the k mins are partial-aggregated map-side and
-    # the banded shuffle carries only hex strings.
-    mh = grams.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("g")))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    banded = mh.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"h{j}") for j in range(b * band_size, (b + 1) * band_size)],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_id", "band_sig"),
-    )
+    grams = _token_grams(df, text_col, id_col, shingle_n)
+    banded = _banded(grams, num_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -24,6 +24,10 @@ Design (idiomatic Structured Streaming):
 - ``stream_to_table``: ``foreachBatch`` → lakehouse snapshot append — each
   micro-batch is one atomic commit, giving the stream the same
   snapshot/time-travel surface as batch writes.
+- ``stream_neardup_filter``: cross-batch MinHash-LSH near-dup dropping
+  with the signature state persisted as a lakehouse table (unbounded
+  corpus state, bounded executor memory, restart-safe) — the streaming
+  face of the batch dedup family.
 
 Scale: watermarking bounds state; the shuffle per micro-batch is keyed the
 same as the batch twin; ``availableNow`` triggers let the same code run as
@@ -256,6 +260,90 @@ def stream_asof_enrich(
         sink(asof_join(batch_df, dim_df, on, left_ts, right_ts, **asof_kwargs), batch_id)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_neardup_filter(
+    doc_stream: DataFrame,
+    out_table,
+    sig_table,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Cross-batch near-duplicate filtering for a document stream — the
+    streaming face of the MinHash-LSH dedup family.
+
+    The production ingest pattern: per micro-batch,
+
+    1. compute banded MinHash signatures of the batch docs (identical
+       signature math to ``operators.dedup.minhash_lsh_pairs``);
+    2. drop every doc sharing any (band_id, band_sig) with the persisted
+       signature table — i.e. an LSH candidate against ANY previously
+       accepted doc. This is candidate-level (blocking) filtering, the
+       recall-oriented knob a streaming pipeline wants: prior docs' shingle
+       sets are not retained, so no exact-Jaccard verify pass — tune
+       num_hashes/band_size for the acceptable false-drop rate, or run the
+       batch verifier over the accepted corpus offline;
+    3. dedup within the batch itself: per colliding (band_id, band_sig)
+       group the smallest ``doc_id`` survives (near-dup transitivity, the
+       standard blocking assumption);
+    4. append survivors to ``out_table`` and their signatures to
+       ``sig_table`` under the same idempotent batch-id commit
+       (:func:`append_stream_batch`), so replays cannot double-accept.
+
+    State lives in the lakehouse, not executor memory: the signature table
+    is ordinary partitioned parquet joined per batch — unbounded corpus
+    state with bounded executor footprint, restart-safe for free, and the
+    per-batch cost is one equi-join keyed on (band_id, band_sig) at any
+    scale.
+    """
+    from ..operators.dedup import banded_signatures
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sig = banded_signatures(
+            batch_df, text_col, id_col, num_hashes, band_size, shingle_n
+        ).localCheckpoint()
+        seen = sig_table.read().select("band_id", "band_sig")
+        hit = (
+            sig.join(seen, ["band_id", "band_sig"], "left_semi")
+            .select("id")
+            .distinct()
+        )
+        fresh_sig = sig.join(hit, "id", "left_anti")
+        keepers = fresh_sig.groupBy("band_id", "band_sig").agg(
+            F.min("id").alias("keeper")
+        )
+        intra_drop = (
+            fresh_sig.join(keepers, ["band_id", "band_sig"])
+            .filter(F.col("id") != F.col("keeper"))
+            .select("id")
+            .distinct()
+        )
+        # anti-join against the DROP set (not inner-join against the
+        # signed survivors): a doc too short to produce a single shingle
+        # has no signature rows and must still pass through
+        dropped = hit.unionByName(intra_drop).distinct()
+        survivors = batch_df.join(
+            dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
+        # each table carries its own batch-id idempotency marker, so a
+        # replay after a crash between the two appends completes exactly
+        # the missing one
+        append_stream_batch(
+            sig_table, checkpoint_dir, sig.join(dropped, "id", "left_anti"), batch_id
+        )
+        append_stream_batch(out_table, checkpoint_dir, survivors, batch_id)
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
     )
     if trigger_available_now:

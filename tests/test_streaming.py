@@ -235,3 +235,69 @@ def test_stream_asof_enrich_matches_batch_twin(spark, events_dir, tmp_path):
     assert by_event[1] == "bronze"   # before the upgrade
     assert by_event[2] == "gold"     # after 10:03 upgrade
     assert by_event[4] is None       # user 3's tier starts later
+
+
+def test_stream_neardup_filter_cross_batch(spark, tmp_path):
+    """Streaming MinHash-LSH dedup: exact/near dups are dropped within a
+    batch (min-id keeper) AND across batches/restarts via the persisted
+    signature state table; short docs with no shingles pass through."""
+    from apache_iceberg_lakehouse_workshop_spark.streaming import stream_neardup_filter
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    t_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    t_b = "spark structured streaming processes unbounded data in micro batches"
+    t_c = "completely different text about lakehouse table formats and snapshots"
+    t_d = "training data curation needs deduplication sampling and quality filters"
+    docs1 = [
+        {"doc_id": 1, "text": t_a},
+        {"doc_id": 2, "text": t_b},
+        {"doc_id": 3, "text": t_c},
+        {"doc_id": 4, "text": "tiny"},          # < shingle_n tokens: no signature
+    ]
+    docs2 = [
+        {"doc_id": 5, "text": t_a},             # dup of 1 (cross/intra batch)
+        {"doc_id": 6, "text": t_d},             # new
+        {"doc_id": 7, "text": t_d + " extra"},  # near-dup of 6, larger id -> dropped
+    ]
+    import os
+    import time as _time
+
+    (d / "part1.json").write_text("\n".join(json.dumps(x) for x in docs1))
+    (d / "part2.json").write_text("\n".join(json.dumps(x) for x in docs2))
+    # the file source orders batches by modification time: pin it
+    now = _time.time()
+    os.utime(d / "part1.json", (now - 20, now - 20))
+    os.utime(d / "part2.json", (now - 10, now - 10))
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    out = lake.create_table("db.s.corpus", "doc_id BIGINT, text STRING")
+    sig = lake.create_table("db.s.sigs", "id BIGINT, band_id INT, band_sig STRING")
+
+    schema = "doc_id LONG, text STRING"
+    ckpt = str(tmp_path / "ckpt_nd")
+
+    def run():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d))
+        q = stream_neardup_filter(stream, out, sig, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    accepted = sorted(r.doc_id for r in out.read().collect())
+    assert accepted == [1, 2, 3, 4, 6]
+    sig_ids = {r.id for r in sig.read().collect()}
+    assert sig_ids == {1, 2, 3, 6}              # doc 4 has no shingles
+
+    # restart with a new file: doc 8 dups doc 2 (accepted two batches ago,
+    # known only through the PERSISTED signature table), doc 9 is new
+    (d / "part3.json").write_text("\n".join(json.dumps(x) for x in [
+        {"doc_id": 8, "text": t_b},
+        {"doc_id": 9, "text": "yet another entirely unrelated sentence about query optimizers"},
+    ]))
+    run()
+    accepted = sorted(r.doc_id for r in out.read().collect())
+    assert accepted == [1, 2, 3, 4, 6, 9]
+
+    # draining again with no new data must not duplicate anything
+    run()
+    assert sorted(r.doc_id for r in out.read().collect()) == [1, 2, 3, 4, 6, 9]
