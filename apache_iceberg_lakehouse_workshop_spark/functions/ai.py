@@ -39,8 +39,10 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -82,6 +84,27 @@ class MockBackend:
 
     def complete(self, prompts: pd.Series) -> pd.Series:
         return prompts.map(lambda p: f"echo[{len(p or '')}]:" + (p or "").strip()[:16].upper())
+
+    def embed(self, texts: pd.Series, dim: int = 32) -> pd.Series:
+        """Deterministic feature-hashing embedding (signed token counts):
+        token w lands in bucket md5('emb:'||w)[:8] % dim with sign from the
+        9th hex digit's parity. Integer-valued components — exact in
+        float32, exact under the similarity family's x*1000 quantization,
+        and replicable in plain SQL (the ai4 oracle recomputes it in
+        DuckDB), which is the whole point of a mock embedding model."""
+        import hashlib
+
+        def one(t):
+            if t is None:
+                return None
+            v = [0.0] * dim
+            for w in _norm_tokens(t):
+                h = hashlib.md5(f"emb:{w}".encode()).hexdigest()
+                bucket = int(h[:8], 16) % dim
+                v[bucket] += 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+            return v
+
+        return texts.map(one)
 
     def generate(self, prompts: pd.Series, fields: list[tuple[str, str]]) -> pd.DataFrame:
         """Typed-struct extraction. Field rules (deterministic, chosen to be
@@ -407,6 +430,23 @@ class HttpBackend:
             "generate", [prompts.iloc[i] for i in idx], idx, len(prompts), fields
         )
 
+    def embed(self, texts: pd.Series, dim: int = 32) -> pd.Series:
+        idx = [i for i, t in enumerate(texts) if t is not None]
+        got = self._run_chunks(
+            [texts.iloc[i] for i in idx],
+            lambda chunk: {"task": "embed", "items": chunk, "dim": dim},
+        )
+        out = [None] * len(texts)
+        for i, r in zip(idx, got):
+            # malformed/failed responses (wrong length, non-numeric) -> NULL
+            if (
+                isinstance(r, list)
+                and len(r) == dim
+                and all(isinstance(x, (int, float)) for x in r)
+            ):
+                out[i] = [float(x) for x in r]
+        return pd.Series(out, index=texts.index, dtype=object)
+
     def generate_file(
         self, prompts: pd.Series, payloads: pd.Series, fields: list[tuple[str, str]]
     ) -> pd.DataFrame:
@@ -465,6 +505,23 @@ def ai_complete(prompt: Column) -> Column:
         return backend.complete(s)
 
     return _udf(prompt)
+
+
+def ai_embed(text: Column, dim: int = 32) -> Column:
+    """AI_EMBED(text) -> array<float> embedding column (engine extension:
+    the reference's AI family lacks an embedding function, but it is the
+    feature that joins the AI surface to the similarity-search family —
+    ai_embed -> knn_* / embedding near-dup is semantic dedup end-to-end).
+    Backend-pluggable like the other AI functions: MockBackend is a
+    deterministic SQL-replicable feature-hash model, HttpBackend POSTs
+    {"task": "embed", "items": [...], "dim": N} batches."""
+    backend = _BACKEND
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return backend.embed(s, dim)
+
+    return _udf(text)
 
 
 _TYPE_MAP = {"string": StringType(), "int": IntegerType()}

@@ -402,6 +402,28 @@ fb_temporal_battery = _register_battery(
     ],
 )
 
+aib_ai_battery = _register_battery(
+    "aib_ai_battery",
+    "AI function family in one verified battery: AI1 closed-set "
+    "ai_classify, AI2+AI3 ai_complete + ai_generate WITH SCHEMA flatten, "
+    "and AI4 semantic KNN (ai_embed feature-hash embeddings -> quantized "
+    "cosine top-k) — the full pluggable-backend surface "
+    "(logistics_AI.sql:126-240; ai_generate.sql:5-23) under one driver "
+    "row. Mock backend keeps every branch deterministic and "
+    "SQL-replicable; swap HttpBackend in production.",
+    [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar"),
+     ("s3", "varchar"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
+    [
+        ("ai1_classify", "ai1_classify",
+         {"doc_id": "k1", "label": "s1"}),
+        ("ai23_complete_generate", "ai23_complete_generate",
+         {"doc_id": "k1", "reply": "s1", "summary": "s2", "n_words": "n1",
+          "sentiment": "s3"}),
+        ("ai4_semantic_knn", "ai4_semantic_knn",
+         {"query_id": "k1", "cand_id": "k2", "cosine_sim": "v1", "rank": "n1"}),
+    ],
+)
+
 qb_audit_battery = _register_battery(
     "qb_audit_battery",
     "Q2/Q4/Q5/Q6 data-quality audits: out-of-range vs bounds dim, "
@@ -491,10 +513,15 @@ ABSORBED = {
     "q4_ri_orphans": "qb_audit_battery",
     "q5_temporal_sanity": "qb_audit_battery",
     "q6_invalid_values": "qb_audit_battery",
+    "ai1_classify": "aib_ai_battery",
+    "ai23_complete_generate": "aib_ai_battery",
+    "ai4_semantic_knn": "aib_ai_battery",
     # direct merges (in queries_data.py / queries_extra.py)
     "t2_lang_id": "t2_lang_quality",
     "t3_quality_score": "t2_lang_quality",
     "t4_fingerprint": "t1_token_stats",  # t1 already outputs the fingerprint
-    "ai2_complete": "ai23_complete_generate",
-    "ai3_generate_struct": "ai23_complete_generate",
+    # ai2/ai3 were first merged into ai23_complete_generate, which now
+    # rides inside the AI battery (its oracle embeds theirs transitively)
+    "ai2_complete": "aib_ai_battery",
+    "ai3_generate_struct": "aib_ai_battery",
 }

@@ -736,6 +736,63 @@ def ai23_complete_generate(spark, sf_dir):
     )
 
 
+@q(
+    "ai4_semantic_knn",
+    f"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+       tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM base),
+       bk AS (SELECT doc_id,
+                     ('0x' || substr(md5('emb:' || w), 1, 8))::BIGINT % 32 AS bucket,
+                     CASE WHEN ('0x' || substr(md5('emb:' || w), 9, 1))::BIGINT % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM tok),
+       agg AS (SELECT doc_id, bucket,
+                      SUM(s) * 1000 AS val
+               FROM bk GROUP BY doc_id, bucket),
+       norms AS (SELECT doc_id, SUM(val * val) AS nrm FROM agg GROUP BY doc_id),
+       pairs AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id
+                 FROM base q CROSS JOIN base c
+                 WHERE q.doc_id < 5 AND c.doc_id <> q.doc_id),
+       dots AS (SELECT a.doc_id AS query_id, b.doc_id AS cand_id,
+                       SUM(a.val * b.val) AS dot
+                FROM agg a JOIN agg b USING (bucket)
+                WHERE a.doc_id < 5 AND b.doc_id <> a.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+       s AS (SELECT p.query_id, p.cand_id,
+                    round(CASE WHEN COALESCE(na.nrm, 0) > 0 AND COALESCE(nb.nrm, 0) > 0
+                               THEN CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                                    / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE))
+                               ELSE 0.0 END, 6) AS cosine_sim
+             FROM pairs p
+             LEFT JOIN dots d USING (query_id, cand_id)
+             LEFT JOIN norms na ON na.doc_id = p.query_id
+             LEFT JOIN norms nb ON nb.doc_id = p.cand_id)
+       SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
+              cosine_sim, CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_sim DESC, cand_id) AS rnk
+             FROM s) t
+       WHERE rnk <= 3""",
+    "AI4 semantic KNN end-to-end (engine extension): ai_embed generates "
+    "document embeddings through the pluggable AI backend (mock: "
+    "deterministic signed feature-hashing, SQL-replicable by design) and "
+    "knn_bruteforce ranks cosine neighbors over them — the ai_embed -> "
+    "similarity-family composition that makes semantic dedup/search a "
+    "first-class pipeline, with the whole chain (tokenize -> hash-bucket "
+    "-> signed counts -> x1000 quantized cosine -> half-up 6dp round -> "
+    "(sim DESC, id) tie-break) pinned against a DuckDB reimplementation.",
+)
+def ai4_semantic_knn(spark, sf_dir):
+    from .functions.ai import ai_embed
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    emb = d.select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        ai_embed(F.col("text"), 32).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.knn_bruteforce(emb, queries, k=3)
+
+
 def _d2_oracle() -> str:
     from .queries_core import QUERIES
 

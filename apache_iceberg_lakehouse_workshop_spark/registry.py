@@ -53,7 +53,7 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
                             "s3_knn_lsh", "s4_knn_ivf"],
     "MM multimodal": ["mm1_binary_metadata", "mm2_media_features",
                       "mm3_frame_sample"],
-    "AI functions": ["ai1_classify", "ai23_complete_generate"],
+    "AI functions": ["aib_ai_battery"],
 }
 
 # Driver window size: the exposed registry must never exceed it.

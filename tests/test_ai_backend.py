@@ -99,6 +99,17 @@ def _handler(state: _State):
                     if "NONOBJ" in p:
                         row = "just a string"  # whole row -> NULLs
                     results.append(row)
+            elif task == "embed":
+                dim = payload["dim"]
+                results = []
+                for t_ in items:
+                    if "BADVEC" in (t_ or ""):
+                        results.append([1.0] * (dim - 1))  # wrong length -> NULL
+                    else:
+                        v = [0.0] * dim
+                        for i, w in enumerate((t_ or "").split()):
+                            v[(len(w) + i) % dim] += 1.0
+                        results.append(v)
             elif task == "generate_file":
                 results = []
                 for it in items:
@@ -256,3 +267,33 @@ def test_backend_is_picklable_after_use(stub):
     clone = pickle.loads(pickle.dumps(backend))
     assert list(clone.complete(pd.Series(["y"]))) == ["srv:y"]
     assert clone.requests_per_second == 100.0
+
+
+def test_http_embed_and_null_on_malformed(spark, stub):
+    from apache_iceberg_lakehouse_workshop_spark.functions.ai import ai_embed
+
+    url, state = stub
+    set_backend(HttpBackend(url, batch_size=2, max_concurrency=2))
+    try:
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "BADVEC text"), (3, None)],
+            ["id", "text"],
+        ).select("id", ai_embed(F.col("text"), 8).alias("emb"))
+        out = {r.id: r.emb for r in df.collect()}
+        assert out[1] is not None and len(out[1]) == 8 and sum(out[1]) == 3.0
+        assert out[2] is None          # wrong-length vector -> NULL
+        assert out[3] is None          # NULL text never leaves the client
+        assert any(r["path"] == "/" and r["n_items"] <= 2 for r in state.requests)
+    finally:
+        set_backend(MockBackend())
+
+
+def test_mock_embed_deterministic_and_quantization_exact(spark):
+    from apache_iceberg_lakehouse_workshop_spark.functions.ai import ai_embed
+
+    df = spark.createDataFrame([(1, "table scan table join")], ["id", "text"])
+    a = df.select(ai_embed(F.col("text"), 16).alias("e")).collect()[0]["e"]
+    b = df.select(ai_embed(F.col("text"), 16).alias("e")).collect()[0]["e"]
+    assert a == b                          # pure function of the text
+    assert sum(abs(x) for x in a) == 4.0   # signed counts, one per token
+    assert all(float(x).is_integer() for x in a)  # exact under x1000 quantization
