@@ -160,10 +160,12 @@ _BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.I)
 _FOLDER = re.compile(r"\bCREATE\s+FOLDER\b", re.I)
 
 # metadata TVFs: TABLE(table_snapshot('ns.t')) / TABLE(table_history('ns.t'))
-# (readme.md:360-370) -> the `<leaf>__snapshots` / `<leaf>__history` views
-# that Lakehouse.run_script registers per table.
+# (readme.md:360-370; files/partitions are the engine's Iceberg-parity
+# extension) -> the `<leaf>__snapshots` / `__history` / `__files` /
+# `__partitions` views that Lakehouse.run_script registers per table.
 _META_TVF = re.compile(
-    r"TABLE\s*\(\s*table_(snapshot|history)\s*\(\s*'([\w.]+)'\s*\)\s*\)", re.I
+    r"TABLE\s*\(\s*table_(snapshot|history|files|partitions)\s*\(\s*'([\w.]+)'\s*\)\s*\)",
+    re.I,
 )
 
 # TABLE(LIST_FILES('@src/path' | '/path')) (ai_generate.sql:19-21) -> a
@@ -175,7 +177,7 @@ def _rewrite_meta_tvfs(sql: str) -> str:
     def repl(m: re.Match) -> str:
         kind, name = m.group(1).lower(), m.group(2)
         leaf = name.split(".")[-1]
-        suffix = "snapshots" if kind == "snapshot" else "history"
+        suffix = {"snapshot": "snapshots"}.get(kind, kind)
         return f"{leaf}__{suffix}"
 
     return _META_TVF.sub(repl, sql)

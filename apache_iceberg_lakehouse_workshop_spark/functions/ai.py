@@ -586,8 +586,15 @@ def register_sql_udfs(spark) -> None:
     def _complete_sql(prompt: pd.Series) -> pd.Series:
         return backend.complete(prompt)
 
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed_sql(text: pd.Series, dim: pd.Series) -> pd.Series:
+        # dim is contractually a literal; take the first non-null value
+        d = next((int(x) for x in dim if x is not None), 32)
+        return backend.embed(text, d)
+
     spark.udf.register("AI_CLASSIFY", _classify_sql)
     spark.udf.register("AI_COMPLETE", _complete_sql)
+    spark.udf.register("AI_EMBED", _embed_sql)
 
 
 _WITH_SCHEMA_ROW = re.compile(r"\bWITH\s+SCHEMA\s+ROW\s*\(", re.I)

@@ -709,6 +709,35 @@ class LakeTable:
         return self.spark.createDataFrame(rows, "file_path STRING, size_bytes BIGINT, commit_dir STRING") \
             if rows else self.spark.createDataFrame([], "file_path STRING, size_bytes BIGINT, commit_dir STRING")
 
+    def partitions(self) -> DataFrame:
+        """≈ ``t.partitions`` — one row per live partition with file count,
+        byte size, and exact row count (read from parquet footers, not by
+        scanning data — metadata cost only, like Iceberg's manifests).
+        Unpartitioned tables return a single row with partition=''."""
+        import pyarrow.parquet as pq
+
+        meta = self._load_meta()
+        snap = self._current_snapshot(meta)
+        agg: dict[str, list[int]] = {}
+        for d in snap["commit_dirs"] if snap else []:
+            base = os.path.join(self.path, "data", d)
+            for root, _dirs, names in os.walk(base):
+                rel = os.path.relpath(root, base)
+                part = "" if rel == "." else rel
+                for n in names:
+                    if not n.endswith(".parquet"):
+                        continue
+                    p = os.path.join(root, n)
+                    slot = agg.setdefault(part, [0, 0, 0])
+                    slot[0] += 1
+                    slot[1] += os.path.getsize(p)
+                    slot[2] += pq.ParquetFile(p).metadata.num_rows
+        rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+        schema = "partition STRING, n_files BIGINT, size_bytes BIGINT, n_rows BIGINT"
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
     # ------------------------------------------------------- maintenance
 
     def compact(

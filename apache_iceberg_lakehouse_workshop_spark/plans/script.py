@@ -355,6 +355,7 @@ class ScriptRunner:
 
     def _query(self, sql: str) -> DataFrame:
         self._refresh()
+        self._register_file_meta_views(sql)
         if hasattr(self, "_advisor"):
             # workload watcher (SURVEY §4 R8): fingerprint aggregate shapes
             # on the pre-rewrite text so dataset names stay dotted
@@ -648,6 +649,35 @@ class ScriptRunner:
         return self.advisor.apply(
             anchors_for=self._dataset_anchors, prepare_sql=prepare
         )
+
+    def _register_file_meta_views(self, sql: str) -> None:
+        """JIT-register `<leaf>__files` / `<leaf>__partitions` metadata
+        views for tables the statement actually references. Unlike
+        snapshots/history (metadata-JSON cheap, registered eagerly in
+        _refresh), partitions() reads parquet footers — doing that for
+        every table on every statement would turn each run() into a
+        metadata crawl."""
+        wanted = {
+            (leaf, kind.lower())
+            for leaf, kind in re.findall(r"\b(\w+?)__(files|partitions)\b", sql)
+        } | {
+            (name.split(".")[-1], kind.lower())
+            for kind, name in re.findall(
+                r"table_(files|partitions)\s*\(\s*'([\w.]+)'", sql, re.I
+            )
+        }
+        if not wanted:
+            return
+        by_leaf: dict[str, list[str]] = {}
+        for full in self.lake._walk_tables():
+            by_leaf.setdefault(full.split(".")[-1], []).append(full)
+        for leaf, kind in wanted:
+            matches = by_leaf.get(leaf, [])
+            if len(matches) != 1:
+                continue  # unknown or ambiguous leaf: let resolution fail naturally
+            t = self.lake.table(matches[0])
+            df = t.files() if kind == "files" else t.partitions()
+            df.createOrReplaceTempView(f"{leaf}__{kind}")
 
     def _dataset_anchors(self, dataset: str) -> list[str]:
         """Lake tables a dataset depends on: itself if it is a table, else

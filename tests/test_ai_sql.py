@@ -116,3 +116,21 @@ def test_logistics_ai_script_verbatim(lake):
         20007: ("Customer", "None", 0, False, "Low"),
         20008: ("Traffic", "Delay", 0, True, "Low"),
     }
+
+
+def test_ai_embed_from_sql(spark):
+    """AI_EMBED(text, dim) named UDF: deterministic mock feature-hash
+    embeddings straight from SQL, composable with array functions."""
+    from apache_iceberg_lakehouse_workshop_spark.functions import ai
+
+    ai.register_sql_udfs(spark)
+    spark.createDataFrame(
+        [(1, "table scan join"), (2, None)], ["id", "txt"]
+    ).createOrReplaceTempView("ai_embed_t")
+    rows = {r.id: r for r in spark.sql(
+        "SELECT id, AI_EMBED(txt, 16) AS e, "
+        "       aggregate(AI_EMBED(txt, 16), CAST(0.0 AS DOUBLE), (a, x) -> a + abs(x)) AS l1 "
+        "FROM ai_embed_t"
+    ).collect()}
+    assert len(rows[1].e) == 16 and rows[1].l1 == 3.0   # one signed unit per token
+    assert rows[2].e is None                             # NULL text -> NULL vector

@@ -493,3 +493,42 @@ def test_dialect_run_script(spark):
     vals = [r.ts for r in df.collect()]
     assert vals[0] is not None and str(vals[0]).startswith("2025-08-18 14:05:12")
     assert vals[1] is None  # lenient on-error-null semantics
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    """t.partitions(): per-partition file/byte/row stats from parquet
+    footers only, and the table_partitions/table_files TVFs from SQL."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.pevents (region VARCHAR, v BIGINT) PARTITION BY (region);
+        INSERT INTO dremio.demo.pevents VALUES
+          ('east', 1), ('east', 2), ('east', 3), ('west', 4), ('west', 5);
+        """
+    )
+    parts = {p.partition: p for p in lake.table("dremio.demo.pevents").partitions().collect()}
+    assert len(parts) == 2
+    east = next(v for k, v in parts.items() if "east" in k)
+    west = next(v for k, v in parts.items() if "west" in k)
+    assert east.n_rows == 3 and west.n_rows == 2
+    assert east.n_files >= 1 and east.size_bytes > 0
+
+    got = r.run(
+        "SELECT partition, n_rows FROM TABLE(table_partitions('dremio.demo.pevents')) "
+        "ORDER BY partition"
+    ).collect()
+    assert [g.n_rows for g in got] == [3, 2]
+    nf = r.run(
+        "SELECT COUNT(*) AS n FROM TABLE(table_files('dremio.demo.pevents'))"
+    ).collect()[0].n
+    assert nf == east.n_files + west.n_files
+
+    # unpartitioned: single '' partition row
+    r.run("CREATE TABLE dremio.demo.flat (x BIGINT); INSERT INTO dremio.demo.flat VALUES (1), (2)")
+    flat = lake.table("dremio.demo.flat").partitions().collect()
+    assert len(flat) == 1 and flat[0].partition == "" and flat[0].n_rows == 2
