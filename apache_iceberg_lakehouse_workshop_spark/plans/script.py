@@ -356,6 +356,7 @@ class ScriptRunner:
     def _query(self, sql: str) -> DataFrame:
         self._refresh()
         self._register_file_meta_views(sql)
+        sql = self._rewrite_time_travel(sql)
         if hasattr(self, "_advisor"):
             # workload watcher (SURVEY §4 R8): fingerprint aggregate shapes
             # on the pre-rewrite text so dataset names stay dotted
@@ -649,6 +650,50 @@ class ScriptRunner:
         return self.advisor.apply(
             anchors_for=self._dataset_anchors, prepare_sql=prepare
         )
+
+    _RE_AT_SNAPSHOT = re.compile(r"\b([\w.]+)\s+AT\s+SNAPSHOT\s+'(\d+)'", re.I)
+    _RE_AT_TIMESTAMP = re.compile(r"\b([\w.]+)\s+AT\s+TIMESTAMP\s+'([^']+)'", re.I)
+
+    def _rewrite_time_travel(self, sql: str) -> str:
+        """Dremio time-travel SQL: ``FROM t AT SNAPSHOT '<id>'`` / ``AT
+        TIMESTAMP '<ts>'`` (readme.md:357-370 time travel; the reference
+        drives it via the API, Dremio's dialect also takes it inline).
+        Each reference becomes a temp view over the pinned snapshot read —
+        metadata-only cost, pruning intact."""
+
+        def resolve(name: str) -> str | None:
+            if self.lake.table_exists(name):
+                return name
+            matches = [
+                full for full in self.lake._walk_tables()
+                if full.split(".")[-1] == name
+            ]
+            return matches[0] if len(matches) == 1 else None
+
+        def snap(m: re.Match) -> str:
+            full = resolve(m.group(1))
+            if full is None:
+                return m.group(0)
+            sid = int(m.group(2))
+            v = f"{full.split('.')[-1]}__snap_{sid}"
+            self.lake.table(full).read(snapshot_id=sid).createOrReplaceTempView(v)
+            return v
+
+        def ts(m: re.Match) -> str:
+            full = resolve(m.group(1))
+            if full is None:
+                return m.group(0)
+            import datetime as _dt
+
+            t = _dt.datetime.fromisoformat(m.group(2)).replace(
+                tzinfo=_dt.timezone.utc
+            )
+            ms = int(t.timestamp() * 1000)
+            v = f"{full.split('.')[-1]}__asof_{ms}"
+            self.lake.table(full).read(as_of_ms=ms).createOrReplaceTempView(v)
+            return v
+
+        return self._RE_AT_TIMESTAMP.sub(ts, self._RE_AT_SNAPSHOT.sub(snap, sql))
 
     def _register_file_meta_views(self, sql: str) -> None:
         """JIT-register `<leaf>__files` / `<leaf>__partitions` metadata

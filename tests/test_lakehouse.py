@@ -532,3 +532,49 @@ def test_partitions_metadata_table(spark, tmp_path):
     r.run("CREATE TABLE dremio.demo.flat (x BIGINT); INSERT INTO dremio.demo.flat VALUES (1), (2)")
     flat = lake.table("dremio.demo.flat").partitions().collect()
     assert len(flat) == 1 and flat[0].partition == "" and flat[0].n_rows == 2
+
+
+def test_time_travel_sql_at_snapshot_and_timestamp(spark, tmp_path):
+    """Dremio inline time travel: FROM t AT SNAPSHOT '<id>' / AT TIMESTAMP
+    '<ts>' resolves against the pinned snapshot, joinable with the current
+    table in one statement."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.tt (k BIGINT, v VARCHAR);
+        INSERT INTO dremio.demo.tt VALUES (1, 'one'), (2, 'two');
+        """
+    )
+    t = lake.table("dremio.demo.tt")
+    first = t.snapshots().collect()[-1].snapshot_id
+    ts_after_first = t.snapshots().collect()[-1].committed_at_ms + 1
+    r.run("INSERT INTO dremio.demo.tt VALUES (3, 'three')")
+
+    assert r.run("SELECT COUNT(*) AS n FROM dremio.demo.tt").collect()[0].n == 3
+    old = r.run(
+        f"SELECT COUNT(*) AS n FROM dremio.demo.tt AT SNAPSHOT '{first}'"
+    ).collect()[0].n
+    assert old == 2
+
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(
+        ts_after_first / 1000, tz=dt.timezone.utc
+    ).replace(tzinfo=None).isoformat(sep=" ", timespec="milliseconds")
+    old_ts = r.run(
+        f"SELECT COUNT(*) AS n FROM dremio.demo.tt AT TIMESTAMP '{iso}'"
+    ).collect()[0].n
+    assert old_ts == 2
+
+    # current and pinned versions join in one statement
+    diff = r.run(
+        f"""SELECT cur.k FROM dremio.demo.tt cur
+            LEFT JOIN dremio.demo.tt AT SNAPSHOT '{first}' old ON cur.k = old.k
+            WHERE old.k IS NULL"""
+    ).collect()
+    assert [x.k for x in diff] == [3]
