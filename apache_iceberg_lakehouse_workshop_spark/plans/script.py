@@ -75,6 +75,13 @@ _RE_INSERT_COLS_VALUES = re.compile(
 )
 _RE_DROP = re.compile(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I)
 _RE_OPTIMIZE = re.compile(r"^OPTIMIZE\s+TABLE\s+([\w.]+)\s*$", re.I)
+# VACUUM TABLE t EXPIRE SNAPSHOTS [RETAIN_LAST n] — Dremio/Iceberg snapshot
+# expiry as a statement (readme.md:391-401 metadata pruning)
+_RE_VACUUM = re.compile(
+    r"^VACUUM\s+TABLE\s+([\w.]+)\s+EXPIRE\s+SNAPSHOTS"
+    r"(?:\s+RETAIN_LAST\s+(\d+))?\s*$",
+    re.I,
+)
 _RE_ADD_COL = re.compile(
     r"^ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*\"?(\w+)\"?\s+([\w(),]+)\s*\)?\s*$",
     re.I,
@@ -208,6 +215,7 @@ _DML_SUPPORTED_FORMS = {
     "COPY": "COPY INTO t FROM 'path' [REGEX '...'] [FILE_FORMAT 'fmt'] [(opts)]",
     "GRANT": "GRANT p1[, p2] ON PROJECT|FOLDER|TABLE|VIEW obj TO USER|ROLE who",
     "OPTIMIZE": "OPTIMIZE TABLE t",
+    "VACUUM": "VACUUM TABLE t EXPIRE SNAPSHOTS [RETAIN_LAST n]",
     "CREATE": (
         "CREATE FOLDER|NAMESPACE ns | CREATE TABLE t (cols) [PARTITION BY (...)] "
         "| CREATE TABLE t [PARTITION BY (...)] [DISTRIBUTE BY (...)] AS SELECT "
@@ -852,6 +860,12 @@ class ScriptRunner:
                 # automates (readme.md:393): bin-pack small files + expire
                 # old snapshots (SURVEY §4 R9)
                 self.lake.table(m.group(1)).maintain()
+                continue
+            m = _RE_VACUUM.match(st)
+            if m:
+                self.lake.table(m.group(1)).expire_snapshots(
+                    keep_last=int(m.group(2) or 1)
+                )
                 continue
             m = _RE_ADD_COL.match(st)
             if m:

@@ -578,3 +578,33 @@ def test_time_travel_sql_at_snapshot_and_timestamp(spark, tmp_path):
             WHERE old.k IS NULL"""
     ).collect()
     assert [x.k for x in diff] == [3]
+
+
+def test_vacuum_table_sql(spark, tmp_path):
+    """VACUUM TABLE t EXPIRE SNAPSHOTS [RETAIN_LAST n] routes to snapshot
+    expiry + orphan-dir removal; malformed VACUUM raises a dialect error."""
+    import pytest as _pytest
+
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.vt (x BIGINT);
+        INSERT INTO dremio.demo.vt VALUES (1);
+        INSERT INTO dremio.demo.vt VALUES (2);
+        INSERT INTO dremio.demo.vt VALUES (3);
+        """
+    )
+    t = lake.table("dremio.demo.vt")
+    assert t.snapshots().count() == 3
+    r.run("VACUUM TABLE dremio.demo.vt EXPIRE SNAPSHOTS RETAIN_LAST 2")
+    assert t.snapshots().count() == 2
+    assert t.read().count() == 3          # data intact, history trimmed
+    r.run("VACUUM TABLE dremio.demo.vt EXPIRE SNAPSHOTS")
+    assert t.snapshots().count() == 1
+    with _pytest.raises(Exception, match="VACUUM"):
+        r.run("VACUUM TABLE dremio.demo.vt PURGE EVERYTHING")
