@@ -76,6 +76,7 @@ def knn_bruteforce(
     large — scoring is map-side, top-k is one shuffle keyed by query_id."""
     sim_fn = cosine_quantized if exact_int else cosine
     prep = quantized if exact_int else (lambda c: c)
+    corpus = _widen(corpus)
     c = corpus.select(
         F.col(id_col).cast("long").alias("cand_id"), prep(F.col(vec_col)).alias("cvec")
     )
@@ -157,7 +158,7 @@ def knn_bruteforce_arrow(
                 out["raw_sim"].extend(s[order].tolist())
             yield pd.DataFrame(out)
 
-    c = corpus.select(
+    c = _widen(corpus).select(
         F.col(id_col).cast("long").alias("cand_id"), quantized(F.col(vec_col)).alias("cvec")
     )
     scored = c.mapInPandas(score, schema=schema)
@@ -349,6 +350,19 @@ def ivf_centroids(
     )
 
 
+def _widen(corpus: DataFrame) -> DataFrame:
+    """Defend the map-heavy ANN paths against under-partitioned input: a
+    small-file corpus (one parquet split) would run the whole per-vector
+    scoring/bucketing chain in ONE task regardless of cluster width. If the
+    planned partition count is below half the default parallelism, one
+    narrow round-robin shuffle of (id, vec) rows buys full-width map
+    parallelism; at real scale input splits abound and this is a no-op."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < max(2, par // 2):
+        return corpus.repartition(par)
+    return corpus
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -366,6 +380,7 @@ def knn_ivf(
     one map-side assignment; the query path joins on cell_id so the scored
     set shrinks ~n_cells/nprobe-fold vs brute force. Same output schema as
     knn_bruteforce/knn_lsh — drop-in."""
+    corpus = _widen(corpus)
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     c = _assign_cells(
         corpus.select(
@@ -430,6 +445,7 @@ def knn_lsh(
     # vectors never ride the LSH exchange (candidates join their vectors
     # back by id for scoring). Row inflation is |vecs| x dim x planes of
     # slim longs, partial-aggregated map-side before either shuffle.
+    corpus = _widen(corpus)
     spark = corpus.sparkSession
     plane_rows = []
     for t in range(n_tables):
