@@ -793,6 +793,105 @@ def ai4_semantic_knn(spark, sf_dir):
     return SIM.knn_bruteforce(emb, queries, k=3)
 
 
+def _c1_oracle() -> str:
+    from .operators.sampling import split_thresholds
+
+    case = "CASE"
+    for name, thr in split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1}):
+        if thr is None:
+            case += f" ELSE '{name}' END"
+        else:
+            case += f" WHEN substring(md5('split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}' THEN '{name}'"
+    return f"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 500000, text FROM documents WHERE doc_id < 20),
+       tok AS (SELECT doc_id, {_TOKS} AS w FROM corpus),
+       st AS (SELECT doc_id, len(w) AS n_tokens,
+                     round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                       AS dup_frac,
+                     md5(array_to_string(w, ' ')) AS fp
+              FROM tok WHERE len(w) > 0),
+       qf AS (SELECT *, CASE WHEN n_tokens >= 10 AND dup_frac <= 0.6
+                             THEN 1 ELSE 0 END AS qok FROM st),
+       keep AS (SELECT fp, MIN(doc_id) AS keeper FROM qf WHERE qok = 1 GROUP BY fp),
+       lab AS (SELECT q.doc_id, q.n_tokens, q.dup_frac,
+                      CASE WHEN q.qok = 0 THEN 'quality_drop'
+                           WHEN q.doc_id <> k.keeper THEN 'dup_drop'
+                           ELSE 'kept' END AS status
+               FROM qf q LEFT JOIN keep k ON q.fp = k.fp)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              dup_frac AS dup_token_frac,
+              status,
+              CASE WHEN status = 'kept' THEN {case} END AS split
+       FROM lab"""
+
+
+@q(
+    "c1_curation_pipeline",
+    _c1_oracle(),
+    "C1 end-to-end curation pipeline (north-star flagship composition): "
+    "the decision chain a real training-data pipeline executes per "
+    "document — quality gate (token count >= 10, Gopher dup-token "
+    "fraction <= 0.6), exact-content dedup among quality survivors "
+    "(min-id keeper per md5 fingerprint: a content-addressed 32-char hash "
+    "join, never a blob compare), then leakage-safe 80/10/10 split "
+    "assignment for kept docs (md5-threshold membership keyed on the "
+    "document entity). Every stage reuses the oracle-portable primitives "
+    "already pinned individually (t10, d1, t6), and the composition "
+    "itself is re-verified end-to-end by this row: one scan, one token "
+    "explode, two partial-aggregated shuffles, one fingerprint hash join "
+    "— the same plan shape at 100 TB.",
+)
+def c1_curation_pipeline(spark, sf_dir):
+    from .operators.sampling import assign_split
+
+    raw = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    # seed exact copies (same idiom as d1/d2) so the dedup branch of the
+    # decision chain is exercised and driver-pinned, not just reachable
+    d = raw.unionByName(
+        raw.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    tok = d.select("doc_id", F.explode(TS.tokens(F.col("text"))).alias("w"))
+    st = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    base = (
+        d.join(st, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            TS.fingerprint(F.col("text")).alias("fp"),
+        )
+        .withColumn(
+            "qok", (F.col("n_tokens") >= 10) & (F.col("dup_token_frac") <= 0.6)
+        )
+    )
+    keep = base.filter("qok").groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    labeled = base.join(keep, "fp", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        F.when(~F.col("qok"), F.lit("quality_drop"))
+        .when(F.col("doc_id") != F.col("keeper"), F.lit("dup_drop"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+    split_col = assign_split(["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    return labeled.withColumn(
+        "split", F.when(F.col("status") == "kept", split_col)
+    )
+
+
 def _d2_oracle() -> str:
     from .queries_core import QUERIES
 

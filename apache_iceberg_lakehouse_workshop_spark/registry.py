@@ -46,7 +46,7 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
     "E event analytics": ["eb_event_battery"],
     "SK skew handling": ["sk1_salted_join", "sk2_two_phase_agg"],
     "T text analysis / curation": ["t1_token_stats", "t2_lang_quality",
-                                   "tb_sample_battery"],
+                                   "tb_sample_battery", "c1_curation_pipeline"],
     "D deduplication": ["d1_exact_dup_groups", "db_neardup_battery",
                         "d4_simhash_neardup"],
     "S similarity search": ["s1_knn_bruteforce", "s2_embedding_neardup",

@@ -72,6 +72,9 @@ PROBES: dict[str, list[str]] = {
     "t11_pii_scrub": ["codegen", "no_python_udf", "no_exchange"],
     # five ranking functions share one WINDOW spec -> ONE Window/sort node
     "w6_window_funcs": ["single_sort_window", "no_python_udf"],
+    # curation pipeline: quality gate + fingerprint dedup + split in one
+    # composition — partial-agg'd shuffles, hash joins, no Python anywhere
+    "c1_curation_pipeline": ["partial_agg", "no_python_udf", "no_cartesian_blowup"],
     # exact moment sums: partial+final hash agg over scaled ints, no Python
     "a23_stat_aggs": ["partial_agg", "codegen", "no_python_udf"],
 }
