@@ -781,6 +781,17 @@ class LakeTable:
             cur = self._current_snapshot(meta)
             if cur and cur not in keep:
                 keep.append(cur)
+            # tagged snapshots are always retained (Iceberg ref semantics:
+            # expiry respects named references)
+            tagged = {
+                r["snapshot_id"]
+                for r in meta.get("refs", {}).values()
+                if r.get("type") == "tag"
+            }
+            for s in snaps:
+                if s["id"] in tagged and s not in keep:
+                    keep.append(s)
+            keep.sort(key=lambda s: s["id"])  # history stays chronological
             live = {d for s in keep for d in s["commit_dirs"]}
             removed = 0
             data_root = os.path.join(self.path, "data")
@@ -794,6 +805,52 @@ class LakeTable:
             meta["snapshots"] = keep
             self._commit(meta)
         return removed
+
+    # ------------------------------------------------------------- tags
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Iceberg named reference: pin ``name`` to a snapshot (current by
+        default) — ``ALTER TABLE t CREATE TAG name``. Tags survive
+        ``expire_snapshots`` (a tagged snapshot is always retained), which
+        is what makes them the durable audit/reproducibility anchor:
+        'the exact table version this model trained on'."""
+        with self._commit_lock():
+            meta = self._load_meta()
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else meta.get("current_snapshot_id")
+            )
+            if sid is None or sid not in {s["id"] for s in meta["snapshots"]}:
+                raise ValueError(f"unknown snapshot {sid} for {self.name}")
+            refs = meta.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"tag {name!r} already exists on {self.name}")
+            refs[name] = {"type": "tag", "snapshot_id": sid}
+            self._commit(meta)
+
+    def drop_tag(self, name: str) -> None:
+        with self._commit_lock():
+            meta = self._load_meta()
+            if name not in meta.get("refs", {}):
+                raise ValueError(f"unknown tag {name!r} on {self.name}")
+            del meta["refs"][name]
+            self._commit(meta)
+
+    def tags(self) -> dict[str, int]:
+        """{tag_name: snapshot_id} (≈ the refs metadata table)."""
+        meta = self._load_meta()
+        return {
+            k: v["snapshot_id"]
+            for k, v in meta.get("refs", {}).items()
+            if v.get("type") == "tag"
+        }
+
+    def read_tag(self, name: str) -> DataFrame:
+        sid = self.tags().get(name)
+        if sid is None:
+            raise ValueError(f"unknown tag {name!r} on {self.name}")
+        return self.read(snapshot_id=sid)
 
     def rollback_to(self, snapshot_id: int) -> int:
         """``CALL system.rollback_to_snapshot`` — make an earlier snapshot

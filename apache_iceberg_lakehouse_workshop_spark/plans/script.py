@@ -90,6 +90,15 @@ _RE_RENAME_COL = re.compile(
     r"^ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+\"?(\w+)\"?\s+TO\s+\"?(\w+)\"?\s*$",
     re.I,
 )
+# Iceberg named references: ALTER TABLE t CREATE TAG name [AS OF SNAPSHOT 'id']
+_RE_CREATE_TAG = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+\"?([\w-]+)\"?"
+    r"(?:\s+AS\s+OF\s+SNAPSHOT\s+'(\d+)')?\s*$",
+    re.I,
+)
+_RE_DROP_TAG = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+\"?([\w-]+)\"?\s*$", re.I
+)
 _RE_GRANT = re.compile(
     r"^GRANT\s+(.*?)\s+ON\s+(PROJECT|FOLDER|TABLE|VIEW)\s*"
     r"(\"[^\"]+\"|[\w.]+)?\s+TO\s+(USER|ROLE)\s+(\"[^\"]+\"|[\w.@-]+)\s*$",
@@ -224,6 +233,8 @@ _DML_SUPPORTED_FORMS = {
     "DROP": "DROP TABLE [IF EXISTS] t",
     "ALTER": (
         "ALTER TABLE t ADD COLUMN name type | ALTER TABLE t RENAME COLUMN a TO b "
+        "| ALTER TABLE t CREATE TAG name [AS OF SNAPSHOT 'id'] "
+        "| ALTER TABLE t DROP TAG name "
         "| ALTER DATASET d CREATE [RAW|AGGREGATE] REFLECTION r USING ... "
         "| ALTER DATASET d DROP REFLECTION r"
     ),
@@ -661,6 +672,7 @@ class ScriptRunner:
 
     _RE_AT_SNAPSHOT = re.compile(r"\b([\w.]+)\s+AT\s+SNAPSHOT\s+'(\d+)'", re.I)
     _RE_AT_TIMESTAMP = re.compile(r"\b([\w.]+)\s+AT\s+TIMESTAMP\s+'([^']+)'", re.I)
+    _RE_AT_TAG = re.compile(r"\b([\w.]+)\s+AT\s+TAG\s+'([\w-]+)'", re.I)
 
     def _rewrite_time_travel(self, sql: str) -> str:
         """Dremio time-travel SQL: ``FROM t AT SNAPSHOT '<id>'`` / ``AT
@@ -701,6 +713,15 @@ class ScriptRunner:
             self.lake.table(full).read(as_of_ms=ms).createOrReplaceTempView(v)
             return v
 
+        def tag(m: re.Match) -> str:
+            full = resolve(m.group(1))
+            if full is None:
+                return m.group(0)
+            v = f"{full.split('.')[-1]}__tag_{m.group(2)}"
+            self.lake.table(full).read_tag(m.group(2)).createOrReplaceTempView(v)
+            return v
+
+        sql = self._RE_AT_TAG.sub(tag, sql)
         return self._RE_AT_TIMESTAMP.sub(ts, self._RE_AT_SNAPSHOT.sub(snap, sql))
 
     def _register_file_meta_views(self, sql: str) -> None:
@@ -875,6 +896,17 @@ class ScriptRunner:
                 for pat, repl in _TYPE_MAP:
                     dtype = pat.sub(repl, dtype)
                 self.lake.table(m.group(1)).add_column(m.group(2), dtype)
+                continue
+            m = _RE_CREATE_TAG.match(st)
+            if m:
+                self.lake.table(m.group(1)).create_tag(
+                    m.group(2),
+                    int(m.group(3)) if m.group(3) else None,
+                )
+                continue
+            m = _RE_DROP_TAG.match(st)
+            if m:
+                self.lake.table(m.group(1)).drop_tag(m.group(2))
                 continue
             m = _RE_RENAME_COL.match(st)
             if m:

@@ -608,3 +608,45 @@ def test_vacuum_table_sql(spark, tmp_path):
     assert t.snapshots().count() == 1
     with _pytest.raises(Exception, match="VACUUM"):
         r.run("VACUUM TABLE dremio.demo.vt PURGE EVERYTHING")
+
+
+def test_tags_pin_versions_and_survive_expiry(spark, tmp_path):
+    """Iceberg tag semantics: a named reference pins a snapshot, is
+    readable via API and AT TAG SQL, and survives expire_snapshots —
+    the durable 'this model trained on exactly this data' anchor."""
+    import pytest as _pytest
+
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.tg (x BIGINT);
+        INSERT INTO dremio.demo.tg VALUES (1), (2);
+        ALTER TABLE dremio.demo.tg CREATE TAG v1;
+        INSERT INTO dremio.demo.tg VALUES (3);
+        INSERT INTO dremio.demo.tg VALUES (4);
+        """
+    )
+    t = lake.table("dremio.demo.tg")
+    assert t.read().count() == 4
+    assert t.read_tag("v1").count() == 2
+    assert r.run(
+        "SELECT COUNT(*) AS n FROM dremio.demo.tg AT TAG 'v1'"
+    ).collect()[0].n == 2
+
+    # expiry keeps the tagged snapshot even though RETAIN_LAST 1 would drop it
+    r.run("VACUUM TABLE dremio.demo.tg EXPIRE SNAPSHOTS RETAIN_LAST 1")
+    assert t.read_tag("v1").count() == 2
+    assert t.read().count() == 4
+    assert set(t.tags()) == {"v1"}
+
+    with _pytest.raises(ValueError, match="already exists"):
+        t.create_tag("v1")
+    r.run("ALTER TABLE dremio.demo.tg DROP TAG v1")
+    assert t.tags() == {}
+    with _pytest.raises(ValueError, match="unknown tag"):
+        t.read_tag("v1")
