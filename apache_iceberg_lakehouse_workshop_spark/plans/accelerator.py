@@ -278,6 +278,13 @@ class AcceleratorRegistry:
                 cname = f"{col}_max"
                 delta_aggs.append(F.max(col).alias(cname))
                 merge_aggs.append(F.max(cname).alias(cname))
+            elif agg == "NDV":
+                # HLL sketches merge losslessly: the merged sketch equals
+                # the sketch of the union, so incremental refresh changes
+                # nothing about the estimate
+                cname = f"{col}_hll"
+                delta_aggs.append(F.hll_sketch_agg(col).alias(cname))
+                merge_aggs.append(F.hll_union_agg(cname).alias(cname))
             else:  # pragma: no cover - register_agg_shape filters these
                 return False
         storage = self.lake.table(self._storage_name(name))
@@ -311,11 +318,14 @@ class AcceleratorRegistry:
         COUNT(*)). Only re-aggregable partials are registered (SUM, COUNT,
         MIN, MAX; an AVG partial cannot be rolled up and is skipped) — this
         is what makes the reflection servable for dim-SUBSET queries, not
-        just exact-shape matches."""
+        just exact-shape matches. NDV partials are Apache DataSketches HLL
+        sketches (``<col>_hll`` binary columns): mergeable like any other
+        partial, they make APPROX_COUNT_DISTINCT servable from the
+        reflection — the one distinct-count form that CAN ride a rollup."""
         kept = [
             (col, agg.upper())
             for col, agg in measures
-            if agg.upper() in ("SUM", "COUNT", "MIN", "MAX")
+            if agg.upper() in ("SUM", "COUNT", "MIN", "MAX", "NDV")
         ]
         self._agg_shapes[name] = {
             "dataset": dataset,
@@ -351,6 +361,8 @@ class AcceleratorRegistry:
                 return [(col, "SUM"), (col, "COUNT")]
             if agg == "COUNT" and col == "*":
                 return [("*", "COUNT")]
+            if agg == "APPROX_COUNT_DISTINCT":
+                return [(col, "NDV")]
             return [(col, agg)]
 
         req_dims = set(dims)
@@ -381,6 +393,14 @@ class AcceleratorRegistry:
                     e = F.sum("n_rows") if col == "*" else F.sum(f"{col}_count")
                 elif agg == "AVG":
                     e = F.sum(f"{col}_sum") / F.sum(f"{col}_count")
+                elif agg == "APPROX_COUNT_DISTINCT":
+                    # union the per-group sketches, then estimate — the
+                    # rollup is exact over the sketch state (both the
+                    # reflection and this finalize are DataSketches HLL;
+                    # an inline approx_count_distinct uses HLL++ and may
+                    # estimate slightly differently — both approximate the
+                    # same NDV, which is the approx-measure contract)
+                    e = F.hll_sketch_estimate(F.hll_union_agg(f"{col}_hll"))
                 else:  # pragma: no cover - filtered by `needed`
                     return None
                 aggs.append(e.alias(alias))

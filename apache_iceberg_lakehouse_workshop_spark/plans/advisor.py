@@ -34,7 +34,10 @@ _RE_AGG_QUERY = re.compile(
     r"(?:WHERE\s+.*?)?GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*(?:ORDER\s+BY.*|HAVING.*)?$",
     re.I | re.S,
 )
-_RE_MEASURE = re.compile(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?([\w.*]+)\s*\)", re.I)
+_RE_MEASURE = re.compile(
+    r"\b(SUM|COUNT|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*(DISTINCT\s+)?([\w.*]+)\s*\)",
+    re.I,
+)
 _AVG_EXPANDS = ("SUM", "COUNT")  # an AVG is servable from SUM+COUNT partials
 
 # routable-for-substitution query: no WHERE/HAVING/ORDER (a WHERE over raw
@@ -46,7 +49,8 @@ _RE_ROUTABLE = re.compile(
     re.I | re.S,
 )
 _RE_MEASURE_ALIASED = re.compile(
-    r"^(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*([\w.*]+)\s*\)\s+AS\s+(\w+)\s*$", re.I
+    r"^(SUM|COUNT|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*([\w.*]+)\s*\)\s+AS\s+(\w+)\s*$",
+    re.I,
 )
 _RE_BARE_DIM = re.compile(r"^[\w.]+$")
 
@@ -80,6 +84,8 @@ class WorkloadAdvisor:
                     entry["measures"].add((col, a))
             elif agg == "COUNT" and col == "*":
                 entry["measures"].add(("*", "COUNT"))
+            elif agg == "APPROX_COUNT_DISTINCT":
+                entry["measures"].add((col, "NDV"))
             else:
                 entry["measures"].add((col, agg))
 
@@ -178,6 +184,8 @@ class WorkloadAdvisor:
             for col, agg in rec["measures"]:
                 if col == "*":
                     cols.append("COUNT(*) AS n_rows")
+                elif agg == "NDV":
+                    cols.append(f"hll_sketch_agg({col}) AS {col}_hll")
                 else:
                     cols.append(f"{agg}({col}) AS {col}_{agg.lower()}")
             body = (

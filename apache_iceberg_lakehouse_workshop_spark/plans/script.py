@@ -808,8 +808,14 @@ class ScriptRunner:
                 mm = _RE_MEASURE_ITEM.match(item.strip())
                 col, aggs = mm.group(1), (mm.group(2) or "SUM")
                 for agg in (a.strip().upper() for a in aggs.split(",")):
-                    parts.append(f"{agg}({col}) AS {col}_{agg.lower()}")
-                    measure_pairs.append((col, agg))
+                    if agg in ("NDV", "APPROX_COUNT_DISTINCT"):
+                        # DataSketches HLL partial: mergeable distinct-count
+                        # state (Dremio aggregation reflections' NDV measure)
+                        parts.append(f"hll_sketch_agg({col}) AS {col}_hll")
+                        measure_pairs.append((col, "NDV"))
+                    else:
+                        parts.append(f"{agg}({col}) AS {col}_{agg.lower()}")
+                        measure_pairs.append((col, agg))
             body = (
                 f"SELECT {', '.join(parts)} FROM {src} "
                 f"GROUP BY {', '.join(dim_list)}"

@@ -176,3 +176,46 @@ def test_incremental_agg_refresh_rejects_rewritten_history(runner):
     )
     assert _reads_reflection(out)
     assert "north" not in {r.region for r in out.collect()}
+
+
+def test_ndv_measure_served_from_hll_sketch_reflection(runner):
+    """APPROX_COUNT_DISTINCT served from mergeable DataSketches HLL
+    partials stored in the reflection — the one distinct-count form a
+    rollup CAN carry. The routed estimate must exactly equal a direct
+    DataSketches computation over the raw rows (same sketch state), and
+    incremental refresh (sketch union) must preserve that equality."""
+    from pyspark.sql import functions as F
+
+    runner.run(
+        "ALTER DATASET dremio.demo.sales CREATE AGGREGATE REFLECTION sales_ndv "
+        "USING DIMENSIONS (region, product) "
+        "MEASURES (amount (SUM), product (NDV))"
+    )
+    acc = runner.accelerator
+    sql = (
+        "SELECT region, APPROX_COUNT_DISTINCT(product) AS ndv "
+        "FROM dremio.demo.sales GROUP BY region"
+    )
+    out = runner.run(sql)
+    assert _reads_reflection(out)
+    got = {r.region: r.ndv for r in out.collect()}
+
+    spark = runner.spark
+    raw = runner.lake.table("dremio.demo.sales").read()
+    want = {
+        r.region: r.ndv
+        for r in raw.groupBy("region")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("product")).alias("ndv"))
+        .collect()
+    }
+    assert got == want
+    assert got["east"] == 2 and got["north"] == 1   # sparse HLL is exact here
+
+    # append-only growth -> incremental refresh merges sketches, equality holds
+    runner.run(
+        "INSERT INTO dremio.demo.sales VALUES ('east', 'z', 1.0), ('east', 'z', 2.0)"
+    )
+    assert acc.refresh_incremental_agg("sales_ndv") is True
+    out2 = runner.run(sql)
+    assert _reads_reflection(out2)
+    assert {r.region: r.ndv for r in out2.collect()}["east"] == 3
