@@ -447,3 +447,57 @@ def pii_scrub(
         F.length(red).cast("long").alias("clean_len"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    stride: int = 12,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks:
+    (id, chunk_id, n_tokens, chunk_text) — the context-window prep step of
+    a training pipeline (chunk i covers tokens [i*stride, i*stride+window)
+    of the normalized text; the final chunk may be short but never empty;
+    docs shorter than one window yield exactly one chunk).
+
+    Map-only: chunk starts come from a per-row sequence over the token
+    array, exploded and sliced JVM-side — no shuffle, no UDF; a 100 TB
+    corpus chunks at scan speed and the output partitioning inherits the
+    input's. ``stride < window`` gives overlapping chunks (training
+    redundancy), ``stride == window`` a partition.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1, got {window}, {stride}")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk count = max(1, ceil((n - window)/stride) + 1): the last chunk
+    # starts at the smallest multiple of stride that still reaches the end,
+    # so no tail chunk is ever fully contained in its predecessor; a doc
+    # with n==0 tokens yields no chunks (nothing to train on)
+    n_chunks = F.when(
+        n > 0,
+        F.greatest(
+            F.lit(0),
+            F.floor((n - window + stride - 1) / F.lit(float(stride))).cast("long"),
+        )
+        + 1,
+    ).otherwise(F.lit(0))
+    # sequence(0, -1) would generate a DESCENDING [0, -1] in Spark: an
+    # empty doc must produce an empty start list, not phantom chunks
+    starts = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    ex = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        toks.alias("__toks"),
+        F.explode(starts).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, window)
+    return ex.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -301,7 +301,8 @@ tb_sample_battery = _register_battery(
     "TakeOrderedAndProject — all engine-portable, the oracle recomputes "
     "identical coordinates, thresholds, and rankings in DuckDB. Joined by "
     "the T10 repetition-quality signals (Gopher dup-token / top-bigram "
-    "fractions) and the T11 PII count+redact pass (md5-pinned redaction).",
+    "fractions), the T11 PII count+redact pass (md5-pinned redaction), "
+    "and T12 context-window chunking (overlapping token windows, map-only).",
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar"),
      ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"),
      ("v2", "double")],
@@ -319,6 +320,9 @@ tb_sample_battery = _register_battery(
         ("t11_pii_scrub", "t11_pii_scrub",
          {"doc_id": "k1", "n_emails": "n1", "n_ssns": "n2", "n_phones": "n3",
           "clean_len": "k2", "redacted_md5": "s1"}),
+        ("t12_chunking", "t12_chunking",
+         {"doc_id": "k1", "chunk_id": "k2", "n_tokens": "n1",
+          "chunk_text": "s1"}),
     ],
 )
 
@@ -476,6 +480,7 @@ ABSORBED = {
     "t8_vocab_topk": "tb_sample_battery",
     "t10_repetition": "tb_sample_battery",
     "t11_pii_scrub": "tb_sample_battery",
+    "t12_chunking": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",
     "e2_sessionized_purchases": "eb_event_battery",
     "e3_session_rollup": "eb_event_battery",

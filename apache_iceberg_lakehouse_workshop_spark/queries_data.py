@@ -793,6 +793,33 @@ def ai4_semantic_knn(spark, sf_dir):
     return SIM.knn_bruteforce(emb, queries, k=3)
 
 
+@q(
+    "t12_chunking",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id < 200),
+       base AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
+       ch AS (SELECT doc_id, w,
+                     unnest(range(0, CAST(greatest(0,
+                         floor((n - 16 + 11) / 12.0)) AS BIGINT) + 1)) AS chunk_id
+              FROM base)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(chunk_id AS BIGINT) AS chunk_id,
+              CAST(len(list_slice(w, chunk_id * 12 + 1, chunk_id * 12 + 16)) AS BIGINT)
+                AS n_tokens,
+              array_to_string(list_slice(w, chunk_id * 12 + 1, chunk_id * 12 + 16), ' ')
+                AS chunk_text
+       FROM ch""",
+    "T12 context-window chunking (engine extension; the training-pipeline "
+    "prep step between curation and tokenization): overlapping 16-token "
+    "windows at stride 12, final chunk short-but-never-redundant. Spark "
+    "side is operators.textstats.chunk_documents — map-only sequence + "
+    "explode + slice, zero shuffle, chunks at scan speed at any corpus "
+    "size; the oracle recomputes identical window boundaries in DuckDB.",
+)
+def t12_chunking(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return TS.chunk_documents(d, window=16, stride=12)
+
+
 def _c1_oracle() -> str:
     from .operators.sampling import split_thresholds
 

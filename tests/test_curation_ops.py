@@ -109,3 +109,42 @@ def test_pii_scrub_redacted_text_has_no_digits_left(spark):
         _docs(spark, [(1, "a 123-45-6789 b 650 555 0199 c x@y.io")]),
     ).collect()[0]
     assert red["n_ssns"] == 1 and red["n_phones"] == 1 and red["n_emails"] == 1
+
+
+def test_chunking_boundaries(spark):
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join("w" + chr(97 + i) for i in range(20))),  # 2 chunks
+            (2, " ".join("w" + chr(97 + i) for i in range(16))),  # one window
+            (3, "a b c"),                               # shorter than window
+            (4, ""),                                    # no tokens -> no chunks
+        ],
+    )
+    out = {}
+    for r in chunk_documents(docs, window=16, stride=12).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens, r.chunk_text))
+    for v in out.values():
+        v.sort()
+    assert [c[:2] for c in out[1]] == [(0, 16), (1, 8)]
+    assert out[1][1][2].startswith("wm ")           # overlap starts at token 12
+    assert [c[:2] for c in out[2]] == [(0, 16)]     # NO redundant tail chunk
+    assert [c[:2] for c in out[3]] == [(0, 3)]
+    assert 4 not in out
+    # every token of every doc is covered by at least one chunk
+    assert out[1][0][2].split()[0] == "wa" and out[1][1][2].split()[-1] == "wt"
+
+
+def test_chunking_rejects_bad_params(spark):
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a b")]), window=0)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a b")]), stride=0)
