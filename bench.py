@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "j13_asof_join",       # as-of join (union + single-window merge plan)
     "e1_daily_event_rollup",
     "e3_session_rollup",   # dynamic session windows (sort-heavy stateful shape)
+    "c1_curation_pipeline",  # flagship curation composition (quality+dedup+split)
 ]
 
 
