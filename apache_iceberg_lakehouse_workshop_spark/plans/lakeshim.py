@@ -216,7 +216,9 @@ class LakeTable:
     ) -> dict:
         cur = self._current_snapshot(meta)
         snap = {
-            "id": (cur["id"] + 1) if cur else 1,
+            # max-based, not current+1: branch snapshots can carry higher
+            # ids than main's current, and ids must stay table-unique
+            "id": max((s["id"] for s in meta["snapshots"]), default=0) + 1,
             "parent_id": cur["id"] if cur else None,
             "ts_ms": _now_ms(),
             "operation": operation,
@@ -781,15 +783,16 @@ class LakeTable:
             cur = self._current_snapshot(meta)
             if cur and cur not in keep:
                 keep.append(cur)
-            # tagged snapshots are always retained (Iceberg ref semantics:
-            # expiry respects named references)
-            tagged = {
+            # snapshots referenced by any named ref (tag OR branch head)
+            # are always retained (Iceberg ref semantics: expiry respects
+            # named references)
+            referenced = {
                 r["snapshot_id"]
                 for r in meta.get("refs", {}).values()
-                if r.get("type") == "tag"
+                if r.get("snapshot_id") is not None
             }
             for s in snaps:
-                if s["id"] in tagged and s not in keep:
+                if s["id"] in referenced and s not in keep:
                     keep.append(s)
             keep.sort(key=lambda s: s["id"])  # history stays chronological
             live = {d for s in keep for d in s["commit_dirs"]}
@@ -851,6 +854,113 @@ class LakeTable:
         if sid is None:
             raise ValueError(f"unknown tag {name!r} on {self.name}")
         return self.read(snapshot_id=sid)
+
+    # ---------------------------------------------------------- branches
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Named writable reference for the write-audit-publish workflow:
+        stage commits on a branch, audit them (quality queries over
+        ``read_branch``), then ``publish_branch`` fast-forwards main — the
+        Iceberg WAP pattern. Main readers never see unaudited data."""
+        with self._commit_lock():
+            meta = self._load_meta()
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else meta.get("current_snapshot_id")
+            )
+            if sid is not None and sid not in {s["id"] for s in meta["snapshots"]}:
+                raise ValueError(f"unknown snapshot {sid} for {self.name}")
+            refs = meta.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists on {self.name}")
+            refs[name] = {"type": "branch", "snapshot_id": sid}
+            self._commit(meta)
+
+    def branches(self) -> dict[str, int | None]:
+        meta = self._load_meta()
+        return {
+            k: v["snapshot_id"]
+            for k, v in meta.get("refs", {}).items()
+            if v.get("type") == "branch"
+        }
+
+    def drop_branch(self, name: str) -> None:
+        with self._commit_lock():
+            meta = self._load_meta()
+            ref = meta.get("refs", {}).get(name)
+            if ref is None or ref.get("type") != "branch":
+                raise ValueError(f"unknown branch {name!r} on {self.name}")
+            del meta["refs"][name]
+            self._commit(meta)
+
+    def read_branch(self, name: str) -> DataFrame:
+        meta = self._load_meta()
+        ref = meta.get("refs", {}).get(name)
+        if ref is None or ref.get("type") != "branch":
+            raise ValueError(f"unknown branch {name!r} on {self.name}")
+        if ref["snapshot_id"] is None:
+            return self.read().limit(0)  # branched off an empty table
+        return self.read(snapshot_id=ref["snapshot_id"])
+
+    def append_to_branch(
+        self, name: str, df: DataFrame, snapshot_props: dict | None = None
+    ) -> int:
+        """Append rows to a branch WITHOUT moving main's current snapshot.
+        The commit is identical to :meth:`append` (new commit dir, atomic
+        metadata swap) except the branch ref advances instead of
+        ``current_snapshot_id``."""
+        meta = self._load_meta()
+        commit = self._write_commit_dir(df, meta)
+        with self._commit_lock():
+            meta = self._load_meta()
+            ref = meta.get("refs", {}).get(name)
+            if ref is None or ref.get("type") != "branch":
+                raise ValueError(f"unknown branch {name!r} on {self.name}")
+            by_id = {s["id"]: s for s in meta["snapshots"]}
+            head = by_id.get(ref["snapshot_id"])
+            dirs = (head["commit_dirs"] if head else []) + [commit]
+            snap = {
+                "id": max((s["id"] for s in meta["snapshots"]), default=0) + 1,
+                "parent_id": ref["snapshot_id"],
+                "ts_ms": _now_ms(),
+                "operation": "append",
+                "commit_dirs": dirs,
+            }
+            if snapshot_props:
+                snap["props"] = snapshot_props
+            meta["snapshots"].append(snap)
+            ref["snapshot_id"] = snap["id"]
+            self._commit(meta)
+        return snap["id"]
+
+    def publish_branch(self, name: str) -> int:
+        """Fast-forward main to the branch head (the publish step of WAP):
+        metadata-only, atomic, and only if main has not advanced past the
+        branch point — otherwise raises (Iceberg's fast-forward contract;
+        re-stage the branch from the new main instead of silently losing
+        main's commits)."""
+        with self._commit_lock():
+            meta = self._load_meta()
+            ref = meta.get("refs", {}).get(name)
+            if ref is None or ref.get("type") != "branch":
+                raise ValueError(f"unknown branch {name!r} on {self.name}")
+            head_id = ref["snapshot_id"]
+            if head_id is None:
+                raise ValueError(f"branch {name!r} has no commits to publish")
+            by_id = {s["id"]: s for s in meta["snapshots"]}
+            cur = meta.get("current_snapshot_id")
+            anc = head_id
+            while anc is not None and anc != cur:
+                anc = by_id[anc]["parent_id"] if anc in by_id else None
+            if anc != cur:
+                raise ValueError(
+                    f"cannot fast-forward: main advanced past {name!r}'s branch "
+                    "point; re-stage the branch from the new main"
+                )
+            meta["current_snapshot_id"] = head_id
+            self._commit(meta)
+        return head_id
 
     def rollback_to(self, snapshot_id: int) -> int:
         """``CALL system.rollback_to_snapshot`` — make an earlier snapshot

@@ -650,3 +650,52 @@ def test_tags_pin_versions_and_survive_expiry(spark, tmp_path):
     assert t.tags() == {}
     with _pytest.raises(ValueError, match="unknown tag"):
         t.read_tag("v1")
+
+
+def test_write_audit_publish_branch(spark, tmp_path):
+    """The Iceberg WAP workflow: stage commits on a branch (main readers
+    never see them), audit the branch read, publish = atomic metadata-only
+    fast-forward; a diverged main refuses the fast-forward."""
+    import pytest as _pytest
+
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    lake.create_namespace("db.w")
+    t = lake.create_table("db.w.orders", "k BIGINT, amount DOUBLE")
+    t.append(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k BIGINT, amount DOUBLE"))
+
+    t.create_branch("staging")
+    t.append_to_branch(
+        "staging",
+        spark.createDataFrame([(3, 30.0), (4, -1.0)], "k BIGINT, amount DOUBLE"),
+    )
+    # write: branch sees staged rows, main does not
+    assert t.read().count() == 2
+    assert t.read_branch("staging").count() == 4
+
+    # audit: a quality gate over the branch read finds the bad row; fix it
+    # with another branch commit before publishing
+    bad = t.read_branch("staging").filter("amount < 0").count()
+    assert bad == 1
+    t.append_to_branch(
+        "staging", spark.createDataFrame([(4, 40.0)], "k BIGINT, amount DOUBLE")
+    )
+
+    # publish: atomic fast-forward; main now serves everything
+    t.publish_branch("staging")
+    assert t.read().count() == 5
+
+    # expiry retains the branch head even at RETAIN_LAST 1
+    t.create_branch("next")
+    t.append_to_branch("next", spark.createDataFrame([(9, 9.0)], "k BIGINT, amount DOUBLE"))
+    t.append(spark.createDataFrame([(5, 50.0)], "k BIGINT, amount DOUBLE"))
+    t.expire_snapshots(keep_last=1)
+    assert t.read_branch("next").count() == 6   # 5 published + 1 staged
+
+    # main advanced past 'next''s branch point -> fast-forward must refuse
+    with _pytest.raises(ValueError, match="fast-forward"):
+        t.publish_branch("next")
+    t.drop_branch("next")
+    with _pytest.raises(ValueError, match="unknown branch"):
+        t.read_branch("next")
