@@ -99,6 +99,14 @@ _RE_CREATE_TAG = re.compile(
 _RE_DROP_TAG = re.compile(
     r"^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+\"?([\w-]+)\"?\s*$", re.I
 )
+_RE_CREATE_BRANCH = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+\"?([\w-]+)\"?"
+    r"(?:\s+AS\s+OF\s+SNAPSHOT\s+'(\d+)')?\s*$",
+    re.I,
+)
+_RE_DROP_BRANCH = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+\"?([\w-]+)\"?\s*$", re.I
+)
 _RE_GRANT = re.compile(
     r"^GRANT\s+(.*?)\s+ON\s+(PROJECT|FOLDER|TABLE|VIEW)\s*"
     r"(\"[^\"]+\"|[\w.]+)?\s+TO\s+(USER|ROLE)\s+(\"[^\"]+\"|[\w.@-]+)\s*$",
@@ -235,6 +243,8 @@ _DML_SUPPORTED_FORMS = {
         "ALTER TABLE t ADD COLUMN name type | ALTER TABLE t RENAME COLUMN a TO b "
         "| ALTER TABLE t CREATE TAG name [AS OF SNAPSHOT 'id'] "
         "| ALTER TABLE t DROP TAG name "
+        "| ALTER TABLE t CREATE BRANCH name [AS OF SNAPSHOT 'id'] "
+        "| ALTER TABLE t DROP BRANCH name "
         "| ALTER DATASET d CREATE [RAW|AGGREGATE] REFLECTION r USING ... "
         "| ALTER DATASET d DROP REFLECTION r"
     ),
@@ -673,6 +683,7 @@ class ScriptRunner:
     _RE_AT_SNAPSHOT = re.compile(r"\b([\w.]+)\s+AT\s+SNAPSHOT\s+'(\d+)'", re.I)
     _RE_AT_TIMESTAMP = re.compile(r"\b([\w.]+)\s+AT\s+TIMESTAMP\s+'([^']+)'", re.I)
     _RE_AT_TAG = re.compile(r"\b([\w.]+)\s+AT\s+TAG\s+'([\w-]+)'", re.I)
+    _RE_AT_BRANCH = re.compile(r"\b([\w.]+)\s+AT\s+BRANCH\s+'([\w-]+)'", re.I)
 
     def _rewrite_time_travel(self, sql: str) -> str:
         """Dremio time-travel SQL: ``FROM t AT SNAPSHOT '<id>'`` / ``AT
@@ -721,7 +732,15 @@ class ScriptRunner:
             self.lake.table(full).read_tag(m.group(2)).createOrReplaceTempView(v)
             return v
 
-        sql = self._RE_AT_TAG.sub(tag, sql)
+        def branch(m: re.Match) -> str:
+            full = resolve(m.group(1))
+            if full is None:
+                return m.group(0)
+            v = f"{full.split('.')[-1]}__branch_{m.group(2)}"
+            self.lake.table(full).read_branch(m.group(2)).createOrReplaceTempView(v)
+            return v
+
+        sql = self._RE_AT_BRANCH.sub(branch, self._RE_AT_TAG.sub(tag, sql))
         return self._RE_AT_TIMESTAMP.sub(ts, self._RE_AT_SNAPSHOT.sub(snap, sql))
 
     def _register_file_meta_views(self, sql: str) -> None:
@@ -913,6 +932,16 @@ class ScriptRunner:
             m = _RE_DROP_TAG.match(st)
             if m:
                 self.lake.table(m.group(1)).drop_tag(m.group(2))
+                continue
+            m = _RE_CREATE_BRANCH.match(st)
+            if m:
+                self.lake.table(m.group(1)).create_branch(
+                    m.group(2), int(m.group(3)) if m.group(3) else None
+                )
+                continue
+            m = _RE_DROP_BRANCH.match(st)
+            if m:
+                self.lake.table(m.group(1)).drop_branch(m.group(2))
                 continue
             m = _RE_RENAME_COL.match(st)
             if m:

@@ -699,3 +699,31 @@ def test_write_audit_publish_branch(spark, tmp_path):
     t.drop_branch("next")
     with _pytest.raises(ValueError, match="unknown branch"):
         t.read_branch("next")
+
+
+def test_branch_sql_surface(spark, tmp_path):
+    """CREATE/DROP BRANCH statements and AT BRANCH reads through the
+    script runner — the SQL face of the WAP workflow."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.br (x BIGINT);
+        INSERT INTO dremio.demo.br VALUES (1), (2);
+        ALTER TABLE dremio.demo.br CREATE BRANCH staging;
+        """
+    )
+    t = lake.table("dremio.demo.br")
+    t.append_to_branch("staging", spark.createDataFrame([(3,)], "x BIGINT"))
+    assert r.run("SELECT COUNT(*) AS n FROM dremio.demo.br").collect()[0].n == 2
+    assert r.run(
+        "SELECT COUNT(*) AS n FROM dremio.demo.br AT BRANCH 'staging'"
+    ).collect()[0].n == 3
+    t.publish_branch("staging")
+    assert r.run("SELECT COUNT(*) AS n FROM dremio.demo.br").collect()[0].n == 3
+    r.run("ALTER TABLE dremio.demo.br DROP BRANCH staging")
+    assert t.branches() == {}
