@@ -159,3 +159,38 @@ def test_stale_lock_is_broken(lake, spark, tmp_path):
     t.append(_rows(spark, 0, 1))  # steals the stale lock instead of hanging
     assert t.read().count() == 1
     assert not os.path.exists(lock)
+
+
+def test_concurrent_branch_appends_both_land(spark, tmp_path):
+    """Two threads appending to the same branch race on the ref head; the
+    commit lock serializes them and both commits land (linear branch
+    history, no lost update) — same OCC discipline as main appends."""
+    import threading
+
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    lake.create_namespace("db.c")
+    t = lake.create_table("db.c.bc", "x BIGINT")
+    t.append(spark.createDataFrame([(0,)], "x BIGINT"))
+    t.create_branch("b")
+
+    errors = []
+
+    def add(v):
+        try:
+            t.append_to_branch("b", spark.createDataFrame([(v,)], "x BIGINT"))
+        except Exception as e:  # pragma: no cover - failure mode under test
+            errors.append(e)
+
+    threads = [threading.Thread(target=add, args=(v,)) for v in (1, 2, 3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    got = sorted(r.x for r in t.read_branch("b").collect())
+    assert got == [0, 1, 2, 3]
+    assert t.read().count() == 1          # main untouched
+    t.publish_branch("b")
+    assert sorted(r.x for r in t.read().collect()) == [0, 1, 2, 3]
