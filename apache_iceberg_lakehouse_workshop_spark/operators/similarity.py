@@ -417,6 +417,106 @@ def knn_ivf(
     )
 
 
+def _hyperplane_buckets(
+    df: DataFrame,
+    out_id: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """(id, table_id, bucket) hyperplane-LSH bucket assignment — the
+    blocking stage shared by knn_lsh and embedding_neardup_lsh. Same
+    bucket math as hyperplane_bits (sign of the exact integer dot against
+    /1000-rational planes), restructured as a fully NARROW two-stage
+    aggregation: explode vectors to (id, pos, v), broadcast-join a
+    (plane_idx, pos, w) weights table, sum per (id, plane), then sum
+    sign-bits per (id, table). No wide 32-column aggregate (whose codegen
+    compile alone cost seconds), no interpreted array lambdas, and the
+    bucket shuffle carries (id, table_id, bucket) longs only."""
+    spark = df.sparkSession
+    plane_rows = []
+    for t in range(n_tables):
+        planes = _fixed_planes(dim, n_planes * (t + 1))[-n_planes:]
+        for i, p in enumerate(planes):
+            for pos, x in enumerate(p):
+                plane_rows.append((t * n_planes + i, pos, int(round(x * 1000))))
+    planes_df = spark.createDataFrame(plane_rows, ["plane_idx", "pos", "w"])
+    ex = df.select(
+        F.col(id_col).cast("long").alias(out_id),
+        F.posexplode(quantized(F.col(vec_col))).alias("pos", "v"),
+    )
+    dots = (
+        ex.join(F.broadcast(planes_df), "pos")
+        .groupBy(out_id, "plane_idx")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    return (
+        dots.select(
+            out_id,
+            (F.col("plane_idx") / n_planes).cast("int").alias("table_id"),
+            F.when(
+                F.col("dot") >= 0,
+                F.expr(f"shiftleft(1, plane_idx % {n_planes})").cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy(out_id, "table_id")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+
+
+def embedding_neardup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) above ``threshold``
+    via hyperplane-LSH blocking — the 100 TB scale path that
+    :func:`embedding_neardup_pairs` (the all-pairs verifier) documents.
+
+    Candidates come from a self-equi-join on (table_id, bucket) — two
+    vectors are compared only if some table hashes them identically
+    (recall ~ 1-(1-cos_angle_p^planes)^tables; near-identical vectors
+    collide in essentially every table) — then verified with the exact
+    quantized cosine. The corpus never all-pairs joins; shuffle volume is
+    bucket-bounded, the same blocking shape as MinHash-LSH for text."""
+    corpus = _widen(corpus)
+    b = _hyperplane_buckets(corpus, "id", id_col, vec_col, dim, n_planes, n_tables)
+    a_, b_ = b.alias("a"), b.alias("b")
+    cand = (
+        a_.join(
+            b_,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    va = vecs.select(F.col("id").alias("vec_a"), F.col("qv").alias("va"))
+    vb = vecs.select(F.col("id").alias("vec_b"), F.col("qv").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_quantized(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -446,42 +546,8 @@ def knn_lsh(
     # back by id for scoring). Row inflation is |vecs| x dim x planes of
     # slim longs, partial-aggregated map-side before either shuffle.
     corpus = _widen(corpus)
-    spark = corpus.sparkSession
-    plane_rows = []
-    for t in range(n_tables):
-        planes = _fixed_planes(dim, n_planes * (t + 1))[-n_planes:]
-        for i, p in enumerate(planes):
-            for pos, x in enumerate(p):
-                plane_rows.append((t * n_planes + i, pos, int(round(x * 1000))))
-    planes_df = spark.createDataFrame(plane_rows, ["plane_idx", "pos", "w"])
-
-    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
-        ex = df.select(
-            F.col(id_col).cast("long").alias(out_id),
-            F.posexplode(quantized(F.col(vec_col))).alias("pos", "v"),
-        )
-        dots = (
-            ex.join(F.broadcast(planes_df), "pos")
-            .groupBy(out_id, "plane_idx")
-            .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
-        )
-        return (
-            dots.select(
-                out_id,
-                (F.col("plane_idx") / n_planes).cast("int").alias("table_id"),
-                F.when(
-                    F.col("dot") >= 0,
-                    F.expr(f"shiftleft(1, plane_idx % {n_planes})").cast("long"),
-                )
-                .otherwise(F.lit(0).cast("long"))
-                .alias("bit"),
-            )
-            .groupBy(out_id, "table_id")
-            .agg(F.sum("bit").alias("bucket"))
-        )
-
-    c = bucketed(corpus, "cand_id")
-    q = bucketed(queries, "query_id")
+    c = _hyperplane_buckets(corpus, "cand_id", id_col, vec_col, dim, n_planes, n_tables)
+    q = _hyperplane_buckets(queries, "query_id", id_col, vec_col, dim, n_planes, n_tables)
     cand = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))

@@ -267,6 +267,8 @@ db_neardup_battery = _register_battery(
          {"doc_a": "k1", "doc_b": "k2", "n_shared": "n1"}),
         ("t9_decontaminate", "t9_decontaminate",
          {"train_id": "k1", "n_shared_grams": "n1", "n_bench_docs": "n2"}),
+        ("s5_embedding_neardup_lsh", "s5_embedding_neardup_lsh",
+         {"vec_a": "k1", "vec_b": "k2", "cosine_sim": "v1"}),
     ],
 )
 
@@ -475,6 +477,7 @@ ABSORBED = {
     "d5_dup_clusters": "db_neardup_battery",
     "t7_winnow_overlap": "db_neardup_battery",
     "t9_decontaminate": "db_neardup_battery",
+    "s5_embedding_neardup_lsh": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "t8_vocab_topk": "tb_sample_battery",

@@ -408,6 +408,72 @@ def s2_embedding_neardup(spark, sf_dir):
     return SIM.embedding_neardup_pairs(corpus, threshold=0.99)
 
 
+def _plane_values(n_tables: int, n_planes: int, dim: int) -> str:
+    rows = []
+    for t in range(n_tables):
+        planes = SIM._fixed_planes(dim, n_planes * (t + 1))[-n_planes:]
+        for j, p in enumerate(planes):
+            w = ", ".join(str(int(round(x * 1000))) for x in p)
+            rows.append(f"({t}, {j}, [{w}]::BIGINT[])")
+    return ",\n              ".join(rows)
+
+
+def _neardup_lsh_oracle(
+    threshold: float = 0.99, n_tables: int = 8, n_planes: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of embedding_neardup_lsh over the seeded dup corpus:
+    identical integer bucket assignment, (a<b) same-bucket candidate
+    pairs, quantized-cosine verify at the threshold."""
+    return f"""WITH pl(table_id, plane_id, w) AS (VALUES
+              {_plane_values(n_tables, n_planes, dim)}),
+       corpus AS ({_ECORPUS}),
+       v AS (SELECT vec_id, {_QVEC} AS qv FROM corpus),
+       dots AS (SELECT v.vec_id, pl.table_id, pl.plane_id,
+                       list_dot_product(v.qv, pl.w) AS dot
+                FROM v CROSS JOIN pl),
+       buck AS (SELECT vec_id, table_id,
+                       SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << plane_id::INT)
+                                ELSE 0 END) AS bucket
+                FROM dots GROUP BY vec_id, table_id),
+       cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM buck a JOIN buck b
+                  ON a.table_id = b.table_id AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id),
+       n AS (SELECT vec_id, qv,
+                    (SELECT SUM(qv[t.i] * qv[t.i]) FROM range(1, {dim + 1}) t(i)) AS nrm
+             FROM v),
+       p AS (SELECT cand.vec_a, cand.vec_b,
+                    (SELECT SUM(a.qv[t.i] * b.qv[t.i]) FROM range(1, {dim + 1}) t(i)) AS dot,
+                    a.nrm AS na, b.nrm AS nb
+             FROM cand JOIN n a ON a.vec_id = cand.vec_a
+                       JOIN n b ON b.vec_id = cand.vec_b)
+       SELECT * FROM (
+         SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+                round(CASE WHEN na > 0 AND nb > 0
+                           THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                           ELSE 0.0 END, 6) AS cosine_sim
+         FROM p) s
+       WHERE cosine_sim >= {threshold}"""
+
+
+@q(
+    "s5_embedding_neardup_lsh",
+    _neardup_lsh_oracle(threshold=0.99),
+    "S5 embedding near-dup pairs via hyperplane-LSH blocking — the 100 TB "
+    "scale path the all-pairs verifier (s2) documents: candidates only "
+    "from shared (table, bucket) cells, exact quantized-cosine verify. "
+    "Same seeded dup corpus as s2, so the driver pins that blocking loses "
+    "none of the >=0.99 pairs on this data while never all-pairs joining.",
+)
+def s5_embedding_neardup_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(dup)
+    return SIM.embedding_neardup_lsh(corpus, threshold=0.99)
+
+
 def _lsh_oracle(n_tables: int = 8, n_planes: int = 4, dim: int = 64) -> str:
     """DuckDB twin of knn_lsh: the hyperplane weights are deterministic
     (xorshift64 /1000 rationals), so they embed as integer literals and the

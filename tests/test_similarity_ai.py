@@ -153,3 +153,31 @@ def test_knn_arrow_bit_identical_to_sql_twin(spark, sf_dir):
     a = sorted(map(tuple, SIM.knn_bruteforce(emb, q, k=4).collect()))
     b = sorted(map(tuple, SIM.knn_bruteforce_arrow(emb, q, k=4).collect()))
     assert a == b
+
+
+def test_embedding_neardup_lsh_matches_allpairs_verifier(spark, sf_dir):
+    """LSH-blocked embedding near-dup vs the all-pairs verifier on the
+    seeded dup corpus: at threshold 0.99 the pair sets must be identical
+    (exact duplicates collide in every hyperplane table), while the LSH
+    plan never all-pairs joins."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_lakehouse_workshop_spark.operators import similarity as SIM
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(dup)
+    lsh = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in SIM.embedding_neardup_lsh(corpus, threshold=0.99).collect()
+    }
+    allp = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in SIM.embedding_neardup_pairs(corpus, threshold=0.99).collect()
+    }
+    assert lsh == allp and len(lsh) >= 12
+    plan = SIM.embedding_neardup_lsh(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -75,6 +75,8 @@ PROBES: dict[str, list[str]] = {
     # curation pipeline: quality gate + fingerprint dedup + split in one
     # composition — partial-agg'd shuffles, hash joins, no Python anywhere
     "c1_curation_pipeline": ["partial_agg", "no_python_udf", "no_cartesian_blowup"],
+    # embedding near-dup at scale: bucket-blocked candidates, never all-pairs
+    "s5_embedding_neardup_lsh": ["partial_agg", "no_python_udf", "no_cartesian_blowup"],
     # exact moment sums: partial+final hash agg over scaled ints, no Python
     "a23_stat_aggs": ["partial_agg", "codegen", "no_python_udf"],
 }
