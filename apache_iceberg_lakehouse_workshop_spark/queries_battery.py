@@ -95,7 +95,8 @@ pb_predicate_battery = _register_battery(
     "pb_predicate_battery",
     "P3-P9 predicate family in one verified battery: computed alias, "
     "comparison ops, IN/NOT IN, LIKE, BETWEEN, NULL predicates, AND/OR/NOT "
-    "combinators (finance_example.sql:83-85; retail.sql:207; "
+    "combinators, plus P11 EXISTS/NOT EXISTS and P12 correlated scalar "
+    "subqueries (Catalyst decorrelates both into joins)  (finance_example.sql:83-85; retail.sql:207; "
     "clinicdata.sql:230-255; healthcare_example.sql:84-104; "
     "semantic_example.sql:270-334). Filters stay pushed down per branch — "
     "the union is of already-filtered narrow scans.",
@@ -116,6 +117,10 @@ pb_predicate_battery = _register_battery(
          {"c_custkey": "k1", "acctbal_clean": "v1", "was_dirty": "n1"}),
         ("p9_bool_combinators", "p9_bool_combinators",
          {"l_orderkey": "k1", "l_linenumber": "k2"}),
+        ("p11_exists_subquery", "p11_exists_subquery",
+         {"c_custkey": "k1", "c_mktsegment": "s1"}),
+        ("p12_correlated_scalar", "p12_correlated_scalar",
+         {"o_orderkey": "k1", "o_orderpriority": "s1", "o_totalprice": "v1"}),
     ],
 )
 
@@ -274,10 +279,11 @@ db_neardup_battery = _register_battery(
 
 eb_event_battery = _register_battery(
     "eb_event_battery",
-    "E1/E2/E3 event analytics in one verified battery: daily rollup "
+    "E1-E5 event analytics in one verified battery: daily rollup "
     "(count/distinct-users/value), per-user purchase sessionization "
-    "(spend + first/last day), and dynamic session windows (30-min gap "
-    "session_window vs the gaps-and-islands SQL twin).",
+    "(spend + first/last day), dynamic session windows (30-min gap "
+    "session_window vs the gaps-and-islands SQL twin), strictly-ordered "
+    "funnel conversion (min-anchor stages), and weekly cohort retention.",
     [("k1", "bigint"), ("s1", "varchar"), ("t1", "timestamp"),
      ("t2", "timestamp"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
     [
@@ -290,6 +296,10 @@ eb_event_battery = _register_battery(
         ("e3_session_windows", "e3_session_rollup",
          {"user_id": "k1", "session_start": "t1", "n_events": "n1",
           "total_value": "v1"}),
+        ("e4_funnel", "e4_funnel",
+         {"stage_no": "k1", "stage": "s1", "n_users": "n1", "pct_of_top": "v1"}),
+        ("e5_cohort_retention", "e5_cohort_retention",
+         {"cohort_week": "t1", "week_offset": "k1", "n_active": "n1"}),
     ],
 )
 
@@ -464,6 +474,8 @@ ABSORBED = {
     "p7_between_range": "pb_predicate_battery",
     "p8_null_predicates": "pb_predicate_battery",
     "p9_bool_combinators": "pb_predicate_battery",
+    "p11_exists_subquery": "pb_predicate_battery",
+    "p12_correlated_scalar": "pb_predicate_battery",
     "j2_composite_key": "jb_join_battery",
     "j3_expression_key": "jb_join_battery",
     "j4_left_outer": "jb_join_battery",
@@ -487,6 +499,8 @@ ABSORBED = {
     "e1_daily_event_rollup": "eb_event_battery",
     "e2_sessionized_purchases": "eb_event_battery",
     "e3_session_rollup": "eb_event_battery",
+    "e4_funnel": "eb_event_battery",
+    "e5_cohort_retention": "eb_event_battery",
     "j11_full_outer": "j11_outer_cross",
     "j12_cross_join": "j11_outer_cross",
     "a4_conditional_sum": "ab_conditional_battery",

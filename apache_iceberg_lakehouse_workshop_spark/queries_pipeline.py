@@ -286,3 +286,182 @@ def e2_sessionized_purchases(spark, sf_dir):
         F.min(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")).alias("first_day"),
         F.max(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")).alias("last_day"),
     )
+
+
+@q(
+    "p11_exists_subquery",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderstatus = 'F')""",
+    "P11 EXISTS / NOT EXISTS subqueries (engine extension; SURVEY §2.2 "
+    "note — the reference spells this shape as joins, the SQL surface "
+    "must still take the subquery form): Catalyst decorrelates both into "
+    "semi/anti joins — .explain shows no per-row subquery execution, the "
+    "same two-join plan a hand-written left_semi + left_anti would give.",
+)
+def p11_exists_subquery(spark, sf_dir):
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("p11_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("p11_orders")
+    return spark.sql(
+        """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+           FROM p11_customer c
+           WHERE EXISTS (SELECT 1 FROM p11_orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+             AND NOT EXISTS (SELECT 1 FROM p11_orders o2
+                             WHERE o2.o_custkey = c.c_custkey
+                               AND o2.o_orderstatus = 'F')"""
+    )
+
+
+@q(
+    "p12_correlated_scalar",
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+              o_orderpriority,
+              CAST(o_totalprice AS DOUBLE) AS o_totalprice
+       FROM orders o
+       WHERE CAST(o_totalprice AS DECIMAL(12,2))
+               * (SELECT COUNT(*) FROM orders o2
+                  WHERE o2.o_orderpriority = o.o_orderpriority) * 10
+             > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders o2
+                WHERE o2.o_orderpriority = o.o_orderpriority) * 18""",
+    "P12 correlated scalar subqueries (engine extension): rows beating "
+    "1.8x their group's average, stated with two correlated scalars. The "
+    "comparison multiplies through by the group count so every operand is "
+    "an exact decimal/integer — no float-average boundary rows to flip "
+    "between engines. Catalyst decorrelates both scalars into ONE "
+    "aggregate + join (no per-row re-execution).",
+)
+def p12_correlated_scalar(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("p12_orders")
+    return spark.sql(
+        """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                  o_orderpriority,
+                  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+           FROM p12_orders o
+           WHERE CAST(o_totalprice AS DECIMAL(12,2))
+                   * (SELECT COUNT(*) FROM p12_orders o2
+                      WHERE o2.o_orderpriority = o.o_orderpriority) * 10
+                 > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM p12_orders o2
+                    WHERE o2.o_orderpriority = o.o_orderpriority) * 18"""
+    )
+
+
+@q(
+    "e4_funnel",
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+       k AS (SELECT e.user_id, MIN(e.ts) AS t_click
+             FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t_view
+             WHERE e.event_type = 'click' GROUP BY e.user_id),
+       p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+             FROM events e JOIN k ON k.user_id = e.user_id AND e.ts >= k.t_click
+             WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+       stages AS (
+         SELECT 1 AS stage_no, 'view' AS stage, COUNT(*) AS n_users FROM v
+         UNION ALL SELECT 2, 'click_after_view', COUNT(*) FROM k
+         UNION ALL SELECT 3, 'purchase_after_click', COUNT(*) FROM p),
+       base AS (SELECT n_users AS n0 FROM stages WHERE stage_no = 1)
+       SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+              CAST(n_users AS BIGINT) AS n_users,
+              round(CAST(n_users AS DOUBLE) / (SELECT n0 FROM base), 6) AS pct_of_top
+       FROM stages""",
+    "E4 funnel analysis (engine extension; the canonical event-analytics "
+    "ask): strictly ordered view -> click -> purchase conversion, each "
+    "stage anchored at the user's FIRST qualifying event at-or-after the "
+    "prior stage (min-anchor semantics — deterministic, no window scan "
+    "per pair). Three partial-aggregated min-joins, no self-cartesian.",
+)
+def e4_funnel(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    k = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(k, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    stages = (
+        v.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).cast("long").alias("stage_no"), F.lit("view").alias("stage"), "n_users"
+        )
+        .unionAll(
+            k.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).cast("long").alias("stage_no"),
+                F.lit("click_after_view").alias("stage"),
+                "n_users",
+            )
+        )
+        .unionAll(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).cast("long").alias("stage_no"),
+                F.lit("purchase_after_click").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    n0 = v.agg(F.count("*").alias("n0"))
+    return stages.crossJoin(F.broadcast(n0)).select(
+        "stage_no",
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(F.col("n_users").cast("double") / F.col("n0"), 6).alias("pct_of_top"),
+    )
+
+
+@q(
+    "e5_cohort_retention",
+    """WITH first_seen AS (
+         SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+       act AS (SELECT e.user_id,
+                      date_trunc('week', f.t0) AS cohort_week,
+                      CAST(floor(date_diff('day', date_trunc('week', f.t0),
+                                           date_trunc('week', e.ts)) / 7.0) AS BIGINT)
+                        AS week_offset
+               FROM events e JOIN first_seen f ON f.user_id = e.user_id)
+       SELECT cohort_week, week_offset,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+       FROM act
+       WHERE week_offset <= 8
+       GROUP BY cohort_week, week_offset""",
+    "E5 cohort retention (engine extension; the other canonical event "
+    "ask): users grouped by first-seen ISO week, distinct activity counted "
+    "per subsequent week offset. Week bucketing and day arithmetic are "
+    "engine-portable (both engines truncate to ISO Monday); one shuffle "
+    "to anchor first-seen, one to roll up (cohort, offset).",
+)
+def e5_cohort_retention(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    act = e.join(first_seen, "user_id").select(
+        "user_id",
+        F.date_trunc("week", "t0").cast("timestamp_ntz").alias("cohort_week"),
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", "ts"), F.date_trunc("week", "t0")
+            )
+            / 7.0
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return (
+        act.filter(F.col("week_offset") <= 8)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )

@@ -79,6 +79,12 @@ PROBES: dict[str, list[str]] = {
     "s5_embedding_neardup_lsh": ["partial_agg", "no_python_udf", "no_cartesian_blowup"],
     # exact moment sums: partial+final hash agg over scaled ints, no Python
     "a23_stat_aggs": ["partial_agg", "codegen", "no_python_udf"],
+    # EXISTS/NOT EXISTS decorrelate to semi/anti joins — no per-row subquery
+    "p11_exists_subquery": ["semi_anti_join", "no_cartesian_blowup"],
+    # correlated scalars decorrelate to ONE aggregate + join
+    "p12_correlated_scalar": ["partial_agg", "no_cartesian_blowup"],
+    "e4_funnel": ["partial_agg", "no_python_udf"],
+    "e5_cohort_retention": ["partial_agg", "no_python_udf"],
 }
 
 # Each check sees (tree, full): `tree` is the FINAL post-AQE operator tree
@@ -100,6 +106,7 @@ CHECKS = {
     and len(re.findall(r"Scan parquet", t)) == 1,
     "bucketed_window": lambda t, f: "__bucket" in f and "Window" in t,
     "no_exchange": lambda t, f: "Exchange" not in t,
+    "semi_anti_join": lambda t, f: "LeftSemi" in t and "LeftAnti" in t,
 }
 
 
