@@ -283,7 +283,8 @@ eb_event_battery = _register_battery(
     "(count/distinct-users/value), per-user purchase sessionization "
     "(spend + first/last day), dynamic session windows (30-min gap "
     "session_window vs the gaps-and-islands SQL twin), strictly-ordered "
-    "funnel conversion (min-anchor stages), and weekly cohort retention.",
+    "funnel conversion (min-anchor stages), weekly cohort retention, and "
+    "zero-filled daily gap-filling (dense time axis via sequence+explode).",
     [("k1", "bigint"), ("s1", "varchar"), ("t1", "timestamp"),
      ("t2", "timestamp"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
     [
@@ -300,6 +301,8 @@ eb_event_battery = _register_battery(
          {"stage_no": "k1", "stage": "s1", "n_users": "n1", "pct_of_top": "v1"}),
         ("e5_cohort_retention", "e5_cohort_retention",
          {"cohort_week": "t1", "week_offset": "k1", "n_active": "n1"}),
+        ("e6_gapfill", "e6_gapfill",
+         {"event_type": "s1", "day": "t1", "n_events": "n1"}),
     ],
 )
 
@@ -501,6 +504,7 @@ ABSORBED = {
     "e3_session_rollup": "eb_event_battery",
     "e4_funnel": "eb_event_battery",
     "e5_cohort_retention": "eb_event_battery",
+    "e6_gapfill": "eb_event_battery",
     "j11_full_outer": "j11_outer_cross",
     "j12_cross_join": "j11_outer_cross",
     "a4_conditional_sum": "ab_conditional_battery",

@@ -465,3 +465,51 @@ def e5_cohort_retention(spark, sf_dir):
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
     )
+
+
+@q(
+    "e6_gapfill",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+         FROM events GROUP BY event_type, date_trunc('day', ts)),
+       bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+       grid AS (SELECT t.event_type, gs.g AS d
+                FROM (SELECT DISTINCT event_type FROM daily) t
+                CROSS JOIN bounds
+                CROSS JOIN LATERAL (SELECT unnest(generate_series(bounds.d0, bounds.d1,
+                                             INTERVAL 1 DAY)) AS g) gs)
+       SELECT grid.event_type, grid.d AS day,
+              CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+       FROM grid LEFT JOIN daily
+         ON daily.event_type = grid.event_type AND daily.d = grid.d""",
+    "E6 time-series gap filling / daily resample (engine extension; the "
+    "operator Spark lacks natively and every monitoring/training-data "
+    "timeline needs): per-series daily counts with missing days "
+    "ZERO-FILLED across the observed range, so downstream rolling windows "
+    "and rate math see a dense axis. The calendar grid is sequence() + "
+    "explode over one broadcast (min, max) row — O(series x days) slim "
+    "rows, never a scan-sized blowup; one left join back to the sparse "
+    "aggregates.",
+)
+def e6_gapfill(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d")
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias("d"),
+        )
+    )
+    return grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )

@@ -85,6 +85,9 @@ PROBES: dict[str, list[str]] = {
     "p12_correlated_scalar": ["partial_agg", "no_cartesian_blowup"],
     "e4_funnel": ["partial_agg", "no_python_udf"],
     "e5_cohort_retention": ["partial_agg", "no_python_udf"],
+    # dense-axis grid comes from sequence+explode over one broadcast row,
+    # then ONE left join back — no scan-sized blowup
+    "e6_gapfill": ["partial_agg", "no_python_udf", "no_cartesian_blowup"],
 }
 
 # Each check sees (tree, full): `tree` is the FINAL post-AQE operator tree
