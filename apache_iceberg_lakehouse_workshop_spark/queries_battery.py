@@ -243,6 +243,8 @@ ab_shapes_battery = _register_battery(
         ("a23_stat_aggs", "a23_stat_aggs",
          {"l_returnflag": "s1", "n": "n1", "var_qty": "v1",
           "stddev_price": "v2", "corr_qty_price": "v3"}),
+        ("a24_histogram", "a24_histogram",
+         {"bucket": "k1", "lo": "v1", "hi": "s1", "n": "n1"}),
     ],
 )
 
@@ -522,6 +524,7 @@ ABSORBED = {
     "a19_grouping_sets": "ab_shapes_battery",
     "a20_cube": "ab_shapes_battery",
     "a23_stat_aggs": "ab_shapes_battery",
+    "a24_histogram": "ab_shapes_battery",
     "w2_rolling_7day": "wb_window_battery",
     "w3_lead_gap": "wb_window_battery",
     "w6_window_funcs": "wb_window_battery",

@@ -1033,3 +1033,43 @@ def j14_asof_forward(spark, sf_dir):
         direction="forward",
         tolerance=F.expr("INTERVAL 2 HOURS"),
     )
+
+
+@q(
+    "a24_histogram",
+    """WITH b AS (SELECT CAST(CASE WHEN l_extendedprice >= 60000 THEN 19
+                               ELSE floor(l_extendedprice / 3000.0) END AS BIGINT)
+                    AS bucket
+                  FROM lineitem)
+       SELECT bucket,
+              CAST(bucket * 3000 AS DOUBLE) AS lo,
+              CAST(CASE WHEN bucket = 19 THEN 'inf'
+                        ELSE CAST(CAST((bucket + 1) * 3000 AS BIGINT) AS VARCHAR)
+                   END AS VARCHAR) AS hi,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM b GROUP BY bucket""",
+    "A24 fixed-width histogram (engine extension; the profiling primitive "
+    "behind every data-quality dashboard): 20 x 3000-unit price buckets "
+    "with an overflow bucket, computed as floor arithmetic identical in "
+    "both engines (width_bucket variants differ on boundary semantics "
+    "across engines; explicit floor does not). One partial-aggregated "
+    "scan — the histogram of 100 TB costs one pass.",
+)
+def a24_histogram(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.when(F.col("l_extendedprice") >= 60000, F.lit(19)).otherwise(
+        F.floor(F.col("l_extendedprice") / 3000.0)
+    ).cast("long")
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 3000).cast("double").alias("lo"),
+            F.when(F.col("bucket") == 19, F.lit("inf"))
+            .otherwise(((F.col("bucket") + 1) * 3000).cast("long").cast("string"))
+            .alias("hi"),
+            "n",
+        )
+    )
