@@ -88,6 +88,8 @@ PROBES: dict[str, list[str]] = {
     # dense-axis grid comes from sequence+explode over one broadcast row,
     # then ONE left join back — no scan-sized blowup
     "e6_gapfill": ["partial_agg", "no_python_udf", "no_cartesian_blowup"],
+    # histogram: one partial-aggregated scan, codegen bucket math
+    "a24_histogram": ["partial_agg", "codegen", "no_python_udf"],
 }
 
 # Each check sees (tree, full): `tree` is the FINAL post-AQE operator tree
