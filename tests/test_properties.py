@@ -62,3 +62,28 @@ def test_format_translation_stable(parts):
     out = translate_datetime_format(fmt)
     assert out == translate_datetime_format(fmt)  # deterministic
     assert "HH24" not in out and "YYYY" not in out
+
+
+# ------------------------------------------------- QUALIFY rewrite safety
+
+
+@given(_literal_text, _ident.filter(lambda s: s.upper() != "QUALIFY"))
+@settings(max_examples=100, deadline=None)
+def test_qualify_keyword_in_literals_untouched(body, alias):
+    """A string literal containing 'QUALIFY' (or 'OVER', 'ORDER BY') must
+    never trigger the clause rewrite."""
+    from apache_iceberg_lakehouse_workshop_spark.dialect import _rewrite_qualify
+
+    sql = f"SELECT 'QUALIFY {body} OVER ORDER BY' AS {alias} FROM t"
+    assert _rewrite_qualify(sql) == sql
+
+
+@given(_ident.filter(lambda s: s.upper() not in ("QUALIFY", "OVER", "ORDER", "LIMIT", "OFFSET")),
+       st.integers(min_value=1, max_value=9))
+@settings(max_examples=50, deadline=None)
+def test_qualify_alias_form_shape(alias, n):
+    from apache_iceberg_lakehouse_workshop_spark.dialect import _rewrite_qualify
+
+    sql = f"SELECT x, row_number() OVER (ORDER BY x) AS {alias} FROM t QUALIFY {alias} <= {n}"
+    out = _rewrite_qualify(sql)
+    assert out.startswith("SELECT * FROM (") and f"WHERE {alias} <= {n}" in out
