@@ -243,10 +243,27 @@ def _scan_top_level_keyword(sql: str, words: tuple[str, ...], start: int = 0):
     return None, None
 
 
+class UnsupportedDialectFormError(ValueError):
+    """A dialect construct the translator recognizes but cannot rewrite in
+    this statement shape. Raised instead of emitting malformed SQL."""
+
+
 def _rewrite_qualify(sql: str) -> str:
     qi, _ = _scan_top_level_keyword(sql, ("QUALIFY",))
     if qi is None:
         return sql
+    si, sw = _scan_top_level_keyword(sql, ("UNION", "INTERSECT", "EXCEPT"))
+    if si is not None:
+        # each branch of a set operation sits at paren depth 0, so the
+        # single-statement rewrite would wrap everything before the first
+        # QUALIFY and treat the rest of the statement as the predicate —
+        # garbled SQL. Refuse with the contract instead: parenthesize each
+        # branch or lift QUALIFY into a subquery.
+        raise UnsupportedDialectFormError(
+            f"QUALIFY is supported only in a single SELECT statement, not "
+            f"alongside a top-level {sw}; wrap each set-operation branch in "
+            "parentheses or rewrite the QUALIFY as a subquery WHERE"
+        )
     head = sql[:qi].rstrip()
     rest = sql[qi + len("QUALIFY"):]
     ti, _ = _scan_top_level_keyword(rest, ("ORDER BY", "LIMIT", "OFFSET"))

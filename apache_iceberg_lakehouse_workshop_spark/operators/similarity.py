@@ -350,15 +350,31 @@ def ivf_centroids(
     )
 
 
-def _widen(corpus: DataFrame) -> DataFrame:
+def _widen(corpus: DataFrame, widen: bool | None = None) -> DataFrame:
     """Defend the map-heavy ANN paths against under-partitioned input: a
     small-file corpus (one parquet split) would run the whole per-vector
-    scoring/bucketing chain in ONE task regardless of cluster width. If the
-    planned partition count is below half the default parallelism, one
+    scoring/bucketing chain in ONE task regardless of cluster width. One
     narrow round-robin shuffle of (id, vec) rows buys full-width map
-    parallelism; at real scale input splits abound and this is a no-op."""
+    parallelism; at real scale input splits abound and this is a no-op.
+
+    The under-partitioned check reads ``inputFiles()`` — plan metadata
+    only. The previous ``corpus.rdd.getNumPartitions()`` probe finalized
+    the physical plan under AQE, which could eagerly materialize a DERIVED
+    corpus's upstream query stages (e.g. an ai_embed UDF chain) just to
+    read a partition count. File count under-approximates split count
+    (one big file yields many splits), so the worst case is one redundant
+    narrow shuffle, never a double execution. Callers can force the
+    decision with ``widen=True/False``."""
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < max(2, par // 2):
+    if widen is False:
+        return corpus
+    if widen is True:
+        return corpus.repartition(par)
+    try:
+        n_files = len(corpus.inputFiles())
+    except Exception:
+        return corpus
+    if 0 < n_files < max(2, par // 2):
         return corpus.repartition(par)
     return corpus
 

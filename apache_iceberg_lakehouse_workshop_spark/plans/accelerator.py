@@ -50,6 +50,11 @@ class AcceleratorRegistry:
         # called OUTSIDE a script never materialize a stale view of the
         # anchors while recording their current snapshot ids
         self.prepare_sql: Callable[[], None] | None = None
+        # optional hook: is this dataset name a (logical) view of the host
+        # SQL surface? Incremental AGGREGATE refresh must refuse shapes
+        # registered over views — a view's rows are derived/filtered, so
+        # merging the raw anchor's delta would corrupt the stored partials
+        self.is_view: Callable[[str], bool] | None = None
         # name -> (definition thunk, anchor table names)
         self._defs: dict[str, tuple[Callable[[], DataFrame], list[str]]] = {}
         # name -> {anchor: snapshot_id} recorded at materialization
@@ -62,6 +67,13 @@ class AcceleratorRegistry:
         # convention (dims verbatim, <col>_<agg> partials, n_rows) — the
         # shapes subset routing can serve
         self._agg_shapes: dict[str, dict] = {}
+        # name -> {"tables": [...], "keys": [...], "dims", "measures"} for
+        # AGGREGATE reflections defined over a JOIN subtree (Dremio's
+        # headline acceleration: a reflection on a join view serves any
+        # query over the same join with subset dims — readme.md:331-355;
+        # the workshop's customer_spend example IS a join view,
+        # readme.md:307-329)
+        self._join_shapes: dict[str, dict] = {}
         self._load_registry()
 
     # ------------------------------------------------------- persistence
@@ -88,6 +100,11 @@ class AcceleratorRegistry:
                 **(
                     {"agg_shape": self._agg_shapes[name]}
                     if name in self._agg_shapes
+                    else {}
+                ),
+                **(
+                    {"join_shape": self._join_shapes[name]}
+                    if name in self._join_shapes
                     else {}
                 ),
             }
@@ -118,6 +135,10 @@ class AcceleratorRegistry:
                 shape = dict(e["agg_shape"])
                 shape["measures"] = [tuple(m) for m in shape["measures"]]
                 self._agg_shapes[name] = shape
+            if "join_shape" in e:
+                shape = dict(e["join_shape"])
+                shape["measures"] = [tuple(m) for m in shape["measures"]]
+                self._join_shapes[name] = shape
 
     # ----------------------------------------------------------- helpers
 
@@ -143,6 +164,18 @@ class AcceleratorRegistry:
 
     def _storage_name(self, name: str) -> str:
         return f"{_REFLECTION_NS}.{name}"
+
+    def _resolve_dataset(self, dataset: str) -> str | None:
+        """Full lake-table name ``dataset`` denotes, or None if it is not a
+        table (a view, or an ambiguous/unknown leaf reference)."""
+        if self.is_view is not None and self.is_view(dataset):
+            return None
+        if self.lake.table_exists(dataset):
+            return dataset
+        matches = [
+            t for t in self.lake._walk_tables() if t.split(".")[-1] == dataset
+        ]
+        return matches[0] if len(matches) == 1 else None
 
     # --------------------------------------------------------------- API
 
@@ -245,6 +278,14 @@ class AcceleratorRegistry:
         if len(anchor_tables) != 1:
             return False
         anchor = anchor_tables[0]
+        # The delta is aggregated from the RAW anchor table, so the shape's
+        # dataset must BE the anchor: a shape registered over a view (e.g.
+        # CREATE VIEW v AS SELECT * FROM sales WHERE region='east') has the
+        # same columns and would pass every later guard while merging
+        # UNFILTERED anchor rows into the partials — wrong results. Fall
+        # back to refresh(), which recomputes through the real definition.
+        if self._resolve_dataset(shape["dataset"]) != anchor:
+            return False
         recorded = self._anchors.get(name, {}).get(anchor)
         if recorded is None:
             return False
@@ -371,40 +412,140 @@ class AcceleratorRegistry:
                 continue
             if not req_dims <= set(shape["dims"]):
                 continue
-            stored = set(shape["measures"])
-            if not all(
-                pair in stored
-                for agg, col, _ in measures
-                for pair in needed(agg, col)
-            ):
+            if not self._covers(shape, measures, needed):
                 continue
             if not self.is_fresh(name):
                 continue  # stale: correctness wins, plain plan runs
-            base = self.lake.table(self._storage_name(name)).read()
-            aggs = []
-            for agg, col, alias in measures:
-                if agg == "SUM":
-                    e = F.sum(f"{col}_sum")
-                elif agg == "MIN":
-                    e = F.min(f"{col}_min")
-                elif agg == "MAX":
-                    e = F.max(f"{col}_max")
-                elif agg == "COUNT":
-                    e = F.sum("n_rows") if col == "*" else F.sum(f"{col}_count")
-                elif agg == "AVG":
-                    e = F.sum(f"{col}_sum") / F.sum(f"{col}_count")
-                elif agg == "APPROX_COUNT_DISTINCT":
-                    # union the per-group sketches, then estimate — the
-                    # rollup is exact over the sketch state (both the
-                    # reflection and this finalize are DataSketches HLL;
-                    # an inline approx_count_distinct uses HLL++ and may
-                    # estimate slightly differently — both approximate the
-                    # same NDV, which is the approx-measure contract)
-                    e = F.hll_sketch_estimate(F.hll_union_agg(f"{col}_hll"))
-                else:  # pragma: no cover - filtered by `needed`
-                    return None
-                aggs.append(e.alias(alias))
-            return base.groupBy(*dims).agg(*aggs)
+            return self._serve_rollup(name, dims, measures)
+        return None
+
+    @staticmethod
+    def _covers(shape: dict, measures, needed) -> bool:
+        stored = set(shape["measures"])
+        return all(
+            pair in stored for agg, col, _ in measures for pair in needed(agg, col)
+        )
+
+    def _serve_rollup(self, name: str, dims: list[str], measures) -> DataFrame | None:
+        """Re-aggregate a reflection's stored partials to the requested
+        (coarser) dims with the rollup algebra. O(groups) rows scanned."""
+        from pyspark.sql import functions as F
+
+        base = self.lake.table(self._storage_name(name)).read()
+        aggs = []
+        for agg, col, alias in measures:
+            if agg == "SUM":
+                e = F.sum(f"{col}_sum")
+            elif agg == "MIN":
+                e = F.min(f"{col}_min")
+            elif agg == "MAX":
+                e = F.max(f"{col}_max")
+            elif agg == "COUNT":
+                e = F.sum("n_rows") if col == "*" else F.sum(f"{col}_count")
+            elif agg == "AVG":
+                e = F.sum(f"{col}_sum") / F.sum(f"{col}_count")
+            elif agg == "APPROX_COUNT_DISTINCT":
+                # union the per-group sketches, then estimate — the
+                # rollup is exact over the sketch state (both the
+                # reflection and this finalize are DataSketches HLL;
+                # an inline approx_count_distinct uses HLL++ and may
+                # estimate slightly differently — both approximate the
+                # same NDV, which is the approx-measure contract)
+                e = F.hll_sketch_estimate(F.hll_union_agg(f"{col}_hll"))
+            else:  # pragma: no cover - filtered by `needed`
+                return None
+            aggs.append(e.alias(alias))
+        return base.groupBy(*dims).agg(*aggs)
+
+    # -------------------------------------------- join-subtree reflections
+
+    def _canonical_join(
+        self, tables: list[str], join_keys: list[str]
+    ) -> tuple[tuple[str, ...], tuple[str, ...]]:
+        """Order-independent identity of a join subtree: table names
+        resolved to full lake names where possible, sorted; equi-key pairs
+        normalized as 'a.col=b.col' with each pair lexicographically
+        ordered. Two spellings of the same star join compare equal."""
+        resolved = sorted(self._resolve_dataset(t) or t for t in tables)
+        keys = []
+        for k in join_keys:
+            a, _, b = k.partition("=")
+
+            def side(x: str) -> str:
+                tbl, _, col = x.strip().rpartition(".")
+                return f"{self._resolve_dataset(tbl) or tbl}.{col}"
+
+            keys.append("=".join(sorted((side(a), side(b)))))
+        return tuple(resolved), tuple(sorted(keys))
+
+    def register_join_agg_shape(
+        self,
+        name: str,
+        tables: list[str],
+        join_keys: list[str],
+        dims: list[str],
+        measures: list[tuple[str, str]],
+    ) -> None:
+        """Record that reflection ``name`` materializes ``SELECT dims,
+        partials FROM <inner equi-join over tables on join_keys> GROUP BY
+        dims`` — Dremio's join-reflection acceleration (readme.md:331-355;
+        the workshop's ``customer_spend`` join view, readme.md:307-329).
+        ``join_keys`` entries are ``'tbl1.col1=tbl2.col2'``. Dims and
+        measure columns are bare output-column names (star-schema queries
+        keep them unambiguous). Storage follows the same partial-column
+        convention as :meth:`register_agg_shape`."""
+        kept = [
+            (col, agg.upper())
+            for col, agg in measures
+            if agg.upper() in ("SUM", "COUNT", "MIN", "MAX", "NDV")
+        ]
+        t, k = self._canonical_join(tables, join_keys)
+        self._join_shapes[name] = {
+            "tables": list(t),
+            "keys": list(k),
+            "dims": list(dims),
+            "measures": kept,
+        }
+        if name in self._sql_defs:
+            self._save_registry()
+
+    def route_join_aggregate(
+        self,
+        tables: list[str],
+        join_keys: list[str],
+        dims: list[str],
+        measures: list[tuple[str, str, str]],
+    ) -> DataFrame | None:
+        """Serve ``SELECT dims, aggs FROM <same inner equi-join> GROUP BY
+        dims`` from a FRESH join reflection whose join subtree is identical
+        (canonicalized) and whose dims are a superset — the join half of
+        Dremio's covered-query substitution. The join itself was paid ONCE
+        at materialization; serving is an O(groups) scan + rollup, which at
+        100 TB replaces the query's largest shuffle."""
+
+        def needed(agg: str, col: str) -> list[tuple[str, str]]:
+            if agg == "AVG":
+                return [(col, "SUM"), (col, "COUNT")]
+            if agg == "COUNT" and col == "*":
+                return [("*", "COUNT")]
+            if agg == "APPROX_COUNT_DISTINCT":
+                return [(col, "NDV")]
+            return [(col, agg)]
+
+        want = self._canonical_join(tables, join_keys)
+        req_dims = set(dims)
+        for name, shape in self._join_shapes.items():
+            if name not in self._defs:
+                continue
+            if (tuple(shape["tables"]), tuple(shape["keys"])) != want:
+                continue
+            if not req_dims <= set(shape["dims"]):
+                continue
+            if not self._covers(shape, measures, needed):
+                continue
+            if not self.is_fresh(name):
+                continue
+            return self._serve_rollup(name, dims, measures)
         return None
 
     def drop_reflection(self, name: str) -> None:
@@ -412,6 +553,7 @@ class AcceleratorRegistry:
         self._defs.pop(name, None)
         self._anchors.pop(name, None)
         self._agg_shapes.pop(name, None)
+        self._join_shapes.pop(name, None)
         was_sql = self._sql_defs.pop(name, None) is not None
         self.lake.drop_table(self._storage_name(name))
         if was_sql:

@@ -54,6 +54,60 @@ _RE_MEASURE_ALIASED = re.compile(
 )
 _RE_BARE_DIM = re.compile(r"^[\w.]+$")
 
+# routable JOIN aggregate: SELECT ... FROM a [x] JOIN b [y] ON ... [JOIN ..]
+# GROUP BY ... — the shape a join reflection serves (same conservative
+# no-WHERE/no-HAVING gate as the single-table form)
+_RE_ROUTABLE_JOIN = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>[\w.]+.*?\bJOIN\b.*?)\s*"
+    r"GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_RE_JOIN_BASE = re.compile(r"^([\w.]+)(?:\s+(?:AS\s+)?(\w+))?$", re.I)
+_RE_JOIN_SEG = re.compile(
+    r"^([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.*)$", re.I | re.S
+)
+_RE_JOIN_EQ = re.compile(r"^\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?$")
+_JOIN_ALIAS_KEYWORDS = {"join", "inner", "on"}
+
+
+def parse_join_tree(from_txt: str):
+    """Parse ``t1 [AS a] JOIN t2 [AS b] ON a.x = b.y [AND ...] [JOIN ...]``
+    into ``(tables, join_keys, alias->table)``; join_keys entries are
+    ``'tbl.col=tbl.col'``. Returns None for anything beyond inner
+    equi-joins (left/cross/theta shapes are not provably servable from a
+    join reflection's materialized inner join)."""
+    if re.search(r"\b(LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\b", from_txt, re.I):
+        return None
+    parts = re.split(r"\s+(?:INNER\s+)?JOIN\s+", from_txt.strip(), flags=re.I)
+    if len(parts) < 2:
+        return None
+    m = _RE_JOIN_BASE.match(parts[0].strip())
+    if not m or (m.group(2) or "").lower() in _JOIN_ALIAS_KEYWORDS:
+        return None
+    aliases = {(m.group(2) or m.group(1).split(".")[-1]): m.group(1)}
+    tables = [m.group(1)]
+    keys: list[str] = []
+    for seg in parts[1:]:
+        sm = _RE_JOIN_SEG.match(seg.strip())
+        if not sm:
+            return None
+        tbl, alias, cond = sm.group(1), sm.group(2) or sm.group(1).split(".")[-1], sm.group(3)
+        if alias in aliases:
+            return None
+        aliases[alias] = tbl
+        tables.append(tbl)
+        for conj in re.split(r"\s+AND\s+", cond.strip(), flags=re.I):
+            em = _RE_JOIN_EQ.match(conj.strip())
+            if not em:
+                return None
+            a_al, a_c, b_al, b_c = em.groups()
+            if a_al not in aliases or b_al not in aliases:
+                return None
+            keys.append(
+                "=".join(sorted((f"{aliases[a_al]}.{a_c}", f"{aliases[b_al]}.{b_c}")))
+            )
+    return tables, keys, aliases
+
 
 class WorkloadAdvisor:
     """Counts aggregate-query shapes and recommends reflections.
@@ -118,26 +172,66 @@ class WorkloadAdvisor:
         plan) for anything it cannot prove exactly servable: WHERE/HAVING,
         expressions, DISTINCT aggs, un-aliased measures."""
         m = _RE_ROUTABLE.match(sql)
-        if m is None:
+        if m is not None:
+            parsed = self._parse_select_items(
+                m.group("select"), m.group("group")
+            )
+            if parsed is None:
+                return None
+            dims, measures, order = parsed
+            routed = self.accelerator.route_aggregate(
+                m.group("table"), dims, measures
+            )
+            return None if routed is None else routed.select(*order)
+        # join shape: same conservative gate, dims/measure columns stripped
+        # of their alias qualifier (the reflection stores bare output names)
+        jm = _RE_ROUTABLE_JOIN.match(sql)
+        if jm is None:
             return None
-        dims = [d.strip() for d in m.group("group").split(",") if d.strip()]
-        items = [i.strip() for i in m.group("select").split(",")]
+        tree = parse_join_tree(jm.group("from"))
+        if tree is None:
+            return None
+        tables, join_keys, _aliases = tree
+        parsed = self._parse_select_items(
+            jm.group("select"), jm.group("group"), strip_qualifiers=True
+        )
+        if parsed is None:
+            return None
+        dims, measures, order = parsed
+        routed = self.accelerator.route_join_aggregate(
+            tables, join_keys, dims, measures
+        )
+        return None if routed is None else routed.select(*order)
+
+    @staticmethod
+    def _parse_select_items(
+        select: str, group: str, strip_qualifiers: bool = False
+    ):
+        """(dims, measures, output order) from SELECT/GROUP BY text, or
+        None when any item is not provably a bare dim or an aliased simple
+        measure. ``strip_qualifiers`` drops ``alias.`` prefixes (join
+        queries) — the reflection's stored columns are bare names."""
+
+        def bare(col: str) -> str:
+            return col.rpartition(".")[2] if strip_qualifiers else col
+
+        dims_raw = [d.strip() for d in group.split(",") if d.strip()]
+        dims = [bare(d) for d in dims_raw]
         order: list[str] = []
         measures: list[tuple[str, str, str]] = []
-        for item in items:
+        for item in (i.strip() for i in select.split(",")):
             mm = _RE_MEASURE_ALIASED.match(item)
             if mm:
                 agg, col, alias = mm.group(1).upper(), mm.group(2), mm.group(3)
-                measures.append((agg, col, alias))
+                measures.append((agg, bare(col) if col != "*" else col, alias))
                 order.append(alias)
-            elif _RE_BARE_DIM.match(item) and item in dims:
-                order.append(item)
+            elif _RE_BARE_DIM.match(item) and item in dims_raw:
+                order.append(bare(item))
             else:
                 return None  # expression/alias shape routing can't prove
         if not measures:
             return None
-        routed = self.accelerator.route_aggregate(m.group("table"), dims, measures)
-        return None if routed is None else routed.select(*order)
+        return dims, measures, order
 
     # ------------------------------------------------------ recommending
 

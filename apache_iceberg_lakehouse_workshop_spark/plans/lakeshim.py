@@ -84,6 +84,103 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _strip_outer_parens(txt: str) -> str:
+    txt = txt.strip()
+    while txt.startswith("(") and txt.endswith(")"):
+        depth = 0
+        wraps = True
+        for i, ch in enumerate(txt):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(txt) - 1:
+                    wraps = False  # ')' closes before the end: not a wrap
+                    break
+        if not wraps:
+            break
+        txt = txt[1:-1].strip()
+    return txt
+
+
+_EQUI_CONJ_RE = re.compile(
+    r"^`?(\w+)`?\.`?(\w+)`?\s*=\s*`?(\w+)`?\.`?(\w+)`?$"
+)
+
+
+def _on_equi_conjuncts(on: str, t: str, s: str, table: str) -> list[tuple[str, str]]:
+    """Equi-conjunct pairs ``(target_col, source_col)`` from a MERGE ON
+    condition, via a real scanner: conjuncts split at paren-depth-0 ANDs
+    (string literals skipped), each conjunct stripped of balanced outer
+    parens, equi matches accept backticked/whitespace variants. A depth-0
+    OR makes the AND-decomposition itself invalid — the cardinality check
+    would silently weaken, so it RAISES instead of skipping. Non-equi
+    conjuncts (extra filters) are legal and ignored; at least one equi
+    conjunct is required (it is also what makes the merge join
+    shuffle-plannable rather than a cross product)."""
+    conjuncts: list[str] = []
+    buf: list[str] = []
+    depth, i, n = 0, 0, len(on)
+    lowered = on.lower()
+    while i < n:
+        ch = on[i]
+        if ch == "'":
+            j = on.find("'", i + 1)
+            j = n - 1 if j == -1 else j
+            buf.append(on[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and ch.isalpha()
+            and (i == 0 or not (on[i - 1].isalnum() or on[i - 1] in "_.`"))
+        ):
+            word = None
+            for w in ("and", "or"):
+                end = i + len(w)
+                if lowered.startswith(w, i) and (
+                    end >= n or not (on[end].isalnum() or on[end] == "_")
+                ):
+                    word = w
+                    break
+            if word == "or":
+                raise ValueError(
+                    f"MERGE INTO {table}: ON contains a top-level OR — the "
+                    "cardinality check needs an unconditional "
+                    "target.col = source.col equi-conjunct; parenthesize the "
+                    "disjunction and AND it with the merge key"
+                )
+            if word == "and":
+                conjuncts.append("".join(buf))
+                buf = []
+                i += len(word)
+                continue
+        buf.append(ch)
+        i += 1
+    conjuncts.append("".join(buf))
+
+    pairs: list[tuple[str, str]] = []
+    for conj in conjuncts:
+        m = _EQUI_CONJ_RE.match(_strip_outer_parens(conj))
+        if not m:
+            continue
+        a_al, a_col, b_al, b_col = m.groups()
+        if a_al == t and b_al == s:
+            pairs.append((a_col, b_col))
+        elif a_al == s and b_al == t:
+            pairs.append((b_col, a_col))
+    if not pairs:
+        raise ValueError(
+            "MERGE ON must contain at least one target.col = source.col "
+            f"equality (aliases {t!r}, {s!r}); got: {on!r}"
+        )
+    return pairs
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent writer committed between this operation's base read and
     its metadata swap. Appends never raise this (they rebase onto the fresh
@@ -149,21 +246,23 @@ class LakeTable:
         compare-and-swap plays. Data-file writes happen OUTSIDE the lock
         (they are the long part and touch only fresh uuid-named commit
         dirs); only load-verify-swap runs inside, so the critical section is
-        milliseconds regardless of table size. Stale locks from crashed
-        writers are broken after _LOCK_TIMEOUT_S."""
+        milliseconds regardless of table size.
+
+        Stale locks from crashed writers are broken after _LOCK_TIMEOUT_S
+        via :meth:`_try_steal` — an owner-verified unlink serialized through
+        a steal mutex, so two stalled waiters can never double-unlink (the
+        naive unverified unlink let the second waiter delete a FRESH lock
+        the first waiter had just acquired)."""
         lock = os.path.join(self.path, "metadata.lock")
+        owner = uuid.uuid4().hex
         deadline = time.monotonic() + self._LOCK_TIMEOUT_S
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, owner.encode())
                 break
             except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > self._LOCK_TIMEOUT_S:
-                        os.unlink(lock)  # crashed writer; steal
-                        continue
-                except OSError:
-                    continue  # lock vanished between stat attempts
+                self._try_steal(lock)
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"commit lock for table {self.name} held > "
@@ -174,7 +273,56 @@ class LakeTable:
             yield
         finally:
             os.close(fd)
-            os.unlink(lock)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass  # a stealer mistook a long pause for a crash; the
+                # metadata swap itself already happened atomically
+
+    def _try_steal(self, lock: str) -> None:
+        """Break a crashed writer's lock, safely: (1) observe the lock is
+        stale AND record its owner uuid, (2) serialize stealers through a
+        steal mutex (O_EXCL sidecar), (3) re-verify under the mutex that
+        the lock is STILL the same stale one before unlinking. A fresh lock
+        acquired between observation and unlink carries a different owner
+        uuid (or a fresh mtime) and survives. Returns without stealing in
+        every doubtful case — the waiter just keeps polling."""
+        steal = lock + ".steal"
+        try:
+            if time.time() - os.path.getmtime(lock) <= self._LOCK_TIMEOUT_S:
+                return  # live lock
+            with open(lock) as f:
+                stale_owner = f.read()
+        except OSError:
+            return  # lock vanished/changed between stats — nothing to steal
+        try:
+            sfd = os.open(steal, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another stealer holds the mutex; if THAT stealer crashed,
+            # break its (tiny, milliseconds-held) mutex by age
+            try:
+                if time.time() - os.path.getmtime(steal) > self._LOCK_TIMEOUT_S:
+                    os.unlink(steal)
+            except OSError:
+                pass
+            return
+        try:
+            try:
+                with open(lock) as f:
+                    cur_owner = f.read()
+                if (
+                    cur_owner == stale_owner
+                    and time.time() - os.path.getmtime(lock) > self._LOCK_TIMEOUT_S
+                ):
+                    os.unlink(lock)
+            except OSError:
+                pass  # already gone or just replaced — leave it
+        finally:
+            os.close(sfd)
+            try:
+                os.unlink(steal)
+            except FileNotFoundError:
+                pass
 
     def _commit_rewrite(
         self,
@@ -448,6 +596,7 @@ class LakeTable:
         on: str,
         matched: list[tuple] = (),
         not_matched: list[tuple] = (),
+        not_matched_by_source: list[tuple] = (),
         target_alias: str = "t",
         source_alias: str = "s",
     ) -> int:
@@ -463,6 +612,14 @@ class LakeTable:
           values_or_None)`` INSERT clauses; ``cols is None`` means
           ``INSERT *`` (by name), else ``INSERT (cols) VALUES (exprs)``
           with unlisted columns NULL.
+        - ``not_matched_by_source``: ordered ``("update", cond_or_None,
+          {col: expr})`` / ``("delete", cond_or_None, None)`` clauses for
+          TARGET rows with no matching source row (SQL:2023 / Iceberg
+          ``WHEN NOT MATCHED BY SOURCE`` — the sync-a-dimension clause
+          family: delete or flag target rows the source no longer
+          carries). Conditions may reference source columns; they are all
+          NULL on these rows, the standard's semantics. ``SET *`` is
+          rejected here (every source column is NULL).
 
         Conditions and expressions are Spark SQL referencing
         ``target_alias`` / ``source_alias``.
@@ -483,30 +640,26 @@ class LakeTable:
         sane MERGE does; it is also what makes the join shuffle-plannable
         rather than a cross product)."""
         matched, not_matched = list(matched), list(not_matched)
-        if not matched and not not_matched:
+        not_matched_by_source = list(not_matched_by_source)
+        if not matched and not not_matched and not not_matched_by_source:
             raise ValueError("MERGE INTO needs at least one WHEN clause")
+        for act, _cond, assign in not_matched_by_source:
+            if act == "update" and assign == "*":
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE ... UPDATE SET * is "
+                    "meaningless: every source column is NULL on those rows; "
+                    "list explicit assignments"
+                )
         t, s = target_alias, source_alias
         meta = self._load_meta()
         parent = meta.get("current_snapshot_id")
         current = self.read()
         schema = current.schema
 
-        # -- cardinality pre-check on equi-conjuncts
-        pairs: list[tuple[str, str]] = []  # (target_col, source_col)
-        for conj in re.split(r"\s+AND\s+", on.strip(), flags=re.I):
-            m = re.match(r"^\(*\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)*$", conj.strip())
-            if not m:
-                continue
-            a_al, a_col, b_al, b_col = m.groups()
-            if a_al == t and b_al == s:
-                pairs.append((a_col, b_col))
-            elif a_al == s and b_al == t:
-                pairs.append((b_col, a_col))
-        if not pairs:
-            raise ValueError(
-                "MERGE ON must contain at least one target.col = source.col "
-                f"equality (aliases {t!r}, {s!r}); got: {on!r}"
-            )
+        # -- cardinality pre-check on equi-conjuncts (real scanner: paren/
+        # backtick variants parse; a top-level OR raises instead of
+        # silently weakening the check)
+        pairs = _on_equi_conjuncts(on, t, s, self.name)
         src_keys = [sc for _, sc in pairs]
         dup_src = (
             source.groupBy(*src_keys).agg(F.count(F.lit(1)).alias("__n")).filter("__n > 1")
@@ -521,7 +674,9 @@ class LakeTable:
                 "cardinality violation"
             )
 
-        bad = set(source.columns) & {"__t_present", "__s_present", "__clause"}
+        bad = set(source.columns) & {
+            "__t_present", "__s_present", "__clause", "__nbs_clause"
+        }
         if bad:
             raise ValueError(f"source columns collide with merge markers: {sorted(bad)}")
         tgt = current.withColumn("__t_present", F.lit(True)).alias(t)
@@ -535,18 +690,44 @@ class LakeTable:
                 expr = F.when(c, F.lit(i)) if expr is None else expr.when(c, F.lit(i))
             return expr if expr is not None else F.lit(None).cast("int")
 
-        # -- target-present rows: update / delete / keep
+        # -- target-present rows: update / delete / keep. Matched rows pick
+        # a `matched` clause; target-only rows pick a `not_matched_by_source`
+        # clause (source columns are NULL there, per the standard) — two
+        # independent first-true CASE chains over the SAME joined relation,
+        # still one shuffle join + one rewrite.
         is_matched = F.col("__t_present").isNotNull() & F.col("__s_present").isNotNull()
+        is_target_only = (
+            F.col("__t_present").isNotNull() & F.col("__s_present").isNull()
+        )
         m_action = F.when(
             is_matched, first_clause(matched, [c for _, c, _ in matched])
         )
         kept = joined.filter(F.col("__t_present").isNotNull()).withColumn(
             "__clause", m_action
         )
+        kept = kept.withColumn(
+            "__nbs_clause",
+            F.when(
+                is_target_only,
+                first_clause(
+                    not_matched_by_source, [c for _, c, _ in not_matched_by_source]
+                ),
+            )
+            if not_matched_by_source
+            else F.lit(None).cast("int"),
+        )
         delete_idx = [i for i, (act, _, _) in enumerate(matched) if act == "delete"]
         if delete_idx:
             kept = kept.filter(
                 F.col("__clause").isNull() | ~F.col("__clause").isin(delete_idx)
+            )
+        nbs_delete_idx = [
+            i for i, (act, _, _) in enumerate(not_matched_by_source) if act == "delete"
+        ]
+        if nbs_delete_idx:
+            kept = kept.filter(
+                F.col("__nbs_clause").isNull()
+                | ~F.col("__nbs_clause").isin(nbs_delete_idx)
             )
         out_cols = []
         for f in schema.fields:
@@ -562,6 +743,14 @@ class LakeTable:
                 else:
                     continue  # clause doesn't touch this column
                 hit = F.col("__clause") == i
+                case = F.when(hit, val.cast(f.dataType)) if case is None else case.when(
+                    hit, val.cast(f.dataType)
+                )
+            for i, (act, _, assign) in enumerate(not_matched_by_source):
+                if act != "update" or f.name not in assign:
+                    continue
+                hit = F.col("__nbs_clause") == i
+                val = F.expr(assign[f.name])
                 case = F.when(hit, val.cast(f.dataType)) if case is None else case.when(
                     hit, val.cast(f.dataType)
                 )
@@ -950,10 +1139,29 @@ class LakeTable:
                 raise ValueError(f"branch {name!r} has no commits to publish")
             by_id = {s["id"]: s for s in meta["snapshots"]}
             cur = meta.get("current_snapshot_id")
-            anc = head_id
+            anc, chain_broken = head_id, False
             while anc is not None and anc != cur:
-                anc = by_id[anc]["parent_id"] if anc in by_id else None
-            if anc != cur:
+                s = by_id.get(anc)
+                if s is None:
+                    # expire_snapshots dropped an intermediate branch
+                    # snapshot — the chain is broken, not necessarily the
+                    # descent relationship
+                    chain_broken = True
+                    break
+                anc = s["parent_id"]
+            ok = anc == cur
+            if not ok and chain_broken and cur is not None:
+                # Branch commits are append-only (append_to_branch is the
+                # only branch writer), so a true descendant's commit dirs
+                # are a SUPERSET of main's current — which is exactly the
+                # no-lost-update guarantee fast-forward exists to protect.
+                # This keeps the documented WAP flow working after a
+                # routine VACUUM between staging and publish.
+                cur_snap = by_id.get(cur)
+                ok = cur_snap is not None and set(cur_snap["commit_dirs"]) <= set(
+                    by_id[head_id]["commit_dirs"]
+                )
+            if not ok:
                 raise ValueError(
                     f"cannot fast-forward: main advanced past {name!r}'s branch "
                     "point; re-stage the branch from the new main"

@@ -70,6 +70,12 @@ _RE_WHEN_NOT_MATCHED = re.compile(
     r"^WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.*?)\s+)?THEN\s+INSERT\s+(.*)$",
     re.I | re.S,
 )
+# SQL:2023 / Iceberg third clause family: target rows absent from the source
+_RE_WHEN_NOT_MATCHED_BY_SOURCE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.*?)\s+)?THEN\s+"
+    r"(UPDATE\s+SET\s+(.*)|DELETE)\s*$",
+    re.I | re.S,
+)
 _RE_INSERT_COLS_VALUES = re.compile(
     r"^\((.*?)\)\s*VALUES\s*\((.*)\)\s*$", re.I | re.S
 )
@@ -224,7 +230,9 @@ _DML_SUPPORTED_FORMS = {
         "MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND ...] "
         "{WHEN MATCHED [AND cond] THEN UPDATE SET * | col = expr, ... "
         "| WHEN MATCHED [AND cond] THEN DELETE "
-        "| WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (exprs)}..."
+        "| WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (exprs) "
+        "| WHEN NOT MATCHED BY SOURCE [AND cond] THEN "
+        "UPDATE SET col = expr, ... | DELETE}..."
     ),
     "INSERT": "INSERT INTO t [(cols)] VALUES ... | SELECT ...",
     "UPDATE": "UPDATE t SET col = expr[, ...] [WHERE cond]",
@@ -528,33 +536,44 @@ class ScriptRunner:
         salias = salias or source.split(".")[-1]
         st = m.string
 
+        def parse_action(cond_grp, action_grp, set_grp) -> tuple:
+            """('update'|'delete', cond, set) from a THEN UPDATE SET…/DELETE
+            body — shared by WHEN MATCHED and WHEN NOT MATCHED BY SOURCE."""
+            cond = dialect.translate(cond_grp) if cond_grp else None
+            if action_grp.upper().startswith("DELETE"):
+                return ("delete", cond, None)
+            set_body = set_grp.strip().rstrip(";").strip()
+            if set_body == "*":
+                return ("update", cond, "*")
+            assignments: dict[str, str] = {}
+            for item in dialect.split_args_top_level(set_body):
+                col, eq, expr = item.partition("=")
+                if not eq:
+                    raise UnsupportedStatementError(
+                        "MERGE", st, _DML_SUPPORTED_FORMS["MERGE"]
+                    )
+                col = col.strip().strip('"')
+                # allow target-qualified assignment targets (t.col = ...)
+                if col.startswith(f"{talias}."):
+                    col = col[len(talias) + 1 :]
+                assignments[col] = dialect.translate(expr.strip())
+            return ("update", cond, assignments)
+
         matched: list[tuple] = []
         not_matched: list[tuple] = []
+        not_matched_by_source: list[tuple] = []
         for clause in _split_top_level_when(tail):
-            wm = _RE_WHEN_MATCHED.match(clause)
-            wn = _RE_WHEN_NOT_MATCHED.match(clause)
-            if wm:
-                cond = dialect.translate(wm.group(1)) if wm.group(1) else None
-                if wm.group(2).upper().startswith("DELETE"):
-                    matched.append(("delete", cond, None))
-                    continue
-                set_body = wm.group(3).strip().rstrip(";").strip()
-                if set_body == "*":
-                    matched.append(("update", cond, "*"))
-                    continue
-                assignments: dict[str, str] = {}
-                for item in dialect.split_args_top_level(set_body):
-                    col, eq, expr = item.partition("=")
-                    if not eq:
-                        raise UnsupportedStatementError(
-                            "MERGE", st, _DML_SUPPORTED_FORMS["MERGE"]
-                        )
-                    col = col.strip().strip('"')
-                    # allow target-qualified assignment targets (t.col = ...)
-                    if col.startswith(f"{talias}."):
-                        col = col[len(talias) + 1 :]
-                    assignments[col] = dialect.translate(expr.strip())
-                matched.append(("update", cond, assignments))
+            wnbs = _RE_WHEN_NOT_MATCHED_BY_SOURCE.match(clause)
+            wm = None if wnbs else _RE_WHEN_MATCHED.match(clause)
+            wn = None if wnbs or wm else _RE_WHEN_NOT_MATCHED.match(clause)
+            if wnbs:
+                not_matched_by_source.append(
+                    parse_action(wnbs.group(1), wnbs.group(2), wnbs.group(3) or "")
+                )
+            elif wm:
+                matched.append(
+                    parse_action(wm.group(1), wm.group(2), wm.group(3) or "")
+                )
             elif wn:
                 cond = dialect.translate(wn.group(1)) if wn.group(1) else None
                 body = wn.group(2).strip().rstrip(";").strip()
@@ -589,6 +608,7 @@ class ScriptRunner:
         if (
             matched == [("update", None, "*")]
             and not_matched == [(None, None, None)]
+            and not not_matched_by_source
         ):
             keys, same_col = [], True
             for clause in re.split(r"\s+AND\s+", on.strip(), flags=re.I):
@@ -610,6 +630,7 @@ class ScriptRunner:
             dialect.translate(on),
             matched=matched,
             not_matched=not_matched,
+            not_matched_by_source=not_matched_by_source,
             target_alias=talias,
             source_alias=salias,
         )
@@ -655,6 +676,10 @@ class ScriptRunner:
             # them before any out-of-script materialization so refresh()/
             # resolve() never pin a stale registration of the anchors
             self._accelerator.prepare_sql = self._refresh
+            # lets incremental AGGREGATE refresh refuse shapes whose
+            # dataset is one of this runner's logical views (their rows are
+            # derived — only a full refresh through the definition is exact)
+            self._accelerator.is_view = lambda d: d in self.views
         return self._accelerator
 
     @property
@@ -716,9 +741,14 @@ class ScriptRunner:
                 return m.group(0)
             import datetime as _dt
 
-            t = _dt.datetime.fromisoformat(m.group(2)).replace(
-                tzinfo=_dt.timezone.utc
-            )
+            t = _dt.datetime.fromisoformat(m.group(2))
+            # a literal with an explicit offset names an instant — convert;
+            # only NAIVE literals get the UTC default (replace() on an
+            # offset-carrying literal would silently pin a different instant)
+            if t.tzinfo is None:
+                t = t.replace(tzinfo=_dt.timezone.utc)
+            else:
+                t = t.astimezone(_dt.timezone.utc)
             ms = int(t.timestamp() * 1000)
             v = f"{full.split('.')[-1]}__asof_{ms}"
             self.lake.table(full).read(as_of_ms=ms).createOrReplaceTempView(v)

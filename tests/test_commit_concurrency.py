@@ -194,3 +194,77 @@ def test_concurrent_branch_appends_both_land(spark, tmp_path):
     assert t.read().count() == 1          # main untouched
     t.publish_branch("b")
     assert sorted(r.x for r in t.read().collect()) == [0, 1, 2, 3]
+
+
+def test_two_stealers_cannot_double_unlink(lake, spark):
+    """The classic unlink race: two stalled waiters both decide a lock is
+    stale; with naive unlink the second could delete the FRESH lock the
+    first just acquired. The owner-verified, mutex-serialized steal must
+    (a) let exactly one stealer break the stale lock, and (b) never remove
+    a lock whose owner uuid changed since the staleness observation."""
+    import os
+    import time
+
+    t = lake.create_table("db.steal", "k INT")
+    lock = os.path.join(t.path, "metadata.lock")
+
+    # stale lock from a "crashed" writer
+    with open(lock, "w") as f:
+        f.write("dead-owner")
+    old = time.time() - 2 * t._LOCK_TIMEOUT_S
+    os.utime(lock, (old, old))
+
+    # directed race: stealer B observed the stale lock, but before B's
+    # unlink runs, stealer A already broke it and writer C acquired a FRESH
+    # lock (different owner, fresh mtime). B's verified steal must leave
+    # C's lock alone.
+    os.unlink(lock)                       # A's (legitimate) steal
+    with open(lock, "w") as f:
+        f.write("fresh-owner-c")          # C's brand-new lock
+    t._try_steal(lock)                    # B retries: verify fails -> no-op
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert f.read() == "fresh-owner-c"
+    os.unlink(lock)
+
+    # while a steal mutex is held by another (live) stealer, nobody unlinks
+    with open(lock, "w") as f:
+        f.write("dead-owner-2")
+    os.utime(lock, (old, old))
+    with open(lock + ".steal", "w"):
+        pass                              # live concurrent stealer's mutex
+    t._try_steal(lock)
+    assert os.path.exists(lock), "steal must serialize through the mutex"
+    os.unlink(lock + ".steal")
+    t._try_steal(lock)                    # mutex free: the stale lock breaks
+    assert not os.path.exists(lock)
+
+    # end-to-end: many waiters hammering a stale lock -> single ownership
+    with open(lock, "w") as f:
+        f.write("dead-owner-3")
+    os.utime(lock, (old, old))
+    holders, peak, errors = [0], [0], []
+    import threading
+
+    gate = threading.Lock()
+
+    def grab(i):
+        try:
+            with t._commit_lock():
+                with gate:
+                    holders[0] += 1
+                    peak[0] = max(peak[0], holders[0])
+                time.sleep(0.02)
+                with gate:
+                    holders[0] -= 1
+        except Exception as e:  # pragma: no cover - failure under test
+            errors.append(e)
+
+    threads = [threading.Thread(target=grab, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert peak[0] == 1, f"overlapping lock holders: peak={peak[0]}"
+    assert not os.path.exists(lock)

@@ -132,3 +132,23 @@ def test_qualify_rewrite(spark):
 
     untouched = "SELECT 'do not QUALIFY here' AS s FROM qualify_t"
     assert dialect.translate(untouched) == untouched
+
+    # QUALIFY alongside a top-level set operator cannot be rewritten into a
+    # single-statement wrap — must raise the dialect's contract error, not
+    # emit garbled SQL that fails downstream at analysis
+    import pytest as _pytest
+
+    with _pytest.raises(dialect.UnsupportedDialectFormError, match="QUALIFY"):
+        dialect.translate(
+            "SELECT g FROM qualify_t QUALIFY row_number() OVER (ORDER BY v) = 1 "
+            "UNION ALL SELECT g FROM qualify_t "
+            "QUALIFY row_number() OVER (ORDER BY v) = 2"
+        )
+    # parenthesized branches keep their QUALIFYs out of depth 0: allowed
+    branched = (
+        "(SELECT g, v FROM qualify_t "
+        "QUALIFY row_number() OVER (ORDER BY v DESC) = 1) "
+        "UNION ALL "
+        "(SELECT g, v FROM qualify_t QUALIFY row_number() OVER (ORDER BY v) = 1)"
+    )
+    assert dialect.translate(branched) == branched  # left for Spark as-is

@@ -727,3 +727,77 @@ def test_branch_sql_surface(spark, tmp_path):
     assert r.run("SELECT COUNT(*) AS n FROM dremio.demo.br").collect()[0].n == 3
     r.run("ALTER TABLE dremio.demo.br DROP BRANCH staging")
     assert t.branches() == {}
+
+
+def test_publish_branch_survives_vacuum_between_stage_and_publish(spark, tmp_path):
+    """Routine maintenance must not break WAP: expire_snapshots between
+    staging and publish drops intermediate branch snapshots (breaking the
+    parent-id chain), but the branch head is still a true descendant of
+    main — publish fast-forwards via the commit-dir superset proof."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    lake.create_namespace("db.w")
+    t = lake.create_table("db.w.ev", "k BIGINT, v DOUBLE")
+    t.append(spark.createDataFrame([(1, 1.0)], "k BIGINT, v DOUBLE"))  # main@base
+
+    t.create_branch("staging")
+    t.append_to_branch("staging", spark.createDataFrame([(2, 2.0)], "k BIGINT, v DOUBLE"))
+    t.append_to_branch("staging", spark.createDataFrame([(3, 3.0)], "k BIGINT, v DOUBLE"))
+
+    # VACUUM between staging and publish: keeps main's current + the branch
+    # HEAD, drops the intermediate branch snapshot -> parent chain broken
+    t.expire_snapshots(keep_last=1)
+    kept = {s.snapshot_id for s in t.snapshots().collect()}
+    assert len(kept) == 2  # main current + branch head only
+
+    t.publish_branch("staging")  # must NOT spuriously refuse
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+
+    # a genuinely diverged main still refuses after expiry
+    t.create_branch("b2")
+    t.append_to_branch("b2", spark.createDataFrame([(7, 7.0)], "k BIGINT, v DOUBLE"))
+    t.append(spark.createDataFrame([(9, 9.0)], "k BIGINT, v DOUBLE"))  # main diverges
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="fast-forward"):
+        t.publish_branch("b2")
+
+
+def test_at_timestamp_literal_with_explicit_offset(spark, tmp_path):
+    """An AT TIMESTAMP literal carrying an explicit UTC offset names an
+    instant; the rewrite must convert (astimezone), not overwrite the
+    offset with UTC. A '-05:00' literal whose naive part is BEFORE the
+    commit but whose true instant is AFTER it must see the data."""
+    import datetime as dt
+
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.ttz (k BIGINT);
+        INSERT INTO dremio.demo.ttz VALUES (1), (2);
+        """
+    )
+    commit_ms = lake.table("dremio.demo.ttz").snapshots().collect()[-1].committed_at_ms
+    # naive part = commit - 1h (before the commit), offset -05:00 => true
+    # instant = commit + 4h (after the commit). The old replace(tzinfo=utc)
+    # read this as commit - 1h and found no snapshot.
+    naive = dt.datetime.fromtimestamp(commit_ms / 1000, tz=dt.timezone.utc).replace(
+        tzinfo=None
+    ) - dt.timedelta(hours=1)
+    lit = naive.isoformat(timespec="milliseconds") + "-05:00"
+    n = r.run(
+        f"SELECT COUNT(*) AS n FROM dremio.demo.ttz AT TIMESTAMP '{lit}'"
+    ).collect()[0].n
+    assert n == 2
+    # and an offset literal whose true instant predates every snapshot fails
+    early = (
+        dt.datetime.fromtimestamp(commit_ms / 1000, tz=dt.timezone.utc).replace(tzinfo=None)
+        - dt.timedelta(hours=1)
+    ).isoformat(timespec="milliseconds") + "+05:00"  # true instant = commit - 6h
+    with pytest.raises(ValueError, match="no snapshot"):
+        r.run(f"SELECT COUNT(*) AS n FROM dremio.demo.ttz AT TIMESTAMP '{early}'")

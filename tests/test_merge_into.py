@@ -192,3 +192,111 @@ def test_queries_still_flow_to_spark(lake, spark):
     _, runner = _setup(lake, spark)
     out = runner.run("SELECT COUNT(*) AS n FROM db.tgt")
     assert out.collect()[0]["n"] == 4
+
+
+# ------------------------------------ WHEN NOT MATCHED BY SOURCE (SQL:2023)
+
+
+def test_not_matched_by_source_sync_dimension(lake, spark):
+    """The sync-a-dimension flow: source is the new truth — matched rows
+    update, new rows insert, target rows ABSENT from the source delete.
+    Verified against a DuckDB replay."""
+    t, runner = _setup(lake, spark)
+    runner.run(
+        """MERGE INTO db.tgt AS t USING db.src AS s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE"""
+    )
+    got = sorted((r.k, r.v, r.amt) for r in t.read().collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tgt(k INT, v VARCHAR, amt DOUBLE)")
+    con.execute("CREATE TABLE src(k INT, v VARCHAR, amt DOUBLE)")
+    con.executemany("INSERT INTO tgt VALUES (?,?,?)", _TGT)
+    con.executemany("INSERT INTO src VALUES (?,?,?)", _SRC)
+    con.execute("CREATE TABLE tgt0 AS SELECT * FROM tgt")
+    con.execute(
+        "UPDATE tgt SET v = src.v, amt = src.amt FROM src WHERE tgt.k = src.k"
+    )
+    con.execute(
+        "INSERT INTO tgt SELECT * FROM src s WHERE s.k NOT IN (SELECT k FROM tgt0)"
+    )
+    con.execute("DELETE FROM tgt WHERE k NOT IN (SELECT k FROM src)")
+    want = sorted(tuple(r) for r in con.execute("SELECT * FROM tgt").fetchall())
+    assert got == want
+    assert {r[0] for r in got} == {1, 2, 3, 8, 9}   # 4 gone (not in source)
+
+
+def test_not_matched_by_source_conditional_update_and_delete(lake, spark):
+    """Ordered conditional NBS clauses: flag cheap orphans, delete the
+    rest; matched/unmatched families remain independent. First-true wins
+    within the NBS family."""
+    t, runner = _setup(lake, spark)
+    # target-only rows: k=4 (amt=40). Add k=5 amt=3 so both branches fire.
+    t.append(spark.createDataFrame([(5, "e", 3.0)], "k INT, v STRING, amt DOUBLE"))
+    runner.run(
+        """MERGE INTO db.tgt AS t USING db.src AS s ON t.k = s.k
+           WHEN NOT MATCHED BY SOURCE AND t.amt < 10 THEN UPDATE SET v = 'orphan'
+           WHEN NOT MATCHED BY SOURCE THEN DELETE"""
+    )
+    got = {r.k: (r.v, r.amt) for r in t.read().collect()}
+    assert 4 not in got                      # amt=40: second clause deletes
+    assert got[5] == ("orphan", 3.0)         # amt=3: first clause flags
+    # matched rows untouched (no MATCHED clauses)
+    assert got[1] == ("a", 10.0) and got[2] == ("b", 20.0)
+
+
+def test_not_matched_by_source_update_set_star_rejected(lake, spark):
+    t, _runner = _setup(lake, spark)
+    src = spark.createDataFrame(_SRC, "k INT, v STRING, amt DOUBLE")
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        t.merge_into(
+            src,
+            "t.k = s.k",
+            not_matched_by_source=[("update", None, "*")],
+        )
+
+
+# ----------------------------------------------- ON-clause conjunct scanner
+
+
+def test_on_clause_parenthesized_equi_conjuncts_parse(lake, spark):
+    """Parenthesized / backticked / whitespace ON variants must reach the
+    cardinality check (the old regex silently skipped them, weakening the
+    guard). A duplicate source key must raise for every spelling."""
+    t, runner = _setup(lake, spark)
+    lake.table("db.src").append(
+        spark.createDataFrame([(2, "dup", 1.0)], "k INT, v STRING, amt DOUBLE")
+    )
+    for on in [
+        "(t.k = s.k)",
+        "( ( t.k = s.k ) )",
+        "(t.k = s.k) AND (s.amt > -100)",
+        "`t`.`k` = `s`.`k`",
+        "s.k\n  =\tt.k",
+    ]:
+        with pytest.raises(ValueError, match="cardinality"):
+            runner.run(
+                f"""MERGE INTO db.tgt AS t USING db.src AS s ON {on}
+                    WHEN MATCHED THEN UPDATE SET v = s.v"""
+            )
+
+
+def test_on_clause_top_level_or_raises(lake, spark):
+    """A depth-0 OR invalidates the AND-decomposition: the check must
+    refuse loudly, never silently weaken."""
+    t, _runner = _setup(lake, spark)
+    src = spark.createDataFrame(_SRC, "k INT, v STRING, amt DOUBLE")
+    with pytest.raises(ValueError, match="OR"):
+        t.merge_into(
+            src, "t.k = s.k OR t.v = s.v", matched=[("update", None, "*")]
+        )
+    # parenthesized disjunction ANDed with the key is fine
+    t.merge_into(
+        src,
+        "t.k = s.k AND (s.amt > 0 OR s.v = 'x')",
+        matched=[("update", None, "*")],
+    )
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[1] == "x" and got[2] == "y"   # both pass the disjunction

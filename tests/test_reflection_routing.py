@@ -219,3 +219,34 @@ def test_ndv_measure_served_from_hll_sketch_reflection(runner):
     out2 = runner.run(sql)
     assert _reads_reflection(out2)
     assert {r.region: r.ndv for r in out2.collect()}["east"] == 3
+
+
+def test_incremental_agg_refresh_refuses_filtered_view_dataset(runner):
+    """An AGGREGATE reflection over a FILTERED VIEW has a single anchor and
+    the same column names, but its rows are derived — merging the raw
+    anchor's delta would silently corrupt the partials. The incremental
+    path must refuse (return False) so the caller's full refresh()
+    recomputes through the real definition."""
+    runner.run(
+        "CREATE VIEW dremio.demo.east_sales AS "
+        "SELECT * FROM dremio.demo.sales WHERE region = 'east'"
+    )
+    runner.run(
+        "ALTER DATASET dremio.demo.east_sales CREATE AGGREGATE REFLECTION east_agg "
+        "USING DIMENSIONS (product) MEASURES (amount (SUM, COUNT))"
+    )
+    acc = runner.accelerator
+    assert acc.is_fresh("east_agg")
+    # append rows for BOTH regions: the incremental path would merge the
+    # west row into the east-only partials
+    runner.run(
+        "INSERT INTO dremio.demo.sales VALUES ('east', 'a', 40.0), ('west', 'a', 999.0)"
+    )
+    assert acc.refresh_incremental_agg("east_agg") is False
+
+    acc.refresh("east_agg")
+    assert acc.is_fresh("east_agg")
+    stored = acc.lake.table("_reflections.east_agg").read()
+    got = {r.product: (r.amount_sum, r.amount_count) for r in stored.collect()}
+    # east rows only: a=10+20+40, b=5 — the west 999.0 must not leak in
+    assert got == {"a": (70.0, 3), "b": (5.0, 1)}
