@@ -881,6 +881,62 @@ class ScriptRunner:
             self.accelerator.register_agg_shape(
                 name, dataset, dim_list, measure_pairs
             )
+            # a reflection on a JOIN VIEW additionally registers its join
+            # subtree: queries written directly against the same join (not
+            # the view) route too — Dremio's headline acceleration
+            # (readme.md:331-355; customer_spend IS a join view,
+            # readme.md:307-329)
+            self._maybe_register_join_shape(name, dataset, dim_list, measure_pairs)
+
+    def _maybe_register_join_shape(
+        self,
+        name: str,
+        dataset: str,
+        dims: list[str],
+        measures: list[tuple[str, str]],
+    ) -> None:
+        """If ``dataset`` is a view whose body is a plain inner equi-join
+        projection (no WHERE/agg/set-op, every dim/measure column passing
+        through UNCHANGED — an aliased or computed column would make the
+        stored partials mean something else than the raw column), register
+        the reflection's join subtree for join-aware routing."""
+        from .advisor import parse_join_tree
+
+        body = self.views.get(dataset)
+        if body is None and "." not in dataset:
+            matches = [v for v in self.views if v.split(".")[-1] == dataset]
+            body = self.views[matches[0]] if len(matches) == 1 else None
+        if body is None:
+            return
+        if re.search(
+            r"\b(WHERE|GROUP\s+BY|HAVING|QUALIFY|LIMIT|ORDER\s+BY|UNION|"
+            r"INTERSECT|EXCEPT|DISTINCT)\b",
+            body,
+            re.I,
+        ):
+            return
+        m = re.match(
+            r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<from>.*?)\s*;?\s*$",
+            body,
+            re.I | re.S,
+        )
+        if m is None:
+            return
+        tree = parse_join_tree(m.group("from"))
+        if tree is None:
+            return
+        tables, keys, _aliases = tree
+        sel_items = [i.strip() for i in dialect.split_args_top_level(m.group("sel"))]
+        all_safe = "*" in sel_items
+        safe: set[str] = set()
+        for item in sel_items:
+            pm = re.match(r"^(?:(\w+)\.)?(\w+)(?:\s+AS\s+(\w+))?$", item, re.I)
+            if pm and (pm.group(3) or pm.group(2)) == pm.group(2):
+                safe.add(pm.group(2))
+        cols = set(dims) | {c for c, _ in measures if c != "*"}
+        if not all_safe and not cols <= safe:
+            return
+        self.accelerator.register_join_agg_shape(name, tables, keys, dims, measures)
 
     # ------------------------------------------------------------- driver
 

@@ -250,3 +250,146 @@ def test_incremental_agg_refresh_refuses_filtered_view_dataset(runner):
     got = {r.product: (r.amount_sum, r.amount_count) for r in stored.collect()}
     # east rows only: a=10+20+40, b=5 — the west 999.0 must not leak in
     assert got == {"a": (70.0, 3), "b": (5.0, 1)}
+
+
+# ------------------------------------------------ join-aware reflections
+
+
+@pytest.fixture()
+def join_runner(spark, tmp_path):
+    """The workshop's customer_spend shape: a reflection on a JOIN VIEW
+    (readme.md:307-329) must accelerate queries over the same join."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "whj"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.orders2 (customer_id BIGINT, amount DOUBLE);
+        INSERT INTO dremio.demo.orders2 VALUES
+          (1, 10.0), (1, 20.0), (2, 5.0), (2, 7.0), (3, 100.0), (3, 1.0);
+        CREATE TABLE dremio.demo.customers2 (customer_id BIGINT, region VARCHAR, tier VARCHAR);
+        INSERT INTO dremio.demo.customers2 VALUES
+          (1, 'east', 'gold'), (2, 'west', 'gold'), (3, 'east', 'silver');
+        CREATE VIEW dremio.demo.customer_spend AS
+          SELECT c.region, c.tier, o.amount
+          FROM dremio.demo.orders2 o
+          JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id;
+        ALTER DATASET dremio.demo.customer_spend CREATE AGGREGATE REFLECTION cs_refl
+        USING DIMENSIONS (region, tier) MEASURES (amount (SUM, COUNT, MIN, MAX));
+        """
+    )
+    r.use_reflection_routing = True
+    return r
+
+
+def test_join_query_served_from_join_view_reflection(join_runner):
+    """A NEVER-seen query written directly against the JOIN (not the view),
+    with different aliases and a dim subset, must be served by
+    re-aggregating the materialized reflection — value-identical to the
+    plain plan."""
+    sql = (
+        "SELECT c2.region, SUM(o2.amount) AS total, AVG(o2.amount) AS avg_amt "
+        "FROM dremio.demo.orders2 o2 "
+        "JOIN dremio.demo.customers2 c2 ON o2.customer_id = c2.customer_id "
+        "GROUP BY c2.region"
+    )
+    out = join_runner.run(sql)
+    assert _reads_reflection(out), "plan must scan the materialized reflection"
+    got = {r.region: (r.total, r.avg_amt) for r in out.collect()}
+
+    join_runner.use_reflection_routing = False
+    want = {r.region: (r.total, r.avg_amt) for r in join_runner.run(sql).collect()}
+    assert got == want
+    assert got["east"] == (131.0, 131.0 / 4)
+    assert got["west"] == (12.0, 6.0)
+
+
+def test_join_reflection_key_order_and_alias_invariance(join_runner):
+    """Canonical join identity: swapped equi-key sides and swapped table
+    order still match the registered subtree."""
+    sql = (
+        "SELECT x.tier, COUNT(y.amount) AS n "
+        "FROM dremio.demo.customers2 x "
+        "JOIN dremio.demo.orders2 y ON x.customer_id = y.customer_id "
+        "GROUP BY x.tier"
+    )
+    out = join_runner.run(sql)
+    assert _reads_reflection(out)
+    assert {r.tier: r.n for r in out.collect()} == {"gold": 4, "silver": 2}
+
+
+def test_join_reflection_stale_falls_back(join_runner):
+    sql = (
+        "SELECT c.region, SUM(o.amount) AS total "
+        "FROM dremio.demo.orders2 o "
+        "JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id "
+        "GROUP BY c.region"
+    )
+    assert _reads_reflection(join_runner.run(sql))
+    join_runner.run("INSERT INTO dremio.demo.orders2 VALUES (1, 1000.0)")
+    out = join_runner.run(sql)
+    assert not _reads_reflection(out)
+    assert {r.region: r.total for r in out.collect()}["east"] == 1131.0
+
+
+def test_join_reflection_uncovered_shapes_fall_back(join_runner):
+    # different join key -> different subtree -> plain plan
+    sql_badkey = (
+        "SELECT c.region, SUM(o.amount) AS total "
+        "FROM dremio.demo.orders2 o "
+        "JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id "
+        "AND o.amount = c.customer_id GROUP BY c.region"
+    )
+    assert not _reads_reflection(join_runner.run(sql_badkey))
+    # LEFT JOIN is not provably servable from an inner-join materialization
+    sql_left = (
+        "SELECT c.region, SUM(o.amount) AS total "
+        "FROM dremio.demo.orders2 o "
+        "LEFT JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id "
+        "GROUP BY c.region"
+    )
+    assert not _reads_reflection(join_runner.run(sql_left))
+    # WHERE over raw rows -> plain plan
+    sql_where = (
+        "SELECT c.region, SUM(o.amount) AS total "
+        "FROM dremio.demo.orders2 o "
+        "JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id "
+        "WHERE c.tier = 'gold' GROUP BY c.region"
+    )
+    assert not _reads_reflection(join_runner.run(sql_where))
+
+
+def test_view_with_computed_column_not_join_registered(spark, tmp_path):
+    """A view that RENAMES or computes a column must not register a join
+    shape (its partials mean something else than the raw column); queries
+    over the raw join run the plain plan and stay correct."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "whc"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.o3 (customer_id BIGINT, amount DOUBLE);
+        INSERT INTO dremio.demo.o3 VALUES (1, 10.0), (2, 5.0);
+        CREATE TABLE dremio.demo.c3 (customer_id BIGINT, region VARCHAR);
+        INSERT INTO dremio.demo.c3 VALUES (1, 'east'), (2, 'west');
+        CREATE VIEW dremio.demo.spend3 AS
+          SELECT c.region, o.amount * 2 AS amount
+          FROM dremio.demo.o3 o JOIN dremio.demo.c3 c
+          ON o.customer_id = c.customer_id;
+        ALTER DATASET dremio.demo.spend3 CREATE AGGREGATE REFLECTION s3_refl
+        USING DIMENSIONS (region) MEASURES (amount (SUM));
+        """
+    )
+    r.use_reflection_routing = True
+    assert r.accelerator._join_shapes == {}
+    out = r.run(
+        "SELECT c.region, SUM(o.amount) AS total FROM dremio.demo.o3 o "
+        "JOIN dremio.demo.c3 c ON o.customer_id = c.customer_id GROUP BY c.region"
+    )
+    assert not _reads_reflection(out)
+    # raw values, not the view's doubled ones
+    assert {x.region: x.total for x in out.collect()} == {"east": 10.0, "west": 5.0}
