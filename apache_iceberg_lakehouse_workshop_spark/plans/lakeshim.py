@@ -330,6 +330,7 @@ class LakeTable:
         operation: str,
         commit_dirs: list[str],
         props: dict | None = None,
+        commit_filters: dict[str, str] | None = None,
     ) -> dict:
         """Verify-and-swap for rewrite-style commits: the new file set was
         derived from the snapshot that was current at ``base_parent``; if
@@ -344,7 +345,7 @@ class LakeTable:
                     f"(now {meta.get('current_snapshot_id')}); retry the "
                     "operation against the new snapshot"
                 )
-            snap = self._new_snapshot(meta, operation, commit_dirs, props)
+            snap = self._new_snapshot(meta, operation, commit_dirs, props, commit_filters)
             self._commit(meta)
         return snap
 
@@ -361,6 +362,7 @@ class LakeTable:
         operation: str,
         commit_dirs: list[str],
         props: dict | None = None,
+        commit_filters: dict[str, str] | None = None,
     ) -> dict:
         cur = self._current_snapshot(meta)
         snap = {
@@ -372,6 +374,13 @@ class LakeTable:
             "operation": operation,
             "commit_dirs": commit_dirs,
         }
+        if commit_filters:
+            # {commit_dir: exclude_predicate}: rows of that dir where the
+            # predicate is TRUE are NOT part of this snapshot (they were
+            # rewritten elsewhere by a partition-scoped compaction) — the
+            # shim's equivalent of Iceberg dropping rewritten files from
+            # the manifest while other partitions' rows share the files
+            snap["commit_filters"] = commit_filters
         if props:
             # arbitrary commit properties riding the atomic metadata swap —
             # the Iceberg snapshot-summary mechanism (streaming sinks store
@@ -420,7 +429,88 @@ class LakeTable:
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(out)
+        self._write_file_stats(out)
         return commit
+
+    def _write_file_stats(self, commit_path: str) -> None:
+        """Record per-file column min/max from the freshly written parquet
+        footers into ``_stats.json`` inside the commit dir — the engine's
+        manifest, enabling file-level data skipping on read (Iceberg
+        manifests' min/max pruning). Cost is O(files in THIS commit) footer
+        reads on the driver, the same cost class as Iceberg writing its
+        manifest; the underscore name keeps Spark's scans from seeing it.
+        Only JSON-representable scalar stats (int/float/str/bool) are kept
+        — other types simply don't prune."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        for root, _dirs, names in os.walk(commit_path):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, n)
+                rel = os.path.relpath(p, commit_path)
+                try:
+                    md = pq.ParquetFile(p).metadata
+                except Exception:
+                    stats[rel] = {}
+                    continue
+                cols: dict[str, list] = {}
+                schema = md.schema
+                for ci in range(md.num_columns):
+                    cpath = schema.column(ci).path
+                    if "." in cpath:
+                        continue  # nested fields don't prune
+                    mn = mx = None
+                    ok = True
+                    all_null = True
+                    try:
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(ci).statistics
+                            if st is None or not st.has_min_max:
+                                if st is not None and st.has_null_count and (
+                                    st.null_count == md.row_group(rg).num_rows
+                                ):
+                                    continue  # all-null row group: no min/max
+                                ok = False
+                                break
+                            all_null = False
+                            mn = st.min if mn is None else min(mn, st.min)
+                            mx = st.max if mx is None else max(mx, st.max)
+                    except Exception:
+                        # pyarrow cannot decode stats for every physical
+                        # type (e.g. some DECIMAL encodings): that column
+                        # simply doesn't prune
+                        ok = False
+                    if not ok:
+                        continue
+                    if all_null:
+                        # no non-null value in the file: any col-vs-literal
+                        # comparison is NULL -> file can always be skipped
+                        cols[cpath] = [None, None]
+                    elif isinstance(mn, (int, float, str, bool)) and isinstance(
+                        mx, (int, float, str, bool)
+                    ):
+                        cols[cpath] = [mn, mx]
+                # identity-partition values live in the dir name, not the
+                # footer: record them as degenerate [v, v] ranges so
+                # partition predicates prune files too (hidden-transform
+                # dirs are skipped — user predicates never name them)
+                for seg in rel.split(os.sep)[:-1]:
+                    k, eq, v = seg.partition("=")
+                    if not eq or k.startswith(_HP_PREFIX):
+                        continue
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        cols[k] = [None, None]
+                    else:
+                        from urllib.parse import unquote
+
+                        cols[k] = [unquote(v), unquote(v)]
+                stats[rel] = cols
+        tmp = os.path.join(commit_path, "_stats.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, os.path.join(commit_path, "_stats.json"))
 
     def append(self, df: DataFrame, snapshot_props: dict | None = None) -> int:
         """Append rows; returns new snapshot id. (DataFrameWriterV2.append
@@ -435,7 +525,13 @@ class LakeTable:
             meta = self._load_meta()
             cur = self._current_snapshot(meta)
             dirs = (cur["commit_dirs"] if cur else []) + [commit]
-            snap = self._new_snapshot(meta, "append", dirs, snapshot_props)
+            snap = self._new_snapshot(
+                meta,
+                "append",
+                dirs,
+                snapshot_props,
+                dict(cur.get("commit_filters", {})) if cur else None,
+            )
             self._commit(meta)
         return snap["id"]
 
@@ -495,7 +591,134 @@ class LakeTable:
 
     # ------------------------------------------------------------- reads
 
-    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+    _PRED_CMP_RE = re.compile(
+        r"^`?(\w+)`?\s*(=|<=|>=|<|>)\s*(.+)$"
+    )
+
+    @staticmethod
+    def _parse_prune_conjuncts(where: str) -> list[tuple[str, str, object]]:
+        """Simple ``col op literal`` conjuncts usable for min/max skipping
+        (split at depth-0 ANDs; literals are numbers or 'strings'). Every
+        other conjunct shape is ignored for pruning — the full predicate is
+        still applied as a row filter, so pruning is only ever an
+        optimization, never a semantics change."""
+        conjs: list[tuple[str, str, object]] = []
+        depth = 0
+        buf: list[str] = []
+        parts: list[str] = []
+        i, n = 0, len(where)
+        lowered = where.lower()
+        while i < n:
+            ch = where[i]
+            if ch == "'":
+                j = where.find("'", i + 1)
+                j = n - 1 if j == -1 else j
+                buf.append(where[i : j + 1])
+                i = j + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if (
+                depth == 0
+                and lowered.startswith("and", i)
+                and (i == 0 or not (where[i - 1].isalnum() or where[i - 1] == "_"))
+                and (i + 3 >= n or not (where[i + 3].isalnum() or where[i + 3] == "_"))
+            ):
+                parts.append("".join(buf))
+                buf = []
+                i += 3
+                continue
+            buf.append(ch)
+            i += 1
+        parts.append("".join(buf))
+        for part in parts:
+            m = LakeTable._PRED_CMP_RE.match(_strip_outer_parens(part))
+            if not m:
+                continue
+            col, op, lit = m.group(1), m.group(2), m.group(3).strip()
+            if re.fullmatch(r"'[^']*'", lit):
+                conjs.append((col, op, lit[1:-1]))
+            else:
+                try:
+                    conjs.append((col, op, int(lit)))
+                except ValueError:
+                    try:
+                        conjs.append((col, op, float(lit)))
+                    except ValueError:
+                        continue
+        return conjs
+
+    @staticmethod
+    def _file_may_match(cols: dict, conj: tuple[str, str, object]) -> bool:
+        col, op, val = conj
+        rng = cols.get(col)
+        if rng is None:
+            return True  # no stats for this column: cannot prune
+        mn, mx = rng
+        if mn is None:
+            return False  # file is all-NULL in col: col op literal never TRUE
+        numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+        if numeric != (
+            isinstance(mn, (int, float)) and not isinstance(mn, bool)
+        ):
+            # partition-dir stats are strings even for numeric columns:
+            # compare numerically when they parse, else don't risk pruning
+            if numeric and isinstance(mn, str):
+                try:
+                    mn, mx = float(mn), float(mx)
+                except ValueError:
+                    return True
+            else:
+                return True
+        if not numeric and not isinstance(mn, str):
+            return True
+        if op == "=":
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+        return True  # pragma: no cover - ops filtered by the regex
+
+    def _prune_file_lists(
+        self, dirs: list[str], where: str
+    ) -> list[list[str] | None] | None:
+        """Per-dir surviving file lists for ``where`` (None entry = keep the
+        whole dir: no stats manifest). Returns None when the predicate has
+        no skippable conjunct at all. Metadata-only: reads each commit's
+        small ``_stats.json``, never a parquet footer."""
+        conjs = self._parse_prune_conjuncts(where)
+        if not conjs:
+            return None
+        out: list[list[str] | None] = []
+        for d in dirs:
+            sp = os.path.join(d, "_stats.json")
+            if not os.path.exists(sp):
+                out.append(None)  # pre-stats commit: keep everything
+                continue
+            with open(sp) as f:
+                stats = json.load(f)
+            out.append(
+                [
+                    os.path.join(d, rel)
+                    for rel, cols in stats.items()
+                    if all(self._file_may_match(cols, c) for c in conjs)
+                ]
+            )
+        return out
+
+    def _read_dirs(
+        self,
+        dirs: list[str],
+        file_lists: list[list[str] | None] | None = None,
+        filters: list[str | None] | None = None,
+    ) -> DataFrame | None:
         """Scan a list of commit dirs as one DataFrame.
 
         Each commit is read with itself as basePath (its partition dirs
@@ -506,22 +729,55 @@ class LakeTable:
         union cover commits written before an ALTER TABLE ADD COLUMN
         (Iceberg schema-evolution read semantics, SURVEY §1.3). Commit
         counts stay small because ``compact()`` folds history; at 100 TB a
-        scan is a union of a few large partitioned scans."""
-        parts = [
-            self.spark.read.option("basePath", d).option("mergeSchema", "true").parquet(d)
-            for d in dirs
-        ]
+        scan is a union of a few large partitioned scans.
+
+        ``file_lists`` (from :meth:`_prune_file_lists`) restricts each dir
+        to its min/max-surviving files; a None entry keeps the whole dir,
+        an empty list drops it. Returns None when every file was pruned."""
+        parts = []
+        for i, d in enumerate(dirs):
+            rd = self.spark.read.option("basePath", d).option("mergeSchema", "true")
+            files = None if file_lists is None else file_lists[i]
+            if files is None:
+                part = rd.parquet(d)
+            elif files:
+                part = rd.parquet(*files)
+            else:
+                continue
+            excl = None if filters is None else filters[i]
+            if excl:
+                # partition-scoped compaction rewrote this dir's matching
+                # rows elsewhere: exclude them here (IS NOT TRUE keeps
+                # NULL-predicate rows, mirroring delete semantics)
+                part = part.filter(f"({excl}) IS NOT TRUE")
+            parts.append(part)
+        if not parts:
+            return None
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
         return df
 
-    def read(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
         """Current or time-travel read (``VERSION AS OF`` / ``TIMESTAMP AS
         OF`` — readme.md:357-370). Derived hidden-partition columns are
         dropped; partition pruning still applies because they are parquet
         partition dirs (filter on the source column prunes via min/max row-
-        group stats; filter on the transform prunes dirs)."""
+        group stats; filter on the transform prunes dirs).
+
+        ``where`` applies the predicate AND enables file-level min/max data
+        skipping against each commit's ``_stats.json`` manifest (Iceberg
+        manifest pruning): simple ``col op literal`` conjuncts drop whole
+        files before Spark ever lists them — at 100 TB the difference
+        between touching one file and one partition. Planning cost is one
+        small JSON per commit dir; results are identical to
+        ``read().filter(where)`` by construction (pruning only removes
+        files whose stats PROVE no row can satisfy the conjuncts)."""
         meta = self._load_meta()
         snaps = meta["snapshots"]
         if as_of_ms is not None:
@@ -543,7 +799,22 @@ class LakeTable:
             if schema is None:
                 raise ValueError(f"table {self.name} is empty and has no declared schema")
             return self.spark.createDataFrame([], schema)
-        df = self._read_dirs(dirs)
+        file_lists = None
+        if where is not None:
+            # resolve a renamed column back to its physical name for the
+            # stats lookup (stats are recorded under the written name)
+            aliases = meta.get("column_aliases", {})
+            prune_where = where
+            for new, physical in aliases.items():
+                prune_where = re.sub(rf"\b{re.escape(new)}\b", physical, prune_where)
+            file_lists = self._prune_file_lists(dirs, prune_where)
+        cf = snap.get("commit_filters", {}) if snap else {}
+        filters = [cf.get(d) for d in (snap["commit_dirs"] if snap else [])]
+        df = self._read_dirs(dirs, file_lists, filters)
+        if df is None:
+            # every file provably excluded: empty result, correct schema
+            base = self._read_dirs(dirs, filters=filters)
+            df = base.limit(0)
         drop = [c for c in df.columns if c.startswith(_HP_PREFIX)]
         user_cols = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
         if schema is not None:
@@ -567,6 +838,8 @@ class LakeTable:
             df = df.select(*cols)
         elif drop:
             df = df.select(*user_cols)
+        if where is not None:
+            df = df.filter(where)
         return df
 
     def merge(self, source: DataFrame, key: str | list[str]) -> int:
@@ -828,6 +1101,50 @@ class LakeTable:
             aliases[new] = physical
             self._commit(meta)
 
+    # --------------------------------------------------- partition evolution
+
+    def partition_spec(self) -> list[str]:
+        return list(self._load_meta()["partition_by"])
+
+    def _validate_partition_field(self, spec: str, meta: dict) -> None:
+        m = _TRANSFORM_RE.match(spec)
+        pm = _PARAM_TRANSFORM_RE.match(spec)
+        src = m.group(2) if m else pm.group(3) if pm else spec
+        if not re.fullmatch(r"\w+", src):
+            raise ValueError(f"malformed partition field: {spec!r}")
+        if meta.get("schema") is not None:
+            names = [f["name"] for f in meta["schema"]["fields"]]
+            if src not in names:
+                raise ValueError(
+                    f"partition field {spec!r} references unknown column {src!r}"
+                )
+
+    def add_partition_field(self, spec: str) -> None:
+        """``ALTER TABLE … ADD PARTITION FIELD days(ts)`` — Iceberg
+        partition-spec evolution: metadata-only, applies to NEW commits;
+        existing data files are NEVER rewritten and stay readable (each
+        commit dir self-describes its layout via basePath discovery).
+        Scans prune old files via parquet row-group stats on the raw
+        column and new files via partition dirs — exactly Iceberg's
+        split-planning across spec versions."""
+        with self._commit_lock():
+            meta = self._load_meta()
+            self._validate_partition_field(spec, meta)
+            if spec in meta["partition_by"]:
+                raise ValueError(f"partition field exists: {spec}")
+            meta["partition_by"].append(spec)
+            self._commit(meta)
+
+    def drop_partition_field(self, spec: str) -> None:
+        """Remove a field from the partition spec (new commits only; data
+        already partitioned by it keeps its layout and pruning)."""
+        with self._commit_lock():
+            meta = self._load_meta()
+            if spec not in meta["partition_by"]:
+                raise ValueError(f"no such partition field: {spec}")
+            meta["partition_by"].remove(spec)
+            self._commit(meta)
+
     def read_incremental(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
         """Incremental scan: rows appended after ``from_snapshot_id`` (up to
         ``to_snapshot_id``/current) — Iceberg's incremental read
@@ -931,11 +1248,60 @@ class LakeTable:
 
     # ------------------------------------------------------- maintenance
 
+    def _zorder_column(self, df: DataFrame, cols: list[str]):
+        """Z-value expression interleaving 16-bit quantized codes of each
+        clustering column (min/max linear scaling — one metadata-cheap agg
+        pass). Range-partitioning + sorting on this value gives every
+        output file a TIGHT min/max range on EVERY clustering column
+        simultaneously, so file-level skipping prunes point/range
+        predicates on any of them — hierarchical sort only helps the
+        leading column. Numeric/date/timestamp columns only (a string has
+        no meaningful linear scale)."""
+        dtypes = dict(df.dtypes)
+        for c in cols:
+            dt = dtypes.get(c, "")
+            if dt.startswith(("string", "binary", "array", "map", "struct")):
+                raise ValueError(
+                    f"zorder_by column {c!r} has type {dt}: Z-order clustering "
+                    "needs a linearly scalable type (numeric/date/timestamp); "
+                    "use sort_by for lexicographic clustering"
+                )
+        aggs = []
+        for c in cols:
+            v = F.col(c).cast("timestamp").cast("double") if dtypes.get(c) == "date" \
+                else F.col(c).cast("double")
+            aggs += [F.min(v).alias(f"__mn_{c}"), F.max(v).alias(f"__mx_{c}")]
+        row = df.agg(*aggs).first()
+        codes = []
+        for c in cols:
+            mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+            if mn is None:
+                codes.append(F.lit(0).cast("long"))
+                continue
+            span = (mx - mn) or 1.0
+            v = F.col(c).cast("timestamp").cast("double") if dict(df.dtypes).get(c) == "date" \
+                else F.col(c).cast("double")
+            code = F.floor((v - F.lit(mn)) / F.lit(span) * 65535)
+            code = F.least(F.lit(65535), F.greatest(F.lit(0), code)).cast("long")
+            codes.append(F.coalesce(code, F.lit(0)))
+        z = F.lit(0).cast("long")
+        for bit in range(16):
+            for j, code in enumerate(codes):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(code, bit).bitwiseAND(F.lit(1)),
+                        bit * len(codes) + j,
+                    )
+                )
+        return z
+
     def compact(
         self,
         target_file_mb: int = 128,
         sort_by: list[str] | None = None,
         n_files: int | None = None,
+        zorder_by: list[str] | None = None,
+        where: str | None = None,
     ) -> int:
         """Bin-pack small files into ~target-size files — ≈ ``CALL
         system.rewrite_data_files`` (readme.md:391-401, SURVEY §4 R9).
@@ -945,20 +1311,60 @@ class LakeTable:
         ``rewrite_data_files(strategy => 'sort')``): each output file owns a
         tight min/max range on the sort keys, so parquet row-group stats
         prune range predicates file-by-file — the clustering half of the
-        reference's "partition optimization"."""
+        reference's "partition optimization".
+
+        ``zorder_by`` clusters on an interleaved-bit Z-value instead (≈
+        ``strategy => 'sort', sort_order => 'zorder(...)'``): every listed
+        column gets tight per-file ranges SIMULTANEOUSLY — the layout gold
+        tables at 100 TB want when queries filter on more than one
+        dimension.
+
+        ``where`` scopes the rewrite (Dremio ``OPTIMIZE TABLE … FOR
+        PARTITIONS``): ONLY matching rows are read (file-skipping applies)
+        and rewritten; untouched rows stay in their existing files, which
+        the new snapshot references with an exclusion filter — cost is
+        O(matching data), never O(table). ``files()``/``partitions()``
+        remain physical-file views (a partially rewritten dir still lists
+        whole); a later full ``compact()`` folds everything clean."""
         meta = self._load_meta()
-        current = self.read()
+        parent = meta.get("current_snapshot_id")
+        scoped = where is not None
+        current = self.read(where=where) if scoped else self.read()
         if n_files is None:
-            total = sum(r.size_bytes for r in self.files().collect()) or 1
+            if scoped:
+                sizes = 0
+                for p in current.inputFiles():
+                    try:
+                        sizes += os.path.getsize(p.removeprefix("file:"))
+                    except OSError:
+                        pass
+                total = sizes or 1
+            else:
+                total = sum(r.size_bytes for r in self.files().collect()) or 1
             n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
-        if sort_by:
+        if zorder_by:
+            packed = (
+                current.withColumn("__z", self._zorder_column(current, zorder_by))
+                .repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             cols = [F.col(c) for c in sort_by]
             packed = current.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
         else:
             packed = current.repartition(n_files)
         commit = self._write_commit_dir(packed, meta)
+        if not scoped:
+            return self._commit_rewrite(parent, "compact", [commit])["id"]
+        # partition-scoped: keep old dirs, excluding the rewritten rows
+        cur = self._current_snapshot(meta)
+        old_dirs = list(cur["commit_dirs"]) if cur else []
+        filters = dict(cur.get("commit_filters", {})) if cur else {}
+        for d in old_dirs:
+            filters[d] = f"({filters[d]}) OR ({where})" if d in filters else where
         return self._commit_rewrite(
-            meta.get("current_snapshot_id"), "compact", [commit]
+            parent, "compact", old_dirs + [commit], commit_filters=filters
         )["id"]
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -1116,6 +1522,8 @@ class LakeTable:
                 "operation": "append",
                 "commit_dirs": dirs,
             }
+            if head and head.get("commit_filters"):
+                snap["commit_filters"] = dict(head["commit_filters"])
             if snapshot_props:
                 snap["props"] = snapshot_props
             meta["snapshots"].append(snap)
@@ -1181,7 +1589,11 @@ class LakeTable:
             if snapshot_id not in by_id:
                 raise ValueError(f"unknown snapshot {snapshot_id} for {self.name}")
             snap = self._new_snapshot(
-                meta, "rollback", list(by_id[snapshot_id]["commit_dirs"])
+                meta,
+                "rollback",
+                list(by_id[snapshot_id]["commit_dirs"]),
+                commit_filters=dict(by_id[snapshot_id].get("commit_filters", {}))
+                or None,
             )
             self._commit(meta)
         return snap["id"]

@@ -30,6 +30,7 @@ JSON read per table, not a data scan.
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -81,6 +82,24 @@ _RE_INSERT_COLS_VALUES = re.compile(
 )
 _RE_DROP = re.compile(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I)
 _RE_OPTIMIZE = re.compile(r"^OPTIMIZE\s+TABLE\s+([\w.]+)\s*$", re.I)
+# Dremio's full OPTIMIZE surface: partition-scoped rewrite, target file
+# size, sort / Z-order clustering (readme.md:391-401 "partition
+# optimization"); REWRITE MANIFESTS stays unsupported (no manifest files
+# in the shim to rewrite)
+_RE_OPTIMIZE_EXT = re.compile(
+    r"^OPTIMIZE\s+TABLE\s+([\w.]+)"
+    r"(?:\s+REWRITE\s+DATA)?"
+    r"(?:\s+FOR\s+PARTITIONS\s+(?P<part>.+?))?"
+    r"(?:\s+\(\s*TARGET_FILE_SIZE_MB\s*=\s*(?P<mb>\d+)\s*\))?"
+    r"(?:\s+(?P<kind>SORT|CLUSTER)\s+BY\s*\((?P<cols>[^)]*)\))?\s*$",
+    re.I | re.S,
+)
+_RE_ADD_PART_FIELD = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$", re.I
+)
+_RE_DROP_PART_FIELD = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*$", re.I
+)
 # VACUUM TABLE t EXPIRE SNAPSHOTS [RETAIN_LAST n] — Dremio/Iceberg snapshot
 # expiry as a statement (readme.md:391-401 metadata pruning)
 _RE_VACUUM = re.compile(
@@ -390,10 +409,124 @@ class ScriptRunner:
 
     # ------------------------------------------------------------ handlers
 
+    _RE_ASOF = re.compile(
+        r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+"
+        r"(?P<lt>[\w.]+)(?:\s+(?:AS\s+)?(?P<la>\w+))?\s+"
+        r"ASOF\s+(?:(?P<left>LEFT)\s+)?JOIN\s+"
+        r"(?P<rt>[\w.]+)(?:\s+(?:AS\s+)?(?P<ra>\w+))?\s+"
+        r"ON\s+(?P<on>.*?)"
+        r"(?P<rest>\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|QUALIFY)\b.*)?"
+        r"\s*;?\s*$",
+        re.I | re.S,
+    )
+    _RE_ASOF_CONJ = re.compile(
+        r"^\(?\s*(\w+)\.(\w+)\s*(>=|<=|=)\s*(\w+)\.(\w+)\s*\)?$"
+    )
+
+    def _asof_query(self, sql: str) -> DataFrame:
+        """DuckDB-style ``FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND
+        l.ts >= r.ts`` — SQL surface over :func:`operators.asof.asof_join`
+        (the engine's merge-scan as-of operator; one shuffle, no candidate
+        explosion). ``>=`` matches the greatest right ts not exceeding the
+        left ts (backward); ``<=`` the mirror (forward). Plain ASOF JOIN
+        drops unmatched left rows (DuckDB inner semantics); ASOF LEFT JOIN
+        keeps them with NULL payload."""
+        from ..operators.asof import asof_join
+
+        m = self._RE_ASOF.match(sql)
+        if m is None:
+            raise UnsupportedStatementError(
+                "ASOF",
+                sql,
+                "SELECT ... FROM l [AS a] ASOF [LEFT] JOIN r [AS b] "
+                "ON a.k = b.k [AND ...] AND a.ts >= b.ts [WHERE ...]",
+            )
+        la = m.group("la") or m.group("lt").split(".")[-1]
+        ra = m.group("ra") or m.group("rt").split(".")[-1]
+        left = self._query(f"SELECT * FROM {m.group('lt')}")
+        right = self._query(f"SELECT * FROM {m.group('rt')}")
+
+        keys: list[tuple[str, str]] = []
+        ts_pair: tuple[str, str, str] | None = None  # (l_ts, r_ts, direction)
+        for conj in re.split(r"\s+AND\s+", m.group("on").strip(), flags=re.I):
+            cm = self._RE_ASOF_CONJ.match(conj.strip())
+            if not cm:
+                raise UnsupportedStatementError(
+                    "ASOF", sql, "ON must be alias.col {=|>=|<=} alias.col conjuncts"
+                )
+            a_al, a_c, op, b_al, b_c = cm.groups()
+            if {a_al, b_al} != {la, ra}:
+                raise UnsupportedStatementError(
+                    "ASOF", sql, f"ON aliases must be {la!r} and {ra!r}"
+                )
+            l_c, r_c = (a_c, b_c) if a_al == la else (b_c, a_c)
+            if op == "=":
+                keys.append((l_c, r_c))
+                continue
+            if ts_pair is not None:
+                raise UnsupportedStatementError(
+                    "ASOF", sql, "exactly one ts inequality in ON"
+                )
+            # l.ts >= r.ts == backward; sides/ops mirror
+            fwd = (op == "<=") == (a_al == la)
+            ts_pair = (l_c, r_c, "forward" if fwd else "backward")
+        if ts_pair is None:
+            raise UnsupportedStatementError(
+                "ASOF", sql, "ON needs one ts inequality (a.ts >= b.ts)"
+            )
+        l_ts, r_ts, direction = ts_pair
+
+        # align right key names to the left's (the operator joins on shared
+        # names) and de-collide right payload columns with a <ralias>_ prefix
+        rename: dict[str, str] = {}
+        for l_c, r_c in keys:
+            if r_c != l_c:
+                rename[r_c] = l_c
+        for c in right.columns:
+            if c in rename:
+                continue
+            out = c
+            if c in left.columns and c not in [rc for _, rc in keys]:
+                out = f"{ra}_{c}"
+            if out != c:
+                rename[c] = out
+        for src, dst in rename.items():
+            right = right.withColumnRenamed(src, dst)
+        r_ts_out = rename.get(r_ts, r_ts)
+
+        out = asof_join(
+            left,
+            right,
+            on=[l_c for l_c, _ in keys],
+            left_ts=l_ts,
+            right_ts=r_ts_out,
+            direction=direction,
+        )
+        if not m.group("left"):
+            out = out.filter(F.col(r_ts_out).isNotNull())  # inner semantics
+        view = f"__asof_{uuid.uuid4().hex[:8]}"
+        out.createOrReplaceTempView(view)
+
+        def strip_alias(txt: str) -> str:
+            for src, dst in rename.items():
+                txt = re.sub(rf"\b{re.escape(ra)}\.{re.escape(src)}\b", dst, txt)
+            txt = re.sub(rf"\b{re.escape(ra)}\.", "", txt)
+            return re.sub(rf"\b{re.escape(la)}\.", "", txt)
+
+        sel = strip_alias(m.group("sel"))
+        rest = strip_alias(m.group("rest") or "")
+        return dialect.run(
+            self.spark,
+            f"SELECT {sel} FROM {view}{rest}",
+            resolve_path=self._resolve_path,
+        )
+
     def _query(self, sql: str) -> DataFrame:
         self._refresh()
         self._register_file_meta_views(sql)
         sql = self._rewrite_time_travel(sql)
+        if re.search(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", sql, re.I):
+            return self._asof_query(sql)
         if hasattr(self, "_advisor"):
             # workload watcher (SURVEY §4 R8): fingerprint aggregate shapes
             # on the pre-rewrite text so dataset names stay dotted
@@ -993,11 +1126,42 @@ class ScriptRunner:
                 # old snapshots (SURVEY §4 R9)
                 self.lake.table(m.group(1)).maintain()
                 continue
+            m = _RE_OPTIMIZE_EXT.match(st)
+            if m and (m.group("part") or m.group("mb") or m.group("kind")):
+                cols = (
+                    [c.strip().strip('"') for c in m.group("cols").split(",")]
+                    if m.group("cols")
+                    else None
+                )
+                kind = (m.group("kind") or "").upper()
+                self.lake.table(m.group(1)).compact(
+                    target_file_mb=int(m.group("mb") or 128),
+                    sort_by=cols if kind == "SORT" else None,
+                    zorder_by=cols if kind == "CLUSTER" else None,
+                    where=(
+                        dialect.translate(m.group("part"))
+                        if m.group("part")
+                        else None
+                    ),
+                )
+                continue
             m = _RE_VACUUM.match(st)
             if m:
                 self.lake.table(m.group(1)).expire_snapshots(
                     keep_last=int(m.group(2) or 1)
                 )
+                continue
+            m = _RE_ADD_PART_FIELD.match(st)
+            if m:
+                # Iceberg partition evolution: metadata-only, new commits
+                # adopt the new layout, old files never rewritten
+                for spec in _partition_specs(m.group(2)):
+                    self.lake.table(m.group(1)).add_partition_field(spec)
+                continue
+            m = _RE_DROP_PART_FIELD.match(st)
+            if m:
+                for spec in _partition_specs(m.group(2)):
+                    self.lake.table(m.group(1)).drop_partition_field(spec)
                 continue
             m = _RE_ADD_COL.match(st)
             if m:

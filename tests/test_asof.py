@@ -324,3 +324,91 @@ def test_matches_pandas_merge_asof_random(spark):
                 want = want.sort_values(key, kind="stable").reset_index(drop=True)
                 got = got.sort_values(key, kind="stable").reset_index(drop=True)[want.columns]
                 pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------------ SQL dialect surface
+
+
+def _asof_runner(spark, tmp_path):
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS db;
+        CREATE TABLE db.trades (sym VARCHAR, ts TIMESTAMP, px DOUBLE);
+        INSERT INTO db.trades VALUES
+          ('A', TIMESTAMP '2025-01-01 10:00:05', 101.0),
+          ('A', TIMESTAMP '2025-01-01 10:00:20', 102.0),
+          ('B', TIMESTAMP '2025-01-01 10:00:07', 55.0),
+          ('C', TIMESTAMP '2025-01-01 10:00:01', 9.0);
+        CREATE TABLE db.quotes (sym VARCHAR, ts TIMESTAMP, bid DOUBLE);
+        INSERT INTO db.quotes VALUES
+          ('A', TIMESTAMP '2025-01-01 10:00:00', 100.5),
+          ('A', TIMESTAMP '2025-01-01 10:00:10', 101.5),
+          ('B', TIMESTAMP '2025-01-01 10:00:06', 54.5);
+        """
+    )
+    return lake, r
+
+
+def test_asof_join_sql_matches_api(spark, tmp_path):
+    """DuckDB-style ASOF JOIN SQL == the asof_join API result; plain form
+    is INNER (unmatched left dropped), LEFT keeps with NULLs."""
+    lake, r = _asof_runner(spark, tmp_path)
+    out = r.run(
+        "SELECT t.sym, t.ts, t.px, q.bid FROM db.trades t "
+        "ASOF JOIN db.quotes q ON t.sym = q.sym AND t.ts >= q.ts"
+    )
+    got = sorted((x.sym, str(x.ts), x.px, x.bid) for x in out.collect())
+
+    api = asof_join(
+        lake.table("db.trades").read(),
+        lake.table("db.quotes").read().withColumnRenamed("ts", "q_ts"),
+        ["sym"],
+        "ts",
+        "q_ts",
+    ).filter("q_ts IS NOT NULL")
+    want = sorted((x.sym, str(x.ts), x.px, x.bid) for x in api.collect())
+    assert got == want
+    assert [g[0] for g in got] == ["A", "A", "B"]   # C has no quote: dropped
+    assert got[0][3] == 100.5 and got[1][3] == 101.5 and got[2][3] == 54.5
+
+    left = r.run(
+        "SELECT t.sym, t.px, q.bid FROM db.trades t "
+        "ASOF LEFT JOIN db.quotes q ON t.sym = q.sym AND t.ts >= q.ts"
+    )
+    lgot = {(x.sym, x.px): x.bid for x in left.collect()}
+    assert lgot[("C", 9.0)] is None and len(lgot) == 4
+
+
+def test_asof_join_sql_forward_where_and_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import (
+        UnsupportedStatementError,
+    )
+
+    _lake, r = _asof_runner(spark, tmp_path)
+    # forward direction: first quote AT/after the trade
+    fwd = r.run(
+        "SELECT t.sym, t.px, q.bid FROM db.trades t "
+        "ASOF JOIN db.quotes q ON t.sym = q.sym AND t.ts <= q.ts "
+        "WHERE t.px > 50"
+    )
+    got = {(x.sym, x.px): x.bid for x in fwd.collect()}
+    # only A@10:00:05 has a quote at/after it (10:00:10); B's quote is
+    # earlier, A@10:00:20 has none -> inner semantics drop both
+    assert got == {("A", 101.0): 101.5}
+
+    with _pytest.raises(UnsupportedStatementError, match="inequality"):
+        r.run(
+            "SELECT t.sym FROM db.trades t ASOF JOIN db.quotes q ON t.sym = q.sym"
+        )
+    with _pytest.raises(UnsupportedStatementError, match="exactly one"):
+        r.run(
+            "SELECT t.sym FROM db.trades t ASOF JOIN db.quotes q "
+            "ON t.ts >= q.ts AND t.px <= q.bid"
+        )

@@ -801,3 +801,205 @@ def test_at_timestamp_literal_with_explicit_offset(spark, tmp_path):
     ).isoformat(timespec="milliseconds") + "+05:00"  # true instant = commit - 6h
     with pytest.raises(ValueError, match="no snapshot"):
         r.run(f"SELECT COUNT(*) AS n FROM dremio.demo.ttz AT TIMESTAMP '{early}'")
+
+
+def test_file_level_minmax_data_skipping(lake, spark):
+    """read(where=...) prunes whole data files via each commit's
+    _stats.json footer-stat manifest (Iceberg manifest min/max skipping):
+    a selective predicate plans strictly fewer input files, with results
+    identical to read().filter(...)."""
+    t = lake.create_table("db.skip", "k BIGINT, v STRING")
+    # three commits with disjoint key ranges, several files each
+    for lo in (0, 1000, 2000):
+        # v carries a per-commit prefix so string ranges are lexicographically
+        # disjoint across commits (v0..v99 would CONTAIN v1042)
+        df = spark.range(lo, lo + 100).selectExpr(
+            "id AS k", f"concat('c{lo // 1000}_', id) AS v"
+        ).repartition(4)
+        t.append(df)
+
+    full_files = set(t.read().inputFiles())
+    assert len(full_files) == 12
+
+    pruned = t.read(where="k >= 2010 AND k < 2050")
+    pruned_files = set(pruned.inputFiles())
+    assert pruned_files < full_files
+    assert len(pruned_files) <= 4, "only the third commit's files may survive"
+    want = sorted(
+        (r.k, r.v)
+        for r in t.read().filter("k >= 2010 AND k < 2050").collect()
+    )
+    assert sorted((r.k, r.v) for r in pruned.collect()) == want and len(want) == 40
+
+    # string equality prunes too
+    sp = t.read(where="v = 'c1_1042'")
+    assert len(set(sp.inputFiles())) <= 4
+    assert [r.k for r in sp.collect()] == [1042]
+
+    # a predicate no file can satisfy -> zero files, empty result, schema kept
+    none = t.read(where="k = 999999")
+    assert none.count() == 0 and none.columns == ["k", "v"]
+
+    # unparseable predicates skip pruning but still filter
+    odd = t.read(where="k % 1000 = 7")
+    assert sorted(r.k for r in odd.collect()) == [7, 1007, 2007]
+
+    # NULL semantics: all-NULL files are provably skippable
+    t2 = lake.create_table("db.skipnull", "k BIGINT, v STRING")
+    t2.append(spark.createDataFrame([(None, "a"), (None, "b")], "k BIGINT, v STRING"))
+    t2.append(spark.createDataFrame([(5, "c")], "k BIGINT, v STRING"))
+    got = t2.read(where="k > 0")
+    assert [r.v for r in got.collect()] == ["c"]
+    assert len(set(got.inputFiles())) == 1
+
+
+def test_zorder_compaction_clusters_both_dimensions(lake, spark):
+    """compact(zorder_by=[x,y]) must give every output file tight ranges on
+    BOTH columns, so file skipping prunes point probes on either dimension;
+    a hierarchical sort only helps its leading column."""
+    t = lake.create_table("db.z", "x BIGINT, y BIGINT, payload STRING")
+    grid = spark.range(64 * 64).selectExpr(
+        "id % 64 AS x", "CAST(id / 64 AS BIGINT) AS y", "uuid() AS payload"
+    )
+    t.append(grid.repartition(8))
+
+    t.compact(sort_by=["x", "y"], n_files=16)
+    x_sorted = len(set(t.read(where="x = 7").inputFiles()))
+    y_sorted = len(set(t.read(where="y = 7").inputFiles()))
+    assert x_sorted <= 2           # leading sort column prunes hard
+    assert y_sorted >= 8           # trailing column barely prunes
+
+    t.compact(zorder_by=["x", "y"], n_files=16)
+    x_z = len(set(t.read(where="x = 7").inputFiles()))
+    y_z = len(set(t.read(where="y = 7").inputFiles()))
+    assert x_z <= 8 and y_z <= 8, f"z-order must bound both dims ({x_z}, {y_z})"
+    assert t.read().count() == 64 * 64
+    assert t.read(where="x = 7 AND y = 7").count() == 1
+
+    with pytest.raises(ValueError, match="zorder"):
+        t.compact(zorder_by=["payload"])
+
+
+def test_partition_scoped_optimize(lake, spark):
+    """compact(where=...) rewrites ONLY matching rows; untouched rows stay
+    in their existing files via snapshot exclusion filters; results and
+    counts are identical before/after; subsequent appends/reads compose."""
+    t = lake.create_table(
+        "db.po", "region STRING, k BIGINT", partition_by=["region"]
+    )
+    for r in ("east", "west"):
+        for chunk in range(3):   # many small files in both partitions
+            t.append(
+                spark.createDataFrame(
+                    [(r, chunk * 10 + i) for i in range(10)], "region STRING, k BIGINT"
+                ).repartition(2)
+            )
+    before = sorted((r.region, r.k) for r in t.read().collect())
+    files_before = set(t.read().inputFiles())
+
+    t.compact(where="region = 'east'", n_files=1)
+    after = sorted((r.region, r.k) for r in t.read().collect())
+    assert after == before
+    east_files = set(t.read(where="region = 'east'").inputFiles())
+    assert len(east_files) == 1, "east rows must now live in ONE compacted file"
+    # west rows still served from the original files
+    west_files = set(t.read(where="region = 'west'").inputFiles())
+    assert west_files <= files_before
+
+    # appends after a scoped compact keep the exclusion filters
+    t.append(spark.createDataFrame([("east", 999)], "region STRING, k BIGINT"))
+    got = sorted(r.k for r in t.read(where="region = 'east'").collect())
+    assert got == sorted(list(range(30)) + [999])
+    assert t.read().count() == 61
+
+    # a later full compact folds everything clean again
+    t.compact(n_files=2)
+    assert t.read().count() == 61
+    assert sorted((r.region, r.k) for r in t.read().collect()) == sorted(
+        before + [("east", 999)]
+    )
+
+
+def test_partition_evolution(lake, spark):
+    """ALTER TABLE ADD PARTITION FIELD: old snapshots stay readable, new
+    writes land in the new layout, pruning works on both generations."""
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS db;
+        CREATE TABLE db.ev (ts TIMESTAMP, v BIGINT);
+        INSERT INTO db.ev VALUES
+          (TIMESTAMP '2025-08-01 10:00:00', 1), (TIMESTAMP '2025-08-02 10:00:00', 2);
+        """
+    )
+    t = lake.table("db.ev")
+    assert t.partition_spec() == []
+    pre_files = set(t.read().inputFiles())
+
+    r.run("ALTER TABLE db.ev ADD PARTITION FIELD DAY(ts)")
+    assert t.partition_spec() == ["days(ts)"]
+    r.run(
+        "INSERT INTO db.ev VALUES "
+        "(TIMESTAMP '2025-08-03 10:00:00', 3), (TIMESTAMP '2025-08-04 10:00:00', 4)"
+    )
+    # new commit landed in hidden-partition day dirs; old files untouched
+    new_files = set(t.read().inputFiles()) - pre_files
+    assert new_files and all("_p_days_ts=" in f for f in new_files)
+    assert pre_files <= set(t.read().inputFiles())
+
+    # whole table reads fine across both layouts; old snapshot readable
+    assert sorted(x.v for x in t.read().collect()) == [1, 2, 3, 4]
+    assert sorted(x.v for x in t.read(snapshot_id=1).collect()) == [1, 2]
+
+    # dropping the field affects only future writes
+    r.run("ALTER TABLE db.ev DROP PARTITION FIELD DAY(ts)")
+    assert t.partition_spec() == []
+    r.run("INSERT INTO db.ev VALUES (TIMESTAMP '2025-08-05 10:00:00', 5)")
+    assert sorted(x.v for x in t.read().collect()) == [1, 2, 3, 4, 5]
+
+    with pytest.raises(ValueError, match="unknown column"):
+        t.add_partition_field("days(nope)")
+
+
+def test_optimize_sql_routes(lake, spark):
+    """OPTIMIZE TABLE's extended surface routes: FOR PARTITIONS scope,
+    TARGET_FILE_SIZE_MB, SORT BY, CLUSTER BY; plain OPTIMIZE still runs
+    maintain(); REWRITE MANIFESTS stays a typed dialect error."""
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import (
+        ScriptRunner,
+        UnsupportedStatementError,
+    )
+
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS db;
+        CREATE TABLE db.opt (region STRING, x BIGINT, y BIGINT);
+        """
+    )
+    t = lake.table("db.opt")
+    for i in range(4):
+        t.append(
+            spark.createDataFrame(
+                [("east", i, 10 - i), ("west", i + 100, i)], "region STRING, x BIGINT, y BIGINT"
+            )
+        )
+    before = sorted((a.region, a.x, a.y) for a in t.read().collect())
+
+    r.run("OPTIMIZE TABLE db.opt REWRITE DATA FOR PARTITIONS region = 'east'")
+    assert sorted((a.region, a.x, a.y) for a in t.read().collect()) == before
+    assert len(set(t.read(where="region = 'east'").inputFiles())) == 1
+
+    r.run("OPTIMIZE TABLE db.opt SORT BY (x)")
+    assert sorted((a.region, a.x, a.y) for a in t.read().collect()) == before
+
+    r.run("OPTIMIZE TABLE db.opt CLUSTER BY (x, y)")
+    assert sorted((a.region, a.x, a.y) for a in t.read().collect()) == before
+
+    r.run("OPTIMIZE TABLE db.opt")
+    assert sorted((a.region, a.x, a.y) for a in t.read().collect()) == before
+
+    with pytest.raises(UnsupportedStatementError):
+        r.run("OPTIMIZE TABLE db.opt REWRITE MANIFESTS")
