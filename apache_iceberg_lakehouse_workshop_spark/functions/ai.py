@@ -300,6 +300,9 @@ class HttpBackend:
         retries: int = 2,
         backoff: float = 0.25,
         headers: dict[str, str] | None = None,
+        deadline: float | None = None,
+        breaker_threshold: int | None = 8,
+        breaker_cooldown: float = 30.0,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -313,19 +316,58 @@ class HttpBackend:
         self.retries = retries
         self.backoff = backoff
         self.headers = dict(headers or {})
+        # total wall-clock budget per CHUNK including retries+backoff: a
+        # slow-dying gateway costs at most `deadline` seconds per chunk,
+        # not retries × timeout
+        self.deadline = deadline
+        # circuit breaker (per worker process): after `breaker_threshold`
+        # CONSECUTIVE chunk failures, fail fast to NULL for
+        # `breaker_cooldown` seconds instead of paying retries × chunks
+        # against a dead endpoint; one success closes the circuit. None
+        # disables.
+        self.breaker_threshold = breaker_threshold
+        self.breaker_cooldown = breaker_cooldown
         self._limiter = None
         self._limiter_lock = threading.Lock()
+        self._breaker_lock = threading.Lock()
+        self._fail_streak = 0
+        self._breaker_open_until = 0.0
 
     # -- pickling: executors rebuild runtime-only state lazily
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_limiter"] = None
         state["_limiter_lock"] = None
+        state["_breaker_lock"] = None
+        state["_fail_streak"] = 0
+        state["_breaker_open_until"] = 0.0
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._limiter_lock = threading.Lock()
+        self._breaker_lock = threading.Lock()
+
+    # -- circuit breaker
+    def _breaker_is_open(self) -> bool:
+        if self.breaker_threshold is None:
+            return False
+        with self._breaker_lock:
+            return time.monotonic() < self._breaker_open_until
+
+    def _breaker_record(self, ok: bool) -> None:
+        if self.breaker_threshold is None:
+            return
+        with self._breaker_lock:
+            if ok:
+                self._fail_streak = 0
+            else:
+                self._fail_streak += 1
+                if self._fail_streak >= self.breaker_threshold:
+                    self._breaker_open_until = (
+                        time.monotonic() + self.breaker_cooldown
+                    )
+                    self._fail_streak = 0
 
     def _get_limiter(self):
         if self.requests_per_second is None:
@@ -337,11 +379,19 @@ class HttpBackend:
 
     # -- one HTTP round-trip with retry; None on final failure
     def _post(self, payload: dict, n_items: int):
+        import random
+
         body = json.dumps(payload).encode()
         limiter = self._get_limiter()
+        stop = None if self.deadline is None else time.monotonic() + self.deadline
         for attempt in range(self.retries + 1):
+            if stop is not None and time.monotonic() >= stop:
+                return None  # chunk budget exhausted: NULL, don't keep paying
             if limiter is not None:
                 limiter.acquire()
+            timeout = self.timeout
+            if stop is not None:
+                timeout = max(0.01, min(timeout, stop - time.monotonic()))
             try:
                 req = urllib.request.Request(
                     self.url,
@@ -349,14 +399,19 @@ class HttpBackend:
                     headers={"Content-Type": "application/json", **self.headers},
                     method="POST",
                 )
-                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
                     results = json.loads(resp.read()).get("results")
                 if isinstance(results, list) and len(results) == n_items:
                     return results
             except (urllib.error.URLError, OSError, ValueError):
                 pass  # transient or malformed -> retry below
             if attempt < self.retries:
-                time.sleep(self.backoff * (2**attempt))
+                # jittered exponential backoff: a fleet of workers retrying
+                # a flapped gateway must not re-synchronize into waves
+                sleep = self.backoff * (2**attempt) * random.uniform(0.5, 1.5)
+                if stop is not None:
+                    sleep = min(sleep, max(0.0, stop - time.monotonic()))
+                time.sleep(sleep)
         return None
 
     def _run_chunks(self, items: list, build_payload):
@@ -369,7 +424,10 @@ class HttpBackend:
             return []
 
         def one(chunk):
+            if self._breaker_is_open():
+                return [None] * len(chunk)  # fail fast: endpoint known dead
             got = self._post(build_payload(chunk), len(chunk))
+            self._breaker_record(got is not None)
             return got if got is not None else [None] * len(chunk)
 
         if len(chunks) == 1:

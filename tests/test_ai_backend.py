@@ -297,3 +297,75 @@ def test_mock_embed_deterministic_and_quantization_exact(spark):
     assert a == b                          # pure function of the text
     assert sum(abs(x) for x in a) == 4.0   # signed counts, one per token
     assert all(float(x).is_integer() for x in a)  # exact under x1000 quantization
+
+
+# --------------------------------------------- breaker / deadline hardening
+
+
+def test_circuit_breaker_fails_fast_on_dead_endpoint(stub):
+    """After `breaker_threshold` consecutive chunk failures the breaker
+    opens: remaining chunks resolve to NULL WITHOUT hitting the wire, so a
+    dead gateway costs O(threshold) requests, not retries x chunks."""
+    url, state = stub
+    b = HttpBackend(
+        f"{url}/dead",
+        batch_size=1,
+        max_concurrency=1,
+        retries=1,
+        backoff=0.01,
+        breaker_threshold=3,
+        breaker_cooldown=60.0,
+    )
+    texts = pd.Series([f"t{i}" for i in range(10)])
+    out = b.complete(texts)
+    assert out.isna().all()
+    with state.lock:
+        n_requests = len([r for r in state.requests if r["path"] == "/dead"])
+    # 3 chunks x (1 + 1 retry) = 6 wire hits, then the circuit is open
+    assert n_requests == 6, f"breaker must stop wire traffic, saw {n_requests}"
+
+
+def test_circuit_breaker_closes_after_success(stub):
+    """A flapping endpoint: failures open the breaker; after cooldown the
+    next success closes it and traffic resumes normally."""
+    url, state = stub
+    b = HttpBackend(
+        f"{url}/llm",
+        batch_size=1,
+        max_concurrency=1,
+        retries=0,
+        breaker_threshold=2,
+        breaker_cooldown=0.2,
+    )
+    with state.lock:
+        state.fail_remaining["/llm"] = 2   # exactly two 500s, then healthy
+    out1 = b.complete(pd.Series(["a", "b"]))
+    assert out1.isna().all()               # both failed; breaker now open
+    out2 = b.complete(pd.Series(["c"]))
+    assert out2.isna().all()               # open circuit: fast NULL, no wire
+    time.sleep(0.25)                       # cooldown elapses
+    out3 = b.complete(pd.Series(["hello world"]))
+    assert out3.tolist() == ["srv:hello world"]
+    # success closed the circuit; subsequent calls flow
+    out4 = b.complete(pd.Series(["again ok"]))
+    assert out4.tolist() == ["srv:again ok"]
+
+
+def test_deadline_caps_retry_spend(stub):
+    """The per-chunk deadline bounds wall clock: a dead endpoint with many
+    retries configured must give up within ~the budget, not retries x
+    timeout."""
+    url, _state = stub
+    b = HttpBackend(
+        f"{url}/dead",
+        batch_size=4,
+        retries=50,
+        backoff=0.2,
+        deadline=0.5,
+        breaker_threshold=None,
+    )
+    t0 = time.monotonic()
+    out = b.complete(pd.Series(["a", "b"]))
+    took = time.monotonic() - t0
+    assert out.isna().all()
+    assert took < 3.0, f"deadline must cap the chunk, took {took:.1f}s"
