@@ -591,3 +591,160 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ------------------------------------------------------ product quantization
+
+
+def _l2_int(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 distance of two array<bigint>."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(df: DataFrame, out_id: str, id_col: str, vec_col,
+                   m_sub: int, sub_dim: int) -> DataFrame:
+    """(id, m, sv): each vector split into ``m_sub`` contiguous subvectors."""
+    return (
+        df.select(F.col(id_col).cast("long").alias(out_id), vec_col.alias("__qv"))
+        .select(
+            out_id,
+            F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+            "__qv",
+        )
+        .select(
+            out_id,
+            "m",
+            F.slice("__qv", F.col("m") * sub_dim + 1, sub_dim).alias("sv"),
+        )
+    )
+
+
+def _pq_nearest(sub: DataFrame, book: DataFrame, out_id: str) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace): broadcast the tiny
+    book, exact-int L2, partial-aggregated min — no sort, no window.
+    Tie-break = (min dist, min code) via struct ordering."""
+    scored = sub.join(F.broadcast(book), "m").select(
+        out_id, "m", "code", _l2_int(F.col("sv"), F.col("cv")).alias("d")
+    )
+    return (
+        scored.groupBy(out_id, "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("__b"))
+        .select(out_id, "m", F.col("__b.code").alias("code"))
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks for product quantization: ``m_sub``
+    subspaces × ``k_codes`` centroids, trained like :func:`ivf_centroids`
+    — deterministic md5-of-id seed sampling + ONE Lloyd step (exact-int
+    squared-L2 assignment, per-position mean = one IEEE division, HALF_UP
+    round) so any engine reproduces it bit-for-bit. Returns (m, code, cv).
+
+    The whole book is m_sub × k_codes rows — driver/broadcast-small at any
+    corpus size; training is two narrow shuffles."""
+    sub_dim = dim // m_sub
+    if sub_dim * m_sub != dim:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    seeds = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
+        .limit(k_codes)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).cast("long").alias("code"),
+            "qv",
+        )
+    )
+    seed_book = _pq_subvectors(seeds, "code", "code", F.col("qv"), m_sub, sub_dim) \
+        .select("m", F.col("code"), F.col("sv").alias("cv"))
+    sub = _pq_subvectors(v, "vec_id", "vec_id", F.col("qv"), m_sub, sub_dim)
+    assigned = _pq_nearest(sub, seed_book, "vec_id")
+    return (
+        assigned.join(sub, ["vec_id", "m"])
+        .select("m", "code", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "code", "pos")
+        # mean as CAST(SUM AS DOUBLE)/COUNT: exact ints in, one correctly-
+        # rounded IEEE division out -> bit-identical in any engine
+        .agg((F.sum("val").cast("double") / F.count("*")).alias("mv"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: F.round(s["mv"]).cast("long"),
+            ).alias("cv")
+        )
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via product quantization with asymmetric distance
+    computation (ADC): corpus vectors live as ``m_sub`` small int codes
+    (16× memory compression at 64-dim float vs 4 codes), queries score
+    candidates by summing per-subspace distances looked up from a
+    broadcast distance table — never touching the original corpus vectors.
+
+    At 100 TB: the codebook (m_sub × k_codes rows) and the per-query
+    distance table (|Q| × m_sub × k_codes rows) broadcast; encoding and
+    scoring are map-side equi-joins; the only wide operation is the
+    (query_id, cand_id) partial-aggregated distance sum + top-k — the
+    classic IVF-PQ serving shape (minus the coarse quantizer, which
+    :func:`knn_ivf` provides and composes with).
+
+    All arithmetic is exact int64 squared-L2 (quantized vectors), so the
+    result is bit-identical across engines — the DuckDB oracle replays the
+    identical algorithm. Output: (query_id, cand_id, approx_dist, rank),
+    ascending distance, ties broken by cand_id."""
+    sub_dim = dim // m_sub
+    corpus = _widen(corpus)
+    book = pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col)
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
+    codes = _pq_nearest(sub, book, "cand_id")
+
+    qv = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    qsub = _pq_subvectors(qv, "query_id", "query_id", F.col("qv"), m_sub, sub_dim)
+    dtab = qsub.join(F.broadcast(book), "m").select(
+        "query_id", "m", "code", _l2_int(F.col("sv"), F.col("cv")).alias("d")
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["m", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d").alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("approx_dist").cast("long").alias("approx_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

