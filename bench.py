@@ -139,6 +139,55 @@ def _reflection_probe(spark) -> dict[str, float]:
             "accelerated_input_rows": n_mat}
 
 
+def _data_skipping_probe(spark) -> dict:
+    """File-level min/max skipping (round-5 lakeshim manifests): lineitem
+    into a sort-clustered lake table, then a selective ship-date range read
+    through `read(where=…)` (files pruned via each commit's _stats.json)
+    vs the same predicate as a plain post-read filter (all files planned).
+    Values must match exactly; the probe reports both wall times and the
+    planned-file counts — the 100 TB quantity is files_pruned/files_total,
+    which is scale-invariant for a clustered layout."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    li = load_table(spark, SF_DIR, "lineitem").withColumn(
+        "l_shipdate_ts", F.col("l_shipdate").cast("timestamp")
+    )
+    pred = (
+        "l_quantity >= 49"  # selective numeric range over the sort key
+    )
+    with tempfile.TemporaryDirectory() as wh:
+        lake = Lakehouse(spark, wh)
+        t = lake.create_table_as("bench.li_sorted", li)
+        t.compact(sort_by=["l_quantity"], n_files=16)
+
+        full_files = len(set(t.read().inputFiles()))
+        skip_runs, plain_runs = [], []
+        pruned_files = None
+        skip_n = plain_n = None
+        for _ in range(REPS):
+            t0 = time.time()
+            df = t.read(where=pred)
+            skip_n = df.count()
+            skip_runs.append(time.time() - t0)
+            pruned_files = len(set(df.inputFiles()))
+            t1 = time.time()
+            plain_n = t.read().filter(pred).count()
+            plain_runs.append(time.time() - t1)
+        assert skip_n == plain_n
+    return {
+        "predicate": pred,
+        "files_total": full_files,
+        "files_planned": pruned_files,
+        "rows": skip_n,
+        "skipping_scan_s": round(statistics.median(skip_runs), 4),
+        "plain_scan_s": round(statistics.median(plain_runs), 4),
+    }
+
+
 def _scaled_section(spark) -> dict:
     """Scale tier: the dedup/ANN/as-of probes at ~0.5-6.4M input rows.
 
@@ -292,6 +341,7 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
 
     reflection = _reflection_probe(spark)
+    skipping = _data_skipping_probe(spark)
     scaled = _scaled_section(spark)
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -305,6 +355,7 @@ def main() -> None:
         "lineitem_rows": n_rows,
         "rows_per_sec_multi_avg": round(n_rows / timings["multi_avg_scan"], 1),
         "reflection": reflection,
+        "data_skipping": skipping,
         "scaled": scaled,
     }
     print(json.dumps(out))
