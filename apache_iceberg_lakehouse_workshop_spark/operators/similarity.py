@@ -374,7 +374,15 @@ def _widen(corpus: DataFrame, widen: bool | None = None) -> DataFrame:
         n_files = len(corpus.inputFiles())
     except Exception:
         return corpus
-    if 0 < n_files < max(2, par // 2):
+    if n_files == 0:
+        # Derived (non-file-backed) corpus — an ai_embed chain, an
+        # in-memory frame — gives inputFiles()=[] and no cheap width
+        # signal that doesn't finalize the plan under AQE. Widen: the
+        # narrow (id, vec) round-robin shuffle is cheap insurance against
+        # the whole per-vector map chain collapsing into one task, and a
+        # caller with a known-wide derived corpus passes widen=False.
+        return corpus.repartition(par)
+    if n_files < max(2, par // 2):
         return corpus.repartition(par)
     return corpus
 

@@ -596,6 +596,34 @@ class LakeTable:
     )
 
     @staticmethod
+    def _sub_outside_literals(text: str, replacements: dict[str, str]) -> str:
+        """Apply word-boundary identifier replacements to ``text`` while
+        leaving single-quoted string literals untouched (a WHERE clause
+        like ``name = 'price'`` must not have the 'price' LITERAL rewritten
+        when the price COLUMN was renamed). Same quote scanner as
+        :meth:`_parse_prune_conjuncts`."""
+        if not replacements:
+            return text
+        out: list[str] = []
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if ch == "'":
+                j = text.find("'", i + 1)
+                j = n - 1 if j == -1 else j
+                out.append(text[i : j + 1])
+                i = j + 1
+                continue
+            # accumulate up to the next quote, substitute in that span only
+            j = text.find("'", i)
+            span = text[i:] if j == -1 else text[i:j]
+            for new, physical in replacements.items():
+                span = re.sub(rf"\b{re.escape(new)}\b", physical, span)
+            out.append(span)
+            i = n if j == -1 else j
+        return "".join(out)
+
+    @staticmethod
     def _parse_prune_conjuncts(where: str) -> list[tuple[str, str, object]]:
         """Simple ``col op literal`` conjuncts usable for min/max skipping
         (split at depth-0 ANDs; literals are numbers or 'strings'). Every
@@ -663,9 +691,15 @@ class LakeTable:
         if numeric != (
             isinstance(mn, (int, float)) and not isinstance(mn, bool)
         ):
-            # partition-dir stats are strings even for numeric columns:
-            # compare numerically when they parse, else don't risk pruning
-            if numeric and isinstance(mn, str):
+            # partition-dir stats are strings even for numeric columns, and
+            # they are always degenerate [v, v] ranges. ONLY such degenerate
+            # ranges may be coerced to float: a single value compares under
+            # the same cast semantics Spark applies to the row filter
+            # (string vs number -> double). A footer min/max RANGE on a
+            # string column is LEXICOGRAPHIC (min='10' > max='9' numerically)
+            # and coercing it would prune files that do match — so for a
+            # genuine string range vs a numeric literal, never prune.
+            if numeric and isinstance(mn, str) and mn == mx:
                 try:
                     mn, mx = float(mn), float(mx)
                 except ValueError:
@@ -718,6 +752,8 @@ class LakeTable:
         dirs: list[str],
         file_lists: list[list[str] | None] | None = None,
         filters: list[str | None] | None = None,
+        schema: T.StructType | None = None,
+        aliases: dict[str, str] | None = None,
     ) -> DataFrame | None:
         """Scan a list of commit dirs as one DataFrame.
 
@@ -748,7 +784,32 @@ class LakeTable:
             if excl:
                 # partition-scoped compaction rewrote this dir's matching
                 # rows elsewhere: exclude them here (IS NOT TRUE keeps
-                # NULL-predicate rows, mirroring delete semantics)
+                # NULL-predicate rows, mirroring delete semantics). The
+                # filter text uses CURRENT column names — a dir written
+                # before an ADD/RENAME COLUMN may not resolve them, so
+                # normalize this dir to the declared schema first (typed
+                # NULLs for never-written columns, renamed columns surfaced
+                # under their current name) instead of raising
+                # UNRESOLVED_COLUMN and making the table unreadable.
+                if schema is not None:
+                    present = set(part.columns)
+                    aliases = aliases or {}
+                    for f in schema.fields:
+                        physical = aliases.get(f.name)
+                        if f.name not in present:
+                            src = (
+                                F.col(physical)
+                                if physical in present
+                                else F.lit(None)
+                            )
+                            part = part.withColumn(f.name, src.cast(f.dataType))
+                        # a filter recorded BEFORE a rename references the
+                        # old physical name: make it resolve too (the final
+                        # declared-schema projection drops it again)
+                        if physical and physical not in present:
+                            part = part.withColumn(
+                                physical, F.col(f.name).cast(f.dataType)
+                            )
                 part = part.filter(f"({excl}) IS NOT TRUE")
             parts.append(part)
         if not parts:
@@ -804,16 +865,15 @@ class LakeTable:
             # resolve a renamed column back to its physical name for the
             # stats lookup (stats are recorded under the written name)
             aliases = meta.get("column_aliases", {})
-            prune_where = where
-            for new, physical in aliases.items():
-                prune_where = re.sub(rf"\b{re.escape(new)}\b", physical, prune_where)
+            prune_where = self._sub_outside_literals(where, aliases)
             file_lists = self._prune_file_lists(dirs, prune_where)
         cf = snap.get("commit_filters", {}) if snap else {}
         filters = [cf.get(d) for d in (snap["commit_dirs"] if snap else [])]
-        df = self._read_dirs(dirs, file_lists, filters)
+        aliases_all = meta.get("column_aliases", {})
+        df = self._read_dirs(dirs, file_lists, filters, schema, aliases_all)
         if df is None:
             # every file provably excluded: empty result, correct schema
-            base = self._read_dirs(dirs, filters=filters)
+            base = self._read_dirs(dirs, filters=filters, schema=schema, aliases=aliases_all)
             df = base.limit(0)
         drop = [c for c in df.columns if c.startswith(_HP_PREFIX)]
         user_cols = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
@@ -1565,9 +1625,24 @@ class LakeTable:
                 # no-lost-update guarantee fast-forward exists to protect.
                 # This keeps the documented WAP flow working after a
                 # routine VACUUM between staging and publish.
+                # Guards on the fallback: (a) if main's head is a rollback
+                # or compact, its dirs can be a subset of the branch head's
+                # WITHOUT the branch descending from it (rollback reuses old
+                # commit dirs) — refuse, don't silently override; (b) the
+                # head's commit_filters must agree on every shared dir, or
+                # the "superset" would drop/restore rows main's exclusions
+                # control.
                 cur_snap = by_id.get(cur)
-                ok = cur_snap is not None and set(cur_snap["commit_dirs"]) <= set(
-                    by_id[head_id]["commit_dirs"]
+                head_snap = by_id[head_id]
+                ok = (
+                    cur_snap is not None
+                    and cur_snap.get("operation") not in ("rollback", "compact")
+                    and set(cur_snap["commit_dirs"]) <= set(head_snap["commit_dirs"])
+                    and all(
+                        head_snap.get("commit_filters", {}).get(d)
+                        == cur_snap.get("commit_filters", {}).get(d)
+                        for d in cur_snap["commit_dirs"]
+                    )
                 )
             if not ok:
                 raise ValueError(

@@ -1003,3 +1003,85 @@ def test_optimize_sql_routes(lake, spark):
 
     with pytest.raises(UnsupportedStatementError):
         r.run("OPTIMIZE TABLE db.opt REWRITE MANIFESTS")
+
+
+def test_numeric_literal_on_string_column_never_misprunes(lake, spark):
+    """ADVICE r5 (high): footer string min/max ranges are LEXICOGRAPHIC
+    (min='10' > max='9' numerically); coercing them to float pruned files
+    that do match. A numeric literal against a genuine string RANGE must
+    never prune; a degenerate [v, v] partition-dir range still prunes
+    numerically (single value, same cast semantics as the row filter)."""
+    t = lake.create_table("db.strnum", "code STRING, v BIGINT")
+    t.append(
+        spark.createDataFrame([("9", 1), ("10", 2)], "code STRING, v BIGINT").coalesce(1)
+    )
+    got = t.read(where="code = 9")
+    assert [r.v for r in got.collect()] == [1]
+    assert len(set(got.inputFiles())) == 1  # file NOT pruned away
+    # and the same shape survives a scoped compact without losing rows
+    t.compact(where="code = 9", n_files=1)
+    assert sorted(r.v for r in t.read().collect()) == [1, 2]
+
+    # degenerate partition-dir string stats still prune numeric probes
+    tp = lake.create_table("db.strnump", "k BIGINT, v STRING", partition_by=["k"])
+    tp.append(spark.createDataFrame([(5, "a"), (9, "b")], "k BIGINT, v STRING"))
+    hit = tp.read(where="k = 9")
+    assert [r.v for r in hit.collect()] == ["b"]
+    assert len(set(hit.inputFiles())) == 1, "k=5 dir must be pruned"
+
+
+def test_scoped_optimize_filter_survives_schema_evolution(lake, spark):
+    """ADVICE r5 (high): a compact(where=...) predicate naming a column
+    ADDED after older commits must not make the table unreadable
+    (UNRESOLVED_COLUMN on pre-evolution dirs) — the exclusion filter is
+    applied against the declared schema with typed NULLs."""
+    t = lake.create_table("db.poevo", "k BIGINT")
+    t.append(spark.range(5).selectExpr("id AS k"))
+    t.add_column("tag", "STRING")
+    t.append(spark.range(5, 8).selectExpr("id AS k", "'new' AS tag"))
+    t.compact(where="tag = 'new'", n_files=1)
+    rows = sorted((r.k, r.tag) for r in t.read().collect())
+    assert rows == [(0, None), (1, None), (2, None), (3, None), (4, None),
+                    (5, "new"), (6, "new"), (7, "new")]
+    # renamed column in the filter resolves on pre-rename dirs too
+    t.rename_column("tag", "label")
+    t.append(spark.createDataFrame([(8, "new")], "k BIGINT, label STRING"))
+    t.compact(where="label = 'new'", n_files=1)
+    assert sorted(r.k for r in t.read().filter("label = 'new'").collect()) == [5, 6, 7, 8]
+    assert t.read().count() == 9
+
+
+def test_rename_substitution_leaves_string_literals_alone(lake, spark):
+    """ADVICE r5 (medium): after RENAME price->cost, a predicate literal
+    'price' (e.g. WHERE name = 'price') must not be rewritten to 'cost'
+    for the stats lookup — that pruned the wrong files."""
+    t = lake.create_table("db.ren", "name STRING, price BIGINT")
+    t.append(
+        spark.createDataFrame(
+            [("price", 1), ("other", 2)], "name STRING, price BIGINT"
+        ).coalesce(1)
+    )
+    t.rename_column("price", "cost")
+    got = t.read(where="name = 'price'")
+    assert [r.cost for r in got.collect()] == [1]
+    # column reference outside literals still resolves to the physical name
+    assert [r.name for r in t.read(where="cost = 2").collect()] == ["other"]
+
+
+def test_publish_cannot_override_intervening_rollback(spark, tmp_path):
+    """ADVICE r5 (low): rollback() reuses old commit dirs, so a branch
+    head's dirs can superset a rolled-back main WITHOUT descending from
+    it; publish after expiry must refuse rather than silently un-rollback."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lake.create_table("db.rb", "k BIGINT")
+    s1 = t.append(spark.createDataFrame([(1,)], "k BIGINT"))
+    t.append(spark.createDataFrame([(2,)], "k BIGINT"))
+    t.create_branch("staging")
+    t.append_to_branch("staging", spark.createDataFrame([(3,)], "k BIGINT"))
+    t.rollback_to(s1)  # main explicitly un-did k=2
+    t.expire_snapshots(keep_last=1)  # breaks the branch parent chain
+    with pytest.raises(ValueError, match="fast-forward"):
+        t.publish_branch("staging")
+    assert sorted(r.k for r in t.read().collect()) == [1]

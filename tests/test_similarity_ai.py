@@ -249,3 +249,19 @@ def test_pq_adc_properties_and_recall(spark, sf_dir):
             qs = qv[m * 16 : (m + 1) * 16]
             want += sum((a_ - b_) ** 2 for a_, b_ in zip(qs, cv))
         assert r.approx_dist == want
+
+
+def test_widen_repartitions_derived_corpus(spark):
+    """ADVICE r5 (low): a derived (non-file-backed) corpus has
+    inputFiles()==[], which used to silently skip widening — the whole
+    per-vector ANN map chain could run in ONE task. Derived corpora now
+    widen by default; widen=False opts out."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.similarity import _widen
+
+    par = spark.sparkContext.defaultParallelism
+    derived = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(10)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).coalesce(1)
+    assert derived.inputFiles() == []
+    assert _widen(derived).rdd.getNumPartitions() == par
+    assert _widen(derived, widen=False).rdd.getNumPartitions() == 1
