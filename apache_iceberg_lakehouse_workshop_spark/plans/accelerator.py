@@ -255,50 +255,17 @@ class AcceleratorRegistry:
             self._save_registry()
         return True
 
-    def refresh_incremental_agg(self, name: str) -> bool:
-        """Incremental refresh for AGGREGATE reflections: aggregate ONLY the
-        rows appended since the recorded snapshot into delta partials, then
-        merge them into the stored partials with the rollup algebra
-        (sum-of-sums / sum-of-counts / min-of-mins / max-of-maxs) — Dremio's
-        incremental reflection refresh (readme.md:383-389) for the
-        AGGREGATE case. Cost is O(new data + groups), never O(table).
-
-        Applies when the reflection has a registered agg shape
-        (:meth:`register_agg_shape` partial-column convention, partials
-        computed from the raw anchor columns), a single anchor, and the
-        anchor history since the recorded snapshot is append-only. Returns
-        False otherwise — caller falls back to :meth:`refresh`. AVG is
-        never stored (not re-aggregable), so every stored partial merges
-        exactly: the merged table is value-identical to a full recompute.
-        """
-        shape = self._agg_shapes.get(name)
-        if name not in self._defs or shape is None:
-            return False
-        _, anchor_tables = self._defs[name]
-        if len(anchor_tables) != 1:
-            return False
-        anchor = anchor_tables[0]
-        # The delta is aggregated from the RAW anchor table, so the shape's
-        # dataset must BE the anchor: a shape registered over a view (e.g.
-        # CREATE VIEW v AS SELECT * FROM sales WHERE region='east') has the
-        # same columns and would pass every later guard while merging
-        # UNFILTERED anchor rows into the partials — wrong results. Fall
-        # back to refresh(), which recomputes through the real definition.
-        if self._resolve_dataset(shape["dataset"]) != anchor:
-            return False
-        recorded = self._anchors.get(name, {}).get(anchor)
-        if recorded is None:
-            return False
-        try:
-            delta = self.lake.table(anchor).read_incremental(recorded)
-        except ValueError:
-            return False
-
+    @staticmethod
+    def _partial_aggs(measures) -> tuple[list, list] | None:
+        """(delta_aggs, merge_aggs) column expressions for the partial-
+        column convention: delta_aggs aggregate RAW rows into partials,
+        merge_aggs roll partials up (sum-of-sums / sum-of-counts /
+        min-of-mins / max-of-maxs / HLL union). Returns None on a
+        non-re-aggregable measure."""
         from pyspark.sql import functions as F
 
-        dims = shape["dims"]
         delta_aggs, merge_aggs = [], []
-        for col, agg in shape["measures"]:
+        for col, agg in measures:
             if col == "*" and agg == "COUNT":
                 cname = "n_rows"
                 delta_aggs.append(F.count("*").alias(cname))
@@ -326,13 +293,20 @@ class AcceleratorRegistry:
                 cname = f"{col}_hll"
                 delta_aggs.append(F.hll_sketch_agg(col).alias(cname))
                 merge_aggs.append(F.hll_union_agg(cname).alias(cname))
-            else:  # pragma: no cover - register_agg_shape filters these
-                return False
+            else:  # pragma: no cover - register_*_shape filters these
+                return None
+        return delta_aggs, merge_aggs
+
+    def _merge_delta_partials(
+        self, name: str, delta_grouped: DataFrame, dims: list[str], merge_aggs
+    ) -> bool:
+        """Union delta partials onto the stored partials and roll up —
+        O(new groups + stored groups), never O(table)."""
         storage = self.lake.table(self._storage_name(name))
         try:
             merged = (
                 storage.read()
-                .unionByName(delta.groupBy(*dims).agg(*delta_aggs))
+                .unionByName(delta_grouped)
                 .groupBy(*dims)
                 .agg(*merge_aggs)
             )
@@ -341,10 +315,170 @@ class AcceleratorRegistry:
             # definition with custom casts): correctness wins, full refresh
             return False
         storage.overwrite(merged)
+        return True
+
+    def refresh_incremental_agg(self, name: str) -> bool:
+        """Incremental refresh for AGGREGATE reflections: aggregate ONLY the
+        rows appended since the recorded snapshot into delta partials, then
+        merge them into the stored partials with the rollup algebra
+        (sum-of-sums / sum-of-counts / min-of-mins / max-of-maxs) — Dremio's
+        incremental reflection refresh (readme.md:383-389) for the
+        AGGREGATE case. Cost is O(new data + groups), never O(table).
+
+        Applies when the reflection has a registered agg shape
+        (:meth:`register_agg_shape` partial-column convention, partials
+        computed from the raw anchor columns), a single anchor, and the
+        anchor history since the recorded snapshot is append-only — or a
+        registered JOIN shape where exactly one join side grew append-only
+        (:meth:`_refresh_incremental_join_agg`). Returns False otherwise —
+        caller falls back to :meth:`refresh`. AVG is never stored (not
+        re-aggregable), so every stored partial merges exactly: the merged
+        table is value-identical to a full recompute.
+        """
+        if name in self._join_shapes:
+            return self._refresh_incremental_join_agg(name)
+        shape = self._agg_shapes.get(name)
+        if name not in self._defs or shape is None:
+            return False
+        _, anchor_tables = self._defs[name]
+        if len(anchor_tables) != 1:
+            return False
+        anchor = anchor_tables[0]
+        # The delta is aggregated from the RAW anchor table, so the shape's
+        # dataset must BE the anchor: a shape registered over a view (e.g.
+        # CREATE VIEW v AS SELECT * FROM sales WHERE region='east') has the
+        # same columns and would pass every later guard while merging
+        # UNFILTERED anchor rows into the partials — wrong results. Fall
+        # back to refresh(), which recomputes through the real definition.
+        if self._resolve_dataset(shape["dataset"]) != anchor:
+            return False
+        recorded = self._anchors.get(name, {}).get(anchor)
+        if recorded is None:
+            return False
+        try:
+            delta = self.lake.table(anchor).read_incremental(recorded)
+        except ValueError:
+            return False
+
+        dims = shape["dims"]
+        built = self._partial_aggs(shape["measures"])
+        if built is None:
+            return False
+        delta_aggs, merge_aggs = built
+        if not self._merge_delta_partials(
+            name, delta.groupBy(*dims).agg(*delta_aggs), dims, merge_aggs
+        ):
+            return False
         self._anchors[name] = self._current_snapshot_ids(anchor_tables)
         if name in self._sql_defs:
             self._save_registry()
         return True
+
+    def _refresh_incremental_join_agg(self, name: str) -> bool:
+        """Incremental refresh for JOIN-shape AGGREGATE reflections: when
+        exactly ONE side of the registered inner equi-join grew by
+        append-only commits, the new contribution is ``delta ⋈ (other
+        sides)`` — inner join distributes over union on either input, so
+        aggregating that contribution into delta partials and merging them
+        with the rollup algebra is value-identical to a full re-join
+        (Dremio's incremental reflection refresh over a join view,
+        readme.md:383-389). Typical cost: the appended fact rows join the
+        (usually broadcast-size) dim sides — O(delta), never a full fact
+        re-join. Dim-side rewrites (UPDATE/DELETE), multiple advanced
+        sides, or any non-append history return False: caller falls back
+        to :meth:`refresh`."""
+        shape = self._join_shapes.get(name)
+        if shape is None or name not in self._defs:
+            return False
+        _, anchor_tables = self._defs[name]
+        tables = shape["tables"]
+        if set(anchor_tables) != set(tables) or len(set(tables)) != len(tables):
+            return False  # (self-joins keep the full-refresh path)
+        recorded = self._anchors.get(name, {})
+        advanced = [
+            t
+            for t in tables
+            if recorded.get(t) is not None
+            and self.lake.table(t)._load_meta()["current_snapshot_id"]
+            != recorded[t]
+        ]
+        if len(advanced) != 1 or any(recorded.get(t) is None for t in tables):
+            return False
+        moved = advanced[0]
+        frames: dict[str, DataFrame] = {}
+        try:
+            for t in tables:
+                lt = self.lake.table(t)
+                frames[t] = (
+                    lt.read_incremental(recorded[t]) if t == moved else lt.read()
+                )
+        except ValueError:
+            return False  # non-append history on the advanced side
+        joined = self._execute_join(frames, shape["keys"])
+        if joined is None:
+            return False
+        dims = shape["dims"]
+        built = self._partial_aggs(shape["measures"])
+        if built is None:
+            return False
+        delta_aggs, merge_aggs = built
+        try:
+            delta_grouped = joined.groupBy(*dims).agg(*delta_aggs)
+        except Exception:
+            return False  # ambiguous bare name etc. — full refresh decides
+        if not self._merge_delta_partials(name, delta_grouped, dims, merge_aggs):
+            return False
+        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        if name in self._sql_defs:
+            self._save_registry()
+        return True
+
+    @staticmethod
+    def _execute_join(
+        frames: dict[str, DataFrame], keys: list[str]
+    ) -> DataFrame | None:
+        """Inner-join the per-table frames along canonical ``'t1.c1=t2.c2'``
+        key pairs, attaching one new table per step (star/snowflake
+        shapes); a key whose tables are both already joined becomes a
+        post-filter. Returns None on a disconnected or unparsable tree."""
+        pairs = []
+        for k in keys:
+            a, b = k.split("=")
+            ta, _, ca = a.rpartition(".")
+            tb, _, cb = b.rpartition(".")
+            if not ta or not tb:
+                return None
+            pairs.append((ta, ca, tb, cb))
+        first = pairs[0][0]
+        joined = frames.get(first)
+        if joined is None:
+            return None
+        in_join = {first}
+        pending = list(pairs)
+        while pending:
+            for p in pending:
+                ta, ca, tb, cb = p
+                if ta in in_join and tb in in_join:
+                    joined = joined.filter(frames[ta][ca] == frames[tb][cb])
+                    pending.remove(p)
+                    break
+                new = None
+                if ta in in_join and tb in frames and tb not in in_join:
+                    new = tb
+                elif tb in in_join and ta in frames and ta not in in_join:
+                    new = ta
+                if new is not None:
+                    joined = joined.join(
+                        frames[new], frames[ta][ca] == frames[tb][cb], "inner"
+                    )
+                    in_join.add(new)
+                    pending.remove(p)
+                    break
+            else:
+                return None  # disconnected join graph
+        if in_join != set(frames):
+            return None
+        return joined
 
     def register_agg_shape(
         self,
@@ -376,17 +510,78 @@ class AcceleratorRegistry:
         if name in self._sql_defs:
             self._save_registry()
 
+    # SQL keywords / literals that may appear inside a WHERE predicate and
+    # are NOT column references
+    _PRED_KEYWORDS = frozenset(
+        "and or not in between like ilike rlike is null true false escape "
+        "case when then else end distinct interval date timestamp exists "
+        "cast as div mod".split()
+    )
+
+    @classmethod
+    def _predicate_columns(cls, where: str) -> set[str] | None:
+        """Column names a predicate references (identifiers outside string
+        literals, excluding keywords and function names). Returns None when
+        the predicate has a shape we can't attribute (qualified ``a.b``
+        refs, subqueries) — callers must then NOT serve from a reflection."""
+        cols: set[str] = set()
+        i, n = 0, len(where)
+        while i < n:
+            ch = where[i]
+            if ch == "'":
+                j = where.find("'", i + 1)
+                i = n if j == -1 else j + 1
+                continue
+            if ch.isalpha() or ch == "_" or ch == "`":
+                tick = ch == "`"
+                j = i + 1 if tick else i
+                k = j
+                while k < n and (where[k].isalnum() or where[k] == "_"):
+                    k += 1
+                ident = where[j:k]
+                if tick:
+                    if k >= n or where[k] != "`":
+                        return None
+                    k += 1
+                # lookahead past spaces
+                m = k
+                while m < n and where[m].isspace():
+                    m += 1
+                if m < n and where[m] == "(":
+                    i = k
+                    continue  # function name, not a column
+                if m < n and where[m] == ".":
+                    return None  # qualified ref: can't prove it's a dim
+                low = ident.lower()
+                if low == "select":
+                    return None  # subquery: not servable from partials
+                if low not in cls._PRED_KEYWORDS:
+                    cols.add(ident)
+                i = k
+                continue
+            i += 1
+        return cols
+
     def route_aggregate(
         self,
         dataset: str,
         dims: list[str],
         measures: list[tuple[str, str, str]],
+        where: str | None = None,
     ) -> DataFrame | None:
-        """Serve ``SELECT dims, aggs FROM dataset GROUP BY dims`` from a
-        FRESH aggregate reflection whose dims are a superset and whose
-        stored partials cover every requested measure — Dremio's
+        """Serve ``SELECT dims, aggs FROM dataset [WHERE pred] GROUP BY
+        dims`` from a FRESH aggregate reflection whose dims are a superset
+        and whose stored partials cover every requested measure — Dremio's
         covered-query substitution (readme.md:331-355: a reflection
         'accelerates any query it covers', not only its defining query).
+
+        ``where``: optional predicate referencing ONLY the reflection's
+        dimension columns — dims are stored raw (one row per fine-grained
+        dim group, every raw row in a group shares its dim values), so
+        filtering the materialized partials before the rollup is EXACT.
+        This is the workshop's own demo shape: ``customer_spend`` queried
+        per-city (readme.md:307-329). A predicate touching any non-dim
+        column (a measure, an unknown name) falls back to the plain plan.
 
         ``measures``: (AGG, col, out_alias). Rollup algebra over partials:
         SUM = SUM(col_sum), COUNT(col) = SUM(col_count), COUNT(*) =
@@ -395,7 +590,6 @@ class AcceleratorRegistry:
         reflection exists (caller runs the plain plan). The reflection has
         one row per fine-grained dim group, so this re-aggregation scans
         O(groups) rows — the whole point of serving from it."""
-        from pyspark.sql import functions as F
 
         def needed(agg: str, col: str) -> list[tuple[str, str]]:
             if agg == "AVG":
@@ -406,17 +600,24 @@ class AcceleratorRegistry:
                 return [(col, "NDV")]
             return [(col, agg)]
 
+        pred_cols = None
+        if where is not None:
+            pred_cols = self._predicate_columns(where)
+            if pred_cols is None:
+                return None
         req_dims = set(dims)
         for name, shape in self._agg_shapes.items():
             if shape["dataset"] != dataset or name not in self._defs:
                 continue
             if not req_dims <= set(shape["dims"]):
                 continue
+            if pred_cols is not None and not pred_cols <= set(shape["dims"]):
+                continue  # predicate touches a non-dim column: not exact
             if not self._covers(shape, measures, needed):
                 continue
             if not self.is_fresh(name):
                 continue  # stale: correctness wins, plain plan runs
-            return self._serve_rollup(name, dims, measures)
+            return self._serve_rollup(name, dims, measures, where)
         return None
 
     @staticmethod
@@ -426,12 +627,17 @@ class AcceleratorRegistry:
             pair in stored for agg, col, _ in measures for pair in needed(agg, col)
         )
 
-    def _serve_rollup(self, name: str, dims: list[str], measures) -> DataFrame | None:
+    def _serve_rollup(
+        self, name: str, dims: list[str], measures, where: str | None = None
+    ) -> DataFrame | None:
         """Re-aggregate a reflection's stored partials to the requested
-        (coarser) dims with the rollup algebra. O(groups) rows scanned."""
+        (coarser) dims with the rollup algebra. O(groups) rows scanned.
+        ``where`` (dims-only, validated by the caller) rides the storage
+        read so file-level data skipping prunes the reflection's files
+        too."""
         from pyspark.sql import functions as F
 
-        base = self.lake.table(self._storage_name(name)).read()
+        base = self.lake.table(self._storage_name(name)).read(where=where)
         aggs = []
         for agg, col, alias in measures:
             if agg == "SUM":
@@ -515,13 +721,17 @@ class AcceleratorRegistry:
         join_keys: list[str],
         dims: list[str],
         measures: list[tuple[str, str, str]],
+        where: str | None = None,
     ) -> DataFrame | None:
-        """Serve ``SELECT dims, aggs FROM <same inner equi-join> GROUP BY
-        dims`` from a FRESH join reflection whose join subtree is identical
-        (canonicalized) and whose dims are a superset — the join half of
-        Dremio's covered-query substitution. The join itself was paid ONCE
-        at materialization; serving is an O(groups) scan + rollup, which at
-        100 TB replaces the query's largest shuffle."""
+        """Serve ``SELECT dims, aggs FROM <same inner equi-join> [WHERE
+        pred] GROUP BY dims`` from a FRESH join reflection whose join
+        subtree is identical (canonicalized) and whose dims are a superset
+        — the join half of Dremio's covered-query substitution. ``where``
+        must reference only the reflection's (bare-named) dimension
+        columns; dims are stored raw so filtering the partials is exact
+        (same argument as :meth:`route_aggregate`). The join itself was
+        paid ONCE at materialization; serving is an O(groups) scan +
+        rollup, which at 100 TB replaces the query's largest shuffle."""
 
         def needed(agg: str, col: str) -> list[tuple[str, str]]:
             if agg == "AVG":
@@ -532,6 +742,11 @@ class AcceleratorRegistry:
                 return [(col, "NDV")]
             return [(col, agg)]
 
+        pred_cols = None
+        if where is not None:
+            pred_cols = self._predicate_columns(where)
+            if pred_cols is None:
+                return None
         want = self._canonical_join(tables, join_keys)
         req_dims = set(dims)
         for name, shape in self._join_shapes.items():
@@ -541,11 +756,13 @@ class AcceleratorRegistry:
                 continue
             if not req_dims <= set(shape["dims"]):
                 continue
+            if pred_cols is not None and not pred_cols <= set(shape["dims"]):
+                continue
             if not self._covers(shape, measures, needed):
                 continue
             if not self.is_fresh(name):
                 continue
-            return self._serve_rollup(name, dims, measures)
+            return self._serve_rollup(name, dims, measures, where)
         return None
 
     def drop_reflection(self, name: str) -> None:

@@ -34,17 +34,28 @@ _RE_AGG_QUERY = re.compile(
     r"(?:WHERE\s+.*?)?GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*(?:ORDER\s+BY.*|HAVING.*)?$",
     re.I | re.S,
 )
+
+# join aggregate for OBSERVATION (WHERE-tolerant: the recommended
+# reflection serves dim-filtered queries too)
+_RE_AGG_JOIN_QUERY = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>[\w.]+.*?\bJOIN\b.*?)\s*"
+    r"(?:WHERE\s+.*?\s*)?"
+    r"GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*(?:ORDER\s+BY.*|HAVING.*)?;?\s*$",
+    re.I | re.S,
+)
 _RE_MEASURE = re.compile(
     r"\b(SUM|COUNT|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*(DISTINCT\s+)?([\w.*]+)\s*\)",
     re.I,
 )
 _AVG_EXPANDS = ("SUM", "COUNT")  # an AVG is servable from SUM+COUNT partials
 
-# routable-for-substitution query: no WHERE/HAVING/ORDER (a WHERE over raw
-# rows cannot be answered from pre-aggregated partials; dims-only WHERE
-# could, but the conservative gate keeps substitution provably exact)
+# routable-for-substitution query: optional WHERE (served when the
+# predicate references only the reflection's DIMENSION columns — dims are
+# stored raw, so filtering the materialized partials is exact; the
+# accelerator validates per-shape), no HAVING/ORDER
 _RE_ROUTABLE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[\w.]+)\s*"
+    r"(?:WHERE\s+(?P<where>.*?)\s*)?"
     r"GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*;?\s*$",
     re.I | re.S,
 )
@@ -55,10 +66,10 @@ _RE_MEASURE_ALIASED = re.compile(
 _RE_BARE_DIM = re.compile(r"^[\w.]+$")
 
 # routable JOIN aggregate: SELECT ... FROM a [x] JOIN b [y] ON ... [JOIN ..]
-# GROUP BY ... — the shape a join reflection serves (same conservative
-# no-WHERE/no-HAVING gate as the single-table form)
+# [WHERE dims-only] GROUP BY ... — the shape a join reflection serves
 _RE_ROUTABLE_JOIN = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>[\w.]+.*?\bJOIN\b.*?)\s*"
+    r"(?:WHERE\s+(?P<where>.*?)\s*)?"
     r"GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*;?\s*$",
     re.I | re.S,
 )
@@ -109,6 +120,30 @@ def parse_join_tree(from_txt: str):
     return tables, keys, aliases
 
 
+def _strip_known_qualifiers(text: str, aliases: dict[str, str]) -> str:
+    """Remove ``alias.`` / ``table.`` prefixes for KNOWN aliases from a
+    predicate, leaving single-quoted string literals untouched (a literal
+    'c.' must survive). Unknown qualifiers are left in place — the
+    accelerator's predicate-column check then refuses to route."""
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(a) for a in aliases) + r")\.(?=\w)"
+    )
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            j = text.find("'", i + 1)
+            j = n - 1 if j == -1 else j
+            out.append(text[i : j + 1])
+            i = j + 1
+            continue
+        j = text.find("'", i)
+        span = text[i:] if j == -1 else text[i:j]
+        out.append(pat.sub("", span))
+        i = n if j == -1 else j
+    return "".join(out)
+
+
 class WorkloadAdvisor:
     """Counts aggregate-query shapes and recommends reflections.
 
@@ -145,10 +180,12 @@ class WorkloadAdvisor:
 
     def observe_sql(self, sql: str) -> bool:
         """Fingerprint a statement; returns True if it was an aggregate
-        shape worth counting (single-table GROUP BY aggregate)."""
+        shape worth counting (single-table OR inner-equi-join GROUP BY
+        aggregate — the latter feeds JOIN-reflection recommendations, the
+        join half of readme.md:381-389's autonomous lifecycle)."""
         m = _RE_AGG_QUERY.match(sql)
         if not m:
-            return False
+            return self._observe_join_sql(sql)
         measures = [
             (col, agg)
             for agg, distinct, col in _RE_MEASURE.findall(m.group("select"))
@@ -159,6 +196,69 @@ class WorkloadAdvisor:
         dims = [d.strip() for d in m.group("group").split(",")]
         self.observe(m.group("table"), dims, measures)
         return True
+
+    def _observe_join_sql(self, sql: str) -> bool:
+        m = _RE_AGG_JOIN_QUERY.match(sql)
+        if not m:
+            return False
+        tree = parse_join_tree(m.group("from"))
+        if tree is None:
+            return False
+        tables, keys, _aliases = tree
+        measures = [
+            (col, agg)
+            for agg, distinct, col in _RE_MEASURE.findall(m.group("select"))
+            if not distinct
+        ]
+        if not measures:
+            return False
+        dims_q = [d.strip() for d in m.group("group").split(",") if d.strip()]
+        self.observe_join(tables, keys, m.group("from"), dims_q, measures)
+        return True
+
+    def observe_join(
+        self,
+        tables: list[str],
+        join_keys: list[str],
+        from_txt: str,
+        dims_qualified: list[str],
+        measures: list[tuple[str, str]],
+    ) -> None:
+        """Record one execution of a join-aggregate shape. Dims/measure
+        columns may be alias-qualified; the fingerprint uses bare names
+        (what the materialized reflection stores), while the first-seen
+        qualified spellings are kept for building the definition SQL."""
+        dims_bare = tuple(sorted(d.rpartition(".")[2] for d in dims_qualified))
+        key = ("join", tuple(sorted(tables)), tuple(sorted(join_keys)), dims_bare)
+        entry = self._shapes.setdefault(
+            key,
+            {
+                "count": 0,
+                "measures": set(),
+                "join": {
+                    "tables": list(tables),
+                    "keys": list(join_keys),
+                    "from": from_txt,
+                    "dims_q": list(dims_qualified),
+                    "colmap": {},
+                },
+            },
+        )
+        entry["count"] += 1
+        colmap = entry["join"]["colmap"]
+        for col, agg in measures:
+            bare = col.rpartition(".")[2] if col != "*" else "*"
+            colmap.setdefault(bare, col)
+            agg = agg.upper()
+            if agg == "AVG":
+                for a in _AVG_EXPANDS:
+                    entry["measures"].add((bare, a))
+            elif agg == "COUNT" and bare == "*":
+                entry["measures"].add(("*", "COUNT"))
+            elif agg == "APPROX_COUNT_DISTINCT":
+                entry["measures"].add((bare, "NDV"))
+            else:
+                entry["measures"].add((bare, agg))
 
     # --------------------------------------------------------- routing
 
@@ -180,7 +280,7 @@ class WorkloadAdvisor:
                 return None
             dims, measures, order = parsed
             routed = self.accelerator.route_aggregate(
-                m.group("table"), dims, measures
+                m.group("table"), dims, measures, where=m.group("where")
             )
             return None if routed is None else routed.select(*order)
         # join shape: same conservative gate, dims/measure columns stripped
@@ -191,15 +291,21 @@ class WorkloadAdvisor:
         tree = parse_join_tree(jm.group("from"))
         if tree is None:
             return None
-        tables, join_keys, _aliases = tree
+        tables, join_keys, aliases = tree
         parsed = self._parse_select_items(
             jm.group("select"), jm.group("group"), strip_qualifiers=True
         )
         if parsed is None:
             return None
         dims, measures, order = parsed
+        where = jm.group("where")
+        if where is not None:
+            # the reflection stores bare output names: drop known alias/
+            # table qualifiers (outside string literals); any qualifier
+            # left over makes the accelerator refuse — safe fallback
+            where = _strip_known_qualifiers(where, aliases)
         routed = self.accelerator.route_join_aggregate(
-            tables, join_keys, dims, measures
+            tables, join_keys, dims, measures, where=where
         )
         return None if routed is None else routed.select(*order)
 
@@ -237,14 +343,31 @@ class WorkloadAdvisor:
 
     def recommendations(self) -> list[dict]:
         """Shapes seen >= min_count times, hottest first, that do not
-        already have a reflection registered."""
+        already have a reflection registered. Join shapes carry the join
+        subtree (tables/keys/FROM text) needed to materialize them."""
         existing = {e["name"] for e in self.accelerator.status()}
         out = []
-        for (dataset, dims), entry in sorted(
+        for key, entry in sorted(
             self._shapes.items(), key=lambda kv: -kv[1]["count"]
         ):
             if entry["count"] < self.min_count:
                 continue
+            if key[0] == "join":
+                _, tables_sorted, _keys, dims = key
+                name = self._reflection_name("_".join(t.split(".")[-1] for t in tables_sorted), dims)
+                if name in existing:
+                    continue
+                out.append(
+                    {
+                        "name": name,
+                        "join": dict(entry["join"]),
+                        "dimensions": list(dims),
+                        "measures": sorted(entry["measures"]),
+                        "hits": entry["count"],
+                    }
+                )
+                continue
+            dataset, dims = key
             name = self._reflection_name(dataset, dims)
             if name in existing:
                 continue
@@ -274,14 +397,47 @@ class WorkloadAdvisor:
         rewrites dotted lake names to its registered temp views)."""
         created = []
         for rec in self.recommendations():
+            join = rec.get("join")
+            colmap = join["colmap"] if join else {}
             cols = []
             for col, agg in rec["measures"]:
+                colq = colmap.get(col, col)
                 if col == "*":
                     cols.append("COUNT(*) AS n_rows")
                 elif agg == "NDV":
-                    cols.append(f"hll_sketch_agg({col}) AS {col}_hll")
+                    cols.append(f"hll_sketch_agg({colq}) AS {col}_hll")
                 else:
-                    cols.append(f"{agg}({col}) AS {col}_{agg.lower()}")
+                    cols.append(f"{agg}({colq}) AS {col}_{agg.lower()}")
+            if join:
+                # materialize the join ONCE; dims selected under their bare
+                # stored names so routing's rollup finds them
+                dim_items = [
+                    dq if dq == b else f"{dq} AS {b}"
+                    for dq, b in (
+                        (dq, dq.rpartition(".")[2]) for dq in join["dims_q"]
+                    )
+                ]
+                body = (
+                    f"SELECT {', '.join(dim_items + cols)} "
+                    f"FROM {join['from']} GROUP BY {', '.join(join['dims_q'])}"
+                )
+                anchor_set: list[str] = []
+                for t in join["tables"]:
+                    for a in anchors_for(t) if anchors_for else [t]:
+                        if a not in anchor_set:
+                            anchor_set.append(a)
+                if prepare_sql is not None:
+                    body = prepare_sql(body)
+                self.accelerator.create_reflection(rec["name"], body, anchor_set)
+                self.accelerator.register_join_agg_shape(
+                    rec["name"],
+                    join["tables"],
+                    join["keys"],
+                    list(rec["dimensions"]),
+                    rec["measures"],
+                )
+                created.append(rec["name"])
+                continue
             body = (
                 f"SELECT {', '.join(list(rec['dimensions']) + cols)} "
                 f"FROM {rec['dataset']} GROUP BY {', '.join(rec['dimensions'])}"
@@ -303,9 +459,17 @@ class WorkloadAdvisor:
         min_count since the advisor started watching) — the retire half of
         the reference's lifecycle (readme.md:387 'removes unnecessary
         reflections')."""
+        def shape_name(key) -> str:
+            if key[0] == "join":
+                _, tables_sorted, _k, dims = key
+                return self._reflection_name(
+                    "_".join(t.split(".")[-1] for t in tables_sorted), dims
+                )
+            return self._reflection_name(*key)
+
         hot = {r["name"] for r in self.recommendations()} | {
-            self._reflection_name(ds, dims)
-            for (ds, dims), e in self._shapes.items()
+            shape_name(key)
+            for key, e in self._shapes.items()
             if e["count"] >= self.min_count
         }
         dropped = []

@@ -87,13 +87,15 @@ def test_stale_reflection_falls_back_and_stays_correct(runner):
 
 def test_uncovered_queries_fall_back(runner):
     runner.run(_REFLECTION)
-    # WHERE over raw rows is not provably servable from partials
+    # WHERE over a MEASURE column is not servable from partials
     out = runner.run(
         "SELECT region, SUM(amount) AS total FROM dremio.demo.sales "
-        "WHERE product = 'a' GROUP BY region"
+        "WHERE amount > 5 GROUP BY region"
     )
     assert not _reads_reflection(out)
-    assert {r.region: r.total for r in out.collect()} == {"east": 30.0, "west": 7.0}
+    assert {r.region: r.total for r in out.collect()} == {
+        "east": 30.0, "west": 27.0, "north": 100.0,
+    }
     # a dim the reflection lacks
     out2 = runner.run(
         "SELECT product, SUM(amount) AS t FROM dremio.demo.sales GROUP BY product"
@@ -101,6 +103,56 @@ def test_uncovered_queries_fall_back(runner):
     # product IS covered (subset of dims) -> routes; sanity-check values
     assert _reads_reflection(out2)
     assert {r.product: r.t for r in out2.collect()} == {"a": 37.0, "b": 25.0, "c": 100.0}
+
+
+def test_where_on_dimension_served_from_reflection(runner):
+    """Round-6 task #1: a WHERE predicate over the reflection's DIMENSION
+    columns is served by filtering the materialized partials before the
+    rollup — Dremio's bread-and-butter 'accelerates any query it covers'
+    (readme.md:331-355; the workshop queries customer_spend per-city,
+    readme.md:307-329). Exact because dims are stored raw."""
+    runner.run(_REFLECTION)
+    sql = (
+        "SELECT region, SUM(amount) AS total, AVG(amount) AS avg_amt "
+        "FROM dremio.demo.sales WHERE product = 'a' GROUP BY region"
+    )
+    out = runner.run(sql)
+    assert _reads_reflection(out), "dim-predicate query must route"
+    got = {r.region: (r.total, r.avg_amt) for r in out.collect()}
+    runner.use_reflection_routing = False
+    want = {r.region: (r.total, r.avg_amt) for r in runner.run(sql).collect()}
+    assert got == want == {"east": (30.0, 15.0), "west": (7.0, 7.0)}
+    runner.use_reflection_routing = True
+
+    # filter dim not in GROUP BY; IN-list; AND of dims — all dim-only
+    out2 = runner.run(
+        "SELECT region, COUNT(amount) AS n FROM dremio.demo.sales "
+        "WHERE product IN ('a', 'b') AND region <> 'north' GROUP BY region"
+    )
+    assert _reads_reflection(out2)
+    assert {r.region: r.n for r in out2.collect()} == {"east": 3, "west": 3}
+
+    # function over a dim is still exact (applied to the raw stored dim)
+    out3 = runner.run(
+        "SELECT region, SUM(amount) AS t FROM dremio.demo.sales "
+        "WHERE UPPER(product) = 'A' GROUP BY region"
+    )
+    assert _reads_reflection(out3)
+    assert {r.region: r.t for r in out3.collect()} == {"east": 30.0, "west": 7.0}
+
+    # a string literal that NAMES a measure column must not block routing
+    out4 = runner.run(
+        "SELECT region, SUM(amount) AS t FROM dremio.demo.sales "
+        "WHERE product = 'amount' GROUP BY region"
+    )
+    assert _reads_reflection(out4)
+    assert out4.count() == 0
+
+    # stale reflection: dim-filtered query falls back and stays correct
+    runner.run("INSERT INTO dremio.demo.sales VALUES ('east', 'a', 1.0)")
+    out5 = runner.run(sql)
+    assert not _reads_reflection(out5)
+    assert {r.region: r.total for r in out5.collect()}["east"] == 31.0
 
 
 def test_advisor_recommended_reflection_routes_too(spark, tmp_path):
@@ -351,14 +403,32 @@ def test_join_reflection_uncovered_shapes_fall_back(join_runner):
         "GROUP BY c.region"
     )
     assert not _reads_reflection(join_runner.run(sql_left))
-    # WHERE over raw rows -> plain plan
+    # WHERE over a measure / join-key column -> plain plan
     sql_where = (
+        "SELECT c.region, SUM(o.amount) AS total "
+        "FROM dremio.demo.orders2 o "
+        "JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id "
+        "WHERE o.amount > 5 GROUP BY c.region"
+    )
+    assert not _reads_reflection(join_runner.run(sql_where))
+
+
+def test_join_query_with_dim_filter_served_from_reflection(join_runner):
+    """Round-6 task #1, join half: WHERE over the join reflection's dim
+    columns (alias-qualified in the query) filters the materialized
+    partials — value-identical to the plain join plan."""
+    sql = (
         "SELECT c.region, SUM(o.amount) AS total "
         "FROM dremio.demo.orders2 o "
         "JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id "
         "WHERE c.tier = 'gold' GROUP BY c.region"
     )
-    assert not _reads_reflection(join_runner.run(sql_where))
+    out = join_runner.run(sql)
+    assert _reads_reflection(out), "dim-filtered join query must route"
+    got = {r.region: r.total for r in out.collect()}
+    join_runner.use_reflection_routing = False
+    want = {r.region: r.total for r in join_runner.run(sql).collect()}
+    assert got == want == {"east": 30.0, "west": 12.0}
 
 
 def test_view_with_computed_column_not_join_registered(spark, tmp_path):
@@ -393,3 +463,160 @@ def test_view_with_computed_column_not_join_registered(spark, tmp_path):
     assert not _reads_reflection(out)
     # raw values, not the view's doubled ones
     assert {x.region: x.total for x in out.collect()} == {"east": 10.0, "west": 5.0}
+
+
+# ------------------------------------- incremental refresh of join shapes
+
+
+def test_join_reflection_incremental_refresh_on_fact_append(join_runner):
+    """Round-6 task #3: after an append-only fact-side commit, the join
+    reflection refreshes by joining ONLY the delta against the dim side
+    and merging partials — no full fact re-join (the fact table's full
+    read() is never invoked), values identical to a full recompute."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import lakeshim
+
+    acc = join_runner.accelerator
+    assert acc.is_fresh("cs_refl")
+    join_runner.run(
+        "INSERT INTO dremio.demo.orders2 VALUES (1, 500.0), (2, 3.0), (3, 0.5)"
+    )
+    assert not acc.is_fresh("cs_refl")
+
+    read_names = []
+    orig_read = lakeshim.LakeTable.read
+
+    def spy_read(self, *a, **kw):
+        read_names.append(self.name)
+        return orig_read(self, *a, **kw)
+
+    lakeshim.LakeTable.read = spy_read
+    try:
+        assert acc.refresh_incremental_agg("cs_refl") is True
+    finally:
+        lakeshim.LakeTable.read = orig_read
+    assert "dremio.demo.orders2" not in read_names, (
+        "fact side must be read incrementally, never fully re-joined"
+    )
+    assert "dremio.demo.customers2" in read_names
+    assert acc.is_fresh("cs_refl")
+
+    sql = (
+        "SELECT c.region, SUM(o.amount) AS total, AVG(o.amount) AS avg_amt, "
+        "MIN(o.amount) AS lo, MAX(o.amount) AS hi "
+        "FROM dremio.demo.orders2 o "
+        "JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id "
+        "GROUP BY c.region"
+    )
+    out = join_runner.run(sql)
+    assert _reads_reflection(out)
+    got = {r.region: (r.total, r.avg_amt, r.lo, r.hi) for r in out.collect()}
+    join_runner.use_reflection_routing = False
+    want = {r.region: (r.total, r.avg_amt, r.lo, r.hi) for r in join_runner.run(sql).collect()}
+    assert got == want
+    assert got["east"] == (631.5, 631.5 / 6, 0.5, 500.0)
+
+
+def test_join_reflection_incremental_refuses_dim_rewrite(join_runner):
+    """A dim-side UPDATE rewrites history — the delta algebra is undefined;
+    the incremental path must refuse and full refresh() recovers."""
+    acc = join_runner.accelerator
+    join_runner.run(
+        "UPDATE dremio.demo.customers2 SET region = 'south' WHERE customer_id = 2"
+    )
+    assert acc.refresh_incremental_agg("cs_refl") is False
+    acc.refresh("cs_refl")
+    assert acc.is_fresh("cs_refl")
+    out = join_runner.run(
+        "SELECT c.region, SUM(o.amount) AS total "
+        "FROM dremio.demo.orders2 o "
+        "JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id "
+        "GROUP BY c.region"
+    )
+    assert _reads_reflection(out)
+    assert {r.region: r.total for r in out.collect()} == {
+        "east": 131.0, "south": 12.0,
+    }
+
+
+def test_join_reflection_incremental_refuses_both_sides_advanced(join_runner):
+    acc = join_runner.accelerator
+    join_runner.run("INSERT INTO dremio.demo.orders2 VALUES (1, 1.0)")
+    join_runner.run(
+        "INSERT INTO dremio.demo.customers2 VALUES (4, 'north', 'gold')"
+    )
+    assert acc.refresh_incremental_agg("cs_refl") is False
+    acc.refresh("cs_refl")
+    assert acc.is_fresh("cs_refl")
+
+
+def test_join_reflection_incremental_dim_side_append(join_runner):
+    """Append-only growth on the DIM side is also exact (inner join
+    distributes over union on either input): new dim rows join the full
+    fact side once, partials merge."""
+    acc = join_runner.accelerator
+    join_runner.run("INSERT INTO dremio.demo.orders2 VALUES (9, 77.0)")
+    acc.refresh("cs_refl")  # pick up the orphan fact row (joins nothing yet)
+    join_runner.run(
+        "INSERT INTO dremio.demo.customers2 VALUES (9, 'east', 'gold')"
+    )
+    assert acc.refresh_incremental_agg("cs_refl") is True
+    sql = (
+        "SELECT c.region, SUM(o.amount) AS total "
+        "FROM dremio.demo.orders2 o "
+        "JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id "
+        "GROUP BY c.region"
+    )
+    out = join_runner.run(sql)
+    assert _reads_reflection(out)
+    assert {r.region: r.total for r in out.collect()}["east"] == 131.0 + 77.0
+
+
+def test_advisor_recommends_and_creates_join_reflection(spark, tmp_path):
+    """Round-6 task #5: the autonomous lifecycle for the JOIN half
+    (readme.md:381-389) — a repeated join+GROUP BY workload is
+    fingerprinted, accelerate() materializes a JOIN reflection, and the
+    next query (including a dim-subset variant) is routed to it."""
+    lake = Lakehouse(spark, str(tmp_path / "whja"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.fact (cid BIGINT, amount DOUBLE);
+        INSERT INTO dremio.demo.fact VALUES (1, 10.0), (1, 20.0), (2, 5.0), (3, 8.0);
+        CREATE TABLE dremio.demo.dim (cid BIGINT, city VARCHAR, seg VARCHAR);
+        INSERT INTO dremio.demo.dim VALUES
+          (1, 'york', 'a'), (2, 'kent', 'a'), (3, 'york', 'b');
+        """
+    )
+    _ = r.advisor  # enable observation
+    hot = (
+        "SELECT d.city, d.seg, SUM(f.amount) AS total, AVG(f.amount) AS avg_amt "
+        "FROM dremio.demo.fact f JOIN dremio.demo.dim d ON f.cid = d.cid "
+        "GROUP BY d.city, d.seg"
+    )
+    for _i in range(3):
+        r.run(hot)
+    recs = r.advisor.recommendations()
+    assert any("join" in rec for rec in recs), "join shape must be recommended"
+    created = r.accelerate()
+    assert created
+    r.use_reflection_routing = True
+    # dim-subset variant with different aliases must route
+    out = r.run(
+        "SELECT y.city, SUM(x.amount) AS total "
+        "FROM dremio.demo.fact x JOIN dremio.demo.dim y ON x.cid = y.cid "
+        "GROUP BY y.city"
+    )
+    assert _reads_reflection(out)
+    assert {q.city: q.total for q in out.collect()} == {"york": 38.0, "kent": 5.0}
+    # and the advisor-created join reflection refreshes incrementally on
+    # fact appends (task #3 composing with task #5)
+    r.run("INSERT INTO dremio.demo.fact VALUES (2, 100.0)")
+    assert r.accelerator.refresh_incremental_agg(created[0]) is True
+    out2 = r.run(
+        "SELECT y.city, SUM(x.amount) AS total "
+        "FROM dremio.demo.fact x JOIN dremio.demo.dim y ON x.cid = y.cid "
+        "GROUP BY y.city"
+    )
+    assert _reads_reflection(out2)
+    assert {q.city: q.total for q in out2.collect()} == {"york": 38.0, "kent": 105.0}
