@@ -756,3 +756,92 @@ def knn_pq(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × PQ composed — the real large-scale ANN serving shape
+    (:func:`knn_pq`'s docstring names it): the IVF coarse quantizer
+    restricts ADC scoring to each query's ``nprobe`` cells, making
+    per-query work O(nprobe · cell) instead of O(|corpus|), while corpus
+    vectors still live only as ``m_sub`` PQ codes (16× compression at
+    64-dim). Codes are trained on the RAW vectors (not residuals) so every
+    stage stays exact int64 and the DuckDB oracle replays training +
+    encoding + probing + ADC bit-identically.
+
+    At 100 TB: centroids and codebook are broadcast-small; corpus cell
+    assignment and PQ encoding are map-side broadcast joins computed once
+    (index build); serving joins the (cand_id, cell_id, m, code) table
+    against a broadcast (query_id, cell_id) probe set and a broadcast
+    per-query distance table — the only wide operation is the partial-
+    aggregated per-pair distance sum + top-k, over a candidate set already
+    shrunk ~n_cells/nprobe-fold. Output: (query_id, cand_id, approx_dist,
+    rank), ascending distance, ties broken by cand_id."""
+    sub_dim = dim // m_sub
+    corpus = _widen(corpus)
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    # coarse: each corpus vector lives in exactly one cell
+    c_cell = _assign_cells(
+        corpus.select(
+            F.col(id_col).cast("long").alias("cand_id"),
+            quantized(F.col(vec_col)).alias("cand_id_vec"),
+        ),
+        cents,
+        "cand_id",
+        nprobe=1,
+    ).select("cand_id", "cell_id")
+    # fine: PQ-encode the corpus (the only corpus representation served)
+    book = pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col)
+    sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
+    codes = _pq_nearest(sub, book, "cand_id").join(c_cell, "cand_id")
+
+    q_cell = _assign_cells(
+        queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            quantized(F.col(vec_col)).alias("query_id_vec"),
+        ),
+        cents,
+        "query_id",
+        nprobe=nprobe,
+    ).select("query_id", "cell_id")
+    qv = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    qsub = _pq_subvectors(qv, "query_id", "query_id", F.col("qv"), m_sub, sub_dim)
+    dtab = qsub.join(F.broadcast(book), "m").select(
+        "query_id", "m", "code", _l2_int(F.col("sv"), F.col("cv")).alias("d")
+    )
+    # each cand is in ONE cell and (query, cell) probe pairs are distinct,
+    # so (query_id, cand_id, m) appears at most once — the SUM is the full
+    # ADC distance with no dedup step
+    scored = (
+        codes.join(F.broadcast(q_cell), "cell_id")
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d").alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("approx_dist").cast("long").alias("approx_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

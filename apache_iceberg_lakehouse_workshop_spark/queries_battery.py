@@ -278,6 +278,8 @@ db_neardup_battery = _register_battery(
          {"vec_a": "k1", "vec_b": "k2", "cosine_sim": "v1"}),
         ("s6_knn_pq", "s6_knn_pq",
          {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
+        ("s7_knn_ivfpq", "s7_knn_ivfpq",
+         {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
     ],
 )
 
@@ -498,6 +500,7 @@ ABSORBED = {
     "t9_decontaminate": "db_neardup_battery",
     "s5_embedding_neardup_lsh": "db_neardup_battery",
     "s6_knn_pq": "db_neardup_battery",
+    "s7_knn_ivfpq": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "t8_vocab_topk": "tb_sample_battery",

@@ -689,6 +689,135 @@ def s6_knn_pq(spark, sf_dir):
     return SIM.knn_pq(emb, queries, k=5, dim=64, m_sub=4, k_codes=16)
 
 
+def _ivfpq_oracle(
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of knn_ivfpq: the _ivf_oracle coarse-quantizer CTEs
+    (centroid training + cell assignment) composed with the _pq_oracle
+    fine-quantizer CTEs (codebook training + encoding + per-query distance
+    tables); ADC scoring restricted to candidates in the query's nprobe
+    cells. Same exact-int arithmetic end to end — bit-identical replay."""
+    d1 = dim + 1
+    sd = dim // m_sub
+    cos = (
+        "CASE WHEN {na} > 0 AND {nc} > 0 "
+        "THEN CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nc} AS DOUBLE)) "
+        "ELSE 0.0 END"
+    )
+    l2 = (
+        "(SELECT SUM(({a}[t.i] - {b}[t.i]) * ({a}[t.i] - {b}[t.i])) "
+        f"FROM range(1, {sd + 1}) t(i))"
+    )
+    return f"""WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+       seed_ids AS (SELECT vec_id AS sid FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}),
+       seeds AS (SELECT row_number() OVER (ORDER BY sid) AS cell_id, v.qv AS centroid
+                 FROM seed_ids JOIN v ON v.vec_id = seed_ids.sid),
+       vn AS (SELECT vec_id, qv,
+                     (SELECT SUM(qv[t.i] * qv[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM v),
+       sn AS (SELECT cell_id, centroid,
+                     (SELECT SUM(centroid[t.i] * centroid[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM seeds),
+       sa AS (SELECT vn.vec_id, sn.cell_id,
+                     {cos.format(dot=f"(SELECT SUM(vn.qv[t.i] * sn.centroid[t.i]) FROM range(1, {d1}) t(i))", na="vn.nrm", nc="sn.nrm")} AS sim
+              FROM vn CROSS JOIN sn),
+       a1c AS (SELECT vec_id, cell_id
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY sim DESC, cell_id) AS rn FROM sa)
+               WHERE rn = 1),
+       cmeans AS (SELECT a1c.cell_id, t.i AS pos,
+                         round(CAST(SUM(v.qv[t.i]) AS DOUBLE) / COUNT(*)) AS mval
+                  FROM a1c JOIN v USING (vec_id) CROSS JOIN range(1, {d1}) t(i)
+                  GROUP BY a1c.cell_id, t.i),
+       cents AS (SELECT cell_id, list(mval::BIGINT ORDER BY pos) AS centroid
+                 FROM cmeans GROUP BY cell_id),
+       cn AS (SELECT cell_id, centroid,
+                     (SELECT SUM(centroid[t.i] * centroid[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM cents),
+       ca AS (SELECT vn.vec_id, cn.cell_id,
+                     {cos.format(dot=f"(SELECT SUM(vn.qv[t.i] * cn.centroid[t.i]) FROM range(1, {d1}) t(i))", na="vn.nrm", nc="cn.nrm")} AS sim
+              FROM vn CROSS JOIN cn),
+       corpus_cell AS (SELECT vec_id, cell_id
+                       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                          ORDER BY sim DESC, cell_id) AS rn FROM ca)
+                       WHERE rn = 1),
+       query_cells AS (SELECT vec_id, cell_id
+                       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                          ORDER BY sim DESC, cell_id) AS rn FROM ca)
+                       WHERE rn <= {nprobe} AND vec_id < 10),
+       sub AS (SELECT vec_id, m.m AS m, qv[m.m*{sd}+1 : (m.m+1)*{sd}] AS sv
+               FROM v CROSS JOIN range(0, {m_sub}) m(m)),
+       pseed_ids AS (SELECT vec_id AS sid FROM embeddings
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}),
+       pseeds AS (SELECT row_number() OVER (ORDER BY sid) AS code, v.qv
+                  FROM pseed_ids JOIN v ON v.vec_id = pseed_ids.sid),
+       sbook AS (SELECT code, m.m AS m, qv[m.m*{sd}+1 : (m.m+1)*{sd}] AS cv
+                 FROM pseeds CROSS JOIN range(0, {m_sub}) m(m)),
+       a0 AS (SELECT sub.vec_id, sub.m, sbook.code,
+                     {l2.format(a="sub.sv", b="sbook.cv")} AS d
+              FROM sub JOIN sbook ON sbook.m = sub.m),
+       a1 AS (SELECT vec_id, m, code FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY d, code) AS rn FROM a0)
+              WHERE rn = 1),
+       pmeans AS (SELECT a1.m, a1.code, t.i AS pos,
+                         round(CAST(SUM(sub.sv[t.i]) AS DOUBLE) / COUNT(*)) AS mv
+                  FROM a1 JOIN sub USING (vec_id, m)
+                  CROSS JOIN range(1, {sd + 1}) t(i)
+                  GROUP BY a1.m, a1.code, t.i),
+       book AS (SELECT m, code, list(mv::BIGINT ORDER BY pos) AS cv
+                FROM pmeans GROUP BY m, code),
+       enc AS (SELECT sub.vec_id, sub.m, book.code,
+                      {l2.format(a="sub.sv", b="book.cv")} AS d
+               FROM sub JOIN book ON book.m = sub.m),
+       codes AS (SELECT vec_id, m, code FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                                 ORDER BY d, code) AS rn FROM enc)
+                 WHERE rn = 1),
+       dtab AS (SELECT vec_id AS query_id, m, code, d FROM enc WHERE vec_id < 10),
+       cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+                FROM corpus_cell c JOIN query_cells q USING (cell_id)
+                WHERE c.vec_id <> q.vec_id),
+       s AS (SELECT cand.query_id, cand.cand_id, SUM(dt.d) AS approx_dist
+             FROM cand
+             JOIN codes c ON c.vec_id = cand.cand_id
+             JOIN dtab dt ON dt.query_id = cand.query_id
+                         AND dt.m = c.m AND dt.code = c.code
+             GROUP BY cand.query_id, cand.cand_id)
+       SELECT CAST(query_id AS BIGINT) AS query_id,
+              CAST(cand_id AS BIGINT) AS cand_id,
+              CAST(approx_dist AS BIGINT) AS approx_dist,
+              CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY approx_dist, cand_id) AS rnk
+             FROM s) t
+       WHERE rnk <= {k}"""
+
+
+@q(
+    "s7_knn_ivfpq",
+    _ivfpq_oracle(),
+    "IVF x PQ composed — the real large-scale ANN serving shape: the "
+    "coarse quantizer restricts asymmetric-distance scoring to each "
+    "query's nprobe cells (per-query work O(nprobe*cell), not O(corpus)) "
+    "while the corpus lives only as m_sub PQ codes (16x compression). "
+    "Exact int64 throughout; the DuckDB oracle replays centroid + codebook "
+    "training, encoding, probing, and ADC bit-identically.",
+)
+def s7_knn_ivfpq(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.knn_ivfpq(
+        emb, queries, k=5, dim=64, m_sub=4, k_codes=16, n_cells=16, nprobe=4
+    )
+
+
 # =====================================================================
 # Multimodal columns
 # =====================================================================

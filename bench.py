@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "d1_exact_dup_groups", # content-hash dedup
     "d2_minhash_lsh_pairs",# MinHash-LSH near-dup (bucketed candidate join)
     "s1_knn_bruteforce",   # ANN brute force
+    "s6_knn_pq",           # PQ/ADC compressed ANN (broadcast distance tables)
+    "s7_knn_ivfpq",        # IVF x PQ composed (cell-restricted ADC)
     "j13_asof_join",       # as-of join (union + single-window merge plan)
     "e1_daily_event_rollup",
     "e3_session_rollup",   # dynamic session windows (sort-heavy stateful shape)
@@ -137,6 +139,104 @@ def _reflection_probe(spark) -> dict[str, float]:
             "reflection_build_s": round(build_s, 4),
             "cold_input_rows": big.count(),
             "accelerated_input_rows": n_mat}
+
+
+def _routed_reflection_probe(spark) -> dict:
+    """Round-6 acceleration probe: a never-seen JOIN + GROUP BY query with
+    a WHERE over a dimension column, served by the join-aware
+    filter-aware reflection routing (accelerator.route_join_aggregate) vs
+    the plain join plan over the same lake tables. The fact side is a 16×
+    orders union (~24M rows at sf0.1) so the scan-cardinality advantage
+    (24M joined rows -> a few hundred stored partials) clears the job-
+    launch floor — the scale-invariant quantity the routing buys. Build
+    (materialization) time reported separately, as Dremio does."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_lakehouse_workshop_spark.plans import AcceleratorRegistry, Lakehouse
+
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    with tempfile.TemporaryDirectory() as wh:
+        lake = Lakehouse(spark, wh)
+        big = orders
+        for _ in range(4):  # 16x fact side
+            big = big.unionAll(big)
+        t_o = lake.create_table_as("bench.orders_big", big)
+        t_c = lake.create_table_as("bench.cust", customer)
+        acc = AcceleratorRegistry(lake)
+
+        def defn():
+            o, c = t_o.read(), t_c.read()
+            return (
+                o.join(c, o.o_custkey == c.c_custkey)
+                .groupBy("c_mktsegment", "c_nationkey")
+                .agg(
+                    F.sum("o_totalprice").alias("o_totalprice_sum"),
+                    F.count("o_totalprice").alias("o_totalprice_count"),
+                    F.count("*").alias("n_rows"),
+                )
+            )
+
+        tables = ["bench.orders_big", "bench.cust"]
+        keys = ["bench.orders_big.o_custkey=bench.cust.c_custkey"]
+        t0 = time.time()
+        acc.create_reflection("cust_spend", defn, tables)
+        build_s = time.time() - t0
+        acc.register_join_agg_shape(
+            "cust_spend",
+            tables,
+            keys,
+            ["c_mktsegment", "c_nationkey"],
+            [("o_totalprice", "SUM"), ("o_totalprice", "COUNT"), ("*", "COUNT")],
+        )
+        measures = [
+            ("SUM", "o_totalprice", "total"),
+            ("AVG", "o_totalprice", "avg_price"),
+        ]
+        where = "c_mktsegment = 'BUILDING'"
+
+        cold_runs, cold = [], None
+        for _ in range(REPS):
+            t1 = time.time()
+            o, c = t_o.read(), t_c.read()
+            cold = (
+                o.join(c, o.o_custkey == c.c_custkey)
+                .filter(where)
+                .groupBy("c_nationkey")
+                .agg(
+                    F.sum("o_totalprice").alias("total"),
+                    F.avg("o_totalprice").alias("avg_price"),
+                )
+                .collect()
+            )
+            cold_runs.append(time.time() - t1)
+
+        routed_runs, routed = [], None
+        for _ in range(REPS):
+            t1 = time.time()
+            df = acc.route_join_aggregate(
+                tables, keys, ["c_nationkey"], measures, where=where
+            )
+            assert df is not None, "filtered join query must route"
+            routed = df.collect()
+            routed_runs.append(time.time() - t1)
+        want = {r["c_nationkey"]: (r["total"], r["avg_price"]) for r in cold}
+        got = {r["c_nationkey"]: (r["total"], r["avg_price"]) for r in routed}
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k][0] - want[k][0]) < 1e-6
+            assert abs(got[k][1] - want[k][1]) < 1e-9
+        joined_rows = t_o.read().count()
+        partial_rows = acc.resolve("cust_spend").count()
+    return {
+        "join_cold_s": round(statistics.median(cold_runs), 4),
+        "join_routed_s": round(statistics.median(routed_runs), 4),
+        "reflection_build_s": round(build_s, 4),
+        "cold_fact_rows": joined_rows,
+        "routed_partial_rows": partial_rows,
+    }
 
 
 def _data_skipping_probe(spark) -> dict:
@@ -259,6 +359,23 @@ def _scaled_section(spark) -> dict:
         big = replicate(emb, times, {"vec_id": 1_000_000})
         return SIM.knn_ivf(big, emb_queries, k=5, n_cells=16, nprobe=4), times * 2_000
 
+    def s6(times):
+        big = replicate(emb, times, {"vec_id": 1_000_000})
+        return (
+            SIM.knn_pq(big, emb_queries, k=5, dim=64, m_sub=4, k_codes=16),
+            times * 2_000,
+        )
+
+    def s7(times):
+        big = replicate(emb, times, {"vec_id": 1_000_000})
+        return (
+            SIM.knn_ivfpq(
+                big, emb_queries, k=5, dim=64, m_sub=4, k_codes=16,
+                n_cells=16, nprobe=4,
+            ),
+            times * 2_000,
+        )
+
     def j13(times):
         big = replicate(
             events, times, {"user_id": 10_000_000, "event_id": 100_000_000}
@@ -283,6 +400,8 @@ def _scaled_section(spark) -> dict:
         "d5_dup_clusters": (d5, 2, 16),
         "s3_knn_lsh": (s3, 8, 64),
         "s4_knn_ivf": (s4, 8, 64),
+        "s6_knn_pq": (s6, 8, 64),
+        "s7_knn_ivfpq": (s7, 8, 64),
         "j13_asof_join": (j13, 8, 64),
     }
     out = {}
@@ -341,6 +460,7 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
 
     reflection = _reflection_probe(spark)
+    routed = _routed_reflection_probe(spark)
     skipping = _data_skipping_probe(spark)
     scaled = _scaled_section(spark)
     total = round(sum(timings.values()), 4)
@@ -355,6 +475,7 @@ def main() -> None:
         "lineitem_rows": n_rows,
         "rows_per_sec_multi_avg": round(n_rows / timings["multi_avg_scan"], 1),
         "reflection": reflection,
+        "routed_reflection": routed,
         "data_skipping": skipping,
         "scaled": scaled,
     }

@@ -265,3 +265,51 @@ def test_widen_repartitions_derived_corpus(spark):
     assert derived.inputFiles() == []
     assert _widen(derived).rdd.getNumPartitions() == par
     assert _widen(derived, widen=False).rdd.getNumPartitions() == 1
+
+
+def test_ivfpq_composes_coarse_and_fine_quantizers(spark, sf_dir):
+    """knn_ivfpq (round-6 task #2): (a) family schema/rank contract,
+    (b) every returned (query, cand) pair carries EXACTLY the ADC distance
+    the full PQ scan assigns it (the coarse quantizer only FILTERS
+    candidates, never changes distances), (c) candidates come only from
+    the query's probed cells, and (d) an exact duplicate of the query —
+    same cell, same codes — lands in the top-k at the global-min ADC
+    distance (the retrieval guarantee dedup pipelines need)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    out = SIM.knn_ivfpq(emb, queries, k=5, dim=64, m_sub=4, k_codes=16,
+                        n_cells=16, nprobe=4)
+    rows = out.collect()
+    assert out.columns == ["query_id", "cand_id", "approx_dist", "rank"]
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.vec_id for r in queries.select("vec_id").collect()}
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.approx_dist for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.cand_id != q_id for r in rs)
+
+    # (b) distances agree with the un-probed full PQ scan pair-for-pair
+    full = SIM.knn_pq(emb, queries, k=10**9, dim=64, m_sub=4, k_codes=16)
+    full_d = {(r.query_id, r.cand_id): r.approx_dist for r in full.collect()}
+    for r in rows:
+        assert full_d[(r.query_id, r.cand_id)] == r.approx_dist
+
+    # (d) an exact duplicate shares cell AND codes -> top-k at global min
+    dup = queries.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus2 = emb.select("vec_id", "embedding").unionAll(dup)
+    out2 = SIM.knn_ivfpq(corpus2, queries, k=5, dim=64, m_sub=4, k_codes=16,
+                         n_cells=16, nprobe=4)
+    got2 = {}
+    for r in out2.collect():
+        got2.setdefault(r.query_id, []).append(r)
+    for q_id, rs in got2.items():
+        cands = {r.cand_id for r in rs}
+        assert q_id + 100000 in cands, f"exact dup of {q_id} missed"
+        dup_dist = next(r.approx_dist for r in rs if r.cand_id == q_id + 100000)
+        assert dup_dist == min(r.approx_dist for r in rs)
