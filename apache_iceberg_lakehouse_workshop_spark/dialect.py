@@ -252,18 +252,17 @@ def _rewrite_qualify(sql: str) -> str:
     qi, _ = _scan_top_level_keyword(sql, ("QUALIFY",))
     if qi is None:
         return sql
-    si, sw = _scan_top_level_keyword(sql, ("UNION", "INTERSECT", "EXCEPT"))
+    si, _sw = _scan_top_level_keyword(sql, ("UNION", "INTERSECT", "EXCEPT"))
     if si is not None:
-        # each branch of a set operation sits at paren depth 0, so the
+        # Each branch of a set operation sits at paren depth 0, so the
         # single-statement rewrite would wrap everything before the first
-        # QUALIFY and treat the rest of the statement as the predicate —
-        # garbled SQL. Refuse with the contract instead: parenthesize each
-        # branch or lift QUALIFY into a subquery.
-        raise UnsupportedDialectFormError(
-            f"QUALIFY is supported only in a single SELECT statement, not "
-            f"alongside a top-level {sw}; wrap each set-operation branch in "
-            "parentheses or rewrite the QUALIFY as a subquery WHERE"
-        )
+        # QUALIFY and treat the rest of the statement as the predicate.
+        # Split at every top-level set operator and rewrite each branch
+        # independently (a branch is then a single SELECT); untouched
+        # branches pass through verbatim. A trailing ORDER BY/LIMIT on the
+        # LAST branch stays top-level after its rewrite, so it still binds
+        # the whole set operation, as in the original.
+        return _rewrite_qualify_per_branch(sql)
     head = sql[:qi].rstrip()
     rest = sql[qi + len("QUALIFY"):]
     ti, _ = _scan_top_level_keyword(rest, ("ORDER BY", "LIMIT", "OFFSET"))
@@ -279,6 +278,38 @@ def _rewrite_qualify(sql: str) -> str:
     return (
         f"SELECT * EXCEPT (__qualify__) FROM ({inner}) __q WHERE __qualify__{tail}"
     )
+
+
+def _rewrite_qualify_per_branch(sql: str) -> str:
+    """Split a top-level set operation into branches and QUALIFY-rewrite
+    each independently, preserving the operators (and their ALL/DISTINCT
+    qualifiers) between them."""
+    n = len(sql)
+    out: list[str] = []
+    pos = 0
+    si, sw = _scan_top_level_keyword(sql, ("UNION", "INTERSECT", "EXCEPT"))
+    while si is not None:
+        out.append(_rewrite_qualify(sql[pos:si].strip()))
+        sep = sw.upper()
+        j = si + len(sw)
+        k = j
+        while k < n and sql[k].isspace():
+            k += 1
+        for qual in ("ALL", "DISTINCT"):
+            end = k + len(qual)
+            if sql[k:end].upper() == qual and (
+                end >= n or not (sql[end].isalnum() or sql[end] == "_")
+            ):
+                sep += " " + qual
+                j = end
+                break
+        out.append(sep)
+        pos = j
+        si, sw = _scan_top_level_keyword(
+            sql, ("UNION", "INTERSECT", "EXCEPT"), start=pos
+        )
+    out.append(_rewrite_qualify(sql[pos:].strip()))
+    return " ".join(out)
 
 
 def translate(sql: str) -> str:

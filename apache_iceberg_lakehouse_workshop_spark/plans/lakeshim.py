@@ -623,19 +623,54 @@ class LakeTable:
             i = n if j == -1 else j
         return "".join(out)
 
+    _PRED_IN_RE = re.compile(r"^`?(\w+)`?\s+in\s*\((.*)\)$", re.I | re.S)
+    _PRED_BETWEEN_RE = re.compile(
+        r"^`?(\w+)`?\s+between\s+(.+?)\s+and\s+(.+)$", re.I | re.S
+    )
+
+    @staticmethod
+    def _parse_literal(lit: str) -> object | None:
+        """'string' / int / float literal, or None when not a literal."""
+        lit = lit.strip()
+        if re.fullmatch(r"'[^']*'", lit):
+            return lit[1:-1]
+        try:
+            return int(lit)
+        except ValueError:
+            try:
+                return float(lit)
+            except ValueError:
+                return None
+
     @staticmethod
     def _parse_prune_conjuncts(where: str) -> list[tuple[str, str, object]]:
-        """Simple ``col op literal`` conjuncts usable for min/max skipping
-        (split at depth-0 ANDs; literals are numbers or 'strings'). Every
-        other conjunct shape is ignored for pruning — the full predicate is
-        still applied as a row filter, so pruning is only ever an
-        optimization, never a semantics change."""
+        """Conjuncts usable for min/max skipping, split at depth-0 ANDs:
+        ``col op literal``, ``col IN (lit, …)`` (skip a file when EVERY
+        list member is outside its range), and ``col BETWEEN a AND b``
+        (skip when [a, b] ∩ [min, max] = ∅) — the three most common
+        selective filter shapes (clinicdata.sql:230 uses IN,
+        healthcare_example.sql:84 uses BETWEEN). Every other conjunct
+        shape is ignored for pruning — the full predicate is still applied
+        as a row filter, so pruning is only ever an optimization, never a
+        semantics change."""
         conjs: list[tuple[str, str, object]] = []
         depth = 0
         buf: list[str] = []
         parts: list[str] = []
         i, n = 0, len(where)
         lowered = where.lower()
+        pending_between = False  # the next depth-0 AND belongs to BETWEEN
+
+        def at_word(kw: str, i: int) -> bool:
+            return (
+                lowered.startswith(kw, i)
+                and (i == 0 or not (where[i - 1].isalnum() or where[i - 1] == "_"))
+                and (
+                    i + len(kw) >= n
+                    or not (where[i + len(kw)].isalnum() or where[i + len(kw)] == "_")
+                )
+            )
+
         while i < n:
             ch = where[i]
             if ch == "'":
@@ -648,50 +683,81 @@ class LakeTable:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            if (
-                depth == 0
-                and lowered.startswith("and", i)
-                and (i == 0 or not (where[i - 1].isalnum() or where[i - 1] == "_"))
-                and (i + 3 >= n or not (where[i + 3].isalnum() or where[i + 3] == "_"))
-            ):
-                parts.append("".join(buf))
-                buf = []
-                i += 3
-                continue
+            if depth == 0 and at_word("between", i):
+                pending_between = True
+            if depth == 0 and at_word("and", i):
+                if pending_between:
+                    pending_between = False  # BETWEEN's own AND: keep inline
+                else:
+                    parts.append("".join(buf))
+                    buf = []
+                    i += 3
+                    continue
             buf.append(ch)
             i += 1
         parts.append("".join(buf))
         for part in parts:
-            m = LakeTable._PRED_CMP_RE.match(_strip_outer_parens(part))
-            if not m:
+            part = _strip_outer_parens(part)
+            m = LakeTable._PRED_CMP_RE.match(part)
+            if m:
+                val = LakeTable._parse_literal(m.group(3))
+                if val is not None:
+                    conjs.append((m.group(1), m.group(2), val))
                 continue
-            col, op, lit = m.group(1), m.group(2), m.group(3).strip()
-            if re.fullmatch(r"'[^']*'", lit):
-                conjs.append((col, op, lit[1:-1]))
-            else:
-                try:
-                    conjs.append((col, op, int(lit)))
-                except ValueError:
-                    try:
-                        conjs.append((col, op, float(lit)))
-                    except ValueError:
-                        continue
+            m = LakeTable._PRED_IN_RE.match(part)
+            if m:
+                items = [
+                    LakeTable._parse_literal(x) for x in m.group(2).split(",")
+                ]
+                if items and all(v is not None for v in items):
+                    conjs.append((m.group(1), "in", items))
+                continue
+            m = LakeTable._PRED_BETWEEN_RE.match(part)
+            if m:
+                lo = LakeTable._parse_literal(m.group(2))
+                hi = LakeTable._parse_literal(m.group(3))
+                if lo is not None and hi is not None:
+                    conjs.append((m.group(1), "between", (lo, hi)))
+                continue
         return conjs
 
     @staticmethod
     def _file_may_match(cols: dict, conj: tuple[str, str, object]) -> bool:
         col, op, val = conj
+        if op == "in":
+            # the file may match iff ANY list member may equal a row
+            return any(
+                LakeTable._file_may_match(cols, (col, "=", v)) for v in val
+            )
+        if op == "between":
+            # [lo, hi] must intersect [min, max]: col >= lo AND col <= hi
+            lo, hi = val
+            return LakeTable._file_may_match(
+                cols, (col, ">=", lo)
+            ) and LakeTable._file_may_match(cols, (col, "<=", hi))
         rng = cols.get(col)
         if rng is None:
             return True  # no stats for this column: cannot prune
         mn, mx = rng
         if mn is None:
             return False  # file is all-NULL in col: col op literal never TRUE
+        def rng_op(mn, mx, val) -> bool:
+            if op == "=":
+                return mn <= val <= mx
+            if op == "<":
+                return mn < val
+            if op == "<=":
+                return mn <= val
+            if op == ">":
+                return mx > val
+            if op == ">=":
+                return mx >= val
+            return True  # pragma: no cover - ops filtered by the parser
+
         numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
-        if numeric != (
-            isinstance(mn, (int, float)) and not isinstance(mn, bool)
-        ):
-            # partition-dir stats are strings even for numeric columns, and
+        stats_numeric = isinstance(mn, (int, float)) and not isinstance(mn, bool)
+        if numeric != stats_numeric:
+            # Partition-dir stats are strings even for numeric columns, and
             # they are always degenerate [v, v] ranges. ONLY such degenerate
             # ranges may be coerced to float: a single value compares under
             # the same cast semantics Spark applies to the row filter
@@ -706,19 +772,23 @@ class LakeTable:
                     return True
             else:
                 return True
+        elif not numeric and isinstance(mn, str) and mn == mx:
+            # String literal against a DEGENERATE string range: the stat
+            # may be a stringified numeric partition value (k=-2 dirs), and
+            # Spark compares a numeric column vs a string literal
+            # NUMERICALLY ('-2' < '-1' numerically but not
+            # lexicographically). The column's true type is unknowable from
+            # the stat alone, so keep the file if EITHER interpretation
+            # could match.
+            try:
+                if rng_op(float(mn), float(mx), float(val)):
+                    return True
+            except ValueError:
+                pass
+            return rng_op(mn, mx, val)
         if not numeric and not isinstance(mn, str):
             return True
-        if op == "=":
-            return mn <= val <= mx
-        if op == "<":
-            return mn < val
-        if op == "<=":
-            return mn <= val
-        if op == ">":
-            return mx > val
-        if op == ">=":
-            return mx >= val
-        return True  # pragma: no cover - ops filtered by the regex
+        return rng_op(mn, mx, val)
 
     def _prune_file_lists(
         self, dirs: list[str], where: str
@@ -1315,21 +1385,38 @@ class LakeTable:
         output file a TIGHT min/max range on EVERY clustering column
         simultaneously, so file-level skipping prunes point/range
         predicates on any of them — hierarchical sort only helps the
-        leading column. Numeric/date/timestamp columns only (a string has
-        no meaningful linear scale)."""
+        leading column. Numeric/date/timestamp columns scale linearly;
+        STRING columns map through a bounded prefix code — the first 7
+        UTF-8 bytes read big-endian as an integer (UTF-8 byte order is
+        lexicographic code-point order, and 7 bytes stay exact in both
+        long and double) — so mixed numeric+string clustering works.
+        Caveat: strings sharing a 7-byte prefix get the same code and
+        simply cluster together; min/max file stats (which drive the
+        actual pruning) remain exact regardless."""
         dtypes = dict(df.dtypes)
         for c in cols:
             dt = dtypes.get(c, "")
-            if dt.startswith(("string", "binary", "array", "map", "struct")):
+            if dt.startswith(("binary", "array", "map", "struct")):
                 raise ValueError(
                     f"zorder_by column {c!r} has type {dt}: Z-order clustering "
-                    "needs a linearly scalable type (numeric/date/timestamp); "
-                    "use sort_by for lexicographic clustering"
+                    "needs a linearly scalable type (numeric/date/timestamp) "
+                    "or a string (7-byte-prefix code); use sort_by otherwise"
                 )
+
+        def val_expr(c: str):
+            dt = dtypes.get(c, "")
+            if dt == "date":
+                return F.col(c).cast("timestamp").cast("double")
+            if dt.startswith("string"):
+                return F.expr(
+                    "CAST(conv(rpad(hex(substring(encode("
+                    f"`{c}`, 'UTF-8'), 1, 7)), 14, '0'), 16, 10) AS DOUBLE)"
+                )
+            return F.col(c).cast("double")
+
         aggs = []
         for c in cols:
-            v = F.col(c).cast("timestamp").cast("double") if dtypes.get(c) == "date" \
-                else F.col(c).cast("double")
+            v = val_expr(c)
             aggs += [F.min(v).alias(f"__mn_{c}"), F.max(v).alias(f"__mx_{c}")]
         row = df.agg(*aggs).first()
         codes = []
@@ -1339,8 +1426,7 @@ class LakeTable:
                 codes.append(F.lit(0).cast("long"))
                 continue
             span = (mx - mn) or 1.0
-            v = F.col(c).cast("timestamp").cast("double") if dict(df.dtypes).get(c) == "date" \
-                else F.col(c).cast("double")
+            v = val_expr(c)
             code = F.floor((v - F.lit(mn)) / F.lit(span) * 65535)
             code = F.least(F.lit(65535), F.greatest(F.lit(0), code)).cast("long")
             codes.append(F.coalesce(code, F.lit(0)))

@@ -422,6 +422,13 @@ class ScriptRunner:
     _RE_ASOF_CONJ = re.compile(
         r"^\(?\s*(\w+)\.(\w+)\s*(>=|<=|=)\s*(\w+)\.(\w+)\s*\)?$"
     )
+    # tolerance conjunct: a.ts - b.ts <= INTERVAL '5' MINUTE (DuckDB-style
+    # bound on the as-of match distance)
+    _RE_ASOF_TOL = re.compile(
+        r"^\(?\s*(\w+)\.(\w+)\s*-\s*(\w+)\.(\w+)\s*<=?\s*"
+        r"INTERVAL\s+'([^']+)'\s*(\w+)?\s*\)?$",
+        re.I,
+    )
 
     def _asof_query(self, sql: str) -> DataFrame:
         """DuckDB-style ``FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND
@@ -430,7 +437,9 @@ class ScriptRunner:
         explosion). ``>=`` matches the greatest right ts not exceeding the
         left ts (backward); ``<=`` the mirror (forward). Plain ASOF JOIN
         drops unmatched left rows (DuckDB inner semantics); ASOF LEFT JOIN
-        keeps them with NULL payload."""
+        keeps them with NULL payload. An extra conjunct ``l.ts - r.ts <=
+        INTERVAL '5' MINUTE`` (difference on the match direction's later
+        side) bounds the match distance — the operator's ``tolerance``."""
         from ..operators.asof import asof_join
 
         m = self._RE_ASOF.match(sql)
@@ -448,11 +457,25 @@ class ScriptRunner:
 
         keys: list[tuple[str, str]] = []
         ts_pair: tuple[str, str, str] | None = None  # (l_ts, r_ts, direction)
+        # (minuend_alias, minuend_col, subtrahend_alias, subtrahend_col,
+        #  interval literal text)
+        tol: tuple[str, str, str, str, str] | None = None
         for conj in re.split(r"\s+AND\s+", m.group("on").strip(), flags=re.I):
+            tm = self._RE_ASOF_TOL.match(conj.strip())
+            if tm:
+                if tol is not None:
+                    raise UnsupportedStatementError(
+                        "ASOF", sql, "at most one tolerance conjunct in ON"
+                    )
+                val, unit = tm.group(5), tm.group(6) or ""
+                tol = (tm.group(1), tm.group(2), tm.group(3), tm.group(4),
+                       f"INTERVAL '{val}' {unit}".strip())
+                continue
             cm = self._RE_ASOF_CONJ.match(conj.strip())
             if not cm:
                 raise UnsupportedStatementError(
-                    "ASOF", sql, "ON must be alias.col {=|>=|<=} alias.col conjuncts"
+                    "ASOF", sql, "ON must be alias.col {=|>=|<=} alias.col "
+                    "conjuncts (+ optional a.ts - b.ts <= INTERVAL '…' tolerance)"
                 )
             a_al, a_c, op, b_al, b_c = cm.groups()
             if {a_al, b_al} != {la, ra}:
@@ -475,6 +498,24 @@ class ScriptRunner:
                 "ASOF", sql, "ON needs one ts inequality (a.ts >= b.ts)"
             )
         l_ts, r_ts, direction = ts_pair
+        tolerance = None
+        if tol is not None:
+            # the minuend must be the LATER side of the match: backward
+            # (l.ts >= r.ts) bounds l.ts - r.ts; forward bounds r.ts - l.ts
+            m_al, m_c, s_al, s_c, ivl = tol
+            want = (
+                (la, l_ts, ra, r_ts)
+                if direction == "backward"
+                else (ra, r_ts, la, l_ts)
+            )
+            if (m_al, m_c, s_al, s_c) != want:
+                raise UnsupportedStatementError(
+                    "ASOF",
+                    sql,
+                    f"tolerance must bound {want[0]}.{want[1]} - "
+                    f"{want[2]}.{want[3]} for this match direction",
+                )
+            tolerance = F.expr(ivl)
 
         # align right key names to the left's (the operator joins on shared
         # names) and de-collide right payload columns with a <ralias>_ prefix
@@ -501,6 +542,7 @@ class ScriptRunner:
             left_ts=l_ts,
             right_ts=r_ts_out,
             direction=direction,
+            tolerance=tolerance,
         )
         if not m.group("left"):
             out = out.filter(F.col(r_ts_out).isNotNull())  # inner semantics

@@ -412,3 +412,61 @@ def test_asof_join_sql_forward_where_and_errors(spark, tmp_path):
             "SELECT t.sym FROM db.trades t ASOF JOIN db.quotes q "
             "ON t.ts >= q.ts AND t.px <= q.bid"
         )
+
+
+def test_asof_join_sql_tolerance(spark, tmp_path):
+    """Round-6 task #6: the SQL surface exposes the operator's tolerance
+    via a difference-bound conjunct (l.ts - r.ts <= INTERVAL '5' SECOND);
+    matches farther than the bound are nulled (LEFT) or dropped (inner),
+    exactly like the API form."""
+    import pytest as _pytest
+
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import (
+        UnsupportedStatementError,
+    )
+
+    lake, r = _asof_runner(spark, tmp_path)
+    out = r.run(
+        "SELECT t.sym, t.px, q.bid FROM db.trades t "
+        "ASOF LEFT JOIN db.quotes q ON t.sym = q.sym AND t.ts >= q.ts "
+        "AND t.ts - q.ts <= INTERVAL '5' SECOND"
+    )
+    got = {(x.sym, x.px): x.bid for x in out.collect()}
+    api = asof_join(
+        lake.table("db.trades").read(),
+        lake.table("db.quotes").read().withColumnRenamed("ts", "q_ts"),
+        ["sym"],
+        "ts",
+        "q_ts",
+        tolerance=F.expr("INTERVAL '5' SECOND"),
+    )
+    want = {(x.sym, x.px): x.bid for x in api.collect()}
+    assert got == want
+    # A@10:00:05 matches 10:00:00 (5s, at bound); A@10:00:20's nearest is
+    # 10:00:10 (10s, beyond) -> NULL; B@10:00:07 matches 10:00:06 (1s)
+    assert got == {("A", 101.0): 100.5, ("A", 102.0): None,
+                   ("B", 55.0): 54.5, ("C", 9.0): None}
+
+    # inner form drops the out-of-tolerance rows entirely
+    inner = r.run(
+        "SELECT t.sym, t.px, q.bid FROM db.trades t "
+        "ASOF JOIN db.quotes q ON t.sym = q.sym AND t.ts >= q.ts "
+        "AND t.ts - q.ts <= INTERVAL '5' SECOND"
+    )
+    assert {(x.sym, x.px) for x in inner.collect()} == {("A", 101.0), ("B", 55.0)}
+
+    # forward direction bounds r.ts - l.ts
+    fwd = r.run(
+        "SELECT t.sym, t.px, q.bid FROM db.trades t "
+        "ASOF JOIN db.quotes q ON t.sym = q.sym AND t.ts <= q.ts "
+        "AND q.ts - t.ts <= INTERVAL '5' SECOND"
+    )
+    assert {(x.sym, x.px): x.bid for x in fwd.collect()} == {("A", 101.0): 101.5}
+
+    # wrong-way difference for the direction raises a typed error
+    with _pytest.raises(UnsupportedStatementError, match="tolerance"):
+        r.run(
+            "SELECT t.sym FROM db.trades t "
+            "ASOF JOIN db.quotes q ON t.sym = q.sym AND t.ts >= q.ts "
+            "AND q.ts - t.ts <= INTERVAL '5' SECOND"
+        )

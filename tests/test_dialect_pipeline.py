@@ -133,17 +133,29 @@ def test_qualify_rewrite(spark):
     untouched = "SELECT 'do not QUALIFY here' AS s FROM qualify_t"
     assert dialect.translate(untouched) == untouched
 
-    # QUALIFY alongside a top-level set operator cannot be rewritten into a
-    # single-statement wrap — must raise the dialect's contract error, not
-    # emit garbled SQL that fails downstream at analysis
-    import pytest as _pytest
-
-    with _pytest.raises(dialect.UnsupportedDialectFormError, match="QUALIFY"):
-        dialect.translate(
-            "SELECT g FROM qualify_t QUALIFY row_number() OVER (ORDER BY v) = 1 "
-            "UNION ALL SELECT g FROM qualify_t "
-            "QUALIFY row_number() OVER (ORDER BY v) = 2"
-        )
+    # QUALIFY alongside top-level set operators (round-6 task #8): each
+    # branch is rewritten independently — executable, value-correct SQL
+    two_branch = spark.sql(dialect.translate(
+        "SELECT g, v FROM qualify_t QUALIFY row_number() OVER (ORDER BY v DESC) = 1 "
+        "UNION ALL SELECT g, v FROM qualify_t "
+        "QUALIFY row_number() OVER (ORDER BY v) = 2"
+    ))
+    assert sorted((r.g, r.v) for r in two_branch.collect()) == [(0, 18), (1, 2)]
+    # three branches, mixed operators + qualifiers, QUALIFY-free middle,
+    # trailing ORDER BY binding the whole set operation
+    three = spark.sql(dialect.translate(
+        "SELECT g, v FROM qualify_t QUALIFY row_number() OVER (ORDER BY v DESC) = 1 "
+        "UNION DISTINCT SELECT g, v FROM qualify_t WHERE v = 0 "
+        "UNION ALL SELECT g, v FROM qualify_t "
+        "QUALIFY row_number() OVER (ORDER BY v) = 2 ORDER BY v"
+    ))
+    assert [(r.g, r.v) for r in three.collect()] == [(0, 0), (1, 2), (0, 18)]
+    # set-op keyword inside a string literal must NOT split branches
+    lit = spark.sql(dialect.translate(
+        "SELECT g, v, 'not a UNION here' AS s FROM qualify_t "
+        "QUALIFY row_number() OVER (ORDER BY v DESC) = 1"
+    ))
+    assert [(r.g, r.v) for r in lit.collect()] == [(0, 18)]
     # parenthesized branches keep their QUALIFYs out of depth 0: allowed
     branched = (
         "(SELECT g, v FROM qualify_t "

@@ -876,8 +876,41 @@ def test_zorder_compaction_clusters_both_dimensions(lake, spark):
     assert t.read().count() == 64 * 64
     assert t.read(where="x = 7 AND y = 7").count() == 1
 
+    # strings are now zorderable (7-byte prefix code); only types with no
+    # linear code (array/map/struct/binary) are rejected
+    ta = lake.create_table("db.zarr", "x BIGINT, tags ARRAY<STRING>")
+    ta.append(spark.createDataFrame([(1, ["a"])], "x BIGINT, tags ARRAY<STRING>"))
     with pytest.raises(ValueError, match="zorder"):
-        t.compact(zorder_by=["payload"])
+        ta.compact(zorder_by=["tags"])
+
+
+def test_zorder_with_string_dimension(lake, spark):
+    """Round-6 task #9: Z-order accepts STRING columns via a 7-byte-prefix
+    big-endian code, so mixed numeric+string clustering prunes point
+    probes on BOTH dimensions (lexicographic-prefix caveat documented)."""
+    t = lake.create_table("db.zs", "x BIGINT, city STRING, payload STRING")
+    cities = [f"city_{chr(ord('a') + i)}" for i in range(26)]
+    rows = [
+        (xi, cities[ci], f"p{xi}_{ci}") for xi in range(64) for ci in range(26)
+    ]
+    t.append(
+        spark.createDataFrame(rows, "x BIGINT, city STRING, payload STRING")
+        .repartition(8)
+    )
+    # hierarchical-sort baseline: trailing string column barely prunes
+    t.compact(sort_by=["x", "city"], n_files=16)
+    c_sorted = len(set(t.read(where="city = 'city_q'").inputFiles()))
+    assert c_sorted >= 12
+
+    t.compact(zorder_by=["x", "city"], n_files=16)
+    x_files = len(set(t.read(where="x = 7").inputFiles()))
+    c_files = len(set(t.read(where="city = 'city_q'").inputFiles()))
+    assert x_files <= 8 and c_files <= 8 and c_files < c_sorted, (
+        f"z-order must bound numeric AND string dims ({x_files}, {c_files})"
+    )
+    assert t.read().count() == 64 * 26
+    got = t.read(where="x = 7 AND city = 'city_q'").collect()
+    assert len(got) == 1 and got[0].x == 7 and got[0].city == "city_q"
 
 
 def test_partition_scoped_optimize(lake, spark):
@@ -1085,3 +1118,48 @@ def test_publish_cannot_override_intervening_rollback(spark, tmp_path):
     with pytest.raises(ValueError, match="fast-forward"):
         t.publish_branch("staging")
     assert sorted(r.k for r in t.read().collect()) == [1]
+
+
+def test_data_skipping_in_and_between(lake, spark):
+    """Round-6 task #4: ``col IN (...)`` prunes files when EVERY list
+    member is outside [min,max]; ``col BETWEEN a AND b`` prunes when the
+    ranges don't intersect — with results identical to the row filter."""
+    t = lake.create_table("db.skipin", "k BIGINT, v STRING")
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", f"concat('c{lo // 1000}_', id) AS v"
+            ).repartition(4)
+        )
+    full_files = set(t.read().inputFiles())
+    assert len(full_files) == 12
+
+    # IN: both members inside the third commit's range
+    got = t.read(where="k IN (2010, 2042)")
+    assert len(set(got.inputFiles())) <= 4
+    assert sorted(r.k for r in got.collect()) == [2010, 2042]
+    # IN with members spanning two commits keeps both, prunes the third
+    got2 = t.read(where="k IN (5, 1099)")
+    assert len(set(got2.inputFiles())) <= 8
+    assert sorted(r.k for r in got2.collect()) == [5, 1099]
+    # IN where every member misses -> zero files, schema kept
+    none = t.read(where="k IN (500, 700)")
+    assert none.count() == 0 and none.columns == ["k", "v"]
+
+    # BETWEEN intersecting only the second commit
+    got3 = t.read(where="k BETWEEN 1040 AND 1060")
+    assert len(set(got3.inputFiles())) <= 4
+    assert sorted(r.k for r in got3.collect()) == list(range(1040, 1061))
+    # BETWEEN disjoint from every file
+    assert t.read(where="k BETWEEN 300 AND 900").count() == 0
+    # BETWEEN composed with a plain conjunct (BETWEEN's AND not split)
+    got4 = t.read(where="k BETWEEN 1040 AND 1060 AND v = 'c1_1042'")
+    assert len(set(got4.inputFiles())) <= 4
+    assert [r.k for r in got4.collect()] == [1042]
+    # string IN prunes across commit string ranges
+    got5 = t.read(where="v IN ('c0_55', 'c2_2055')")
+    assert len(set(got5.inputFiles())) <= 8
+    assert sorted(r.k for r in got5.collect()) == [55, 2055]
+    # NOT IN / NOT BETWEEN are not prunable but stay correct
+    assert t.read(where="k NOT BETWEEN 0 AND 1999").count() == 100
+    assert t.read(where="k NOT IN (2010)").count() == 299

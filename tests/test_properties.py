@@ -87,3 +87,107 @@ def test_qualify_alias_form_shape(alias, n):
     sql = f"SELECT x, row_number() OVER (ORDER BY x) AS {alias} FROM t QUALIFY {alias} <= {n}"
     out = _rewrite_qualify(sql)
     assert out.startswith("SELECT * FROM (") and f"WHERE {alias} <= {n}" in out
+
+
+# --------------------------------------------- file-skipping soundness
+
+from apache_iceberg_lakehouse_workshop_spark.plans.lakeshim import LakeTable
+
+_num_lit = st.one_of(
+    st.integers(min_value=-99, max_value=99),
+    st.floats(min_value=-99, max_value=99, allow_nan=False, allow_infinity=False),
+)
+# numeric-LOOKING strings are the adversarial case (lexicographic vs
+# numeric order disagree: '10' < '9'), plus plain words
+_str_val = st.one_of(
+    st.integers(min_value=-99, max_value=99).map(str),
+    st.from_regex(r"[a-z0-9]{0,4}", fullmatch=True),
+)
+_col_vals = st.one_of(
+    st.lists(st.integers(min_value=-99, max_value=99), min_size=1, max_size=6),
+    st.lists(_str_val, min_size=1, max_size=6),
+)
+_op = st.sampled_from(["=", "<", "<=", ">", ">="])
+_lit = st.one_of(_num_lit, _str_val)
+
+
+def _spark_pred(v, op, lit):
+    """Mirror Spark's row-filter semantics for col-vs-literal: same-type
+    compares directly; string column vs numeric literal casts the string
+    to double (unparsable -> NULL -> not TRUE); numeric column vs string
+    literal casts the literal (unparsable -> NULL)."""
+    if isinstance(v, str) and isinstance(lit, (int, float)):
+        try:
+            v = float(v)
+        except ValueError:
+            return False
+    elif isinstance(v, (int, float)) and isinstance(lit, str):
+        try:
+            lit = float(lit)
+        except ValueError:
+            return False
+    ops = {
+        "=": lambda a, b: a == b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    return ops[op](v, lit)
+
+
+def _stats_for(vals, partition_style):
+    """[min, max] the engine records: footer stats keep the native type;
+    partition-dir stats are stringified degenerate [v, v] ranges."""
+    if partition_style:
+        return [str(vals[0]), str(vals[0])]
+    return [min(vals), max(vals)]
+
+
+@given(vals=_col_vals, op=_op, lit=_lit, partition_style=st.booleans())
+@settings(max_examples=400, deadline=None)
+def test_file_may_match_never_prunes_a_matching_row(vals, op, lit, partition_style):
+    """ADVICE r5 / round-6 task #7: pruning must be SOUND for every
+    (stats type, literal type, op) combination — if any row in the file
+    satisfies the predicate, _file_may_match must keep the file. (The
+    reverse — keeping a file with no matching rows — is always allowed.)"""
+    if partition_style:
+        vals = vals[:1]  # a partition dir holds one identity value
+    cols = {"c": _stats_for(vals, partition_style)}
+    if not LakeTable._file_may_match(cols, ("c", op, lit)):
+        for v in vals:
+            assert not _spark_pred(v, op, lit), (
+                f"pruned a file containing matching row {v!r} "
+                f"(stats={cols['c']!r}, op={op!r}, lit={lit!r})"
+            )
+
+
+@given(
+    vals=_col_vals,
+    lits=st.lists(_lit, min_size=1, max_size=4),
+    partition_style=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_file_may_match_in_list_sound(vals, lits, partition_style):
+    if partition_style:
+        vals = vals[:1]
+    cols = {"c": _stats_for(vals, partition_style)}
+    if not LakeTable._file_may_match(cols, ("c", "in", lits)):
+        for v in vals:
+            assert not any(_spark_pred(v, "=", x) for x in lits)
+
+
+@given(
+    vals=_col_vals,
+    lo=_lit,
+    hi=_lit,
+    partition_style=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_file_may_match_between_sound(vals, lo, hi, partition_style):
+    if partition_style:
+        vals = vals[:1]
+    cols = {"c": _stats_for(vals, partition_style)}
+    if not LakeTable._file_may_match(cols, ("c", "between", (lo, hi))):
+        for v in vals:
+            assert not (_spark_pred(v, ">=", lo) and _spark_pred(v, "<=", hi))
