@@ -716,8 +716,8 @@ def knn_pq(
     distance table (|Q| × m_sub × k_codes rows) broadcast; encoding and
     scoring are map-side equi-joins; the only wide operation is the
     (query_id, cand_id) partial-aggregated distance sum + top-k — the
-    classic IVF-PQ serving shape (minus the coarse quantizer, which
-    :func:`knn_ivf` provides and composes with).
+    PQ-flat serving shape (:func:`knn_ivfpq` composes the coarse
+    quantizer in, restricting ADC to nprobe cells).
 
     All arithmetic is exact int64 squared-L2 (quantized vectors), so the
     result is bit-identical across engines — the DuckDB oracle replays the

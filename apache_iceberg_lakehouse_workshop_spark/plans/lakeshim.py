@@ -647,7 +647,8 @@ class LakeTable:
         """Conjuncts usable for min/max skipping, split at depth-0 ANDs:
         ``col op literal``, ``col IN (lit, …)`` (skip a file when EVERY
         list member is outside its range), and ``col BETWEEN a AND b``
-        (skip when [a, b] ∩ [min, max] = ∅) — the three most common
+        (skip when [a, b] ∩ [min, max] = ∅), plus OR-of-same-column point
+        predicates (``k = 1 OR k = 5`` ≡ the IN form) — the most common
         selective filter shapes (clinicdata.sql:230 uses IN,
         healthcare_example.sql:84 uses BETWEEN). Every other conjunct
         shape is ignored for pruning — the full predicate is still applied
@@ -698,6 +699,30 @@ class LakeTable:
         parts.append("".join(buf))
         for part in parts:
             part = _strip_outer_parens(part)
+            # OR of same-column point predicates == IN list:
+            # (k = 1 OR k = 5) prunes exactly like k IN (1, 5). Checked
+            # FIRST because the col-op-literal regex would greedily eat
+            # "5 OR k = 9" as one (unparsable) literal.
+            or_parts = LakeTable._split_depth0_or(part)
+            if len(or_parts) > 1:
+                col0, items = None, []
+                for piece in or_parts:
+                    mm = LakeTable._PRED_CMP_RE.match(
+                        _strip_outer_parens(piece.strip())
+                    )
+                    v = (
+                        LakeTable._parse_literal(mm.group(3))
+                        if mm and mm.group(2) == "="
+                        else None
+                    )
+                    if v is None or (col0 is not None and mm.group(1) != col0):
+                        col0 = None
+                        break
+                    col0 = mm.group(1)
+                    items.append(v)
+                if col0 is not None:
+                    conjs.append((col0, "in", items))
+                continue
             m = LakeTable._PRED_CMP_RE.match(part)
             if m:
                 val = LakeTable._parse_literal(m.group(3))
@@ -720,6 +745,41 @@ class LakeTable:
                     conjs.append((m.group(1), "between", (lo, hi)))
                 continue
         return conjs
+
+    @staticmethod
+    def _split_depth0_or(text: str) -> list[str]:
+        """Split on depth-0, non-quoted ``OR`` keywords."""
+        parts: list[str] = []
+        buf: list[str] = []
+        depth = 0
+        i, n = 0, len(text)
+        low = text.lower()
+        while i < n:
+            ch = text[i]
+            if ch == "'":
+                j = text.find("'", i + 1)
+                j = n - 1 if j == -1 else j
+                buf.append(text[i : j + 1])
+                i = j + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if (
+                depth == 0
+                and low.startswith("or", i)
+                and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+                and (i + 2 >= n or not (text[i + 2].isalnum() or text[i + 2] == "_"))
+            ):
+                parts.append("".join(buf))
+                buf = []
+                i += 2
+                continue
+            buf.append(ch)
+            i += 1
+        parts.append("".join(buf))
+        return parts
 
     @staticmethod
     def _file_may_match(cols: dict, conj: tuple[str, str, object]) -> bool:

@@ -1163,3 +1163,14 @@ def test_data_skipping_in_and_between(lake, spark):
     # NOT IN / NOT BETWEEN are not prunable but stay correct
     assert t.read(where="k NOT BETWEEN 0 AND 1999").count() == 100
     assert t.read(where="k NOT IN (2010)").count() == 299
+
+    # OR of same-column point predicates prunes exactly like IN
+    got6 = t.read(where="(k = 5 OR k = 1099)")
+    assert len(set(got6.inputFiles())) <= 8
+    assert sorted(r.k for r in got6.collect()) == [5, 1099]
+    assert t.read(where="k = 300 OR k = 700").count() == 0
+    # mixed-column OR is not prunable but stays correct
+    mixed = t.read(where="k = 5 OR v = 'c2_2055'")
+    assert sorted(r.k for r in mixed.collect()) == [5, 2055]
+    # OR containing a non-point predicate is not prunable but correct
+    assert t.read(where="k = 5 OR k > 2097").count() == 3

@@ -95,6 +95,11 @@ PROBES: dict[str, list[str]] = {
     # candidate cross product ever materializes
     "s6_knn_pq": ["broadcast_join", "partial_agg", "no_python_udf",
                   "no_cartesian_blowup"],
+    # IVF x PQ composed: centroids, codebook, probe set and distance
+    # tables ALL broadcast; scoring is cell-restricted map-side equi-joins
+    # + one partial-aggregated distance sum — no cross product, no Python
+    "s7_knn_ivfpq": ["broadcast_join", "partial_agg", "no_python_udf",
+                     "no_cartesian_blowup"],
 }
 
 # Each check sees (tree, full): `tree` is the FINAL post-AQE operator tree
