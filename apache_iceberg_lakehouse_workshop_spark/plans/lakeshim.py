@@ -552,9 +552,44 @@ class LakeTable:
 
         SQL DELETE removes only rows where the predicate is TRUE; rows where
         it evaluates to NULL (e.g. a NULL column compared with ``=``) must
-        survive — hence ``IS NOT TRUE``, not ``NOT (...)``."""
+        survive — hence ``IS NOT TRUE``, not ``NOT (...)``.
+
+        Affected-only rewrite (Iceberg CoW file granularity, at commit-dir
+        resolution): commit dirs whose file stats PROVE no row matches the
+        predicate are carried into the new snapshot untouched; only the
+        affected dirs' survivors are rewritten — a selective DELETE on a
+        100 TB table rewrites O(affected data), not O(table). Falls back
+        to the full rewrite when the predicate has no skippable conjunct."""
         meta = self._load_meta()
         parent = meta.get("current_snapshot_id")
+        snap = self._current_snapshot(meta)
+        split = (
+            self._affected_dirs_split(snap, meta, condition)
+            if snap and snap["commit_dirs"]
+            else None
+        )
+        if split is not None and split[0]:
+            untouched, affected = split
+            keep_filters = {
+                d: f
+                for d, f in snap.get("commit_filters", {}).items()
+                if d in set(untouched)
+            }
+            if not affected:
+                # nothing can match: DELETE is a metadata-only snapshot
+                return self._commit_rewrite(
+                    parent, "delete", list(untouched),
+                    commit_filters=keep_filters or None,
+                )["id"]
+            survivors = self._read_subset(snap, meta, affected).filter(
+                f"({condition}) IS NOT TRUE"
+            )
+            new_dirs = list(untouched)
+            if not survivors.isEmpty():
+                new_dirs.append(self._write_commit_dir(survivors, meta))
+            return self._commit_rewrite(
+                parent, "delete", new_dirs, commit_filters=keep_filters or None
+            )["id"]
         survivors = self.read().filter(f"({condition}) IS NOT TRUE")
         if survivors.isEmpty():
             return self._commit_rewrite(parent, "delete", [])["id"]
@@ -567,27 +602,57 @@ class LakeTable:
         INSERT/DELETE surface). Only rows where the predicate is TRUE are
         updated (NULL predicate keeps the old row, mirroring
         :meth:`delete_where`); assignment expressions may reference any
-        column's pre-update value, and cast to the declared column type."""
+        column's pre-update value, and cast to the declared column type.
+
+        Affected-only rewrite, same as :meth:`delete_where`: commit dirs
+        whose stats prove no row matches the predicate carry over
+        untouched; only affected dirs rewrite — O(affected data) at any
+        table size. Unprunable predicates rewrite everything."""
         meta = self._load_meta()
+        parent = meta.get("current_snapshot_id")
         cond = F.expr(condition)
         current = self.read()
         by_name = {f.name: f for f in current.schema.fields}
         unknown = [c for c in assignments if c not in by_name]
         if unknown:
             raise ValueError(f"UPDATE {self.name}: unknown columns {unknown}")
-        cols = []
-        for f in current.schema.fields:
-            if f.name in assignments:
-                new_val = F.expr(assignments[f.name]).cast(f.dataType)
-                cols.append(
-                    F.when(cond, new_val).otherwise(F.col(f.name)).alias(f.name)
+
+        def updated_cols(df: DataFrame):
+            cols = []
+            for f in df.schema.fields:
+                if f.name in assignments:
+                    new_val = F.expr(assignments[f.name]).cast(f.dataType)
+                    cols.append(
+                        F.when(cond, new_val).otherwise(F.col(f.name)).alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            return cols
+
+        snap = self._current_snapshot(meta)
+        split = (
+            self._affected_dirs_split(snap, meta, condition)
+            if snap and snap["commit_dirs"]
+            else None
+        )
+        if split is not None and split[0]:
+            untouched, affected = split
+            keep_filters = {
+                d: f
+                for d, f in snap.get("commit_filters", {}).items()
+                if d in set(untouched)
+            }
+            new_dirs = list(untouched)
+            if affected:
+                part = self._read_subset(snap, meta, affected)
+                new_dirs.append(
+                    self._write_commit_dir(part.select(*updated_cols(part)), meta)
                 )
-            else:
-                cols.append(F.col(f.name))
-        commit = self._write_commit_dir(current.select(*cols), meta)
-        return self._commit_rewrite(
-            meta.get("current_snapshot_id"), "update", [commit]
-        )["id"]
+            return self._commit_rewrite(
+                parent, "update", new_dirs, commit_filters=keep_filters or None
+            )["id"]
+        commit = self._write_commit_dir(current.select(*updated_cols(current)), meta)
+        return self._commit_rewrite(parent, "update", [commit])["id"]
 
     # ------------------------------------------------------------- reads
 
@@ -1005,12 +1070,21 @@ class LakeTable:
             # every file provably excluded: empty result, correct schema
             base = self._read_dirs(dirs, filters=filters, schema=schema, aliases=aliases_all)
             df = base.limit(0)
+        df = self._finalize_read(df, meta, schema)
+        if where is not None:
+            df = df.filter(where)
+        return df
+
+    def _finalize_read(
+        self, df: DataFrame, meta: dict, schema: T.StructType | None
+    ) -> DataFrame:
+        """Project a raw commit-dir union onto the declared schema: current
+        column order + types govern; columns no data file has yet read as
+        typed NULLs; renamed columns read their pre-rename physical name
+        from old commits; hidden-partition columns drop."""
         drop = [c for c in df.columns if c.startswith(_HP_PREFIX)]
         user_cols = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
         if schema is not None:
-            # current declared schema governs column order + types; columns
-            # no data file has yet read as typed NULLs; renamed columns read
-            # their pre-rename physical name from old commits
             present = set(df.columns)
             aliases = meta.get("column_aliases", {})
             cols = []
@@ -1025,12 +1099,43 @@ class LakeTable:
                 else:
                     c = F.lit(None)
                 cols.append(c.cast(f.dataType).alias(f.name))
-            df = df.select(*cols)
-        elif drop:
-            df = df.select(*user_cols)
-        if where is not None:
-            df = df.filter(where)
+            return df.select(*cols)
+        if drop:
+            return df.select(*user_cols)
         return df
+
+    def _read_subset(self, snap: dict, meta: dict, rel_dirs: list[str]) -> DataFrame:
+        """Normalized read of a SUBSET of the snapshot's commit dirs (their
+        commit_filters applied) — the rewrite side of affected-only DML."""
+        schema = T.StructType.fromJson(meta["schema"]) if meta.get("schema") else None
+        cf = snap.get("commit_filters", {})
+        dirs = [os.path.join(self.path, "data", d) for d in rel_dirs]
+        aliases = meta.get("column_aliases", {})
+        df = self._read_dirs(dirs, None, [cf.get(d) for d in rel_dirs], schema, aliases)
+        return self._finalize_read(df, meta, schema)
+
+    def _affected_dirs_split(
+        self, snap: dict, meta: dict, condition: str
+    ) -> tuple[list[str], list[str]] | None:
+        """Partition the snapshot's commit dirs into (untouched, affected)
+        for a DML predicate via the same file-level min/max stats that
+        drive read-side skipping: a dir where NO file may match holds only
+        rows the DML provably leaves alone. Returns None when the
+        predicate has no skippable conjunct (caller rewrites everything).
+        Conservative by construction — any stats doubt lands the dir in
+        ``affected``."""
+        rel_dirs = snap["commit_dirs"]
+        dirs = [os.path.join(self.path, "data", d) for d in rel_dirs]
+        prune_where = self._sub_outside_literals(
+            condition, meta.get("column_aliases", {})
+        )
+        file_lists = self._prune_file_lists(dirs, prune_where)
+        if file_lists is None:
+            return None
+        untouched, affected = [], []
+        for rel, fl in zip(rel_dirs, file_lists):
+            (untouched if fl == [] else affected).append(rel)
+        return untouched, affected
 
     def merge(self, source: DataFrame, key: str | list[str]) -> int:
         """``MERGE INTO t USING source ON t.key = source.key WHEN MATCHED

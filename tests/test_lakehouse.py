@@ -1174,3 +1174,72 @@ def test_data_skipping_in_and_between(lake, spark):
     assert sorted(r.k for r in mixed.collect()) == [5, 2055]
     # OR containing a non-point predicate is not prunable but correct
     assert t.read(where="k = 5 OR k > 2097").count() == 3
+
+
+def test_delete_and_update_rewrite_only_affected_dirs(lake, spark):
+    """Round-6 extension: DELETE/UPDATE use the file-skipping stats to
+    rewrite ONLY commit dirs that may contain matching rows — a selective
+    DML on a 100 TB table rewrites O(affected data), never O(table).
+    Untouched dirs carry into the new snapshot file-identical."""
+    t = lake.create_table("db.dml", "k BIGINT, v STRING")
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", f"concat('c{lo // 1000}_', id) AS v"
+            ).repartition(4)
+        )
+    files_before = set(t.read().inputFiles())
+    assert len(files_before) == 12
+    before_snap = t._load_meta()["current_snapshot_id"]
+
+    t.delete_where("k BETWEEN 1040 AND 1060")
+    files_after = set(t.read().inputFiles())
+    assert len(files_before & files_after) == 8, (
+        "commits 0 and 2 must survive file-identical; only commit 1 rewrites"
+    )
+    assert t.read().count() == 279
+    assert t.read().filter("k BETWEEN 1040 AND 1060").count() == 0
+    # time travel: the pre-delete snapshot still sees all 300 rows
+    assert t.read(snapshot_id=before_snap).count() == 300
+
+    # provably-no-match DELETE is metadata-only (zero files rewritten)
+    t.delete_where("k = 999999")
+    assert set(t.read().inputFiles()) == files_after
+    assert t.read().count() == 279
+
+    # UPDATE: only the dir holding k=5 rewrites
+    t.update_where({"v": "'updated'"}, "k = 5")
+    files3 = set(t.read().inputFiles())
+    assert len(files_after & files3) == len(files_after) - 4
+    assert [r.v for r in t.read().filter("k = 5").collect()] == ["updated"]
+    assert t.read().count() == 279
+
+    # unprunable predicate falls back to the full rewrite and stays correct
+    t.delete_where("k % 1000 = 7")
+    assert t.read().count() == 276
+    assert sorted(r.k for r in t.read().filter("k < 10").collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 8, 9,
+    ]
+
+
+def test_affected_only_delete_composes_with_scoped_compact(lake, spark):
+    """Affected-only DML must respect commit_filters left by a scoped
+    OPTIMIZE: untouched dirs keep their exclusion filters; affected dirs
+    apply them before the rewrite (no resurrection of compacted rows)."""
+    t = lake.create_table("db.dmlc", "region STRING, k BIGINT", partition_by=["region"])
+    for r in ("east", "west"):
+        for chunk in range(2):
+            t.append(
+                spark.createDataFrame(
+                    [(r, chunk * 10 + i) for i in range(10)],
+                    "region STRING, k BIGINT",
+                )
+            )
+    t.compact(where="region = 'east'", n_files=1)
+    before = sorted((r.region, r.k) for r in t.read().collect())
+
+    t.delete_where("k BETWEEN 3 AND 5")
+    got = sorted((r.region, r.k) for r in t.read().collect())
+    want = [x for x in before if not (3 <= x[1] <= 5)]
+    assert got == want
+    assert t.read().count() == 34
