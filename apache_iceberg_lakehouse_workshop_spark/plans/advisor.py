@@ -52,13 +52,24 @@ _AVG_EXPANDS = ("SUM", "COUNT")  # an AVG is servable from SUM+COUNT partials
 # routable-for-substitution query: optional WHERE (served when the
 # predicate references only the reflection's DIMENSION columns — dims are
 # stored raw, so filtering the materialized partials is exact; the
-# accelerator validates per-shape), no HAVING/ORDER
+# accelerator validates per-shape), optional HAVING over simple aggregate
+# conjuncts (computed via the same rollup algebra, filtered post-rollup),
+# optional ORDER BY/LIMIT over output columns
 _RE_ROUTABLE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[\w.]+)\s*"
     r"(?:WHERE\s+(?P<where>.*?)\s*)?"
-    r"GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*;?\s*$",
+    r"GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*"
+    r"(?:HAVING\s+(?P<having>.*?)\s*)?"
+    r"(?:ORDER\s+BY\s+(?P<order>[\w.,\s]+?)\s*)?"
+    r"(?:LIMIT\s+(?P<limit>\d+)\s*)?;?\s*$",
     re.I | re.S,
 )
+_RE_HAVING_CONJ = re.compile(
+    r"^(SUM|COUNT|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*"
+    r"\(\s*([\w.*]+)\s*\)\s*(=|<>|!=|<=|>=|<|>)\s*(.+)$",
+    re.I,
+)
+_RE_ORDER_ITEM = re.compile(r"^([\w.]+)(?:\s+(ASC|DESC))?$", re.I)
 _RE_MEASURE_ALIASED = re.compile(
     r"^(SUM|COUNT|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*([\w.*]+)\s*\)\s+AS\s+(\w+)\s*$",
     re.I,
@@ -66,11 +77,14 @@ _RE_MEASURE_ALIASED = re.compile(
 _RE_BARE_DIM = re.compile(r"^[\w.]+$")
 
 # routable JOIN aggregate: SELECT ... FROM a [x] JOIN b [y] ON ... [JOIN ..]
-# [WHERE dims-only] GROUP BY ... — the shape a join reflection serves
+# [WHERE dims-only] GROUP BY ... [HAVING aggs] [ORDER BY ...] [LIMIT n]
 _RE_ROUTABLE_JOIN = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>[\w.]+.*?\bJOIN\b.*?)\s*"
     r"(?:WHERE\s+(?P<where>.*?)\s*)?"
-    r"GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*;?\s*$",
+    r"GROUP\s+BY\s+(?P<group>[\w.,\s]+?)\s*"
+    r"(?:HAVING\s+(?P<having>.*?)\s*)?"
+    r"(?:ORDER\s+BY\s+(?P<order>[\w.,\s]+?)\s*)?"
+    r"(?:LIMIT\s+(?P<limit>\d+)\s*)?;?\s*$",
     re.I | re.S,
 )
 _RE_JOIN_BASE = re.compile(r"^([\w.]+)(?:\s+(?:AS\s+)?(\w+))?$", re.I)
@@ -279,10 +293,15 @@ class WorkloadAdvisor:
             if parsed is None:
                 return None
             dims, measures, order = parsed
-            routed = self.accelerator.route_aggregate(
-                m.group("table"), dims, measures, where=m.group("where")
+            return self._finish_routed(
+                m,
+                order,
+                lambda ms: self.accelerator.route_aggregate(
+                    m.group("table"), dims, ms, where=m.group("where")
+                ),
+                measures,
+                bare=lambda c: c,
             )
-            return None if routed is None else routed.select(*order)
         # join shape: same conservative gate, dims/measure columns stripped
         # of their alias qualifier (the reflection stores bare output names)
         jm = _RE_ROUTABLE_JOIN.match(sql)
@@ -304,10 +323,81 @@ class WorkloadAdvisor:
             # table qualifiers (outside string literals); any qualifier
             # left over makes the accelerator refuse — safe fallback
             where = _strip_known_qualifiers(where, aliases)
-        routed = self.accelerator.route_join_aggregate(
-            tables, join_keys, dims, measures, where=where
+        return self._finish_routed(
+            jm,
+            order,
+            lambda ms: self.accelerator.route_join_aggregate(
+                tables, join_keys, dims, ms, where=where
+            ),
+            measures,
+            bare=lambda c: c.rpartition(".")[2] if c != "*" else c,
         )
-        return None if routed is None else routed.select(*order)
+
+    @staticmethod
+    def _parse_having(having: str):
+        """HAVING as AND-ed simple aggregate conjuncts ``AGG(col) op
+        literal`` — the rollup-servable form. None = not provably
+        servable (caller falls back to the plain plan)."""
+        conjs = []
+        for part in re.split(r"\s+AND\s+", having.strip(), flags=re.I):
+            part = part.strip()
+            if part.startswith("(") and part.endswith(")"):
+                part = part[1:-1].strip()
+            hm = _RE_HAVING_CONJ.match(part)
+            if hm is None:
+                return None
+            lit = hm.group(4).strip()
+            if not (
+                re.fullmatch(r"-?\d+(\.\d+)?", lit)
+                or re.fullmatch(r"'[^']*'", lit)
+            ):
+                return None
+            op = "!=" if hm.group(3) == "<>" else hm.group(3)
+            conjs.append((hm.group(1).upper(), hm.group(2), op, lit))
+        return conjs
+
+    def _finish_routed(self, m, order, route_call, measures, bare):
+        """Apply the optional HAVING / ORDER BY / LIMIT tail to a routed
+        rollup: HAVING aggregates ride as hidden extra measures (computed
+        by the same rollup algebra, filtered post-rollup, then dropped);
+        ORDER BY/LIMIT apply over the output columns. Any unprovable form
+        returns None — plain plan runs."""
+        from pyspark.sql import functions as F
+
+        having = m.group("having")
+        hfilters: list[str] = []
+        if having is not None:
+            conjs = self._parse_having(having)
+            if conjs is None:
+                return None
+            for i, (agg, col, op, lit) in enumerate(conjs):
+                alias = f"__h{i}"
+                measures = measures + [
+                    (agg, bare(col) if col != "*" else "*", alias)
+                ]
+                hfilters.append(f"`{alias}` {op} {lit}")
+        routed = route_call(measures)
+        if routed is None:
+            return None
+        for flt in hfilters:
+            routed = routed.filter(flt)
+        out = routed.select(*order)
+        ob = m.group("order")
+        if ob is not None:
+            items = []
+            for item in ob.split(","):
+                om = _RE_ORDER_ITEM.match(item.strip())
+                col = bare(om.group(1)) if om else None
+                if col not in order:
+                    return None  # ordering by a non-output expression
+                c = F.col(col)
+                items.append(
+                    c.desc() if (om.group(2) or "").upper() == "DESC" else c.asc()
+                )
+            out = out.orderBy(*items)
+        if m.group("limit") is not None:
+            out = out.limit(int(m.group("limit")))
+        return out
 
     @staticmethod
     def _parse_select_items(

@@ -1137,6 +1137,39 @@ class LakeTable:
             (untouched if fl == [] else affected).append(rel)
         return untouched, affected
 
+    def _source_key_range_condition(
+        self, source: DataFrame, pairs: list[tuple[str, str]]
+    ) -> str | None:
+        """A target-side predicate bounding which target rows COULD match
+        any source row on the merge equi-keys: AND of ``tcol BETWEEN
+        min(scol) AND max(scol)``. One narrow agg over the source; None
+        when a bound isn't a pruning-friendly literal (caller skips the
+        optimization). An empty source yields all-NULL bounds -> the
+        always-false predicate ``1 = 0`` (nothing can match)."""
+        aggs = []
+        for i, (_tc, sc) in enumerate(pairs):
+            aggs += [F.min(sc).alias(f"__mn{i}"), F.max(sc).alias(f"__mx{i}")]
+        row = source.agg(*aggs).first()
+
+        def lit(v) -> str | None:
+            if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+                return None
+            if isinstance(v, str):
+                return None if "'" in v else f"'{v}'"
+            return repr(v)
+
+        conds = []
+        for i, (tc, _sc) in enumerate(pairs):
+            mn, mx = row[f"__mn{i}"], row[f"__mx{i}"]
+            if mn is None:
+                # every source value NULL on this key: no row can match
+                return "1 = 0"
+            a, b = lit(mn), lit(mx)
+            if a is None or b is None:
+                return None
+            conds.append(f"{tc} BETWEEN {a} AND {b}")
+        return " AND ".join(conds) if conds else None
+
     def merge(self, source: DataFrame, key: str | list[str]) -> int:
         """``MERGE INTO t USING source ON t.key = source.key WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the standard
@@ -1147,16 +1180,46 @@ class LakeTable:
         replaced by the source row; everything else survives; unmatched
         source rows append. One atomic snapshot commit. At scale the
         anti-join shuffles on the merge key once — the same cost profile as
-        Iceberg CoW MERGE."""
+        Iceberg CoW MERGE.
+
+        Affected-only rewrite: commit dirs whose key stats are disjoint
+        from the source's key RANGE (one narrow agg) provably hold no
+        colliding row and carry over untouched — an upsert of one day's
+        keys into a 100 TB table rewrites O(affected data), not O(table)."""
         keys = [key] if isinstance(key, str) else list(key)
         meta = self._load_meta()
+        parent = meta.get("current_snapshot_id")
+        snap = self._current_snapshot(meta)
+        split = None
+        if snap and snap["commit_dirs"]:
+            cond = self._source_key_range_condition(source, [(k, k) for k in keys])
+            if cond is not None:
+                split = self._affected_dirs_split(snap, meta, cond)
+        if split is not None and split[0]:
+            untouched, affected = split
+            keep_filters = {
+                d: f
+                for d, f in snap.get("commit_filters", {}).items()
+                if d in set(untouched)
+            }
+            part = (
+                self._read_subset(snap, meta, affected)
+                if affected
+                else self.read().limit(0)
+            )
+            survivors = part.join(source.select(*keys), keys, "left_anti")
+            merged = survivors.unionByName(source.select(*part.columns))
+            new_dirs = list(untouched)
+            if not merged.isEmpty():
+                new_dirs.append(self._write_commit_dir(merged, meta))
+            return self._commit_rewrite(
+                parent, "merge", new_dirs, commit_filters=keep_filters or None
+            )["id"]
         current = self.read()
         survivors = current.join(source.select(*keys), keys, "left_anti")
         merged = survivors.unionByName(source.select(*current.columns))
         commit = self._write_commit_dir(merged, meta)
-        return self._commit_rewrite(
-            meta.get("current_snapshot_id"), "merge", [commit]
-        )["id"]
+        return self._commit_rewrite(parent, "merge", [commit])["id"]
 
     def merge_into(
         self,
@@ -1221,13 +1284,46 @@ class LakeTable:
         t, s = target_alias, source_alias
         meta = self._load_meta()
         parent = meta.get("current_snapshot_id")
-        current = self.read()
-        schema = current.schema
 
         # -- cardinality pre-check on equi-conjuncts (real scanner: paren/
         # backtick variants parse; a top-level OR raises instead of
         # silently weakening the check)
         pairs = _on_equi_conjuncts(on, t, s, self.name)
+
+        # Affected-only rewrite (same stats machinery as delete/update):
+        # WITHOUT a NOT MATCHED BY SOURCE family (which puts EVERY target
+        # row in play), target dirs whose equi-key stats are disjoint from
+        # the source's key range can neither match nor change — carry them
+        # untouched and run the merge plan over the affected dirs only.
+        # The ON clause may carry extra non-equi conjuncts: a match
+        # requires the FULL condition, which implies the equi-conjuncts,
+        # so range pruning keeps a superset of possible matches — sound.
+        snap = self._current_snapshot(meta)
+        untouched: list[str] = []
+        keep_filters: dict[str, str] = {}
+        current = None
+        if not not_matched_by_source and snap and snap["commit_dirs"]:
+            cond = self._source_key_range_condition(source, pairs)
+            split = (
+                self._affected_dirs_split(snap, meta, cond)
+                if cond is not None
+                else None
+            )
+            if split is not None and split[0]:
+                untouched, affected = split
+                keep_filters = {
+                    d: f
+                    for d, f in snap.get("commit_filters", {}).items()
+                    if d in set(untouched)
+                }
+                current = (
+                    self._read_subset(snap, meta, affected)
+                    if affected
+                    else self.read().limit(0)
+                )
+        if current is None:
+            current = self.read()
+        schema = current.schema
         src_keys = [sc for _, sc in pairs]
         dup_src = (
             source.groupBy(*src_keys).agg(F.count(F.lit(1)).alias("__n")).filter("__n > 1")
@@ -1353,6 +1449,13 @@ class LakeTable:
                     ins.filter(F.col("__clause") == i).select(*part_cols)
                 )
 
+        if untouched:
+            new_dirs = list(untouched)
+            if not result.isEmpty():
+                new_dirs.append(self._write_commit_dir(result, meta))
+            return self._commit_rewrite(
+                parent, "merge", new_dirs, commit_filters=keep_filters or None
+            )["id"]
         commit = self._write_commit_dir(result, meta)
         return self._commit_rewrite(parent, "merge", [commit])["id"]
 

@@ -1243,3 +1243,66 @@ def test_affected_only_delete_composes_with_scoped_compact(lake, spark):
     want = [x for x in before if not (3 <= x[1] <= 5)]
     assert got == want
     assert t.read().count() == 34
+
+
+def test_merge_rewrites_only_affected_dirs(lake, spark):
+    """MERGE upsert prunes target dirs by the SOURCE's key range: dirs
+    provably outside it carry over file-identical — an upsert of one
+    day's keys never rewrites the whole table."""
+    t = lake.create_table("db.mup", "k BIGINT, v STRING")
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", f"concat('c{lo // 1000}_', id) AS v"
+            ).repartition(4)
+        )
+    files_before = set(t.read().inputFiles())
+    src = spark.createDataFrame(
+        [(1005, "upd_1005"), (1500, "new_1500")], "k BIGINT, v STRING"
+    )
+    t.merge(src, "k")
+    files_after = set(t.read().inputFiles())
+    assert len(files_before & files_after) == 8, (
+        "commits 0 and 2 are outside the source key range: untouched"
+    )
+    assert t.read().count() == 301
+    got = {r.k: r.v for r in t.read().filter("k IN (1005, 1500, 5, 2005)").collect()}
+    assert got == {1005: "upd_1005", 1500: "new_1500", 5: "c0_5", 2005: "c2_2005"}
+
+
+def test_merge_into_rewrites_only_affected_dirs(lake, spark):
+    """General MERGE INTO with no NOT-MATCHED-BY-SOURCE family prunes the
+    target side by the ON equi-key source range; with that family present
+    every target row is in play and the full rewrite runs."""
+    t = lake.create_table("db.mi", "k BIGINT, v STRING")
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", f"concat('c{lo // 1000}_', id) AS v"
+            ).repartition(4)
+        )
+    files_before = set(t.read().inputFiles())
+    src = spark.createDataFrame([(1010, "m_upd"), (1600, "m_new")], "k BIGINT, v STRING")
+    t.merge_into(
+        src,
+        on="t.k = s.k",
+        matched=[("update", None, "*")],
+        not_matched=[(None, None, None)],
+    )
+    files_after = set(t.read().inputFiles())
+    assert len(files_before & files_after) == 8
+    assert t.read().count() == 301
+    got = {r.k: r.v for r in t.read().filter("k IN (1010, 1600, 7)").collect()}
+    assert got == {1010: "m_upd", 1600: "m_new", 7: "c0_7"}
+
+    # NOT MATCHED BY SOURCE flags every target row -> full rewrite, correct
+    src2 = spark.createDataFrame([(1010, "again")], "k BIGINT, v STRING")
+    t.merge_into(
+        src2,
+        on="t.k = s.k",
+        matched=[("update", None, "*")],
+        not_matched_by_source=[("update", None, {"v": "concat(t.v, '!')"})],
+    )
+    got2 = {r.k: r.v for r in t.read().filter("k IN (1010, 7, 1600)").collect()}
+    assert got2 == {1010: "again", 7: "c0_7!", 1600: "m_new!"}
+    assert t.read().count() == 301

@@ -620,3 +620,60 @@ def test_advisor_recommends_and_creates_join_reflection(spark, tmp_path):
     )
     assert _reads_reflection(out2)
     assert {q.city: q.total for q in out2.collect()} == {"york": 38.0, "kent": 105.0}
+
+
+def test_having_order_limit_served_from_reflection(runner):
+    """HAVING over simple aggregate conjuncts rides the rollup as hidden
+    measures (filtered post-rollup, then dropped); ORDER BY/LIMIT over
+    output columns apply on the routed result — all value-identical to
+    the plain plan."""
+    runner.run(_REFLECTION)
+    sql = (
+        "SELECT region, SUM(amount) AS total FROM dremio.demo.sales "
+        "GROUP BY region HAVING COUNT(amount) > 1 AND MIN(amount) >= 5"
+    )
+    out = runner.run(sql)
+    assert _reads_reflection(out)
+    got = {r.region: r.total for r in out.collect()}
+    runner.use_reflection_routing = False
+    want = {r.region: r.total for r in runner.run(sql).collect()}
+    assert got == want == {"east": 35.0, "west": 27.0}
+    runner.use_reflection_routing = True
+
+    # HAVING agg not in the SELECT list; WHERE composes; ORDER BY + LIMIT
+    topn = runner.run(
+        "SELECT region, AVG(amount) AS avg_amt FROM dremio.demo.sales "
+        "WHERE product <> 'c' GROUP BY region "
+        "HAVING SUM(amount) > 10 ORDER BY avg_amt DESC LIMIT 1"
+    )
+    assert _reads_reflection(topn)
+    rows = topn.collect()
+    assert [(r.region, r.avg_amt) for r in rows] == [("east", 35.0 / 3)]
+
+    # HAVING over a non-aggregate expression is not provable -> fallback
+    nf = runner.run(
+        "SELECT region, SUM(amount) AS total FROM dremio.demo.sales "
+        "GROUP BY region HAVING SUM(amount) / COUNT(*) > 10"
+    )
+    assert not _reads_reflection(nf)
+    # ORDER BY an expression not in the output -> fallback
+    nf2 = runner.run(
+        "SELECT region, SUM(amount) AS total FROM dremio.demo.sales "
+        "GROUP BY region ORDER BY MAX(amount)"
+    )
+    assert not _reads_reflection(nf2)
+
+
+def test_join_having_served_from_reflection(join_runner):
+    sql = (
+        "SELECT c.region, SUM(o.amount) AS total "
+        "FROM dremio.demo.orders2 o "
+        "JOIN dremio.demo.customers2 c ON o.customer_id = c.customer_id "
+        "GROUP BY c.region HAVING COUNT(o.amount) > 2 ORDER BY total DESC"
+    )
+    out = join_runner.run(sql)
+    assert _reads_reflection(out)
+    got = [(r.region, r.total) for r in out.collect()]
+    join_runner.use_reflection_routing = False
+    want = [(r.region, r.total) for r in join_runner.run(sql).collect()]
+    assert got == want == [("east", 131.0)]
