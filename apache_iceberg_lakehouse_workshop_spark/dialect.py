@@ -251,6 +251,14 @@ class UnsupportedDialectFormError(ValueError):
 def _rewrite_qualify(sql: str) -> str:
     qi, _ = _scan_top_level_keyword(sql, ("QUALIFY",))
     if qi is None:
+        # a parenthesized set-op branch hides its QUALIFY at depth > 0:
+        # if the statement is a top-level set operation and some branch
+        # contains the keyword, rewrite per branch (each branch is
+        # paren-stripped, rewritten recursively, re-wrapped) — Spark has
+        # no QUALIFY, so passing it through would fail at analysis
+        si, _sw = _scan_top_level_keyword(sql, ("UNION", "INTERSECT", "EXCEPT"))
+        if si is not None and re.search(r"\bQUALIFY\b", sql, re.I):
+            return _rewrite_qualify_per_branch(sql)
         return sql
     si, _sw = _scan_top_level_keyword(sql, ("UNION", "INTERSECT", "EXCEPT"))
     if si is not None:
@@ -280,6 +288,33 @@ def _rewrite_qualify(sql: str) -> str:
     )
 
 
+def _branch_rewrite(branch: str) -> str:
+    """QUALIFY-rewrite one set-operation branch; a fully parenthesized
+    branch is rewritten inside its parens (re-wrapped afterwards)."""
+    b = branch.strip()
+    if b.startswith("(") and b.endswith(")"):
+        # fully parenthesized? (the closing paren must match the opener;
+        # quote-aware so parens inside string literals don't count)
+        depth, i, n, full = 0, 0, len(b), True
+        while i < n:
+            ch = b[i]
+            if ch == "'":
+                j = b.find("'", i + 1)
+                i = (n - 1 if j == -1 else j) + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < n - 1:
+                    full = False
+                    break
+            i += 1
+        if full:
+            return f"({_rewrite_qualify(b[1:-1].strip())})"
+    return _rewrite_qualify(b)
+
+
 def _rewrite_qualify_per_branch(sql: str) -> str:
     """Split a top-level set operation into branches and QUALIFY-rewrite
     each independently, preserving the operators (and their ALL/DISTINCT
@@ -289,7 +324,7 @@ def _rewrite_qualify_per_branch(sql: str) -> str:
     pos = 0
     si, sw = _scan_top_level_keyword(sql, ("UNION", "INTERSECT", "EXCEPT"))
     while si is not None:
-        out.append(_rewrite_qualify(sql[pos:si].strip()))
+        out.append(_branch_rewrite(sql[pos:si]))
         sep = sw.upper()
         j = si + len(sw)
         k = j
@@ -308,7 +343,7 @@ def _rewrite_qualify_per_branch(sql: str) -> str:
         si, sw = _scan_top_level_keyword(
             sql, ("UNION", "INTERSECT", "EXCEPT"), start=pos
         )
-    out.append(_rewrite_qualify(sql[pos:].strip()))
+    out.append(_branch_rewrite(sql[pos:]))
     return " ".join(out)
 
 

@@ -352,9 +352,13 @@ class AcceleratorRegistry:
         # back to refresh(), which recomputes through the real definition.
         if self._resolve_dataset(shape["dataset"]) != anchor:
             return False
-        recorded = self._anchors.get(name, {}).get(anchor)
-        if recorded is None:
+        anchors_rec = self._anchors.get(name, {})
+        if anchor not in anchors_rec:
             return False
+        # recorded None = the reflection was registered on an EMPTY anchor
+        # (e.g. a streaming sink's table before its first batch): every row
+        # is the delta, same all-append requirement
+        recorded = anchors_rec[anchor]
         try:
             delta = self.lake.table(anchor).read_incremental(recorded)
         except ValueError:
@@ -395,14 +399,15 @@ class AcceleratorRegistry:
         if set(anchor_tables) != set(tables) or len(set(tables)) != len(tables):
             return False  # (self-joins keep the full-refresh path)
         recorded = self._anchors.get(name, {})
+        if any(t not in recorded for t in tables):
+            return False
         advanced = [
             t
             for t in tables
-            if recorded.get(t) is not None
-            and self.lake.table(t)._load_meta()["current_snapshot_id"]
+            if self.lake.table(t)._load_meta()["current_snapshot_id"]
             != recorded[t]
         ]
-        if len(advanced) != 1 or any(recorded.get(t) is None for t in tables):
+        if len(advanced) != 1:
             return False
         moved = advanced[0]
         frames: dict[str, DataFrame] = {}

@@ -1543,11 +1543,16 @@ class LakeTable:
             meta["partition_by"].remove(spec)
             self._commit(meta)
 
-    def read_incremental(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
+    def read_incremental(
+        self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
+    ) -> DataFrame:
         """Incremental scan: rows appended after ``from_snapshot_id`` (up to
         ``to_snapshot_id``/current) — Iceberg's incremental read
         (``incremental-from-snapshot``), the engine primitive for
         incremental reflection refresh and streaming backfill.
+        ``from_snapshot_id=None`` means "since the empty table" (a consumer
+        registered before the first commit): every row is the delta,
+        subject to the same all-append requirement.
 
         Only valid across append commits: an overwrite/delete/compact
         rewrites history, so a consumer must fall back to a full refresh —
@@ -1555,10 +1560,13 @@ class LakeTable:
         meta = self._load_meta()
         snaps = meta["snapshots"]
         by_id = {s["id"]: s for s in snaps}
-        if from_snapshot_id not in by_id:
+        if from_snapshot_id is not None and from_snapshot_id not in by_id:
             raise ValueError(f"unknown snapshot {from_snapshot_id} for {self.name}")
         end = by_id[to_snapshot_id] if to_snapshot_id is not None else self._current_snapshot(meta)
-        span = [s for s in snaps if from_snapshot_id < s["id"] <= end["id"]]
+        if end is None:
+            return self.read().limit(0)  # still empty: empty delta
+        start_id = -1 if from_snapshot_id is None else from_snapshot_id
+        span = [s for s in snaps if start_id < s["id"] <= end["id"]]
         # compact preserves row content but rewrites files, so file-diffing
         # would double-count — it's a boundary just like overwrite/delete
         bad = [s["id"] for s in span if s["operation"] != "append"]
@@ -1567,7 +1575,11 @@ class LakeTable:
                 f"non-append snapshots {sorted(set(bad))} in range — incremental "
                 "read undefined; run a full refresh"
             )
-        base = set(by_id[from_snapshot_id]["commit_dirs"])
+        base = (
+            set()
+            if from_snapshot_id is None
+            else set(by_id[from_snapshot_id]["commit_dirs"])
+        )
         new_dirs = [d for d in end["commit_dirs"] if d not in base]
         if not new_dirs:
             return self.read(snapshot_id=from_snapshot_id).limit(0)

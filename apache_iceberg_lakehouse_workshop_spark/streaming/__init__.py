@@ -5,6 +5,7 @@ from .pipeline import (  # noqa: F401
     session_rollup,
     stream_asof_enrich,
     stream_dedup,
+    stream_maintain_reflection,
     stream_neardup_filter,
     stream_to_table,
     tumbling_rollup,

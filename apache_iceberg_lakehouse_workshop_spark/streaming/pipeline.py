@@ -228,6 +228,44 @@ def stream_to_table(stream_df: DataFrame, lake_table, checkpoint_dir: str, trigg
     return writer.start()
 
 
+def stream_maintain_reflection(
+    stream_df: DataFrame,
+    lake_table,
+    accelerator,
+    reflection_name: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Continuously-fresh reflections — the streaming face of the
+    reference's periodic reflection refresh (readme.md:383-389): each
+    micro-batch (a) idempotently appends to the anchor lake table
+    (:func:`append_stream_batch` exactly-once contract) and (b) merges the
+    appended delta into the registered AGGREGATE reflection via
+    ``refresh_incremental_agg`` — O(batch + groups) per batch, falling
+    back to a full refresh only when the incremental algebra refuses
+    (rewritten history). Queries routed through the accelerator therefore
+    keep serving from the materialized partials while the stream runs.
+
+    Crash-safe by construction: the staleness check runs on EVERY batch
+    (including replays whose append dedupes), so a failure between append
+    and refresh is repaired by the next trigger —
+    ``read_incremental(recorded)`` covers every batch since the last
+    successful merge."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_stream_batch(lake_table, checkpoint_dir, batch_df, batch_id)
+        if not accelerator.is_fresh(reflection_name):
+            if not accelerator.refresh_incremental_agg(reflection_name):
+                accelerator.refresh(reflection_name)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_asof_enrich(
     stream_df: DataFrame,
     dim_df: DataFrame,

@@ -156,11 +156,18 @@ def test_qualify_rewrite(spark):
         "QUALIFY row_number() OVER (ORDER BY v DESC) = 1"
     ))
     assert [(r.g, r.v) for r in lit.collect()] == [(0, 18)]
-    # parenthesized branches keep their QUALIFYs out of depth 0: allowed
+    # parenthesized branches: QUALIFY sits at depth > 0, but Spark has no
+    # QUALIFY at all — each branch is rewritten inside its parens and the
+    # whole statement EXECUTES (it used to pass through and fail analysis)
     branched = (
         "(SELECT g, v FROM qualify_t "
         "QUALIFY row_number() OVER (ORDER BY v DESC) = 1) "
         "UNION ALL "
         "(SELECT g, v FROM qualify_t QUALIFY row_number() OVER (ORDER BY v) = 1)"
     )
-    assert dialect.translate(branched) == branched  # left for Spark as-is
+    pb = spark.sql(dialect.translate(branched))
+    assert sorted((r.g, r.v) for r in pb.collect()) == [(0, 0), (0, 18)]
+    # QUALIFY in a genuine subquery (FROM (...)) is still out of scope and
+    # passes through untouched
+    sub = "SELECT * FROM (SELECT g FROM qualify_t QUALIFY x = 1) q"
+    assert dialect.translate(sub) == sub

@@ -301,3 +301,68 @@ def test_stream_neardup_filter_cross_batch(spark, tmp_path):
     # draining again with no new data must not duplicate anything
     run()
     assert sorted(r.doc_id for r in out.read().collect()) == [1, 2, 3, 4, 6, 9]
+
+
+def test_stream_maintain_reflection(spark, events_dir, tmp_path):
+    """Round-6 extension: a streaming sink that keeps an AGGREGATE
+    reflection continuously fresh — every drained micro-batch appends to
+    the anchor and merges delta partials incrementally; routed queries
+    serve from the materialized partials and equal the batch recompute."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import AcceleratorRegistry
+    from apache_iceberg_lakehouse_workshop_spark.plans import lakeshim as _ls
+    from apache_iceberg_lakehouse_workshop_spark.streaming import (
+        stream_maintain_reflection,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "wh_refl"))
+    t = lake.create_table(
+        "db.ev", "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
+        "event_type STRING, value DOUBLE"
+    )
+    acc = AcceleratorRegistry(lake)
+    acc.create_reflection(
+        "ev_by_type",
+        lambda: t.read().groupBy("event_type").agg(
+            F.sum("value").alias("value_sum"),
+            F.count("value").alias("value_count"),
+            F.count("*").alias("n_rows"),
+        ),
+        ["db.ev"],
+    )
+    acc.register_agg_shape(
+        "ev_by_type", "db.ev", ["event_type"],
+        [("value", "SUM"), ("value", "COUNT"), ("*", "COUNT")],
+    )
+
+    full_refreshes = []
+    orig_refresh = AcceleratorRegistry.refresh
+    AcceleratorRegistry.refresh = lambda self, name: full_refreshes.append(name) or orig_refresh(self, name)
+    try:
+        stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+        q = stream_maintain_reflection(
+            stream, t, acc, "ev_by_type", str(tmp_path / "ckpt_refl")
+        )
+        q.awaitTermination(120)
+    finally:
+        AcceleratorRegistry.refresh = orig_refresh
+
+    assert full_refreshes == [], "every batch must merge incrementally"
+    assert acc.is_fresh("ev_by_type")
+    assert t.read().count() == 6  # duplicate event_id rides through (append sink)
+    # routed query == batch recompute over the drained anchor
+    routed = acc.route_aggregate(
+        "db.ev", ["event_type"],
+        [("SUM", "value", "total"), ("AVG", "value", "avg_v"), ("COUNT", "*", "n")],
+    )
+    assert routed is not None
+    got = {r.event_type: (r.total, r.avg_v, r.n) for r in routed.collect()}
+    want = {
+        r.event_type: (r.total, r.avg_v, r.n)
+        for r in t.read().groupBy("event_type").agg(
+            F.sum("value").alias("total"),
+            F.avg("value").alias("avg_v"),
+            F.count("*").alias("n"),
+        ).collect()
+    }
+    assert got == want
+    assert got["purchase"] == (80.0, 20.0, 4)
