@@ -245,6 +245,8 @@ ab_shapes_battery = _register_battery(
           "stddev_price": "v2", "corr_qty_price": "v3"}),
         ("a24_histogram", "a24_histogram",
          {"bucket": "k1", "lo": "v1", "hi": "s1", "n": "n1"}),
+        ("r1_routed_reflection", "r1_routed_reflection",
+         {"pri": "s1", "total_c": "n1", "n": "n2"}),
     ],
 )
 
@@ -530,6 +532,7 @@ ABSORBED = {
     "a19_grouping_sets": "ab_shapes_battery",
     "a20_cube": "ab_shapes_battery",
     "a23_stat_aggs": "ab_shapes_battery",
+    "r1_routed_reflection": "ab_shapes_battery",
     "a24_histogram": "ab_shapes_battery",
     "w2_rolling_7day": "wb_window_battery",
     "w3_lead_gap": "wb_window_battery",

@@ -1073,3 +1073,68 @@ def a24_histogram(spark, sf_dir):
             "n",
         )
     )
+
+
+# ------------------------------------------------------------- R7 routing
+
+
+@q(
+    "r1_routed_reflection",
+    """SELECT o_orderpriority AS pri,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_c,
+              CAST(COUNT(o_totalprice) AS BIGINT) AS n
+       FROM orders
+       WHERE o_orderstatus = 'F'
+       GROUP BY o_orderpriority""",
+    "R7 covered-query reflection substitution END TO END under the value "
+    "hash: materialize an AGGREGATE reflection (exact scaled-int partials) "
+    "on a lakehouse copy of orders, then serve a dim-SUBSET query with a "
+    "WHERE over a dimension column by filtering the stored partials and "
+    "re-aggregating (Dremio's 'accelerates any query it covers', "
+    "readme.md:331-355). The oracle recomputes the same answer from the "
+    "raw rows — value equality proves the rollup algebra + filter routing "
+    "exact, not just fast. Int64 money partials make the sums "
+    "bit-identical across engines.",
+)
+def r1_routed_reflection(spark, sf_dir):
+    import tempfile
+
+    from .plans import AcceleratorRegistry, Lakehouse
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    # mkdtemp (not TemporaryDirectory): the returned DataFrame is evaluated
+    # lazily by the caller AFTER this function exits
+    wh = tempfile.mkdtemp(prefix="refl_wh_")
+    lake = Lakehouse(spark, wh)
+    t = lake.create_table_as("r7.orders", orders)
+    acc = AcceleratorRegistry(lake)
+
+    def defn():
+        return t.read().groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.sum("price_c").alias("price_c_sum"),
+            F.count("price_c").alias("price_c_count"),
+            F.count("*").alias("n_rows"),
+        )
+
+    acc.create_reflection("orders_agg", defn, ["r7.orders"])
+    acc.register_agg_shape(
+        "orders_agg",
+        "r7.orders",
+        ["o_orderstatus", "o_orderpriority"],
+        [("price_c", "SUM"), ("price_c", "COUNT"), ("*", "COUNT")],
+    )
+    routed = acc.route_aggregate(
+        "r7.orders",
+        ["o_orderpriority"],
+        [("SUM", "price_c", "total_c"), ("COUNT", "price_c", "n")],
+        where="o_orderstatus = 'F'",
+    )
+    assert routed is not None, "fresh covering reflection must route"
+    return routed.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("total_c").cast("long").alias("total_c"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -54,6 +54,9 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
     "MM multimodal": ["mm1_binary_metadata", "mm2_media_features",
                       "mm3_frame_sample"],
     "AI functions": ["aib_ai_battery"],
+    # R7 covered-query reflection substitution rides the driver hash via
+    # r1_routed_reflection (absorbed into ab_shapes_battery)
+    "R acceleration": ["ab_shapes_battery"],
 }
 
 # Driver window size: the exposed registry must never exceed it.
