@@ -667,6 +667,13 @@ def pq_codebook(
     v = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
     )
+    return _pq_codebook_q(v, m_sub, sub_dim, k_codes)
+
+
+def _pq_codebook_q(v: DataFrame, m_sub: int, sub_dim: int, k_codes: int) -> DataFrame:
+    """:func:`pq_codebook` over an ALREADY-quantized (vec_id, qv) frame —
+    the entry point residual encoding uses (qv = vector − its coarse
+    centroid, still exact int64)."""
     seeds = (
         v.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
         .limit(k_codes)
@@ -769,6 +776,7 @@ def knn_ivfpq(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF × PQ composed — the real large-scale ANN serving shape
     (:func:`knn_pq`'s docstring names it): the IVF coarse quantizer
@@ -779,14 +787,23 @@ def knn_ivfpq(
     stage stays exact int64 and the DuckDB oracle replays training +
     encoding + probing + ADC bit-identically.
 
+    ``residual=True`` is the full FAISS ``IndexIVFPQ`` refinement: corpus
+    vectors are PQ-encoded as RESIDUALS against their cell centroid
+    (vector − centroid, still exact int64), and each query builds one
+    distance table PER PROBED CELL from its residual in that cell —
+    residuals are smaller in norm than raw vectors, so the same codebook
+    budget spends its resolution where the vectors actually are
+    (lower quantization error, better recall at equal k_codes).
+
     At 100 TB: centroids and codebook are broadcast-small; corpus cell
     assignment and PQ encoding are map-side broadcast joins computed once
     (index build); serving joins the (cand_id, cell_id, m, code) table
     against a broadcast (query_id, cell_id) probe set and a broadcast
-    per-query distance table — the only wide operation is the partial-
-    aggregated per-pair distance sum + top-k, over a candidate set already
-    shrunk ~n_cells/nprobe-fold. Output: (query_id, cand_id, approx_dist,
-    rank), ascending distance, ties broken by cand_id."""
+    per-query (per-cell when residual) distance table — the only wide
+    operation is the partial-aggregated per-pair distance sum + top-k,
+    over a candidate set already shrunk ~n_cells/nprobe-fold. Output:
+    (query_id, cand_id, approx_dist, rank), ascending distance, ties
+    broken by cand_id."""
     sub_dim = dim // m_sub
     corpus = _widen(corpus)
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
@@ -803,11 +820,6 @@ def knn_ivfpq(
         "cand_id",
         nprobe=1,
     ).select("cand_id", "cell_id")
-    # fine: PQ-encode the corpus (the only corpus representation served)
-    book = pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col)
-    sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
-    codes = _pq_nearest(sub, book, "cand_id").join(c_cell, "cand_id")
-
     q_cell = _assign_cells(
         queries.select(
             F.col(id_col).cast("long").alias("query_id"),
@@ -820,20 +832,83 @@ def knn_ivfpq(
     qv = queries.select(
         F.col(id_col).cast("long").alias("query_id"), quantized(F.col(vec_col)).alias("qv")
     )
-    qsub = _pq_subvectors(qv, "query_id", "query_id", F.col("qv"), m_sub, sub_dim)
-    dtab = qsub.join(F.broadcast(book), "m").select(
-        "query_id", "m", "code", _l2_int(F.col("sv"), F.col("cv")).alias("d")
-    )
-    # each cand is in ONE cell and (query, cell) probe pairs are distinct,
-    # so (query_id, cand_id, m) appears at most once — the SUM is the full
-    # ADC distance with no dedup step
-    scored = (
-        codes.join(F.broadcast(q_cell), "cell_id")
-        .join(F.broadcast(dtab), ["query_id", "m", "code"])
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("d").alias("approx_dist"))
-    )
+
+    if residual:
+        # encode (vector − cell centroid); one codebook across cells
+        # (FAISS's shared-codebook IVFPQ), trained on the residuals
+        rv = (
+            v.join(c_cell.withColumnRenamed("cand_id", "vec_id"), "vec_id")
+            .join(F.broadcast(cents), "cell_id")
+            .select(
+                "vec_id",
+                "cell_id",
+                F.zip_with("qv", "centroid", lambda a, b: a - b).alias("qv2"),
+            )
+        )
+        book = _pq_codebook_q(
+            rv.select("vec_id", F.col("qv2").alias("qv")), m_sub, sub_dim, k_codes
+        )
+        rsub = _pq_subvectors(
+            rv.select("vec_id", "cell_id", "qv2"),
+            "cand_id",
+            "vec_id",
+            F.col("qv2"),
+            m_sub,
+            sub_dim,
+        )
+        codes = _pq_nearest(rsub, book, "cand_id").join(c_cell, "cand_id")
+        # per (query, probed cell): the query's residual IN THAT CELL
+        qr = (
+            q_cell.join(qv, "query_id")
+            .join(F.broadcast(cents), "cell_id")
+            .select(
+                "query_id",
+                "cell_id",
+                F.zip_with("qv", "centroid", lambda a, b: a - b).alias("rqv"),
+            )
+        )
+        qrsub = qr.select(
+            "query_id",
+            "cell_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+            "rqv",
+        ).select(
+            "query_id",
+            "cell_id",
+            "m",
+            F.slice("rqv", F.col("m") * sub_dim + 1, sub_dim).alias("sv"),
+        )
+        dtab = qrsub.join(F.broadcast(book), "m").select(
+            "query_id", "cell_id", "m", "code",
+            _l2_int(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        # dtab carries only probed (query, cell) pairs, so the join both
+        # restricts candidates to probed cells AND scores them
+        scored = (
+            codes.join(F.broadcast(dtab), ["cell_id", "m", "code"])
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("d").alias("approx_dist"))
+        )
+    else:
+        # fine: PQ-encode the raw corpus (the only representation served)
+        book = pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col)
+        sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
+        codes = _pq_nearest(sub, book, "cand_id").join(c_cell, "cand_id")
+        qsub = _pq_subvectors(qv, "query_id", "query_id", F.col("qv"), m_sub, sub_dim)
+        dtab = qsub.join(F.broadcast(book), "m").select(
+            "query_id", "m", "code", _l2_int(F.col("sv"), F.col("cv")).alias("d")
+        )
+        # each cand is in ONE cell and (query, cell) probe pairs are
+        # distinct, so (query_id, cand_id, m) appears at most once — the
+        # SUM is the full ADC distance with no dedup step
+        scored = (
+            codes.join(F.broadcast(q_cell), "cell_id")
+            .join(F.broadcast(dtab), ["query_id", "m", "code"])
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("d").alias("approx_dist"))
+        )
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -282,6 +282,8 @@ db_neardup_battery = _register_battery(
          {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
         ("s7_knn_ivfpq", "s7_knn_ivfpq",
          {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
+        ("s8_knn_ivfpq_res", "s8_knn_ivfpq_res",
+         {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
     ],
 )
 
@@ -503,6 +505,7 @@ ABSORBED = {
     "s5_embedding_neardup_lsh": "db_neardup_battery",
     "s6_knn_pq": "db_neardup_battery",
     "s7_knn_ivfpq": "db_neardup_battery",
+    "s8_knn_ivfpq_res": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "t8_vocab_topk": "tb_sample_battery",

@@ -800,6 +800,149 @@ def _ivfpq_oracle(
        WHERE rnk <= {k}"""
 
 
+def _ivfpq_res_oracle(
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of knn_ivfpq(residual=True) — FAISS IndexIVFPQ: the
+    coarse-quantizer CTEs, then RESIDUAL vectors (qv − cell centroid,
+    exact int64), codebook trained on residuals, per-(query, probed-cell)
+    residual distance tables, cell-restricted ADC. Bit-identical replay."""
+    d1 = dim + 1
+    sd = dim // m_sub
+    cos = (
+        "CASE WHEN {na} > 0 AND {nc} > 0 "
+        "THEN CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nc} AS DOUBLE)) "
+        "ELSE 0.0 END"
+    )
+    l2 = (
+        "(SELECT SUM(({a}[t.i] - {b}[t.i]) * ({a}[t.i] - {b}[t.i])) "
+        f"FROM range(1, {sd + 1}) t(i))"
+    )
+    return f"""WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+       seed_ids AS (SELECT vec_id AS sid FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}),
+       seeds AS (SELECT row_number() OVER (ORDER BY sid) AS cell_id, v.qv AS centroid
+                 FROM seed_ids JOIN v ON v.vec_id = seed_ids.sid),
+       vn AS (SELECT vec_id, qv,
+                     (SELECT SUM(qv[t.i] * qv[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM v),
+       sn AS (SELECT cell_id, centroid,
+                     (SELECT SUM(centroid[t.i] * centroid[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM seeds),
+       sa AS (SELECT vn.vec_id, sn.cell_id,
+                     {cos.format(dot=f"(SELECT SUM(vn.qv[t.i] * sn.centroid[t.i]) FROM range(1, {d1}) t(i))", na="vn.nrm", nc="sn.nrm")} AS sim
+              FROM vn CROSS JOIN sn),
+       a1c AS (SELECT vec_id, cell_id
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY sim DESC, cell_id) AS rn FROM sa)
+               WHERE rn = 1),
+       cmeans AS (SELECT a1c.cell_id, t.i AS pos,
+                         round(CAST(SUM(v.qv[t.i]) AS DOUBLE) / COUNT(*)) AS mval
+                  FROM a1c JOIN v USING (vec_id) CROSS JOIN range(1, {d1}) t(i)
+                  GROUP BY a1c.cell_id, t.i),
+       cents AS (SELECT cell_id, list(mval::BIGINT ORDER BY pos) AS centroid
+                 FROM cmeans GROUP BY cell_id),
+       cn AS (SELECT cell_id, centroid,
+                     (SELECT SUM(centroid[t.i] * centroid[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM cents),
+       ca AS (SELECT vn.vec_id, cn.cell_id,
+                     {cos.format(dot=f"(SELECT SUM(vn.qv[t.i] * cn.centroid[t.i]) FROM range(1, {d1}) t(i))", na="vn.nrm", nc="cn.nrm")} AS sim
+              FROM vn CROSS JOIN cn),
+       corpus_cell AS (SELECT vec_id, cell_id
+                       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                          ORDER BY sim DESC, cell_id) AS rn FROM ca)
+                       WHERE rn = 1),
+       query_cells AS (SELECT vec_id, cell_id
+                       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                          ORDER BY sim DESC, cell_id) AS rn FROM ca)
+                       WHERE rn <= {nprobe} AND vec_id < 10),
+       rv AS (SELECT cc.vec_id, cc.cell_id,
+                     list_transform(generate_series(1, {dim}),
+                                    x -> v.qv[x] - cn.centroid[x]) AS rqv
+              FROM corpus_cell cc JOIN v USING (vec_id)
+              JOIN cents cn USING (cell_id)),
+       rsub AS (SELECT vec_id, m.m AS m, rqv[m.m*{sd}+1 : (m.m+1)*{sd}] AS sv
+                FROM rv CROSS JOIN range(0, {m_sub}) m(m)),
+       pseed_ids AS (SELECT vec_id AS sid FROM embeddings
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}),
+       pseeds AS (SELECT row_number() OVER (ORDER BY sid) AS code, rv.rqv
+                  FROM pseed_ids JOIN rv ON rv.vec_id = pseed_ids.sid),
+       sbook AS (SELECT code, m.m AS m, rqv[m.m*{sd}+1 : (m.m+1)*{sd}] AS cv
+                 FROM pseeds CROSS JOIN range(0, {m_sub}) m(m)),
+       a0 AS (SELECT rsub.vec_id, rsub.m, sbook.code,
+                     {l2.format(a="rsub.sv", b="sbook.cv")} AS d
+              FROM rsub JOIN sbook ON sbook.m = rsub.m),
+       a1 AS (SELECT vec_id, m, code FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY d, code) AS rn FROM a0)
+              WHERE rn = 1),
+       pmeans AS (SELECT a1.m, a1.code, t.i AS pos,
+                         round(CAST(SUM(rsub.sv[t.i]) AS DOUBLE) / COUNT(*)) AS mv
+                  FROM a1 JOIN rsub USING (vec_id, m)
+                  CROSS JOIN range(1, {sd + 1}) t(i)
+                  GROUP BY a1.m, a1.code, t.i),
+       book AS (SELECT m, code, list(mv::BIGINT ORDER BY pos) AS cv
+                FROM pmeans GROUP BY m, code),
+       enc AS (SELECT rsub.vec_id, rsub.m, book.code,
+                      {l2.format(a="rsub.sv", b="book.cv")} AS d
+               FROM rsub JOIN book ON book.m = rsub.m),
+       codes AS (SELECT vec_id, m, code FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                                 ORDER BY d, code) AS rn FROM enc)
+                 WHERE rn = 1),
+       qrv AS (SELECT q.vec_id AS query_id, q.cell_id,
+                      list_transform(generate_series(1, {dim}),
+                                     x -> v.qv[x] - cn.centroid[x]) AS rqv
+               FROM query_cells q JOIN v ON v.vec_id = q.vec_id
+               JOIN cents cn USING (cell_id)),
+       qrsub AS (SELECT query_id, cell_id, m.m AS m,
+                        rqv[m.m*{sd}+1 : (m.m+1)*{sd}] AS sv
+                 FROM qrv CROSS JOIN range(0, {m_sub}) m(m)),
+       dtab AS (SELECT qrsub.query_id, qrsub.cell_id, qrsub.m, book.code,
+                       {l2.format(a="qrsub.sv", b="book.cv")} AS d
+                FROM qrsub JOIN book ON book.m = qrsub.m),
+       s AS (SELECT dt.query_id, c.vec_id AS cand_id, SUM(dt.d) AS approx_dist
+             FROM codes c
+             JOIN corpus_cell cc ON cc.vec_id = c.vec_id
+             JOIN dtab dt ON dt.cell_id = cc.cell_id
+                         AND dt.m = c.m AND dt.code = c.code
+             WHERE c.vec_id <> dt.query_id
+             GROUP BY dt.query_id, c.vec_id)
+       SELECT CAST(query_id AS BIGINT) AS query_id,
+              CAST(cand_id AS BIGINT) AS cand_id,
+              CAST(approx_dist AS BIGINT) AS approx_dist,
+              CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY approx_dist, cand_id) AS rnk
+             FROM s) t
+       WHERE rnk <= {k}"""
+
+
+@q(
+    "s8_knn_ivfpq_res",
+    _ivfpq_res_oracle(),
+    "FAISS IndexIVFPQ exactly: IVF coarse quantizer + PQ over RESIDUALS "
+    "(vector minus cell centroid, exact int64) with per-(query, probed "
+    "cell) residual distance tables — residuals are smaller in norm, so "
+    "the codebook's resolution lands where the vectors are (lower "
+    "quantization error than raw-vector PQ at equal budget). The DuckDB "
+    "oracle replays coarse training, residual computation, codebook "
+    "training, encoding, probing, and ADC bit-identically.",
+)
+def s8_knn_ivfpq_res(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.knn_ivfpq(
+        emb, queries, k=5, dim=64, m_sub=4, k_codes=16, n_cells=16,
+        nprobe=4, residual=True,
+    )
+
+
 @q(
     "s7_knn_ivfpq",
     _ivfpq_oracle(),

@@ -376,6 +376,16 @@ def _scaled_section(spark) -> dict:
             times * 2_000,
         )
 
+    def s8(times):
+        big = replicate(emb, times, {"vec_id": 1_000_000})
+        return (
+            SIM.knn_ivfpq(
+                big, emb_queries, k=5, dim=64, m_sub=4, k_codes=16,
+                n_cells=16, nprobe=4, residual=True,
+            ),
+            times * 2_000,
+        )
+
     def j13(times):
         big = replicate(
             events, times, {"user_id": 10_000_000, "event_id": 100_000_000}
@@ -402,6 +412,7 @@ def _scaled_section(spark) -> dict:
         "s4_knn_ivf": (s4, 8, 64),
         "s6_knn_pq": (s6, 8, 64),
         "s7_knn_ivfpq": (s7, 8, 64),
+        "s8_knn_ivfpq_res": (s8, 8, 64),
         "j13_asof_join": (j13, 8, 64),
     }
     out = {}

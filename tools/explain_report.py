@@ -100,6 +100,8 @@ PROBES: dict[str, list[str]] = {
     # + one partial-aggregated distance sum — no cross product, no Python
     "s7_knn_ivfpq": ["broadcast_join", "partial_agg", "no_python_udf",
                      "no_cartesian_blowup"],
+    "s8_knn_ivfpq_res": ["broadcast_join", "partial_agg", "no_python_udf",
+                         "no_cartesian_blowup"],
 }
 
 # Each check sees (tree, full): `tree` is the FINAL post-AQE operator tree
