@@ -492,6 +492,26 @@ class LakeTable:
                         mx, (int, float, str, bool)
                     ):
                         cols[cpath] = [mn, mx]
+                    else:
+                        import datetime as _dt
+
+                        # timestamp/date footer stats: store normalized ISO
+                        # strings with a "ts" marker — ISO order IS
+                        # chronological order, so the read side compares
+                        # lexicographically (the most common selective
+                        # predicate at scale is a time range)
+                        if isinstance(mn, _dt.datetime) and isinstance(mx, _dt.datetime):
+                            if mn.tzinfo is not None:
+                                mn = mn.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                                mx = mx.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                            cols[cpath] = [
+                                mn.isoformat(sep=" "), mx.isoformat(sep=" "), "ts",
+                            ]
+                        elif isinstance(mn, _dt.date) and isinstance(mx, _dt.date):
+                            # distinct marker: DATE comparison semantics
+                            # truncate a time-ful literal, so the read side
+                            # must not pad these to midnight
+                            cols[cpath] = [mn.isoformat(), mx.isoformat(), "d"]
                 # identity-partition values live in the dir name, not the
                 # footer: record them as degenerate [v, v] ranges so
                 # partition predicates prune files too (hidden-transform
@@ -695,8 +715,13 @@ class LakeTable:
 
     @staticmethod
     def _parse_literal(lit: str) -> object | None:
-        """'string' / int / float literal, or None when not a literal."""
+        """'string' / int / float / TIMESTAMP-or-DATE-'...' literal, or
+        None when not a literal. Typed temporal literals yield their inner
+        string — the ts-tagged stats path compares them in ISO order."""
         lit = lit.strip()
+        m = re.fullmatch(r"(?:TIMESTAMP|DATE)\s+'([^']*)'", lit, re.I)
+        if m:
+            return m.group(1)
         if re.fullmatch(r"'[^']*'", lit):
             return lit[1:-1]
         try:
@@ -863,7 +888,8 @@ class LakeTable:
         rng = cols.get(col)
         if rng is None:
             return True  # no stats for this column: cannot prune
-        mn, mx = rng
+        marker = rng[2] if len(rng) > 2 else None
+        mn, mx = rng[0], rng[1]
         if mn is None:
             return False  # file is all-NULL in col: col op literal never TRUE
         def rng_op(mn, mx, val) -> bool:
@@ -879,6 +905,30 @@ class LakeTable:
                 return mx >= val
             return True  # pragma: no cover - ops filtered by the parser
 
+        if marker in ("ts", "d"):
+            # temporal stats are normalized ISO strings (chronological ==
+            # lexicographic). Prune only for fraction-free ISO literals —
+            # Spark casts the literal to the column type, so: TIMESTAMP
+            # columns pad a date-only literal to midnight; DATE columns
+            # TRUNCATE a time-ful literal, so only date-only literals
+            # compare safely there.
+            if not isinstance(val, str):
+                return True
+            m = re.fullmatch(
+                r"(\d{4}-\d{2}-\d{2})([ T]\d{2}:\d{2}(:\d{2})?)?", val.strip()
+            )
+            if m is None:
+                return True
+            v = val.strip().replace("T", " ")
+            if marker == "d":
+                if m.group(2) is not None:
+                    return True  # DATE vs time-ful literal: don't risk it
+            else:
+                if m.group(2) is None:
+                    v = v + " 00:00:00"
+                elif m.group(3) is None:
+                    v = v + ":00"
+            return rng_op(mn, mx, v)
         numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
         stats_numeric = isinstance(mn, (int, float)) and not isinstance(mn, bool)
         if numeric != stats_numeric:
@@ -2058,6 +2108,15 @@ class Lakehouse:
         self.spark = spark
         self.root = warehouse_dir
         os.makedirs(warehouse_dir, exist_ok=True)
+        try:
+            # Spark's legacy INT96 parquet timestamps carry NO column
+            # min/max statistics — int64 micros (Iceberg's own encoding)
+            # do, which is what makes TIME-RANGE file skipping work
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+        except Exception:
+            pass  # read-only contexts without conf rights still work
 
     # -------------------------------------------------------- namespaces
 

@@ -278,6 +278,20 @@ def _data_skipping_probe(spark) -> dict:
             plain_n = t.read().filter(pred).count()
             plain_runs.append(time.time() - t1)
         assert skip_n == plain_n
+
+        # temporal tier (round 6): a one-week ship-date window over a
+        # time-clustered layout — the most common selective predicate at
+        # 100 TB; ISO-tagged timestamp stats prune whole files
+        t.compact(sort_by=["l_shipdate_ts"], n_files=16)
+        ts_pred = (
+            "l_shipdate_ts >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND l_shipdate_ts < TIMESTAMP '1996-01-08 00:00:00'"
+        )
+        ts_files_total = len(set(t.read().inputFiles()))
+        ts_df = t.read(where=ts_pred)
+        ts_rows = ts_df.count()
+        ts_files = len(set(ts_df.inputFiles()))
+        assert ts_rows == t.read().filter(ts_pred).count()
     return {
         "predicate": pred,
         "files_total": full_files,
@@ -285,6 +299,10 @@ def _data_skipping_probe(spark) -> dict:
         "rows": skip_n,
         "skipping_scan_s": round(statistics.median(skip_runs), 4),
         "plain_scan_s": round(statistics.median(plain_runs), 4),
+        "ts_predicate": ts_pred,
+        "ts_files_total": ts_files_total,
+        "ts_files_planned": ts_files,
+        "ts_rows": ts_rows,
     }
 
 

@@ -1306,3 +1306,50 @@ def test_merge_into_rewrites_only_affected_dirs(lake, spark):
     got2 = {r.k: r.v for r in t.read().filter("k IN (1010, 7, 1600)").collect()}
     assert got2 == {1010: "again", 7: "c0_7!", 1600: "m_new!"}
     assert t.read().count() == 301
+
+
+def test_timestamp_and_date_range_data_skipping(lake, spark):
+    """Round-6 extension: TIMESTAMP/DATE footer stats are recorded as
+    ISO strings (chronological == lexicographic) so TIME-RANGE predicates
+    — the most common selective filter at scale — prune whole files."""
+    t = lake.create_table("db.tsskip", "ev_ts TIMESTAMP, d DATE, k BIGINT")
+    for day in (1, 10, 20):
+        t.append(
+            spark.range(24).selectExpr(
+                f"timestamp'2025-08-{day:02d} 00:00:00' + make_interval(0,0,0,0,id) AS ev_ts",
+                f"date'2025-08-{day:02d}' AS d",
+                "id AS k",
+            ).coalesce(1)
+        )
+    all_files = set(t.read().inputFiles())
+    assert len(all_files) == 3
+
+    # TIMESTAMP literal range hits only the middle commit
+    got = t.read(where="ev_ts >= TIMESTAMP '2025-08-10 05:00:00' "
+                       "AND ev_ts < TIMESTAMP '2025-08-11 00:00:00'")
+    assert len(set(got.inputFiles())) == 1
+    assert got.count() == 19
+    # plain string literal (Spark casts) prunes the same way
+    got2 = t.read(where="ev_ts >= '2025-08-20'")
+    assert len(set(got2.inputFiles())) == 1 and got2.count() == 24
+    # equality with a date-only literal = midnight on a TIMESTAMP column
+    got3 = t.read(where="ev_ts = '2025-08-01'")
+    assert len(set(got3.inputFiles())) == 1 and got3.count() == 1
+    # DATE column: date-only literals prune
+    got4 = t.read(where="d = DATE '2025-08-10'")
+    assert len(set(got4.inputFiles())) == 1 and got4.count() == 24
+    got5 = t.read(where="d BETWEEN '2025-08-09' AND '2025-08-11'")
+    assert len(set(got5.inputFiles())) == 1 and got5.count() == 24
+    # DATE vs time-ful literal: Spark truncates the cast — never pruned,
+    # still correct
+    got6 = t.read(where="d >= '2025-08-20 10:00:00'")
+    assert got6.count() == sorted(
+        r.k for r in t.read().filter("d >= '2025-08-20 10:00:00'").collect()
+    ).__len__()
+    # no-match range -> zero files, schema kept
+    none = t.read(where="ev_ts > TIMESTAMP '2026-01-01 00:00:00'")
+    assert none.count() == 0 and none.columns == ["ev_ts", "d", "k"]
+    # results always identical to the row filter
+    want = sorted(r.k for r in t.read().filter(
+        "ev_ts >= '2025-08-10 05:00:00' AND ev_ts < '2025-08-11'").collect())
+    assert sorted(r.k for r in got.collect()) == want

@@ -191,3 +191,67 @@ def test_file_may_match_between_sound(vals, lo, hi, partition_style):
     if not LakeTable._file_may_match(cols, ("c", "between", (lo, hi))):
         for v in vals:
             assert not (_spark_pred(v, ">=", lo) and _spark_pred(v, "<=", hi))
+
+
+import datetime as _dt
+
+
+_ts_vals = st.lists(
+    st.datetimes(
+        min_value=_dt.datetime(2020, 1, 1),
+        max_value=_dt.datetime(2030, 1, 1),
+    ).map(lambda d: d.replace(microsecond=0)),
+    min_size=1,
+    max_size=5,
+)
+# literal shapes a user writes: date-only, 'YYYY-MM-DD HH:MM', full, junk
+_ts_lit = st.one_of(
+    st.datetimes(
+        min_value=_dt.datetime(2020, 1, 1), max_value=_dt.datetime(2030, 1, 1)
+    ).map(lambda d: d.replace(microsecond=0).isoformat(sep=" ")),
+    st.dates(
+        min_value=_dt.date(2020, 1, 1), max_value=_dt.date(2030, 1, 1)
+    ).map(str),
+    st.dates(
+        min_value=_dt.date(2020, 1, 1), max_value=_dt.date(2030, 1, 1)
+    ).map(lambda d: d.isoformat() + " 12:30"),
+    st.text(max_size=12),
+)
+
+
+@given(vals=_ts_vals, op=_op, lit=_ts_lit, date_col=st.booleans())
+@settings(max_examples=400, deadline=None)
+def test_file_may_match_temporal_sound(vals, op, lit, date_col):
+    """ISO-tagged temporal stats must never prune a file containing a
+    matching row, mirroring Spark's cast semantics: TIMESTAMP columns cast
+    the literal (date-only -> midnight, unparsable -> NULL); DATE columns
+    TRUNCATE a time-ful literal to its date."""
+    if date_col:
+        vals = [v.date() for v in vals]
+        cols = {"c": [min(vals).isoformat(), max(vals).isoformat(), "d"]}
+    else:
+        cols = {"c": [min(vals).isoformat(sep=" "), max(vals).isoformat(sep=" "), "ts"]}
+    if LakeTable._file_may_match(cols, ("c", op, lit)):
+        return  # keeping is always allowed
+    # pruned: prove no row matches under Spark's semantics
+    s = lit.strip().replace("T", " ")
+    try:
+        if date_col:
+            cast = _dt.date.fromisoformat(s.split(" ")[0])
+        elif len(s) == 10:
+            cast = _dt.datetime.fromisoformat(s + " 00:00:00")
+        else:
+            cast = _dt.datetime.fromisoformat(s)
+    except ValueError:
+        return  # cast NULL -> predicate never TRUE: pruning trivially sound
+    ops = {
+        "=": lambda a, b: a == b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    for v in vals:
+        assert not ops[op](v, cast), (
+            f"pruned a matching row {v} (stats={cols['c']}, {op} {lit!r})"
+        )
