@@ -501,3 +501,79 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def pack_training_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+) -> DataFrame:
+    """GPT-style sequence packing: deterministically shuffle the corpus
+    (md5-of-id order — reproducible across engines and partitionings),
+    CONCATENATE the token streams, and cut every ``window`` tokens into
+    fixed-length training examples. Output one row per (bin, doc)
+    intersection: (bin_id, doc_id, tok_start, tok_end, bin_offset) —
+    tok_start/tok_end are the doc's 0-based [start, end) token range
+    assigned to the bin, bin_offset its position inside the bin. Every bin
+    except the last holds exactly ``window`` tokens; nothing is padded,
+    nothing dropped.
+
+    Scale: the global token offset is a PARALLEL prefix sum, not a
+    single-task window — range-repartition on the shuffle key, per-
+    partition cumulative sums (Window.partitionBy(partition)), and a
+    driver-side P-entry partition-prefix map broadcast back. One range
+    shuffle of (id, n) longs + one map-side explode; output offsets are a
+    pure function of the total (md5, id) order, so partition boundaries
+    (and cluster width) never change results."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    spark = df.sparkSession
+    t = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            token_count(F.col(text_col)).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn("__key", F.md5(F.col("doc_id").cast("string")))
+    )
+    p = max(2, spark.sparkContext.defaultParallelism)
+    r = t.repartitionByRange(p, "__key", "doc_id").sortWithinPartitions(
+        "__key", "doc_id"
+    ).withColumn("__pid", F.spark_partition_id())
+    local = Window.partitionBy("__pid").orderBy("__key", "doc_id")
+    r = r.withColumn("__loc", F.sum("n").over(local) - F.col("n"))
+    # Pin ONE execution: repartitionByRange samples per-execution, so the
+    # prefix map (derived below) and the final read must see the SAME
+    # partition boundaries — localCheckpoint materializes the tiny
+    # (doc_id, n, key, pid, loc) frame once and truncates lineage.
+    r = r.localCheckpoint()
+    # P partition totals -> driver -> exclusive-prefix map (tiny, exact)
+    totals = {
+        row["__pid"]: row["tot"]
+        for row in r.groupBy("__pid").agg(F.sum("n").alias("tot")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    pmap = F.create_map(
+        *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
+    )
+    r = r.withColumn("off", (F.col("__loc") + pmap[F.col("__pid")]).cast("long"))
+    first_bin = F.floor(F.col("off") / window).cast("long")
+    last_bin = F.floor((F.col("off") + F.col("n") - 1) / window).cast("long")
+    ex = r.select(
+        "doc_id", "n", "off", F.explode(F.sequence(first_bin, last_bin)).alias("bin_id")
+    )
+    start = F.greatest(F.lit(0), F.col("bin_id") * window - F.col("off"))
+    end = F.least(F.col("n"), (F.col("bin_id") + 1) * window - F.col("off"))
+    return ex.select(
+        F.col("bin_id").cast("long").alias("bin_id"),
+        "doc_id",
+        start.cast("long").alias("tok_start"),
+        end.cast("long").alias("tok_end"),
+        F.greatest(F.lit(0), F.col("off") - F.col("bin_id") * window)
+        .cast("long")
+        .alias("bin_offset"),
+    )

@@ -348,6 +348,9 @@ tb_sample_battery = _register_battery(
         ("t12_chunking", "t12_chunking",
          {"doc_id": "k1", "chunk_id": "k2", "n_tokens": "n1",
           "chunk_text": "s1"}),
+        ("t13_sequence_packing", "t13_sequence_packing",
+         {"bin_id": "k1", "doc_id": "k2", "tok_start": "n1", "tok_end": "n2",
+          "bin_offset": "n3"}),
     ],
 )
 
@@ -512,6 +515,7 @@ ABSORBED = {
     "t10_repetition": "tb_sample_battery",
     "t11_pii_scrub": "tb_sample_battery",
     "t12_chunking": "tb_sample_battery",
+    "t13_sequence_packing": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",
     "e2_sessionized_purchases": "eb_event_battery",
     "e3_session_rollup": "eb_event_battery",

@@ -1230,6 +1230,40 @@ def t12_chunking(spark, sf_dir):
     return TS.chunk_documents(d, window=16, stride=12)
 
 
+@q(
+    "t13_sequence_packing",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id < 400),
+       base AS (SELECT doc_id, len(w) AS n FROM tok WHERE len(w) > 0),
+       o AS (SELECT doc_id, n,
+                    SUM(n) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n AS off
+             FROM base),
+       ex AS (SELECT doc_id, n, off,
+                     unnest(range(CAST(floor(off / 64.0) AS BIGINT),
+                                  CAST(floor((off + n - 1) / 64.0) AS BIGINT) + 1))
+                       AS bin_id
+              FROM o)
+       SELECT CAST(bin_id AS BIGINT) AS bin_id,
+              CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(greatest(0, bin_id * 64 - off) AS BIGINT) AS tok_start,
+              CAST(least(n, (bin_id + 1) * 64 - off) AS BIGINT) AS tok_end,
+              CAST(greatest(0, off - bin_id * 64) AS BIGINT) AS bin_offset
+       FROM ex""",
+    "T13 GPT-style sequence packing (engine extension; the step that turns "
+    "a curated corpus into fixed-length training examples): deterministic "
+    "md5 shuffle, token streams concatenated, cut every 64 tokens — every "
+    "bin except the last is exactly full, nothing padded or dropped. The "
+    "Spark side (operators.textstats.pack_training_windows) computes the "
+    "global token offset as a PARALLEL prefix sum (range shuffle + "
+    "per-partition cumsum + broadcast P-entry prefix map), never a "
+    "single-task window — offsets are a pure function of the total order, "
+    "so the DuckDB oracle's plain window cumsum reproduces them exactly.",
+)
+def t13_sequence_packing(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return TS.pack_training_windows(d, window=64)
+
+
 def _c1_oracle() -> str:
     from .operators.sampling import split_thresholds
 

@@ -148,3 +148,63 @@ def test_chunking_rejects_bad_params(spark):
         chunk_documents(_docs(spark, [(1, "a b")]), window=0)
     with pytest.raises(ValueError):
         chunk_documents(_docs(spark, [(1, "a b")]), stride=0)
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """pack_training_windows (T13): every bin except the last holds
+    EXACTLY `window` tokens; per-doc assigned ranges tile the doc with no
+    gap/overlap; bin contents are contiguous (offsets + lengths chain);
+    and the output is independent of input partitioning (the parallel
+    prefix sum is a pure function of the md5 total order)."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import (
+        pack_training_windows,
+        token_count,
+    )
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    W = 32
+    out = pack_training_windows(d, window=W).collect()
+
+    by_bin, by_doc = {}, {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    total = sum(r.tok_end - r.tok_start for r in out)
+    last_bin = max(by_bin)
+    for b, rows in by_bin.items():
+        n = sum(r.tok_end - r.tok_start for r in rows)
+        if b != last_bin:
+            assert n == W, f"bin {b} holds {n} tokens"
+        else:
+            assert 0 < n <= W
+        # contiguity inside the bin: offsets + lengths chain to n
+        rows.sort(key=lambda r: r.bin_offset)
+        pos = 0
+        for r in rows:
+            assert r.bin_offset == pos
+            pos += r.tok_end - r.tok_start
+        assert pos == n
+    assert set(by_bin) == set(range(last_bin + 1)), "bin ids are dense"
+
+    # per-doc tiling: ranges partition [0, n_tokens) in order
+    counts = {
+        r.doc_id: r.n
+        for r in d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r.tok_start)
+        assert rows[0].tok_start == 0
+        for a, b2 in zip(rows, rows[1:]):
+            assert a.tok_end == b2.tok_start
+        assert rows[-1].tok_end == counts[doc]
+    assert total == sum(v for k, v in counts.items() if v > 0 and k in by_doc)
+
+    # partitioning independence: a different input layout, same output
+    out2 = pack_training_windows(d.repartition(17), window=W).collect()
+    key = lambda r: (r.bin_id, r.doc_id, r.tok_start, r.tok_end, r.bin_offset)
+    assert sorted(map(key, out)) == sorted(map(key, out2))
