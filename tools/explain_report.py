@@ -102,6 +102,12 @@ PROBES: dict[str, list[str]] = {
                      "no_cartesian_blowup"],
     "s8_knn_ivfpq_res": ["broadcast_join", "partial_agg", "no_python_udf",
                          "no_cartesian_blowup"],
+    # sequence packing: the parallel prefix-sum segment sits behind a
+    # localCheckpoint (single pinned execution), so the visible plan is
+    # the map-side explode — the per-partition-window structure itself is
+    # pinned by test_sequence_packing_invariants' partitioning-
+    # independence assertion
+    "t13_sequence_packing": ["no_python_udf", "no_cartesian_blowup"],
 }
 
 # Each check sees (tree, full): `tree` is the FINAL post-AQE operator tree
