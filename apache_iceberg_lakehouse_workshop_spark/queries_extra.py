@@ -1106,8 +1106,13 @@ def r1_routed_reflection(spark, sf_dir):
         "price_c", F.round(F.col("o_totalprice") * 100).cast("long")
     )
     # mkdtemp (not TemporaryDirectory): the returned DataFrame is evaluated
-    # lazily by the caller AFTER this function exits
+    # lazily by the caller AFTER this function exits; the dir is reclaimed
+    # at interpreter exit, by which point the caller has collected
+    import atexit
+    import shutil
+
     wh = tempfile.mkdtemp(prefix="refl_wh_")
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
     lake = Lakehouse(spark, wh)
     t = lake.create_table_as("r7.orders", orders)
     acc = AcceleratorRegistry(lake)
