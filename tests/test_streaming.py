@@ -366,3 +366,67 @@ def test_stream_maintain_reflection(spark, events_dir, tmp_path):
     }
     assert got == want
     assert got["purchase"] == (80.0, 20.0, 4)
+
+
+def test_stream_maintain_join_reflection(spark, tmp_path):
+    """Composition: the streaming maintenance sink drives the JOIN-shape
+    incremental refresh — fact-side micro-batches merge delta⋈dim partials
+    without ever re-joining the full fact table."""
+    import json as _json
+
+    from apache_iceberg_lakehouse_workshop_spark.plans import AcceleratorRegistry
+    from apache_iceberg_lakehouse_workshop_spark.streaming import (
+        stream_maintain_reflection,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "wh_jrefl"))
+    fact = lake.create_table("db.fact", "cid BIGINT, amount DOUBLE")
+    dim = lake.create_table("db.dim", "cid BIGINT, city STRING")
+    dim.append(spark.createDataFrame(
+        [(1, "york"), (2, "kent")], "cid BIGINT, city STRING"))
+    acc = AcceleratorRegistry(lake)
+
+    def defn():
+        f, d = fact.read(), dim.read()
+        return (
+            f.join(d, "cid").groupBy("city").agg(
+                F.sum("amount").alias("amount_sum"),
+                F.count("amount").alias("amount_count"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    acc.create_reflection("spend_by_city", defn, ["db.fact", "db.dim"])
+    acc.register_join_agg_shape(
+        "spend_by_city", ["db.fact", "db.dim"], ["db.fact.cid=db.dim.cid"],
+        ["city"], [("amount", "SUM"), ("amount", "COUNT"), ("*", "COUNT")],
+    )
+
+    src = tmp_path / "fact_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(
+        _json.dumps(r) for r in [{"cid": 1, "amount": 10.0}, {"cid": 2, "amount": 5.0}]))
+    (src / "b2.json").write_text(_json.dumps({"cid": 1, "amount": 20.0}))
+    stream = (
+        spark.readStream.schema("cid BIGINT, amount DOUBLE")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    full_refreshes = []
+    orig = AcceleratorRegistry.refresh
+    AcceleratorRegistry.refresh = lambda self, name: full_refreshes.append(name) or orig(self, name)
+    try:
+        q = stream_maintain_reflection(
+            stream, fact, acc, "spend_by_city", str(tmp_path / "ckpt_jrefl")
+        )
+        q.awaitTermination(120)
+    finally:
+        AcceleratorRegistry.refresh = orig
+    assert full_refreshes == [], "fact batches must merge via the join-delta path"
+    assert acc.is_fresh("spend_by_city")
+    routed = acc.route_join_aggregate(
+        ["db.fact", "db.dim"], ["db.fact.cid=db.dim.cid"], ["city"],
+        [("SUM", "amount", "total"), ("AVG", "amount", "avg_amt")],
+    )
+    assert routed is not None
+    got = {r.city: (r.total, r.avg_amt) for r in routed.collect()}
+    assert got == {"york": (30.0, 15.0), "kent": (5.0, 5.0)}
