@@ -522,6 +522,18 @@ class AcceleratorRegistry:
         "case when then else end distinct interval date timestamp exists "
         "cast as div mod".split()
     )
+    # nondeterministic (or evaluation-time-dependent) functions: filtering
+    # the MATERIALIZED PARTIALS with e.g. rand() < 0.5 samples GROUPS, not
+    # raw ROWS — systematically different from the plain plan — and
+    # current_timestamp() evaluated at routing time diverges from the
+    # plain plan's evaluation. Predicates containing any of these are
+    # never routed.
+    _PRED_NONDETERMINISTIC = frozenset(
+        "rand randn random uuid shuffle monotonically_increasing_id "
+        "current_timestamp current_date current_timezone now localtimestamp "
+        "curdate current_user session_user user input_file_name "
+        "spark_partition_id".split()
+    )
 
     @classmethod
     def _predicate_columns(cls, where: str) -> set[str] | None:
@@ -553,6 +565,8 @@ class AcceleratorRegistry:
                 while m < n and where[m].isspace():
                     m += 1
                 if m < n and where[m] == "(":
+                    if ident.lower() in cls._PRED_NONDETERMINISTIC:
+                        return None  # nondeterministic fn: never route
                     i = k
                     continue  # function name, not a column
                 if m < n and where[m] == ".":

@@ -429,10 +429,12 @@ class LakeTable:
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(out)
-        self._write_file_stats(out)
+        self._write_file_stats(out, dict(df.dtypes))
         return commit
 
-    def _write_file_stats(self, commit_path: str) -> None:
+    def _write_file_stats(
+        self, commit_path: str, col_types: dict[str, str] | None = None
+    ) -> None:
         """Record per-file column min/max from the freshly written parquet
         footers into ``_stats.json`` inside the commit dir — the engine's
         manifest, enabling file-level data skipping on read (Iceberg
@@ -525,7 +527,28 @@ class LakeTable:
                     else:
                         from urllib.parse import unquote
 
-                        cols[k] = [unquote(v), unquote(v)]
+                        val = unquote(v)
+                        # Identity-partition values of temporal columns get
+                        # the same "ts"/"d" markers as footer stats —
+                        # otherwise a date-partition dir d=2024-01-01 vs a
+                        # literal TIMESTAMP '2024-01-01 00:00:00' (Spark
+                        # promotes date->timestamp: the row MATCHES) would
+                        # be compared lexicographically and wrongly pruned,
+                        # corrupting affected-only DELETE/UPDATE/MERGE.
+                        ktype = (col_types or {}).get(k, "")
+                        if ktype == "date":
+                            cols[k] = [val, val, "d"]
+                        elif ktype.startswith("timestamp"):
+                            # Spark dir names use "YYYY-MM-DD HH:MM:SS[.f]"
+                            # (same lexicographic==chronological shape the
+                            # "ts" read branch expects); pad a bare date
+                            # just in case.
+                            tsv = val.replace("T", " ")
+                            if re.fullmatch(r"\d{4}-\d{2}-\d{2}", tsv):
+                                tsv += " 00:00:00"
+                            cols[k] = [tsv, tsv, "ts"]
+                        else:
+                            cols[k] = [val, val]
                 stats[rel] = cols
         tmp = os.path.join(commit_path, "_stats.json.tmp")
         with open(tmp, "w") as f:
@@ -948,6 +971,22 @@ class LakeTable:
             else:
                 return True
         elif not numeric and isinstance(mn, str) and mn == mx:
+            # Unmarked degenerate stat vs a temporal-SHAPED literal (or
+            # vice versa): pre-marker commits recorded date/timestamp
+            # partition dirs as plain strings. When either side looks like
+            # a date/timestamp and their text precision differs (one has a
+            # time component, the other doesn't), Spark's cast semantics —
+            # not lexicographic order — decide the row filter, so never
+            # prune.
+            _tshape = r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?(\.\d+)?)?"
+            sm = re.fullmatch(_tshape, mn.strip())
+            vm = re.fullmatch(_tshape, val.strip())
+            if (sm is not None or vm is not None) and (
+                sm is None
+                or vm is None
+                or (sm.group(1) is None) != (vm.group(1) is None)
+            ):
+                return True
             # String literal against a DEGENERATE string range: the stat
             # may be a stringified numeric partition value (k=-2 dirs), and
             # Spark compares a numeric column vs a string literal
@@ -975,6 +1014,33 @@ class LakeTable:
         conjs = self._parse_prune_conjuncts(where)
         if not conjs:
             return None
+        try:
+            tz_utc = (
+                self.spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+            )
+        except Exception:
+            tz_utc = False
+        if not tz_utc:
+            # "ts" stats are UTC but Spark evaluates TIMESTAMP literals in
+            # session-local time — temporal conjuncts can't prune safely.
+            # Temporal-SHAPED string literals are also dropped: they may
+            # target a timestamp column under the same cast semantics.
+            _tshape = re.compile(
+                r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?(\.\d+)?)?"
+            )
+
+            def _tsless(c) -> bool:
+                vals = (
+                    c[2] if isinstance(c[2], (list, tuple)) else [c[2]]
+                )
+                return not any(
+                    isinstance(v, str) and _tshape.fullmatch(v.strip())
+                    for v in vals
+                )
+
+            conjs = [c for c in conjs if _tsless(c)]
+            if not conjs:
+                return None
         out: list[list[str] | None] = []
         for d in dirs:
             sp = os.path.join(d, "_stats.json")
@@ -1206,6 +1272,12 @@ class LakeTable:
                 return None
             if isinstance(v, str):
                 return None if "'" in v else f"'{v}'"
+            if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+                # a single NaN key makes max() NaN and BETWEEN .. NaN is
+                # never TRUE: every dir would be classed "untouched" and
+                # matched target rows would survive alongside the upserted
+                # source rows. Skip the optimization entirely.
+                return None
             return repr(v)
 
         conds = []
@@ -2117,6 +2189,23 @@ class Lakehouse:
             )
         except Exception:
             pass  # read-only contexts without conf rights still work
+        # "ts" footer stats are normalized to UTC, but Spark evaluates
+        # TIMESTAMP literals in session-local time: on a non-UTC session
+        # time-range pruning (and the affected-only DML that reuses it)
+        # would compare wall-clock literals against UTC stats. Pin the
+        # session to UTC (the framework's own builder already does —
+        # session.py); if that fails, disable "ts"-marker pruning.
+        self._ts_prune_ok = True
+        try:
+            if (spark.conf.get("spark.sql.session.timeZone", "") or "") != "UTC":
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            try:
+                self._ts_prune_ok = (
+                    spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+                )
+            except Exception:
+                self._ts_prune_ok = False
 
     # -------------------------------------------------------- namespaces
 

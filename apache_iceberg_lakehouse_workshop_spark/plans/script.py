@@ -425,7 +425,7 @@ class ScriptRunner:
     # tolerance conjunct: a.ts - b.ts <= INTERVAL '5' MINUTE (DuckDB-style
     # bound on the as-of match distance)
     _RE_ASOF_TOL = re.compile(
-        r"^\(?\s*(\w+)\.(\w+)\s*-\s*(\w+)\.(\w+)\s*<=?\s*"
+        r"^\(?\s*(\w+)\.(\w+)\s*-\s*(\w+)\.(\w+)\s*(<=|<)\s*"
         r"INTERVAL\s+'([^']+)'\s*(\w+)?\s*\)?$",
         re.I,
     )
@@ -467,7 +467,16 @@ class ScriptRunner:
                     raise UnsupportedStatementError(
                         "ASOF", sql, "at most one tolerance conjunct in ON"
                     )
-                val, unit = tm.group(5), tm.group(6) or ""
+                if tm.group(5) == "<":
+                    # asof_join applies the bound INCLUSIVELY (dist <=
+                    # tolerance); silently accepting `<` would wrongly
+                    # match rows at exactly the bound
+                    raise UnsupportedStatementError(
+                        "ASOF", sql,
+                        "tolerance must use <= (inclusive bound); strict < "
+                        "is not supported",
+                    )
+                val, unit = tm.group(6), tm.group(7) or ""
                 tol = (tm.group(1), tm.group(2), tm.group(3), tm.group(4),
                        f"INTERVAL '{val}' {unit}".strip())
                 continue

@@ -470,3 +470,30 @@ def test_asof_join_sql_tolerance(spark, tmp_path):
             "ASOF JOIN db.quotes q ON t.sym = q.sym AND t.ts >= q.ts "
             "AND q.ts - t.ts <= INTERVAL '5' SECOND"
         )
+
+
+def test_asof_sql_strict_tolerance_rejected(spark, tmp_path):
+    """ADVICE r6 (low): the tolerance regex accepted a strict `<`
+    conjunct but asof_join applies the bound INCLUSIVELY (dist <=
+    tolerance), wrongly matching rows at exactly the bound. Strict `<`
+    must raise a typed error instead of being silently widened."""
+    import pytest as _pytest
+
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import (
+        UnsupportedStatementError,
+    )
+
+    _lake, r = _asof_runner(spark, tmp_path)
+    with _pytest.raises(UnsupportedStatementError, match="inclusive"):
+        r.run(
+            "SELECT t.sym, t.px, q.bid FROM db.trades t "
+            "ASOF JOIN db.quotes q ON t.sym = q.sym AND t.ts >= q.ts "
+            "AND t.ts - q.ts < INTERVAL '5' SECOND"
+        )
+    # the inclusive form still parses and matches at the bound
+    out = r.run(
+        "SELECT t.sym, t.px, q.bid FROM db.trades t "
+        "ASOF JOIN db.quotes q ON t.sym = q.sym AND t.ts >= q.ts "
+        "AND t.ts - q.ts <= INTERVAL '5' SECOND"
+    )
+    assert ("A", 101.0) in {(x.sym, x.px) for x in out.collect()}

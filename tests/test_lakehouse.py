@@ -1353,3 +1353,109 @@ def test_timestamp_and_date_range_data_skipping(lake, spark):
     want = sorted(r.k for r in t.read().filter(
         "ev_ts >= '2025-08-10 05:00:00' AND ev_ts < '2025-08-11'").collect())
     assert sorted(r.k for r in got.collect()) == want
+
+
+# ------------------------------------------------- ADVICE r6 regressions
+
+
+def test_date_partition_vs_timestamp_literal_never_misprunes(lake, spark):
+    """ADVICE r6 (high): identity-partition stats of date/timestamp
+    columns were recorded as UNMARKED degenerate strings, so a
+    date-partition dir d=2024-01-01 vs the literal TIMESTAMP
+    '2024-01-01 00:00:00' (Spark promotes date->timestamp: the row
+    matches) compared lexicographically and was wrongly pruned — and
+    since affected-only DML reuses the pruning, DELETE/UPDATE/MERGE
+    silently skipped matching dirs, persisting wrong data."""
+    t = lake.create_table("db.dpart", "d DATE, v BIGINT", partition_by=["d"])
+    t.append(
+        spark.createDataFrame(
+            [("2024-01-01", 1), ("2024-02-01", 2)], "d STRING, v BIGINT"
+        ).withColumn("d", F.col("d").cast("date"))
+    )
+    got = t.read(where="d = TIMESTAMP '2024-01-01 00:00:00'")
+    assert [r.v for r in got.collect()] == [1]
+    # the marker still prunes the disjoint partition on a DATE literal
+    hit = t.read(where="d = DATE '2024-02-01'")
+    assert [r.v for r in hit.collect()] == [2]
+    assert len(set(hit.inputFiles())) == 1, "d=2024-01-01 dir must be pruned"
+    # affected-only DELETE must not skip the matching dir
+    t.delete_where("d = TIMESTAMP '2024-01-01 00:00:00'")
+    assert [r.v for r in t.read().collect()] == [2]
+
+    # timestamp-partitioned table probed with a DATE literal: same promotion
+    tt = lake.create_table(
+        "db.tspart", "ts TIMESTAMP, v BIGINT", partition_by=["ts"]
+    )
+    tt.append(
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1), ("2024-02-01 09:30:00", 2)],
+            "ts STRING, v BIGINT",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = tt.read(where="ts = DATE '2024-01-01'")
+    assert [r.v for r in got.collect()] == [1]
+    tt.delete_where("ts = DATE '2024-01-01'")
+    assert [r.v for r in tt.read().collect()] == [2]
+
+
+def test_merge_with_nan_key_falls_back_to_full_rewrite(lake, spark):
+    """ADVICE r6 (medium): a single NaN in a float merge-key column made
+    max() NaN -> `k BETWEEN lo AND NaN` is never TRUE -> every dir was
+    classed untouched and MERGE appended source rows WITHOUT replacing
+    matched target rows (duplicate keys / lost updates)."""
+    t = lake.create_table("db.nankey", "k DOUBLE, v BIGINT")
+    t.append(spark.createDataFrame([(1.0, 10), (2.0, 20)], "k DOUBLE, v BIGINT"))
+    src = spark.createDataFrame([(1.0, 99), (float("nan"), 7)], "k DOUBLE, v BIGINT")
+    t.merge(src, "k")
+    rows = t.read().collect()
+    ones = [r.v for r in rows if r.k == 1.0]
+    assert ones == [99], f"matched key must be replaced exactly once, got {ones}"
+    assert sorted(r.v for r in rows) == [7, 20, 99]
+
+
+def test_nonutc_session_disables_temporal_pruning(lake, spark):
+    """ADVICE r6 (low): "ts" footer stats are UTC-normalized, but Spark
+    evaluates TIMESTAMP literals in session-local time. Lakehouse pins the
+    session to UTC; if the tz is changed afterwards, temporal conjuncts
+    must stop pruning (correct rows beat skipped files)."""
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    t = lake.create_table("db.tzsafe", "ev TIMESTAMP, v BIGINT")
+    for day in ("2025-03-01", "2025-03-02"):
+        t.append(
+            spark.createDataFrame([(f"{day} 12:00:00", 1)], "ev STRING, v BIGINT")
+            .withColumn("ev", F.col("ev").cast("timestamp")).coalesce(1)
+        )
+    pruned = t.read(where="ev >= TIMESTAMP '2025-03-02 00:00:00'")
+    assert len(set(pruned.inputFiles())) == 1  # UTC session: pruning on
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        unpruned = t.read(where="ev >= TIMESTAMP '2025-03-02 00:00:00'")
+        # no file skipped — the row filter (now local-time) decides alone
+        assert len(set(unpruned.inputFiles())) == 2
+        want = t.read().filter("ev >= TIMESTAMP '2025-03-02 00:00:00'").count()
+        assert unpruned.count() == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # a fresh Lakehouse on a non-UTC session re-pins UTC
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        Lakehouse(spark, lake.root)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_nondeterministic_predicate_never_routes(lake, spark):
+    """ADVICE r6 (low): `rand() < 0.5` has zero column refs, so it passed
+    the dims-only gate and route_aggregate filtered the MATERIALIZED
+    PARTIALS (sampling groups) instead of raw rows — systematically
+    different results. Nondeterministic functions must block routing."""
+    reg = AcceleratorRegistry(lake)
+    pc = reg._predicate_columns
+    assert pc("rand() < 0.5") is None
+    assert pc("uuid() LIKE 'a%'") is None
+    assert pc("city = 'SF' AND random() < 0.1") is None
+    assert pc("now() > ev_ts") is None
+    # deterministic functions still attribute columns normally
+    assert pc("upper(city) = 'SF'") == {"city"}
+    assert pc("amount > 10") == {"amount"}
