@@ -31,9 +31,11 @@ freshness check reads only metadata JSON (O(anchors), no data IO).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .lakeshim import Lakehouse
 
@@ -55,6 +57,16 @@ class AcceleratorRegistry:
         # registered over views — a view's rows are derived/filtered, so
         # merging the raw anchor's delta would corrupt the stored partials
         self.is_view: Callable[[str], bool] | None = None
+        # optional hook: current body SQL of a (possibly leaf-named)
+        # logical view, or None if not a view. Shapes registered over a
+        # view record the body at registration; routing compares it with
+        # the CURRENT body and refuses on drift — is_fresh only watches
+        # anchor snapshots, so a redefined view with unchanged anchors
+        # would otherwise serve the OLD definition's materialization
+        self.view_body: Callable[[str], str | None] | None = None
+        # optional hook: canonical full name for a dataset reference
+        # (resolves leaf view names); tables default to _resolve_dataset
+        self.canonical_dataset: Callable[[str], str | None] | None = None
         # name -> (definition thunk, anchor table names)
         self._defs: dict[str, tuple[Callable[[], DataFrame], list[str]]] = {}
         # name -> {anchor: snapshot_id} recorded at materialization
@@ -74,6 +86,12 @@ class AcceleratorRegistry:
         # the workshop's customer_spend example IS a join view,
         # readme.md:307-329)
         self._join_shapes: dict[str, dict] = {}
+        # name -> {"dataset", "cols": [...] | None, "view_body": str | None}
+        # for RAW reflections (raw rows of a dataset, optionally a column
+        # subset — ALTER DATASET ... CREATE REFLECTION ... USING RAW /
+        # USING DISPLAY(cols), readme.md:320-326). cols=None means the
+        # reflection stores every dataset column (SELECT *)
+        self._raw_shapes: dict[str, dict] = {}
         self._load_registry()
 
     # ------------------------------------------------------- persistence
@@ -105,6 +123,11 @@ class AcceleratorRegistry:
                 **(
                     {"join_shape": self._join_shapes[name]}
                     if name in self._join_shapes
+                    else {}
+                ),
+                **(
+                    {"raw_shape": self._raw_shapes[name]}
+                    if name in self._raw_shapes
                     else {}
                 ),
             }
@@ -139,6 +162,8 @@ class AcceleratorRegistry:
                 shape = dict(e["join_shape"])
                 shape["measures"] = [tuple(m) for m in shape["measures"]]
                 self._join_shapes[name] = shape
+            if "raw_shape" in e:
+                self._raw_shapes[name] = dict(e["raw_shape"])
 
     # ----------------------------------------------------------- helpers
 
@@ -491,6 +516,7 @@ class AcceleratorRegistry:
         dataset: str,
         dims: list[str],
         measures: list[tuple[str, str]],
+        view_body: str | None = None,
     ) -> None:
         """Record that reflection ``name`` materializes the aggregate shape
         ``SELECT dims, partials FROM dataset GROUP BY dims`` with the
@@ -511,6 +537,7 @@ class AcceleratorRegistry:
             "dataset": dataset,
             "dims": list(dims),
             "measures": kept,
+            "view_body": view_body,
         }
         if name in self._sql_defs:
             self._save_registry()
@@ -625,9 +652,14 @@ class AcceleratorRegistry:
             if pred_cols is None:
                 return None
         req_dims = set(dims)
+        want_ds = self._canon_ds(dataset)
         for name, shape in self._agg_shapes.items():
-            if shape["dataset"] != dataset or name not in self._defs:
+            if name not in self._defs:
                 continue
+            if self._canon_ds(shape["dataset"]) != want_ds:
+                continue
+            if self._view_drifted(shape):
+                continue  # view redefined since materialization
             if not req_dims <= set(shape["dims"]):
                 continue
             if pred_cols is not None and not pred_cols <= set(shape["dims"]):
@@ -682,6 +714,137 @@ class AcceleratorRegistry:
             aggs.append(e.alias(alias))
         return base.groupBy(*dims).agg(*aggs)
 
+    # ------------------------------------------------- dataset identity
+
+    def _canon_ds(self, dataset: str) -> str:
+        """Canonical name for a dataset reference: the host surface's
+        resolution (leaf view names -> full view names) when hooked, else
+        lake-table resolution, else the spelling itself. Lets a query
+        written ``FROM gold_view`` match a shape registered on
+        ``db.gold_view`` (the workshop declares reflections on VIEWS and
+        queries them by either spelling, readme.md:307-329)."""
+        if self.canonical_dataset is not None:
+            try:
+                c = self.canonical_dataset(dataset)
+            except Exception:
+                c = None
+            if c:
+                return c
+        return self._resolve_dataset(dataset) or dataset
+
+    def _view_drifted(self, shape: dict) -> bool:
+        """True when the shape was registered over a VIEW whose body has
+        since been redefined: is_fresh only watches anchor snapshots, so
+        the materialization may hold the OLD definition's rows while the
+        anchors never moved — routing must refuse (plain plan wins)."""
+        recorded = shape.get("view_body")
+        if recorded is None or self.view_body is None:
+            return False
+        ds = shape.get("dataset")
+        if ds is None:
+            return True  # body recorded but no view name to verify against
+        try:
+            current = self.view_body(ds)
+        except Exception:
+            return True
+        norm = lambda s: re.sub(r"\s+", " ", s).strip().rstrip(";").lower()  # noqa: E731
+        return current is None or norm(current) != norm(recorded)
+
+    # --------------------------------------------------- RAW reflections
+
+    def register_raw_shape(
+        self,
+        name: str,
+        dataset: str,
+        cols: list[str] | None = None,
+        view_body: str | None = None,
+    ) -> None:
+        """Record that reflection ``name`` stores the RAW ROWS of
+        ``dataset`` — ``ALTER DATASET … CREATE REFLECTION … USING RAW``
+        (readme.md:320-326) / ``USING DISPLAY(cols)`` (a column subset).
+        Unlike an aggregate shape there is no partial-column convention:
+        storage is one row per dataset row, so any projection / filter /
+        ORDER / LIMIT over the stored columns is exactly servable
+        (readme.md:331-355 'accelerates any query it covers' — the
+        workshop's headline example IS a RAW reflection). ``view_body``:
+        the defining SQL when ``dataset`` is a logical view, checked for
+        drift at route time."""
+        self._raw_shapes[name] = {
+            "dataset": dataset,
+            "cols": list(cols) if cols is not None else None,
+            "view_body": view_body,
+        }
+        if name in self._sql_defs:
+            self._save_registry()
+
+    def route_raw(
+        self,
+        dataset: str,
+        cols: list[str] | None,
+        where: str | None = None,
+        order: list[tuple[str, bool]] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame | None:
+        """Serve ``SELECT cols FROM dataset [WHERE pred] [ORDER BY …]
+        [LIMIT n]`` from a FRESH RAW reflection covering the referenced
+        columns — the non-aggregate half of Dremio's covered-query
+        substitution (readme.md:331-355; the workshop's
+        ``customer_spend_reflection USING RAW``, readme.md:320-326).
+
+        ``cols=None`` means ``SELECT *`` — served only by a full
+        (``cols=None``) RAW reflection, since a DISPLAY-subset one cannot
+        prove it stores every dataset column. ``where`` may reference ANY
+        stored column (raw rows: filtering is exact, no dim/measure
+        split); it rides the storage read so file-level data skipping
+        prunes the reflection's files. ``order`` is [(col, desc)] over
+        stored columns. Returns None when no fresh covering reflection
+        exists — the caller runs the plain plan. At 100 TB this replaces
+        a wide fact scan with a scan of the (narrow, pre-projected,
+        pruned) reflection storage."""
+        pred_cols = None
+        if where is not None:
+            pred_cols = self._predicate_columns(where)
+            if pred_cols is None:
+                return None
+        want_ds = self._canon_ds(dataset)
+        for name, shape in self._raw_shapes.items():
+            if name not in self._defs:
+                continue
+            if self._canon_ds(shape["dataset"]) != want_ds:
+                continue
+            if self._view_drifted(shape):
+                continue
+            stored = shape.get("cols")
+            if cols is None and stored is not None:
+                continue  # SELECT *: only a full RAW reflection covers it
+            if not self.is_fresh(name):
+                continue  # stale: correctness wins, plain plan runs
+            storage = self.lake.table(self._storage_name(name))
+            stored_set = (
+                set(stored) if stored is not None else set(storage.read().columns)
+            )
+            if cols is not None and not set(cols) <= stored_set:
+                continue
+            if pred_cols is not None and not pred_cols <= stored_set:
+                continue
+            if order is not None and not {c for c, _ in order} <= stored_set:
+                continue
+            df = storage.read(where=where)
+            # SELECT *: keep the dataset's column order (= storage's)
+            out_cols = list(cols) if cols is not None else df.columns
+            if order:
+                df = df.orderBy(
+                    *[
+                        F.col(c).desc() if desc else F.col(c).asc()
+                        for c, desc in order
+                    ]
+                )
+            out = df.select(*out_cols)
+            if limit is not None:
+                out = out.limit(limit)
+            return out
+        return None
+
     # -------------------------------------------- join-subtree reflections
 
     def _canonical_join(
@@ -710,6 +873,8 @@ class AcceleratorRegistry:
         join_keys: list[str],
         dims: list[str],
         measures: list[tuple[str, str]],
+        view_body: str | None = None,
+        dataset: str | None = None,
     ) -> None:
         """Record that reflection ``name`` materializes ``SELECT dims,
         partials FROM <inner equi-join over tables on join_keys> GROUP BY
@@ -730,6 +895,10 @@ class AcceleratorRegistry:
             "keys": list(k),
             "dims": list(dims),
             "measures": kept,
+            # when the join subtree was parsed out of a VIEW body, record
+            # the view + its body so drift invalidates this shape too
+            "view_body": view_body,
+            "dataset": dataset,
         }
         if name in self._sql_defs:
             self._save_registry()
@@ -773,6 +942,8 @@ class AcceleratorRegistry:
                 continue
             if (tuple(shape["tables"]), tuple(shape["keys"])) != want:
                 continue
+            if self._view_drifted(shape):
+                continue
             if not req_dims <= set(shape["dims"]):
                 continue
             if pred_cols is not None and not pred_cols <= set(shape["dims"]):
@@ -790,6 +961,7 @@ class AcceleratorRegistry:
         self._anchors.pop(name, None)
         self._agg_shapes.pop(name, None)
         self._join_shapes.pop(name, None)
+        self._raw_shapes.pop(name, None)
         was_sql = self._sql_defs.pop(name, None) is not None
         self.lake.drop_table(self._storage_name(name))
         if was_sql:

@@ -76,6 +76,35 @@ _RE_MEASURE_ALIASED = re.compile(
 )
 _RE_BARE_DIM = re.compile(r"^[\w.]+$")
 
+# routable RAW scan: SELECT bare-cols|* FROM <name> [WHERE ...]
+# [ORDER BY cols] [LIMIT n] — no GROUP BY/JOIN/DISTINCT/aggregates (the
+# shape a USING RAW reflection serves, readme.md:320-355). The WHERE group
+# is permissive; a post-match keyword guard rejects anything that smells
+# like a different statement shape, and the accelerator re-validates the
+# predicate's column references — failure to route always falls back to
+# the plain plan, never to a wrong answer.
+_RE_ROUTABLE_RAW = re.compile(
+    r"^\s*SELECT\s+(?P<select>\*|[\w.]+(?:\s*,\s*[\w.]+)*)\s+"
+    r"FROM\s+(?P<table>[\w.]+)\s*"
+    r"(?:WHERE\s+(?P<where>.*?)\s*)?"
+    r"(?:ORDER\s+BY\s+(?P<order>[\w.]+(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*[\w.]+(?:\s+(?:ASC|DESC))?)*)\s*)?"
+    r"(?:LIMIT\s+(?P<limit>\d+)\s*)?;?\s*$",
+    re.I | re.S,
+)
+_RAW_FORBIDDEN = re.compile(
+    r"\b(GROUP\s+BY|HAVING|JOIN|UNION|INTERSECT|EXCEPT|DISTINCT|QUALIFY|"
+    r"OVER|WITH|LATERAL|TABLESAMPLE)\b",
+    re.I,
+)
+
+
+def _strip_str_literals(text: str) -> str:
+    """Blank out single-quoted literals so keyword guards don't trip on
+    e.g. ``WHERE note = 'group by hand'``."""
+    return re.sub(r"'[^']*'", "''", text)
+
+
 # routable JOIN aggregate: SELECT ... FROM a [x] JOIN b [y] ON ... [JOIN ..]
 # [WHERE dims-only] GROUP BY ... [HAVING aggs] [ORDER BY ...] [LIMIT n]
 _RE_ROUTABLE_JOIN = re.compile(
@@ -199,7 +228,7 @@ class WorkloadAdvisor:
         join half of readme.md:381-389's autonomous lifecycle)."""
         m = _RE_AGG_QUERY.match(sql)
         if not m:
-            return self._observe_join_sql(sql)
+            return self._observe_join_sql(sql) or self._observe_raw_sql(sql)
         measures = [
             (col, agg)
             for agg, distinct, col in _RE_MEASURE.findall(m.group("select"))
@@ -284,7 +313,15 @@ class WorkloadAdvisor:
         DataFrame that re-aggregates the materialized partials, with output
         columns in the query's SELECT order. Returns None (run the plain
         plan) for anything it cannot prove exactly servable: WHERE/HAVING,
-        expressions, DISTINCT aggs, un-aliased measures."""
+        expressions, DISTINCT aggs, un-aliased measures.
+
+        RAW shapes are tried FIRST: a plain projection/filter scan (the
+        workshop's headline ``USING RAW`` acceleration, readme.md:320-355)
+        is served from a fresh RAW reflection covering the referenced
+        columns."""
+        raw = self._route_raw_sql(sql)
+        if raw is not None:
+            return raw
         m = _RE_ROUTABLE.match(sql)
         if m is not None:
             parsed = self._parse_select_items(
@@ -332,6 +369,70 @@ class WorkloadAdvisor:
             measures,
             bare=lambda c: c.rpartition(".")[2] if c != "*" else c,
         )
+
+    @staticmethod
+    def _parse_raw_scan(sql: str):
+        """``(table, cols|None, where, order, limit)`` for a routable RAW
+        scan (bare columns or ``*``, optional WHERE/ORDER BY/LIMIT, no
+        GROUP BY/JOIN/DISTINCT/window), or None. ``cols=None`` = SELECT *.
+        ``order`` is [(col, desc)]."""
+        m = _RE_ROUTABLE_RAW.match(sql)
+        if m is None:
+            return None
+        if _RAW_FORBIDDEN.search(_strip_str_literals(sql)):
+            return None
+        sel = m.group("select").strip()
+        if sel == "*":
+            cols = None
+        else:
+            cols = [i.strip() for i in sel.split(",")]
+            if any("." in c or not c for c in cols):
+                return None  # qualified refs: stored names are bare
+        order = None
+        if m.group("order"):
+            order = []
+            for item in m.group("order").split(","):
+                om = _RE_ORDER_ITEM.match(item.strip())
+                if om is None or "." in om.group(1):
+                    return None
+                order.append(
+                    (om.group(1), (om.group(2) or "").upper() == "DESC")
+                )
+        limit = int(m.group("limit")) if m.group("limit") else None
+        return m.group("table"), cols, m.group("where"), order, limit
+
+    def _route_raw_sql(self, sql: str):
+        parsed = self._parse_raw_scan(sql)
+        if parsed is None:
+            return None
+        table, cols, where, order, limit = parsed
+        return self.accelerator.route_raw(
+            table, cols, where=where, order=order, limit=limit
+        )
+
+    def _observe_raw_sql(self, sql: str) -> bool:
+        """Fingerprint a narrow projection/filter scan — repeated shapes
+        become RAW-reflection recommendations (the reference's autonomous
+        lifecycle covers RAW reflections too, readme.md:381-389).
+        ``SELECT *`` scans are not counted: a full-copy RAW reflection of
+        the whole table is rarely a win worth auto-creating."""
+        parsed = self._parse_raw_scan(sql)
+        if parsed is None:
+            return False
+        table, cols, where, _order, _limit = parsed
+        if cols is None:
+            return False
+        pred_cols: set[str] = set()
+        if where is not None:
+            pc = self.accelerator._predicate_columns(where)
+            if pc is None:
+                return False
+            pred_cols = pc
+        all_cols = tuple(sorted(set(cols) | pred_cols))
+        key = ("raw", table, all_cols)
+        entry = self._shapes.setdefault(key, {"count": 0, "cols": list(all_cols)})
+        entry["count"] += 1
+        return True
 
     @staticmethod
     def _parse_having(having: str):
@@ -442,6 +543,20 @@ class WorkloadAdvisor:
         ):
             if entry["count"] < self.min_count:
                 continue
+            if key[0] == "raw" and len(key) == 3:
+                _, dataset, cols = key
+                name = self._raw_reflection_name(dataset, cols)
+                if name in existing:
+                    continue
+                out.append(
+                    {
+                        "name": name,
+                        "dataset": dataset,
+                        "raw_cols": list(cols),
+                        "hits": entry["count"],
+                    }
+                )
+                continue
             if key[0] == "join":
                 _, tables_sorted, _keys, dims = key
                 name = self._reflection_name("_".join(t.split(".")[-1] for t in tables_sorted), dims)
@@ -478,15 +593,46 @@ class WorkloadAdvisor:
             re.sub(r"\W", "_", d) for d in dims
         )
 
-    def apply(self, anchors_for=None, prepare_sql=None) -> list[str]:
-        """Materialize every recommendation as an AGGREGATE reflection.
-        ``anchors_for(dataset) -> list[str]`` maps a dataset to the lake
-        tables it depends on (the ScriptRunner passes its view-dependency
-        walker); defaults to the dataset itself. ``prepare_sql(body)``
-        adapts the definition SQL to the execution surface (the runner
-        rewrites dotted lake names to its registered temp views)."""
+    @staticmethod
+    def _raw_reflection_name(dataset: str, cols: tuple) -> str:
+        tail = "_".join(re.sub(r"\W", "_", c) for c in cols)
+        if len(tail) > 48:
+            import hashlib
+
+            tail = hashlib.md5(tail.encode()).hexdigest()[:12]
+        return (
+            "auto_raw_" + re.sub(r"\W", "_", dataset.split(".")[-1]) + "_" + tail
+        )
+
+    def apply(self, anchors_for=None, prepare_sql=None, view_body_for=None) -> list[str]:
+        """Materialize every recommendation as an AGGREGATE (or RAW)
+        reflection. ``anchors_for(dataset) -> list[str]`` maps a dataset to
+        the lake tables it depends on (the ScriptRunner passes its
+        view-dependency walker); defaults to the dataset itself.
+        ``prepare_sql(body)`` adapts the definition SQL to the execution
+        surface (the runner rewrites dotted lake names to its registered
+        temp views). ``view_body_for(dataset)`` returns the current body
+        SQL when the dataset is a logical view — recorded so routing can
+        detect view drift."""
         created = []
         for rec in self.recommendations():
+            raw_cols = rec.get("raw_cols")
+            if raw_cols is not None:
+                body = f"SELECT {', '.join(raw_cols)} FROM {rec['dataset']}"
+                if prepare_sql is not None:
+                    body = prepare_sql(body)
+                anchors = (
+                    anchors_for(rec["dataset"]) if anchors_for else [rec["dataset"]]
+                )
+                self.accelerator.create_reflection(rec["name"], body, anchors)
+                self.accelerator.register_raw_shape(
+                    rec["name"],
+                    rec["dataset"],
+                    raw_cols,
+                    view_body=view_body_for(rec["dataset"]) if view_body_for else None,
+                )
+                created.append(rec["name"])
+                continue
             join = rec.get("join")
             colmap = join["colmap"] if join else {}
             cols = []
@@ -555,6 +701,8 @@ class WorkloadAdvisor:
                 return self._reflection_name(
                     "_".join(t.split(".")[-1] for t in tables_sorted), dims
                 )
+            if key[0] == "raw" and len(key) == 3:
+                return self._raw_reflection_name(key[1], key[2])
             return self._reflection_name(*key)
 
         hot = {r["name"] for r in self.recommendations()} | {

@@ -864,7 +864,36 @@ class ScriptRunner:
             # dataset is one of this runner's logical views (their rows are
             # derived — only a full refresh through the definition is exact)
             self._accelerator.is_view = lambda d: d in self.views
+            # view-aware routing: leaf view names canonicalize to their
+            # full names, and shapes registered over a view record its
+            # body so a redefinition invalidates them (the materialization
+            # would otherwise serve the OLD definition while the anchors
+            # never moved)
+            self._accelerator.view_body = self._view_body_of
+            self._accelerator.canonical_dataset = self._canonical_dataset
         return self._accelerator
+
+    def _view_body_of(self, dataset: str) -> str | None:
+        """Current body SQL of ``dataset`` when it names one of this
+        runner's logical views (full or unambiguous leaf name)."""
+        body = self.views.get(dataset)
+        if body is None and "." not in dataset:
+            matches = [v for v in self.views if v.split(".")[-1] == dataset]
+            body = self.views[matches[0]] if len(matches) == 1 else None
+        return body
+
+    def _canonical_dataset(self, dataset: str) -> str | None:
+        """Full name ``dataset`` denotes on this runner's surface: a view's
+        full name (leaf references resolved when unambiguous), else a lake
+        table's full name, else None (accelerator falls back to its own
+        resolution)."""
+        if dataset in self.views:
+            return dataset
+        if "." not in dataset:
+            matches = [v for v in self.views if v.split(".")[-1] == dataset]
+            if len(matches) == 1:
+                return matches[0]
+        return None
 
     @property
     def advisor(self):
@@ -886,7 +915,9 @@ class ScriptRunner:
             return self._rewrite_names(body)
 
         return self.advisor.apply(
-            anchors_for=self._dataset_anchors, prepare_sql=prepare
+            anchors_for=self._dataset_anchors,
+            prepare_sql=prepare,
+            view_body_for=self._view_body_of,
         )
 
     _RE_AT_SNAPSHOT = re.compile(r"\b([\w.]+)\s+AT\s+SNAPSHOT\s+'(\d+)'", re.I)
@@ -1026,11 +1057,16 @@ class ScriptRunner:
         MEASURES (m (SUM, COUNT), ..) for aggregation reflections."""
         dataset, name, using = m.group(1), m.group(2), m.group(3).strip()
         src = self._vname(dataset) if "." in dataset else dataset
+        raw_cols: list[str] | None = None  # for RAW/DISPLAY shape routing
+        is_raw = False
         if using.upper().rstrip(" ;") == "RAW":
             body = f"SELECT * FROM {src}"
+            is_raw = True
         elif _RE_USING_DISPLAY.match(using):
             cols = _clause(_RE_USING_DISPLAY, using)
             body = f"SELECT {cols} FROM {src}"
+            raw_cols = [c.strip() for c in _split_top_level(cols)]
+            is_raw = True
         elif _RE_USING_DIMENSIONS.match(using):
             dims = _clause(_RE_USING_DIMENSIONS, using)
             meas_txt = _clause(_RE_MEASURES, using)
@@ -1059,11 +1095,20 @@ class ScriptRunner:
         self.accelerator.create_reflection(
             name, self._rewrite_names(body), self._dataset_anchors(dataset)
         )
+        if is_raw:
+            # RAW/DISPLAY reflections register their stored columns so
+            # plain projection/filter queries over the dataset route to
+            # the materialization — the workshop's headline acceleration
+            # (customer_spend_reflection USING RAW, readme.md:320-355)
+            self.accelerator.register_raw_shape(
+                name, dataset, raw_cols, view_body=self._view_body_of(dataset)
+            )
         if _RE_USING_DIMENSIONS.match(using):
             # aggregation reflections register their shape so covered
             # queries (dims a subset, AVG from SUM+COUNT) can route to them
             self.accelerator.register_agg_shape(
-                name, dataset, dim_list, measure_pairs
+                name, dataset, dim_list, measure_pairs,
+                view_body=self._view_body_of(dataset),
             )
             # a reflection on a JOIN VIEW additionally registers its join
             # subtree: queries written directly against the same join (not
@@ -1120,7 +1165,10 @@ class ScriptRunner:
         cols = set(dims) | {c for c, _ in measures if c != "*"}
         if not all_safe and not cols <= safe:
             return
-        self.accelerator.register_join_agg_shape(name, tables, keys, dims, measures)
+        self.accelerator.register_join_agg_shape(
+            name, tables, keys, dims, measures,
+            view_body=body, dataset=dataset,
+        )
 
     # ------------------------------------------------------------- driver
 

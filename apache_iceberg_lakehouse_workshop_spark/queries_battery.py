@@ -247,6 +247,8 @@ ab_shapes_battery = _register_battery(
          {"bucket": "k1", "lo": "v1", "hi": "s1", "n": "n1"}),
         ("r1_routed_reflection", "r1_routed_reflection",
          {"pri": "s1", "total_c": "n1", "n": "n2"}),
+        ("r2_routed_raw", "r2_routed_raw",
+         {"c_custkey": "k1", "c_name": "s1", "c_acctbal": "v1"}),
     ],
 )
 
@@ -540,6 +542,7 @@ ABSORBED = {
     "a20_cube": "ab_shapes_battery",
     "a23_stat_aggs": "ab_shapes_battery",
     "r1_routed_reflection": "ab_shapes_battery",
+    "r2_routed_raw": "ab_shapes_battery",
     "a24_histogram": "ab_shapes_battery",
     "w2_rolling_7day": "wb_window_battery",
     "w3_lead_gap": "wb_window_battery",

@@ -1079,6 +1079,56 @@ def a24_histogram(spark, sf_dir):
 
 
 @q(
+    "r2_routed_raw",
+    """SELECT c_custkey, c_name, c_acctbal
+       FROM customer
+       WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+       ORDER BY c_custkey
+       LIMIT 100""",
+    "R7 RAW-reflection routing END TO END under the value hash — the "
+    "workshop's literal headline acceleration (`customer_spend_reflection "
+    "USING RAW`, readme.md:320-326, serving subsequent non-aggregate "
+    "queries readme.md:331-355): declare a DISPLAY-subset RAW reflection "
+    "on a lakeshim copy of customer through the SQL surface, then run a "
+    "never-before-seen projection + filter + ORDER BY + LIMIT which the "
+    "advisor routes to the materialized raw rows (asserted: the plan "
+    "scans reflection storage). The oracle recomputes from the raw "
+    "parquet — value equality proves RAW substitution exact. ORDER BY the "
+    "unique key keeps the LIMIT deterministic across engines.",
+)
+def r2_routed_raw(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from .plans import Lakehouse
+    from .plans.script import ScriptRunner
+
+    cust = load_table(spark, sf_dir, "customer")
+    # mkdtemp (not TemporaryDirectory): the returned DataFrame is evaluated
+    # lazily by the caller AFTER this function exits (same pattern as r1)
+    wh = tempfile.mkdtemp(prefix="rawrefl_wh_")
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    lake = Lakehouse(spark, wh)
+    lake.create_table_as("r7.customer", cust)
+    r = ScriptRunner(lake)
+    r.run(
+        "ALTER DATASET r7.customer CREATE RAW REFLECTION cust_raw "
+        "USING DISPLAY (c_custkey, c_name, c_acctbal, c_mktsegment)"
+    )
+    r.use_reflection_routing = True
+    out = r.run(
+        "SELECT c_custkey, c_name, c_acctbal FROM r7.customer "
+        "WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000 "
+        "ORDER BY c_custkey LIMIT 100"
+    )
+    assert any(
+        "_reflections" in f for f in out.inputFiles()
+    ), "fresh covering RAW reflection must serve the scan"
+    return out
+
+
+@q(
     "r1_routed_reflection",
     """SELECT o_orderpriority AS pri,
               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

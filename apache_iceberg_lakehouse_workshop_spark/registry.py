@@ -55,7 +55,8 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
                       "mm3_frame_sample"],
     "AI functions": ["aib_ai_battery"],
     # R7 covered-query reflection substitution rides the driver hash via
-    # r1_routed_reflection (absorbed into ab_shapes_battery)
+    # r1_routed_reflection (aggregate rollup routing) and r2_routed_raw
+    # (RAW/DISPLAY routing), both absorbed into ab_shapes_battery
     "R acceleration": ["ab_shapes_battery"],
 }
 

@@ -677,3 +677,158 @@ def test_join_having_served_from_reflection(join_runner):
     join_runner.use_reflection_routing = False
     want = [(r.region, r.total) for r in join_runner.run(sql).collect()]
     assert got == want == [("east", 131.0)]
+
+
+# ----------------------------------------------- RAW reflection routing
+
+
+_RAW_REFLECTION = """
+ALTER DATASET dremio.demo.sales CREATE RAW REFLECTION sales_raw USING RAW
+"""
+
+
+def test_raw_reflection_serves_projection_filter(runner):
+    """Round-7 #1: the workshop's headline acceleration is a USING RAW
+    reflection serving subsequent NON-aggregate queries
+    (readme.md:320-355). A projection + filter + ORDER BY + LIMIT over
+    the dataset must scan the materialization, with values identical to
+    the plain plan."""
+    runner.run(_RAW_REFLECTION)
+    sql = (
+        "SELECT region, amount FROM dremio.demo.sales "
+        "WHERE amount > 8 ORDER BY amount DESC LIMIT 3"
+    )
+    out = runner.run(sql)
+    assert _reads_reflection(out), "plan must scan the RAW reflection"
+    got = [(r.region, r.amount) for r in out.collect()]
+    runner.use_reflection_routing = False
+    want = [(r.region, r.amount) for r in runner.run(sql).collect()]
+    assert got == want and len(got) == 3
+
+    # SELECT * routes too (full RAW reflection stores every column)
+    runner.use_reflection_routing = True
+    star = runner.run("SELECT * FROM dremio.demo.sales WHERE region = 'east'")
+    assert _reads_reflection(star)
+    assert star.columns == ["region", "product", "amount"]
+    assert sorted((r.region, r.product, r.amount) for r in star.collect()) == [
+        ("east", "a", 10.0), ("east", "a", 20.0), ("east", "b", 5.0)
+    ]
+
+
+def test_display_subset_covers_only_its_columns(runner):
+    """A DISPLAY(cols) reflection serves queries over its column subset;
+    a query touching any other column (in SELECT or WHERE) falls back."""
+    runner.run(
+        "ALTER DATASET dremio.demo.sales CREATE RAW REFLECTION sales_narrow "
+        "USING DISPLAY (region, amount)"
+    )
+    covered = runner.run(
+        "SELECT region FROM dremio.demo.sales WHERE amount >= 100"
+    )
+    assert _reads_reflection(covered)
+    assert [r.region for r in covered.collect()] == ["north"]
+    # uncovered SELECT column
+    out = runner.run("SELECT region, product FROM dremio.demo.sales")
+    assert not _reads_reflection(out)
+    # uncovered WHERE column
+    out = runner.run("SELECT region FROM dremio.demo.sales WHERE product = 'a'")
+    assert not _reads_reflection(out)
+    # SELECT * cannot be proven covered by a subset reflection
+    out = runner.run("SELECT * FROM dremio.demo.sales")
+    assert not _reads_reflection(out)
+
+
+def test_raw_stale_falls_back_and_stays_correct(runner):
+    runner.run(_RAW_REFLECTION)
+    assert _reads_reflection(
+        runner.run("SELECT region FROM dremio.demo.sales WHERE amount > 8")
+    )
+    runner.run("INSERT INTO dremio.demo.sales VALUES ('south', 'd', 42.0)")
+    out = runner.run("SELECT region FROM dremio.demo.sales WHERE amount > 8")
+    assert not _reads_reflection(out), "stale reflection must not serve"
+    assert "south" in {r.region for r in out.collect()}
+
+
+def test_raw_reflection_on_view_routes_by_either_name(runner):
+    """Round-7 #5: the workshop declares reflections on VIEWS and queries
+    them by view name (readme.md:307-329). Both the full and the leaf
+    spelling must route; redefining the view invalidates the shape (the
+    materialization holds the OLD definition's rows)."""
+    runner.run(
+        """
+        CREATE OR REPLACE VIEW dremio.demo.big_sales AS
+          SELECT region, product, amount FROM dremio.demo.sales WHERE amount >= 9;
+        ALTER DATASET dremio.demo.big_sales CREATE RAW REFLECTION big_raw USING RAW;
+        """
+    )
+    full = runner.run("SELECT region, amount FROM dremio.demo.big_sales")
+    assert _reads_reflection(full)
+    leaf = runner.run("SELECT region, amount FROM big_sales WHERE amount > 10")
+    assert _reads_reflection(leaf)
+    assert sorted((r.region, r.amount) for r in leaf.collect()) == [
+        ("east", 20.0), ("north", 100.0), ("west", 11.0)
+    ]
+    # redefine the view: same anchors, different body -> must NOT route
+    runner.run(
+        "CREATE OR REPLACE VIEW dremio.demo.big_sales AS "
+        "SELECT region, product, amount FROM dremio.demo.sales WHERE amount >= 20"
+    )
+    out = runner.run("SELECT region, amount FROM dremio.demo.big_sales")
+    assert not _reads_reflection(out), "view drift must invalidate the shape"
+    assert sorted((r.region, r.amount) for r in out.collect()) == [
+        ("east", 20.0), ("north", 100.0)
+    ]
+
+
+def test_agg_reflection_on_view_drift_falls_back(runner):
+    """View drift invalidates AGGREGATE shapes too: after redefining the
+    view, a GROUP BY over it must run the plain plan (the stored partials
+    aggregate the OLD rows)."""
+    runner.run(
+        """
+        CREATE OR REPLACE VIEW dremio.demo.east_sales AS
+          SELECT region, product, amount FROM dremio.demo.sales WHERE region = 'east';
+        ALTER DATASET dremio.demo.east_sales CREATE AGGREGATE REFLECTION east_agg
+        USING DIMENSIONS (product) MEASURES (amount (SUM, COUNT));
+        """
+    )
+    sql = "SELECT product, SUM(amount) AS total FROM dremio.demo.east_sales GROUP BY product"
+    assert _reads_reflection(runner.run(sql))
+    runner.run(
+        "CREATE OR REPLACE VIEW dremio.demo.east_sales AS "
+        "SELECT region, product, amount FROM dremio.demo.sales WHERE region = 'west'"
+    )
+    out = runner.run(sql)
+    assert not _reads_reflection(out)
+    assert {r.product: r.total for r in out.collect()} == {"a": 7.0, "b": 20.0}
+
+
+def test_advisor_recommends_raw_reflection_for_repeated_scans(spark, tmp_path):
+    """Repeated narrow projection/filter scans become a RAW-reflection
+    recommendation; accelerate() materializes it and the next scan
+    routes."""
+    lake = Lakehouse(spark, str(tmp_path / "warehouse"))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE FOLDER IF NOT EXISTS dremio.demo;
+        CREATE TABLE dremio.demo.sales (region VARCHAR, product VARCHAR, amount DOUBLE);
+        INSERT INTO dremio.demo.sales VALUES
+          ('east', 'a', 10.0), ('west', 'b', 9.0), ('north', 'c', 100.0);
+        """
+    )
+    sql = "SELECT region, amount FROM dremio.demo.sales WHERE amount > 9"
+    r.advisor  # turn on workload observation
+    for _ in range(3):
+        r.run(sql)
+    recs = r.advisor.recommendations()
+    raw_recs = [x for x in recs if "raw_cols" in x]
+    assert raw_recs and set(raw_recs[0]["raw_cols"]) == {"region", "amount"}
+    created = r.accelerate()
+    assert raw_recs[0]["name"] in created
+    r.use_reflection_routing = True
+    out = r.run(sql)
+    assert _reads_reflection(out)
+    assert sorted((x.region, x.amount) for x in out.collect()) == [
+        ("east", 10.0), ("north", 100.0)
+    ]
