@@ -207,6 +207,32 @@ def _nullable_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
+def _requires(*privileges: str):
+    """Gate a LakeTable entry point behind the grants registry when the
+    owning :class:`Lakehouse` runs with ``enforce_grants=True`` (matching
+    ``industry-examples/permissions.sql:1-11`` semantics instead of merely
+    recording them). ANY listed privilege admits the call (``WRITE`` is the
+    folder-level umbrella the workshop grants). Nested internal calls (a
+    DELETE reading its own table) are not re-checked — the user's intent
+    was authorized at the entry point."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            if self._acl is not None and self._acl_depth == 0:
+                self._acl(privileges, self.name)
+            self._acl_depth += 1
+            try:
+                return fn(self, *args, **kwargs)
+            finally:
+                self._acl_depth -= 1
+
+        return wrapper
+
+    return deco
+
+
 class LakeTable:
     """One snapshot-versioned table. Obtained via :class:`Lakehouse`."""
 
@@ -214,6 +240,10 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.name = name
+        # set by Lakehouse when enforce_grants=True: callable
+        # (privileges, object_name) -> None | raises PermissionError
+        self._acl = None
+        self._acl_depth = 0
 
     # ------------------------------------------------------------ metadata
 
@@ -555,6 +585,7 @@ class LakeTable:
             json.dump(stats, f)
         os.replace(tmp, os.path.join(commit_path, "_stats.json"))
 
+    @_requires("INSERT", "WRITE")
     def append(self, df: DataFrame, snapshot_props: dict | None = None) -> int:
         """Append rows; returns new snapshot id. (DataFrameWriterV2.append
         analogue — /root/reference/spark.py:88-89.) ``snapshot_props`` ride
@@ -578,6 +609,7 @@ class LakeTable:
             self._commit(meta)
         return snap["id"]
 
+    @_requires("INSERT", "WRITE")
     def overwrite(self, df: DataFrame) -> int:
         """Replace table contents (INSERT OVERWRITE / CTAS-rebuild —
         industry-examples/retail.sql:88-100 DROP+CTAS idiom)."""
@@ -587,6 +619,7 @@ class LakeTable:
             meta.get("current_snapshot_id"), "overwrite", [commit]
         )["id"]
 
+    @_requires("DELETE", "WRITE")
     def delete_where(self, condition: str) -> int:
         """``DELETE FROM t WHERE condition`` — copy-on-write: surviving rows
         are rewritten; prior snapshots remain readable
@@ -639,6 +672,7 @@ class LakeTable:
         commit = self._write_commit_dir(survivors, meta)
         return self._commit_rewrite(parent, "delete", [commit])["id"]
 
+    @_requires("UPDATE", "WRITE")
     def update_where(self, assignments: dict[str, str], condition: str = "true") -> int:
         """``UPDATE t SET col = expr[, ...] [WHERE cond]`` — copy-on-write
         (Dremio/Iceberg UPDATE; the DML completion of the reference's
@@ -964,10 +998,17 @@ class LakeTable:
             # and coercing it would prune files that do match — so for a
             # genuine string range vs a numeric literal, never prune.
             if numeric and isinstance(mn, str) and mn == mx:
-                try:
-                    mn, mx = float(mn), float(mx)
-                except ValueError:
-                    return True
+                # integer literal vs integer-shaped stat: compare EXACTLY —
+                # a widened BIGINT column can carry values beyond 2^53 where
+                # the float round-trip collapses neighbours and a strict
+                # inequality would prune a matching file
+                if isinstance(val, int) and re.fullmatch(r"[+-]?\d+", mn.strip()):
+                    mn = mx = int(mn)
+                else:
+                    try:
+                        mn, mx = float(mn), float(mx)
+                    except ValueError:
+                        return True
             else:
                 return True
         elif not numeric and isinstance(mn, str) and mn == mx:
@@ -1065,6 +1106,7 @@ class LakeTable:
         filters: list[str | None] | None = None,
         schema: T.StructType | None = None,
         aliases: dict[str, str] | None = None,
+        tombstones: dict[str, set[str]] | None = None,
     ) -> DataFrame | None:
         """Scan a list of commit dirs as one DataFrame.
 
@@ -1091,6 +1133,16 @@ class LakeTable:
                 part = rd.parquet(*files)
             else:
                 continue
+            if tombstones:
+                # a dropped-then-re-added column: this dir's physical data
+                # predates the drop — stale, must read as NULL (the union's
+                # allowMissingColumns fills it)
+                stale = [
+                    c for c, dset in tombstones.items()
+                    if d in dset and c in part.columns
+                ]
+                if stale:
+                    part = part.drop(*stale)
             excl = None if filters is None else filters[i]
             if excl:
                 # partition-scoped compaction rewrote this dir's matching
@@ -1130,6 +1182,7 @@ class LakeTable:
             df = df.unionByName(p, allowMissingColumns=True)
         return df
 
+    @_requires("SELECT")
     def read(
         self,
         snapshot_id: int | None = None,
@@ -1165,44 +1218,64 @@ class LakeTable:
         else:
             snap = self._current_snapshot(meta)
 
-        schema = T.StructType.fromJson(meta["schema"]) if meta.get("schema") else None
+        # Time travel reads under the schema epoch the snapshot was
+        # committed with (Iceberg per-snapshot schema-id); a default read
+        # uses the current schema.
+        hist = None
+        if (snapshot_id is not None or as_of_ms is not None) and snap is not None:
+            hist = self._schema_entry_at(meta, snap["id"])
+        if hist is not None:
+            schema_json = hist.get("schema")
+            aliases_all = hist.get("aliases", {})
+        else:
+            schema_json = meta.get("schema")
+            aliases_all = meta.get("column_aliases", {})
+        schema = T.StructType.fromJson(schema_json) if schema_json else None
         dirs = [os.path.join(self.path, "data", d) for d in (snap["commit_dirs"] if snap else [])]
         if not dirs:
             if schema is None:
                 raise ValueError(f"table {self.name} is empty and has no declared schema")
             return self.spark.createDataFrame([], schema)
+        travel = snapshot_id is not None or as_of_ms is not None
+        tombs = self._tombstoned_dirs(meta, schema, snap["id"] if travel else None)
         file_lists = None
         if where is not None:
             # resolve a renamed column back to its physical name for the
             # stats lookup (stats are recorded under the written name)
-            aliases = meta.get("column_aliases", {})
-            prune_where = self._sub_outside_literals(where, aliases)
+            prune_where = self._sub_outside_literals(where, aliases_all)
             file_lists = self._prune_file_lists(dirs, prune_where)
         cf = snap.get("commit_filters", {}) if snap else {}
         filters = [cf.get(d) for d in (snap["commit_dirs"] if snap else [])]
-        aliases_all = meta.get("column_aliases", {})
-        df = self._read_dirs(dirs, file_lists, filters, schema, aliases_all)
+        df = self._read_dirs(dirs, file_lists, filters, schema, aliases_all, tombs)
         if df is None:
             # every file provably excluded: empty result, correct schema
-            base = self._read_dirs(dirs, filters=filters, schema=schema, aliases=aliases_all)
+            base = self._read_dirs(
+                dirs, filters=filters, schema=schema, aliases=aliases_all, tombstones=tombs
+            )
             df = base.limit(0)
-        df = self._finalize_read(df, meta, schema)
+        df = self._finalize_read(df, meta, schema, aliases_all)
         if where is not None:
             df = df.filter(where)
         return df
 
     def _finalize_read(
-        self, df: DataFrame, meta: dict, schema: T.StructType | None
+        self,
+        df: DataFrame,
+        meta: dict,
+        schema: T.StructType | None,
+        aliases: dict[str, str] | None = None,
     ) -> DataFrame:
-        """Project a raw commit-dir union onto the declared schema: current
-        column order + types govern; columns no data file has yet read as
-        typed NULLs; renamed columns read their pre-rename physical name
-        from old commits; hidden-partition columns drop."""
+        """Project a raw commit-dir union onto the governing schema (current
+        or, for time travel, the snapshot's epoch): column order + types
+        govern; columns no data file has yet read as typed NULLs; renamed
+        columns read their pre-rename physical name from old commits;
+        hidden-partition columns drop."""
         drop = [c for c in df.columns if c.startswith(_HP_PREFIX)]
         user_cols = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
         if schema is not None:
             present = set(df.columns)
-            aliases = meta.get("column_aliases", {})
+            if aliases is None:
+                aliases = meta.get("column_aliases", {})
             cols = []
             for f in schema.fields:
                 physical = aliases.get(f.name)
@@ -1227,7 +1300,10 @@ class LakeTable:
         cf = snap.get("commit_filters", {})
         dirs = [os.path.join(self.path, "data", d) for d in rel_dirs]
         aliases = meta.get("column_aliases", {})
-        df = self._read_dirs(dirs, None, [cf.get(d) for d in rel_dirs], schema, aliases)
+        tombs = self._tombstoned_dirs(meta, schema, None)
+        df = self._read_dirs(
+            dirs, None, [cf.get(d) for d in rel_dirs], schema, aliases, tombs
+        )
         return self._finalize_read(df, meta, schema)
 
     def _affected_dirs_split(
@@ -1292,6 +1368,7 @@ class LakeTable:
             conds.append(f"{tc} BETWEEN {a} AND {b}")
         return " AND ".join(conds) if conds else None
 
+    @_requires("UPDATE", "WRITE")
     def merge(self, source: DataFrame, key: str | list[str]) -> int:
         """``MERGE INTO t USING source ON t.key = source.key WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the standard
@@ -1343,6 +1420,7 @@ class LakeTable:
         commit = self._write_commit_dir(merged, meta)
         return self._commit_rewrite(parent, "merge", [commit])["id"]
 
+    @_requires("UPDATE", "WRITE")
     def merge_into(
         self,
         source: DataFrame,
@@ -1583,11 +1661,68 @@ class LakeTable:
 
     # ----------------------------------------------------- schema evolution
 
+    @staticmethod
+    def _push_schema_log(meta: dict) -> None:
+        """Snapshot the CURRENT schema epoch before an evolution mutates it,
+        so time travel reads old snapshots under the schema they were
+        committed with (Iceberg records a schema-id per snapshot; the shim
+        records the epoch's last snapshot id). ``valid_through`` is the last
+        snapshot committed under the old schema; a pre-first-snapshot
+        evolution records None (nothing to time-travel to)."""
+        meta.setdefault("schema_log", []).append(
+            {
+                "valid_through": meta.get("current_snapshot_id"),
+                "schema": meta.get("schema"),
+                "aliases": dict(meta.get("column_aliases", {})),
+            }
+        )
+
+    @staticmethod
+    def _schema_entry_at(meta: dict, snapshot_id: int) -> dict | None:
+        """The schema epoch snapshot ``snapshot_id`` was committed under:
+        the FIRST log entry whose ``valid_through`` covers it (entries are
+        appended in evolution order, so the first match is the oldest —
+        i.e. the epoch live at commit time). None → the current schema."""
+        for entry in meta.get("schema_log", []):
+            vt = entry.get("valid_through")
+            if vt is not None and snapshot_id <= vt:
+                return entry
+        return None
+
+    def _tombstoned_dirs(
+        self, meta: dict, schema: T.StructType | None, snapshot_id: int | None
+    ) -> dict[str, set[str]]:
+        """{column: absolute commit dirs whose physical data for that column
+        is STALE} — a column that was dropped and later re-added must read
+        NULL from files written before the drop (Iceberg guarantees this via
+        field ids; the shim via per-drop dir tombstones). A time-travel read
+        at ``snapshot_id`` applies only drops that happened before it — an
+        older snapshot reads under its own (pre-drop) schema where the data
+        is genuinely live."""
+        out: dict[str, set[str]] = {}
+        if schema is None:
+            return out
+        declared = set(schema.fieldNames())
+        for col, records in meta.get("column_tombstones", {}).items():
+            if col not in declared:
+                continue
+            dirs: set[str] = set()
+            for rec in records:
+                if snapshot_id is not None and snapshot_id <= rec["dropped_at"]:
+                    continue  # reading a pre-drop snapshot: data is live
+                dirs.update(rec["dirs"])
+            if dirs:
+                out[col] = {os.path.join(self.path, "data", d) for d in dirs}
+        return out
+
+    @_requires("ALTER", "WRITE")
     def add_column(self, name: str, dtype: str) -> None:
         """``ALTER TABLE … ADD COLUMN`` — metadata-only commit, no data
         rewrite; existing rows read as NULL (Iceberg schema evolution,
         SURVEY §1.3 / readme.md's Iceberg capability set). Requires a
-        declared schema."""
+        declared schema. Re-adding a previously dropped name is legal —
+        pre-drop files' stale physical data reads as NULL (see
+        :meth:`drop_column` tombstones)."""
         with self._commit_lock():
             meta = self._load_meta()
             if meta.get("schema") is None:
@@ -1595,10 +1730,106 @@ class LakeTable:
             schema = T.StructType.fromJson(meta["schema"])
             if name in schema.fieldNames():
                 raise ValueError(f"column exists: {name}")
+            self._push_schema_log(meta)
             schema = schema.add(T.StructField(name, T._parse_datatype_string(dtype)))
             meta["schema"] = schema.jsonValue()
             self._commit(meta)
 
+    @_requires("ALTER", "WRITE")
+    def drop_column(self, name: str) -> None:
+        """``ALTER TABLE … DROP COLUMN`` — metadata-only (Iceberg schema
+        evolution, readme.md:357-370 capability set): data files are never
+        rewritten; the declared-schema projection simply stops selecting
+        the column. Old snapshots still read it (schema log). Because data
+        files keep the physical column, a later ``add_column`` of the SAME
+        name must not resurrect stale values: the drop records a tombstone
+        of every commit dir alive now, and reads NULL the column for those
+        dirs once it is re-added. Partition-spec source columns cannot be
+        dropped (the spec would reference a ghost)."""
+        with self._commit_lock():
+            meta = self._load_meta()
+            if meta.get("schema") is None:
+                raise ValueError("drop_column requires a declared schema")
+            schema = T.StructType.fromJson(meta["schema"])
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column: {name}")
+            for spec in meta["partition_by"]:
+                m = _TRANSFORM_RE.match(spec)
+                pm = _PARAM_TRANSFORM_RE.match(spec)
+                src = m.group(2) if m else pm.group(3) if pm else spec
+                if src == name:
+                    raise ValueError(
+                        f"cannot drop {name}: partition field {spec!r} references it"
+                    )
+            self._push_schema_log(meta)
+            meta["schema"] = T.StructType(
+                [f for f in schema.fields if f.name != name]
+            ).jsonValue()
+            meta.get("column_aliases", {}).pop(name, None)
+            live = sorted({d for s in meta["snapshots"] for d in s["commit_dirs"]})
+            if live:
+                meta.setdefault("column_tombstones", {}).setdefault(name, []).append(
+                    {"dropped_at": meta.get("current_snapshot_id"), "dirs": live}
+                )
+            self._commit(meta)
+
+    # type-widening lattice: a cast from key to any member of the value set
+    # is lossless for every representable value (Iceberg's allowed
+    # schema-evolution promotions: int->long, float->double, decimal
+    # precision growth at fixed scale)
+    _WIDEN_OK = {
+        "byte": {"short", "integer", "long"},
+        "short": {"integer", "long"},
+        "integer": {"long"},
+        "float": {"double"},
+    }
+
+    @classmethod
+    def _is_widening(cls, old: T.DataType, new: T.DataType) -> bool:
+        if new.typeName() in cls._WIDEN_OK.get(old.typeName(), ()):
+            return True
+        if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+            return new.scale == old.scale and new.precision >= old.precision
+        return False
+
+    @_requires("ALTER", "WRITE")
+    def widen_column(self, name: str, dtype: str) -> None:
+        """``ALTER TABLE … ALTER COLUMN name TYPE dtype`` restricted to
+        lossless widenings — int→long, float→double, decimal(p,s)→
+        decimal(p'≥p,s) — exactly Iceberg's allowed type promotions.
+        Metadata-only: old files keep the narrow physical type and the
+        declared-schema projection casts up (exact by the lattice). File
+        skipping stays sound: footer stats of the narrow type compare
+        exactly against widened literals (int/float Python scalars;
+        decimal stats are never recorded), and identity-partition
+        degenerate string stats compare integers EXACTLY (see
+        :meth:`_file_may_match`), so no widened-literal comparison ever
+        goes through a lossy float round-trip."""
+        with self._commit_lock():
+            meta = self._load_meta()
+            if meta.get("schema") is None:
+                raise ValueError("widen_column requires a declared schema")
+            schema = T.StructType.fromJson(meta["schema"])
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column: {name}")
+            new_t = T._parse_datatype_string(dtype)
+            old_t = schema[name].dataType
+            if not self._is_widening(old_t, new_t):
+                raise ValueError(
+                    f"not a lossless widening: {old_t.simpleString()} -> "
+                    f"{new_t.simpleString()} (allowed: int family up, "
+                    "float->double, decimal precision growth at fixed scale)"
+                )
+            self._push_schema_log(meta)
+            meta["schema"] = T.StructType(
+                [
+                    T.StructField(f.name, new_t if f.name == name else f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            ).jsonValue()
+            self._commit(meta)
+
+    @_requires("ALTER", "WRITE")
     def rename_column(self, old: str, new: str) -> None:
         """``ALTER TABLE … RENAME COLUMN`` — metadata-only. Data files keep
         the old physical name; reads map it forward. (Iceberg does this by
@@ -1610,6 +1841,7 @@ class LakeTable:
             schema = T.StructType.fromJson(meta["schema"])
             if old not in schema.fieldNames():
                 raise ValueError(f"no such column: {old}")
+            self._push_schema_log(meta)
             fields = [
                 T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
                 for f in schema.fields
@@ -1639,6 +1871,7 @@ class LakeTable:
                     f"partition field {spec!r} references unknown column {src!r}"
                 )
 
+    @_requires("ALTER", "WRITE")
     def add_partition_field(self, spec: str) -> None:
         """``ALTER TABLE … ADD PARTITION FIELD days(ts)`` — Iceberg
         partition-spec evolution: metadata-only, applies to NEW commits;
@@ -1655,6 +1888,7 @@ class LakeTable:
             meta["partition_by"].append(spec)
             self._commit(meta)
 
+    @_requires("ALTER", "WRITE")
     def drop_partition_field(self, spec: str) -> None:
         """Remove a field from the partition spec (new commits only; data
         already partitioned by it keeps its layout and pruning)."""
@@ -1665,6 +1899,7 @@ class LakeTable:
             meta["partition_by"].remove(spec)
             self._commit(meta)
 
+    @_requires("SELECT")
     def read_incremental(
         self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
     ) -> DataFrame:
@@ -1705,7 +1940,11 @@ class LakeTable:
         new_dirs = [d for d in end["commit_dirs"] if d not in base]
         if not new_dirs:
             return self.read(snapshot_id=from_snapshot_id).limit(0)
-        df = self._read_dirs([os.path.join(self.path, "data", d) for d in new_dirs])
+        schema = T.StructType.fromJson(meta["schema"]) if meta.get("schema") else None
+        tombs = self._tombstoned_dirs(meta, schema, None)
+        df = self._read_dirs(
+            [os.path.join(self.path, "data", d) for d in new_dirs], tombstones=tombs
+        )
         keep = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
         return df.select(*keep)
 
@@ -1843,6 +2082,7 @@ class LakeTable:
                 )
         return z
 
+    @_requires("ALTER", "WRITE")
     def compact(
         self,
         target_file_mb: int = 128,
@@ -1915,6 +2155,7 @@ class LakeTable:
             parent, "compact", old_dirs + [commit], commit_filters=filters
         )["id"]
 
+    @_requires("ALTER", "WRITE")
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop old snapshots and physically remove commit dirs no live
         snapshot references — ≈ ``expire_snapshots`` + ``remove_orphan_files``
@@ -1992,6 +2233,7 @@ class LakeTable:
             if v.get("type") == "tag"
         }
 
+    @_requires("SELECT")
     def read_tag(self, name: str) -> DataFrame:
         sid = self.tags().get(name)
         if sid is None:
@@ -2037,6 +2279,7 @@ class LakeTable:
             del meta["refs"][name]
             self._commit(meta)
 
+    @_requires("SELECT")
     def read_branch(self, name: str) -> DataFrame:
         meta = self._load_meta()
         ref = meta.get("refs", {}).get(name)
@@ -2079,6 +2322,7 @@ class LakeTable:
             self._commit(meta)
         return snap["id"]
 
+    @_requires("ALTER", "WRITE")
     def publish_branch(self, name: str) -> int:
         """Fast-forward main to the branch head (the publish step of WAP):
         metadata-only, atomic, and only if main has not advanced past the
@@ -2141,6 +2385,7 @@ class LakeTable:
             self._commit(meta)
         return head_id
 
+    @_requires("ALTER", "WRITE")
     def rollback_to(self, snapshot_id: int) -> int:
         """``CALL system.rollback_to_snapshot`` — make an earlier snapshot
         current again. Pure metadata: appends a new history entry pointing at
@@ -2161,6 +2406,7 @@ class LakeTable:
             self._commit(meta)
         return snap["id"]
 
+    @_requires("ALTER", "WRITE")
     def maintain(self, target_file_mb: int = 128, keep_last: int = 3) -> None:
         """One-call table optimization — the engine twin of the reference's
         "automated table optimization" (readme.md:391-401)."""
@@ -2176,9 +2422,24 @@ class Lakehouse:
     finance_example.sql:4-7``): multi-level namespaces are directories.
     """
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        enforce_grants: bool = False,
+        current_user: str | None = None,
+    ):
+        """``enforce_grants=True`` upgrades the advisory RBAC registry to an
+        enforcement mode: table reads/writes/DDL raise ``PermissionError``
+        unless ``current_user`` holds a covering grant (hierarchy-aware —
+        PROJECT > FOLDER prefix > exact object; permissions.sql:1-11
+        semantics). Default stays advisory, matching the reference's
+        delegation of enforcement to the platform. GRANT itself stays open
+        (the admin surface — a deployment fronts it with its own auth)."""
         self.spark = spark
         self.root = warehouse_dir
+        self.enforce_grants = enforce_grants
+        self.current_user = current_user
         os.makedirs(warehouse_dir, exist_ok=True)
         try:
             # Spark's legacy INT96 parquet timestamps carry NO column
@@ -2249,11 +2510,13 @@ class Lakehouse:
         """``GRANT p1, p2 ON PROJECT|FOLDER|TABLE obj TO USER|ROLE who``
         (industry-examples/permissions.sql:1-11, SURVEY §2.1 S16).
 
-        Advisory RBAC registry: grants are catalog metadata the engine
-        records and answers queries about (:meth:`grants`,
-        :meth:`has_privilege`); enforcement inside Spark jobs is out of
-        OSS-Spark scope and stays the deployment's concern (Ranger/ACLs),
-        as the reference delegates it to the Dremio platform."""
+        By default an advisory RBAC registry: grants are catalog metadata
+        the engine records and answers queries about (:meth:`grants`,
+        :meth:`has_privilege`) — the reference delegates in-job enforcement
+        to the Dremio platform. Constructing the Lakehouse with
+        ``enforce_grants=True`` (plus ``current_user``) opts into
+        enforcement: reads/writes/DDL through :class:`LakeTable` and the
+        script runner raise ``PermissionError`` without a covering grant."""
         entries = self._load_grants()
         entry = {
             "privileges": sorted({p.strip().upper() for p in privileges if p.strip()}),
@@ -2288,6 +2551,30 @@ class Lakehouse:
                 return True
         return False
 
+    # ------------------------------------------------------ enforcement
+
+    def _require(self, privileges: tuple[str, ...], object_name: str) -> None:
+        """Raise PermissionError unless ``current_user`` holds ANY of the
+        privileges on the object (or a covering FOLDER/PROJECT grant)."""
+        if not self.enforce_grants:
+            return
+        user = self.current_user
+        if user is None:
+            raise PermissionError(
+                "enforce_grants=True but no current_user is set on the Lakehouse"
+            )
+        for p in privileges:
+            if self.has_privilege(user, p, object_name):
+                return
+        raise PermissionError(
+            f"user {user!r} lacks {' / '.join(privileges)} on {object_name!r}"
+        )
+
+    def _bind_acl(self, t: LakeTable) -> LakeTable:
+        if self.enforce_grants:
+            t._acl = self._require
+        return t
+
     # ------------------------------------------------------------ tables
 
     def _table_path(self, name: str) -> str:
@@ -2310,8 +2597,10 @@ class Lakehouse:
         path = self._table_path(name)
         if self.table_exists(name):
             if if_not_exists:
-                return LakeTable(self.spark, path, name)
+                return self._bind_acl(LakeTable(self.spark, path, name))
             raise ValueError(f"table exists: {name}")
+        parent = name.rsplit(".", 1)[0] if "." in name else ""
+        self._require(("CREATE TABLE", "WRITE"), parent)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
@@ -2326,7 +2615,7 @@ class Lakehouse:
         }
         t = LakeTable(self.spark, path, name)
         t._commit(meta)
-        return t
+        return self._bind_acl(t)
 
     def create_table_as(
         self,
@@ -2342,13 +2631,19 @@ class Lakehouse:
         t = self.create_table(name, df.schema, partition_by, if_not_exists=False)
         if distribute_by:
             df = df.repartition(F.col(distribute_by))
-        t.overwrite(df)
+        # the initial load is part of the CREATE the user was just
+        # authorized for — don't demand a separate INSERT grant
+        t._acl_depth += 1
+        try:
+            t.overwrite(df)
+        finally:
+            t._acl_depth -= 1
         return t
 
     def table(self, name: str) -> LakeTable:
         if not self.table_exists(name):
             raise ValueError(f"no such table: {name}")
-        return LakeTable(self.spark, self._table_path(name), name)
+        return self._bind_acl(LakeTable(self.spark, self._table_path(name), name))
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
         """DROP TABLE [IF EXISTS] (retail.sql:88)."""
@@ -2356,6 +2651,7 @@ class Lakehouse:
 
         path = self._table_path(name)
         if self.table_exists(name):
+            self._require(("DROP", "WRITE"), name)
             shutil.rmtree(path)
         elif not if_exists:
             raise ValueError(f"no such table: {name}")

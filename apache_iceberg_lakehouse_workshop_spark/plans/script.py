@@ -115,6 +115,15 @@ _RE_RENAME_COL = re.compile(
     r"^ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+\"?(\w+)\"?\s+TO\s+\"?(\w+)\"?\s*$",
     re.I,
 )
+_RE_DROP_COL = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+\"?(\w+)\"?\s*$", re.I
+)
+# Iceberg type promotion: ALTER TABLE t ALTER|MODIFY COLUMN c [SET DATA] TYPE bigint
+_RE_WIDEN_COL = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+(?:ALTER|MODIFY)\s+COLUMN\s+\"?(\w+)\"?"
+    r"\s+(?:SET\s+DATA\s+)?TYPE\s+([\w(),]+)\s*$",
+    re.I,
+)
 # Iceberg named references: ALTER TABLE t CREATE TAG name [AS OF SNAPSHOT 'id']
 _RE_CREATE_TAG = re.compile(
     r"^ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+\"?([\w-]+)\"?"
@@ -268,6 +277,8 @@ _DML_SUPPORTED_FORMS = {
     "DROP": "DROP TABLE [IF EXISTS] t",
     "ALTER": (
         "ALTER TABLE t ADD COLUMN name type | ALTER TABLE t RENAME COLUMN a TO b "
+        "| ALTER TABLE t DROP COLUMN name "
+        "| ALTER TABLE t ALTER COLUMN name TYPE widertype "
         "| ALTER TABLE t CREATE TAG name [AS OF SNAPSHOT 'id'] "
         "| ALTER TABLE t DROP TAG name "
         "| ALTER TABLE t CREATE BRANCH name [AS OF SNAPSHOT 'id'] "
@@ -1295,6 +1306,19 @@ class ScriptRunner:
             m = _RE_RENAME_COL.match(st)
             if m:
                 self.lake.table(m.group(1)).rename_column(m.group(2), m.group(3))
+                continue
+            m = _RE_DROP_COL.match(st)
+            if m:
+                # Iceberg schema evolution: metadata-only, data files never
+                # rewritten; old snapshots keep the pre-drop shape
+                self.lake.table(m.group(1)).drop_column(m.group(2))
+                continue
+            m = _RE_WIDEN_COL.match(st)
+            if m:
+                dtype = m.group(3)
+                for pat, repl in _TYPE_MAP:
+                    dtype = pat.sub(repl, dtype)
+                self.lake.table(m.group(1)).widen_column(m.group(2), dtype)
                 continue
             m = _RE_GRANT.match(st)
             if m:

@@ -255,3 +255,39 @@ def test_file_may_match_temporal_sound(vals, op, lit, date_col):
         assert not ops[op](v, cast), (
             f"pruned a matching row {v} (stats={cols['c']}, {op} {lit!r})"
         )
+
+# ------------------------------------- widened-column skipping soundness
+
+_wide_int = st.integers(min_value=-(2**62), max_value=2**62)
+
+
+@given(
+    vals=st.lists(_wide_int, min_size=1, max_size=6),
+    op=_op,
+    lit=_wide_int,
+    partition_style=st.booleans(),
+)
+@settings(max_examples=400, deadline=None)
+def test_file_may_match_widened_bigint_sound(vals, op, lit, partition_style):
+    """Round-7 type widening: after int->long widening, literals can exceed
+    2^53 where float round-trips collapse neighbours. Spark compares BIGINT
+    col vs integer literal EXACTLY, so pruning must too — both for footer
+    stats (native ints) and identity-partition stats (degenerate strings)."""
+    if partition_style:
+        vals = vals[:1]
+        cols = {"c": [str(vals[0]), str(vals[0])]}
+    else:
+        cols = {"c": [min(vals), max(vals)]}
+    ops = {
+        "=": lambda a, b: a == b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    if not LakeTable._file_may_match(cols, ("c", op, lit)):
+        for v in vals:
+            assert not ops[op](v, lit), (
+                f"pruned a file containing matching row {v!r} "
+                f"(stats={cols['c']!r}, op={op!r}, lit={lit!r})"
+            )
