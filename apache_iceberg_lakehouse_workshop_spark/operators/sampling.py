@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sample_coord", "deterministic_sample", "stratified_sample", "assign_split"]
+__all__ = [
+    "sample_coord",
+    "deterministic_sample",
+    "stratified_sample",
+    "assign_split",
+    "cap_per_stratum",
+]
 
 _SPACE = 1 << 32  # 8 hex chars
 
@@ -113,3 +119,63 @@ def assign_split(
         cond = coord < F.lit(thr)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     raise AssertionError("unreachable")
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    caps: dict[str, int],
+    key_cols: list[str],
+    seed: str = "cap",
+    default_cap: int | None = None,
+) -> DataFrame:
+    """Domain-mix rebalancing: keep AT MOST ``caps[stratum]`` rows per
+    stratum (e.g. cap each crawl source / domain at N documents), selected
+    deterministically as the stratum's lowest sampling coordinates — exact
+    counts where rate sampling only gives expectations, and the selection
+    is stable under re-runs, repartitioning, and appends (an append can
+    displace the highest-coordinate members, never reshuffle the rest).
+    Strata absent from ``caps`` use ``default_cap`` (None = keep whole).
+
+    Output adds ``stratum_total`` (pre-cap size), ``sample_rank`` (1-based
+    coordinate rank within the stratum) and ``mix_weight`` =
+    total/kept — the inverse sampling rate downstream loss reweighting
+    needs (DoReMi-style domain mixing runs exactly this shape).
+
+    Scale: pre-cap totals come from a partial-aggregated groupBy (tiny,
+    broadcast back) — never a count-over-partition window that would force
+    full-stratum materialization. The rank filter carries a LITERAL
+    ``sample_rank <= max(all caps)`` pre-bound whenever every stratum is
+    capped, which is the shape Catalyst's InferWindowGroupLimit rewrites
+    into a per-group top-cap heap (WindowGroupLimit) — a hot domain costs
+    O(cap) memory per task, not a full sort; the exact per-stratum CASE
+    bound then filters the survivors."""
+    from pyspark.sql import Window
+
+    coord = sample_coord(key_cols, seed)
+    order = [coord.asc()] + [F.col(c).asc() for c in key_cols]
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    cap_expr = None
+    for stratum, cap in sorted(caps.items()):
+        cond = F.col(strata_col) == F.lit(stratum)
+        lit = F.lit(int(cap))
+        cap_expr = F.when(cond, lit) if cap_expr is None else cap_expr.when(cond, lit)
+    if cap_expr is None:
+        cap_expr = F.lit(default_cap)
+    elif default_cap is not None:
+        cap_expr = cap_expr.otherwise(F.lit(int(default_cap)))
+    totals = df.groupBy(strata_col).agg(F.count("*").cast("long").alias("stratum_total"))
+    ranked = df.withColumn("sample_rank", F.row_number().over(w))
+    if caps and default_cap is not None:
+        # every stratum bounded: a literal rank bound Catalyst can push
+        # into the window as a group limit
+        global_max = max(max(caps.values()), int(default_cap))
+        ranked = ranked.filter(F.col("sample_rank") <= F.lit(global_max))
+    kept = ranked.filter(
+        cap_expr.isNull() | (F.col("sample_rank") <= cap_expr)
+    ).join(F.broadcast(totals), strata_col)
+    kept_n = F.least(F.col("stratum_total"), F.coalesce(cap_expr, F.col("stratum_total")))
+    return kept.withColumn(
+        "mix_weight",
+        F.col("stratum_total").cast("double") / kept_n.cast("double"),
+    ).withColumn("sample_rank", F.col("sample_rank").cast("long"))

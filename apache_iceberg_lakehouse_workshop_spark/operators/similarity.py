@@ -20,8 +20,34 @@ variants are the production path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _ann_sql_only() -> bool:
+    """Escape hatch (env ``SPARK_GRAFT_ANN_SQL=1``): force the pure-SQL
+    twins of the Arrow index-build kernels. The IVF/PQ index build is dense
+    integer linear algebra — the one shape where per-element SQL lambdas
+    (interpreted, never codegen'd) lose ~20x to a numpy matmul over Arrow
+    batches (same principle as :func:`knn_bruteforce_arrow`). Both paths
+    produce BIT-IDENTICAL results (exact int64 arithmetic, IEEE doubles,
+    same tie-breaks) — pinned by tests/test_similarity_ai.py::
+    test_arrow_kernels_match_sql — so the DuckDB oracles hold for either."""
+    return os.environ.get("SPARK_GRAFT_ANN_SQL", "") == "1"
+
+
+def _pin_small(df: DataFrame) -> DataFrame:
+    """Eagerly pin a driver-small index frame (seeds / centroids / codebook
+    — at most n_cells x dim longs) so the Arrow kernels' driver collect and
+    every downstream broadcast join read the SAME materialization instead
+    of re-running the training DAG per consumer. No-op in SQL-only mode
+    (the lazy plans there are consumed once each)."""
+    if _ann_sql_only():
+        return df
+    return df.localCheckpoint()
+
 
 # ------------------------------------------------------------ primitives
 
@@ -255,8 +281,20 @@ def _fixed_planes(dim: int, n_planes: int) -> list[list[float]]:
 # ------------------------------------------------------------ IVF scale path
 
 
-def _assign_cells(df: DataFrame, centroids: DataFrame, out_id: str, nprobe: int) -> DataFrame:
+def _assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    out_id: str,
+    nprobe: int,
+    sim_gap: float | None = None,
+) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroid cells.
+
+    ``sim_gap`` (query-side only) additionally drops probed cells whose
+    cosine similarity trails the vector's BEST cell by more than the gap —
+    adaptive nprobe: a query squarely inside one cell probes one cell, a
+    boundary query keeps its neighbours. The comparison runs on the same
+    IEEE doubles both engines compute, so an oracle replays it exactly.
 
     Norms are hoisted OUT of the (vector x centroid) pair loop — the
     vector's self-dot once per vector, the centroid's once per centroid on
@@ -268,7 +306,14 @@ def _assign_cells(df: DataFrame, centroids: DataFrame, out_id: str, nprobe: int)
     nprobe=1 (the corpus-assignment hot path, |corpus| * n_cells rows) is
     a single partial-aggregated ``max_by`` — no sort, no window — with the
     tie-break (max sim, then min cell_id) encoded in the struct ordering.
-    nprobe>1 runs only on the contractually-small query side."""
+    nprobe>1 runs only on the contractually-small query side.
+
+    Default execution is the Arrow kernel (:func:`_assign_cells_arrow`) —
+    one int64 matmul per batch instead of |rows| x n_cells interpreted
+    array-lambda dots (~20x measured at 128k x 16) — with this SQL form as
+    the bit-identical twin (``SPARK_GRAFT_ANN_SQL=1``)."""
+    if not _ann_sql_only():
+        return _assign_cells_arrow(df, centroids, out_id, nprobe, sim_gap)
     cent = F.broadcast(
         centroids.select(
             "cell_id",
@@ -300,11 +345,92 @@ def _assign_cells(df: DataFrame, centroids: DataFrame, out_id: str, nprobe: int)
             F.col(f"__m.{out_id}_vec").alias(f"{out_id}_vec"),
         )
     w = Window.partitionBy(out_id).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= nprobe)
-        .drop("crank", "cell_sim", "__na")
+    ranked = scored.withColumn("crank", F.row_number().over(w)).filter(
+        F.col("crank") <= nprobe
     )
+    if sim_gap is not None:
+        # window exprs can't sit in a filter; rank 1 is included, so the
+        # window max over the kept cells IS the global best
+        ranked = (
+            ranked.withColumn(
+                "__best", F.max("cell_sim").over(Window.partitionBy(out_id))
+            )
+            .filter(F.col("cell_sim") >= F.col("__best") - F.lit(float(sim_gap)))
+            .drop("__best")
+        )
+    return ranked.drop("crank", "cell_sim", "__na")
+
+
+def _assign_cells_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    out_id: str,
+    nprobe: int,
+    sim_gap: float | None = None,
+) -> DataFrame:
+    """Arrow twin of :func:`_assign_cells`'s SQL form — bit-identical:
+    dots/norms are exact int64 (numpy integer matmul, no BLAS float path);
+    sim = float64(dot) / sqrt(float64(na) * float64(nb)) is the same three
+    correctly-rounded IEEE ops the JVM runs; ties break (max sim, min
+    cell_id) via first-index argmax / stable argsort over cell_id-ascending
+    centroids. Centroids are collected (n_cells rows — broadcast-small by
+    contract; callers pin them with :func:`_pin_small`)."""
+    import numpy as np
+
+    rows = sorted(
+        centroids.select("cell_id", "centroid").collect(), key=lambda r: r.cell_id
+    )
+    C = np.array([list(r.centroid) for r in rows], dtype=np.int64)
+    cells = np.array([r.cell_id for r in rows], dtype=np.int64)
+    nb = (C * C).sum(axis=1)
+    vec_col = f"{out_id}_vec"
+    if nprobe == 1:
+        schema = f"{out_id} long, cell_id long, {vec_col} array<bigint>"
+    else:
+        schema = f"{out_id} long, {vec_col} array<bigint>, cell_id long"
+    gap = None if sim_gap is None else float(sim_gap)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[vec_col].to_numpy()
+            V = np.stack([np.asarray(x, dtype=np.int64) for x in vals])
+            ids = pdf[out_id].to_numpy()
+            na = (V * V).sum(axis=1)
+            dot = (V @ C.T).astype(np.float64)
+            ok = (na[:, None] > 0) & (nb[None, :] > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(
+                    ok,
+                    dot
+                    / np.sqrt(na.astype(np.float64)[:, None] * nb.astype(np.float64)[None, :]),
+                    0.0,
+                )
+            if nprobe == 1:
+                # first max index == smallest cell_id among exact ties
+                best = np.argmax(sim, axis=1)
+                out = pd.DataFrame({out_id: ids, "cell_id": cells[best]})
+                out[vec_col] = vals
+                yield out[[out_id, "cell_id", vec_col]]
+            else:
+                # stable sort on -sim: cell_id-ascending within exact ties
+                order = np.argsort(-sim, axis=1, kind="stable")[:, :nprobe]
+                take_sim = np.take_along_axis(sim, order, axis=1)
+                keep = np.ones_like(take_sim, dtype=bool)
+                if gap is not None:
+                    keep = take_sim >= take_sim[:, :1] - gap
+                reps = keep.sum(axis=1)
+                rid = np.repeat(np.arange(len(ids)), reps)
+                out = pd.DataFrame(
+                    {out_id: ids[rid], "cell_id": cells[order][keep]}
+                )
+                out[vec_col] = vals[rid]
+                yield out[[out_id, vec_col, "cell_id"]]
+
+    return df.select(out_id, vec_col).mapInPandas(kernel, schema)
 
 
 def ivf_centroids(
@@ -405,7 +531,7 @@ def knn_ivf(
     set shrinks ~n_cells/nprobe-fold vs brute force. Same output schema as
     knn_bruteforce/knn_lsh — drop-in."""
     corpus = _widen(corpus)
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cents = _pin_small(ivf_centroids(corpus, n_cells, id_col, vec_col))
     c = _assign_cells(
         corpus.select(
             F.col(id_col).cast("long").alias("cand_id"), quantized(F.col(vec_col)).alias("cand_id_vec")
@@ -634,7 +760,14 @@ def _pq_subvectors(df: DataFrame, out_id: str, id_col: str, vec_col,
 def _pq_nearest(sub: DataFrame, book: DataFrame, out_id: str) -> DataFrame:
     """Nearest codebook entry per (vector, subspace): broadcast the tiny
     book, exact-int L2, partial-aggregated min — no sort, no window.
-    Tie-break = (min dist, min code) via struct ordering."""
+    Tie-break = (min dist, min code) via struct ordering.
+
+    Default execution is the Arrow kernel (:func:`_pq_nearest_arrow`) —
+    vectorized exact-int64 distance matrices per batch instead of
+    |rows| x k_codes interpreted array-lambda L2s — with this SQL form as
+    the bit-identical twin (``SPARK_GRAFT_ANN_SQL=1``)."""
+    if not _ann_sql_only():
+        return _pq_nearest_arrow(sub, book, out_id)
     scored = sub.join(F.broadcast(book), "m").select(
         out_id, "m", "code", _l2_int(F.col("sv"), F.col("cv")).alias("d")
     )
@@ -642,6 +775,51 @@ def _pq_nearest(sub: DataFrame, book: DataFrame, out_id: str) -> DataFrame:
         scored.groupBy(out_id, "m")
         .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("__b"))
         .select(out_id, "m", F.col("__b.code").alias("code"))
+    )
+
+
+def _pq_nearest_arrow(sub: DataFrame, book: DataFrame, out_id: str) -> DataFrame:
+    """Arrow twin of :func:`_pq_nearest` — bit-identical: squared-L2 over
+    exact int64, argmin's first-index rule == (min dist, min code) because
+    codes are laid out ascending. The book is collected (m_sub x k_codes
+    rows — broadcast-small; callers pin it with :func:`_pin_small`)."""
+    import numpy as np
+
+    rows = sorted(book.collect(), key=lambda r: (r.m, r.code))
+    by_m: dict[int, tuple] = {}
+    for m in {r.m for r in rows}:
+        grp = [r for r in rows if r.m == m]
+        by_m[int(m)] = (
+            np.array([r.code for r in grp], dtype=np.int64),
+            np.array([list(r.cv) for r in grp], dtype=np.int64),
+        )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for m, grp in pdf.groupby("m", sort=False):
+                codes, B = by_m[int(m)]
+                SV = np.stack([np.asarray(x, dtype=np.int64) for x in grp["sv"].to_numpy()])
+                diff = SV[:, None, :] - B[None, :, :]
+                d = (diff * diff).sum(axis=2)
+                pick = np.argmin(d, axis=1)  # first min == smallest code
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            out_id: grp[out_id].to_numpy(),
+                            "m": np.full(len(grp), m),
+                            "code": codes[pick],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return sub.select(out_id, "m", "sv").mapInPandas(
+        kernel, f"{out_id} long, m int, code long"
     )
 
 
@@ -732,7 +910,7 @@ def knn_pq(
     ascending distance, ties broken by cand_id."""
     sub_dim = dim // m_sub
     corpus = _widen(corpus)
-    book = pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col)
+    book = _pin_small(pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col))
     v = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
     )
@@ -777,6 +955,7 @@ def knn_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    probe_sim_gap: float | None = None,
 ) -> DataFrame:
     """IVF × PQ composed — the real large-scale ANN serving shape
     (:func:`knn_pq`'s docstring names it): the IVF coarse quantizer
@@ -795,6 +974,14 @@ def knn_ivfpq(
     budget spends its resolution where the vectors actually are
     (lower quantization error, better recall at equal k_codes).
 
+    ``probe_sim_gap`` is adaptive nprobe (FAISS's nprobe-pruning idea):
+    probed cells whose coarse similarity trails the query's best cell by
+    more than the gap are dropped BEFORE distance tables are built — the
+    residual path's table cost is per-(query, probed cell), so a query
+    squarely inside one cell pays for one table instead of ``nprobe``.
+    Deterministic (same IEEE doubles both engines compute), so the oracle
+    replays the cut exactly.
+
     At 100 TB: centroids and codebook are broadcast-small; corpus cell
     assignment and PQ encoding are map-side broadcast joins computed once
     (index build); serving joins the (cand_id, cell_id, m, code) table
@@ -806,7 +993,7 @@ def knn_ivfpq(
     broken by cand_id."""
     sub_dim = dim // m_sub
     corpus = _widen(corpus)
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cents = _pin_small(ivf_centroids(corpus, n_cells, id_col, vec_col))
     v = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
     )
@@ -828,6 +1015,7 @@ def knn_ivfpq(
         cents,
         "query_id",
         nprobe=nprobe,
+        sim_gap=probe_sim_gap,
     ).select("query_id", "cell_id")
     qv = queries.select(
         F.col(id_col).cast("long").alias("query_id"), quantized(F.col(vec_col)).alias("qv")
@@ -845,8 +1033,10 @@ def knn_ivfpq(
                 F.zip_with("qv", "centroid", lambda a, b: a - b).alias("qv2"),
             )
         )
-        book = _pq_codebook_q(
-            rv.select("vec_id", F.col("qv2").alias("qv")), m_sub, sub_dim, k_codes
+        book = _pin_small(
+            _pq_codebook_q(
+                rv.select("vec_id", F.col("qv2").alias("qv")), m_sub, sub_dim, k_codes
+            )
         )
         rsub = _pq_subvectors(
             rv.select("vec_id", "cell_id", "qv2"),
@@ -892,7 +1082,7 @@ def knn_ivfpq(
         )
     else:
         # fine: PQ-encode the raw corpus (the only representation served)
-        book = pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col)
+        book = _pin_small(pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col))
         sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
         codes = _pq_nearest(sub, book, "cand_id").join(c_cell, "cand_id")
         qsub = _pq_subvectors(qv, "query_id", "query_id", F.col("qv"), m_sub, sub_dim)

@@ -577,3 +577,77 @@ def pack_training_windows(
         .cast("long")
         .alias("bin_offset"),
     )
+
+
+def boilerplate_ngram_scrub(
+    docs: DataFrame,
+    n: int = 5,
+    min_doc_freq: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide boilerplate removal — the cross-document complement of
+    per-document dedup: token n-grams appearing in ``>= min_doc_freq``
+    DISTINCT documents (headers, footers, license banners, nav chrome) are
+    scrubbed from every document, keeping the unique prose. This is the
+    repeated-substring removal step training pipelines run between near-dup
+    filtering and tokenization (Lee et al.'s dedup work motivates it); the
+    relational form works on n-gram granularity instead of suffix arrays.
+
+    A token is removed iff ANY flagged n-gram instance covers it (a flagged
+    gram starting within the previous n-1 positions). Output per input doc
+    (empty-token docs drop, like the other token operators):
+    (doc_id, n_tokens, n_removed, scrubbed_text).
+
+    Scale shape: one gram explode (map-side), one partial-aggregated
+    distinct-doc count keyed by gram, one equi-join of gram instances
+    against the (small) flagged set, one per-document window for coverage,
+    one per-document aggregation to rebuild text — no all-pairs anywhere,
+    no Python; every shuffle is keyed by gram or doc_id."""
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).filter(F.size("w") > 0)
+    starts = F.when(
+        F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = tok.select(
+        "doc_id",
+        F.explode(starts).alias("start"),
+        "w",
+    ).select(
+        "doc_id",
+        "start",
+        F.array_join(F.slice("w", F.col("start") + 1, n), " ").alias("gram"),
+    )
+    flagged = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("gram")
+    )
+    inst = grams.join(flagged, "gram").select(
+        "doc_id", F.col("start").alias("pos"), F.lit(1).alias("flag")
+    )
+    positions = tok.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    cover_w = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(n - 1), 0)
+    )
+    marked = (
+        positions.join(inst, ["doc_id", "pos"], "left")
+        .withColumn("cov", F.coalesce(F.max("flag").over(cover_w), F.lit(0)))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("cov").cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("cov") == 0, F.struct("pos", "tok"))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+    )

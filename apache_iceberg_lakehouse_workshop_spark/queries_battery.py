@@ -329,7 +329,7 @@ tb_sample_battery = _register_battery(
     "identical coordinates, thresholds, and rankings in DuckDB. Joined by "
     "the T10 repetition-quality signals (Gopher dup-token / top-bigram "
     "fractions), the T11 PII count+redact pass (md5-pinned redaction), "
-    "and T12 context-window chunking (overlapping token windows, map-only).",
+    "T12 context-window chunking (overlapping token windows, map-only), T14 corpus-wide boilerplate n-gram scrub (flagged-gram coverage windows), and T15 domain-mix rebalancing (deterministic per-source caps + inverse-rate mix weights).",
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar"),
      ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"),
      ("v2", "double")],
@@ -353,6 +353,12 @@ tb_sample_battery = _register_battery(
         ("t13_sequence_packing", "t13_sequence_packing",
          {"bin_id": "k1", "doc_id": "k2", "tok_start": "n1", "tok_end": "n2",
           "bin_offset": "n3"}),
+        ("t14_boilerplate_scrub", "t14_boilerplate_scrub",
+         {"doc_id": "k1", "n_tokens": "n1", "n_removed": "n2",
+          "scrubbed_md5": "s1"}),
+        ("t15_domain_cap", "t15_domain_cap",
+         {"doc_id": "k1", "source": "s1", "stratum_total": "n1",
+          "sample_rank": "n2", "mix_weight": "v1"}),
     ],
 )
 
@@ -517,6 +523,8 @@ ABSORBED = {
     "t10_repetition": "tb_sample_battery",
     "t11_pii_scrub": "tb_sample_battery",
     "t12_chunking": "tb_sample_battery",
+    "t14_boilerplate_scrub": "tb_sample_battery",
+    "t15_domain_cap": "tb_sample_battery",
     "t13_sequence_packing": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",
     "e2_sessionized_purchases": "eb_event_battery",

@@ -800,6 +800,14 @@ def _ivfpq_oracle(
        WHERE rnk <= {k}"""
 
 
+def _gap_cut(probe_sim_gap: float | None) -> str:
+    """SQL fragment for the adaptive-nprobe cut; empty when disabled.
+    repr() of the float keeps the full precision the engine compares at."""
+    if probe_sim_gap is None:
+        return ""
+    return f" AND sim >= best - {probe_sim_gap!r}"
+
+
 def _ivfpq_res_oracle(
     dim: int = 64,
     m_sub: int = 4,
@@ -807,11 +815,15 @@ def _ivfpq_res_oracle(
     n_cells: int = 16,
     nprobe: int = 4,
     k: int = 5,
+    probe_sim_gap: float | None = None,
 ) -> str:
     """DuckDB twin of knn_ivfpq(residual=True) — FAISS IndexIVFPQ: the
     coarse-quantizer CTEs, then RESIDUAL vectors (qv − cell centroid,
     exact int64), codebook trained on residuals, per-(query, probed-cell)
-    residual distance tables, cell-restricted ADC. Bit-identical replay."""
+    residual distance tables, cell-restricted ADC. ``probe_sim_gap``
+    replays the engine's adaptive-nprobe cut (drop probed cells trailing
+    the best cell's cosine by more than the gap) on the same IEEE doubles.
+    Bit-identical replay."""
     d1 = dim + 1
     sd = dim // m_sub
     cos = (
@@ -859,8 +871,10 @@ def _ivfpq_res_oracle(
                        WHERE rn = 1),
        query_cells AS (SELECT vec_id, cell_id
                        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                                          ORDER BY sim DESC, cell_id) AS rn FROM ca)
-                       WHERE rn <= {nprobe} AND vec_id < 10),
+                                                          ORDER BY sim DESC, cell_id) AS rn,
+                                    max(sim) OVER (PARTITION BY vec_id) AS best
+                             FROM ca)
+                       WHERE rn <= {nprobe} AND vec_id < 10{_gap_cut(probe_sim_gap)}),
        rv AS (SELECT cc.vec_id, cc.cell_id,
                      list_transform(generate_series(1, {dim}),
                                     x -> v.qv[x] - cn.centroid[x]) AS rqv
@@ -925,21 +939,24 @@ def _ivfpq_res_oracle(
 
 @q(
     "s8_knn_ivfpq_res",
-    _ivfpq_res_oracle(),
+    _ivfpq_res_oracle(probe_sim_gap=0.15),
     "FAISS IndexIVFPQ exactly: IVF coarse quantizer + PQ over RESIDUALS "
     "(vector minus cell centroid, exact int64) with per-(query, probed "
     "cell) residual distance tables — residuals are smaller in norm, so "
     "the codebook's resolution lands where the vectors are (lower "
-    "quantization error than raw-vector PQ at equal budget). The DuckDB "
-    "oracle replays coarse training, residual computation, codebook "
-    "training, encoding, probing, and ADC bit-identically.",
+    "quantization error than raw-vector PQ at equal budget). Adaptive "
+    "nprobe (probe_sim_gap) drops probed cells trailing the query's best "
+    "cell, cutting the per-(query, cell) table build the round-6 verdict "
+    "flagged as s8's cost driver. The DuckDB oracle replays coarse "
+    "training, residual computation, codebook training, encoding, the "
+    "adaptive probe cut, and ADC bit-identically.",
 )
 def s8_knn_ivfpq_res(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.knn_ivfpq(
         emb, queries, k=5, dim=64, m_sub=4, k_codes=16, n_cells=16,
-        nprobe=4, residual=True,
+        nprobe=4, residual=True, probe_sim_gap=0.15,
     )
 
 
@@ -1262,6 +1279,106 @@ def t12_chunking(spark, sf_dir):
 def t13_sequence_packing(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return TS.pack_training_windows(d, window=64)
+
+
+@q(
+    "t14_boilerplate_scrub",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id < 300),
+       base AS (SELECT doc_id, w FROM tok WHERE len(w) > 0),
+       g0 AS (SELECT doc_id, w,
+                     unnest(range(0, greatest(len(w) - 3 + 1, 0))) AS start
+              FROM base),
+       grams AS (SELECT doc_id, start,
+                        array_to_string(list_slice(w, start + 1, start + 3), ' ') AS gram
+                 FROM g0),
+       flagged AS (SELECT gram FROM grams GROUP BY gram
+                   HAVING COUNT(DISTINCT doc_id) >= 5),
+       inst AS (SELECT DISTINCT g.doc_id, g.start AS pos
+                FROM grams g JOIN flagged USING (gram)),
+       p0 AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, w FROM base),
+       pos AS (SELECT doc_id, pos, w[pos + 1] AS tok FROM p0),
+       mk AS (SELECT p.doc_id, p.pos, p.tok,
+                     CASE WHEN i.pos IS NULL THEN 0 ELSE 1 END AS flag
+              FROM pos p LEFT JOIN inst i
+                ON i.doc_id = p.doc_id AND i.pos = p.pos),
+       cv AS (SELECT *, max(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cov
+              FROM mk),
+       final AS (SELECT doc_id,
+                        CAST(count(*) AS BIGINT) AS n_tokens,
+                        CAST(sum(cov) AS BIGINT) AS n_removed,
+                        md5(array_to_string(list(tok ORDER BY pos)
+                            FILTER (cov = 0), ' ')) AS scrubbed_md5
+                 FROM cv GROUP BY doc_id)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_removed, scrubbed_md5
+       FROM final""",
+    "T14 corpus-wide boilerplate n-gram scrub (engine extension; the "
+    "repeated-substring removal step between near-dup filtering and "
+    "tokenization — Lee et al.'s dedup result motivates it): token "
+    "3-grams appearing in >= 5 distinct documents (headers, banners, nav "
+    "chrome) are removed from every document; a token goes iff a flagged "
+    "gram instance covers it. Spark side is "
+    "operators.textstats.boilerplate_ngram_scrub — one gram explode, one "
+    "partial-aggregated distinct-doc count, one equi-join against the "
+    "small flagged set, one per-doc coverage window, one per-doc rebuild; "
+    "no all-pairs, no Python. The oracle replays gram extraction, "
+    "flagging, window coverage, and text rebuild identically (md5 of the "
+    "scrubbed text keeps the compare narrow).",
+)
+def t14_boilerplate_scrub(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = TS.boilerplate_ngram_scrub(d, n=3, min_doc_freq=5)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed",
+        F.md5(F.col("scrubbed_text")).alias("scrubbed_md5"),
+    )
+
+
+_T15_CAP_CASE = (
+    "CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 10 ELSE 15 END"
+)
+
+
+@q(
+    "t15_domain_cap",
+    f"""WITH c AS (SELECT doc_id, source,
+                  substring(md5('cap' || '|' || CAST(doc_id AS VARCHAR)), 1, 8) AS coord
+           FROM documents),
+       r AS (SELECT doc_id, source,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY coord, doc_id) AS sample_rank,
+                    count(*) OVER (PARTITION BY source) AS stratum_total
+             FROM c)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              source,
+              CAST(stratum_total AS BIGINT) AS stratum_total,
+              CAST(sample_rank AS BIGINT) AS sample_rank,
+              CAST(stratum_total AS DOUBLE) /
+                CAST(least(stratum_total, {_T15_CAP_CASE}) AS DOUBLE) AS mix_weight
+       FROM r WHERE sample_rank <= {_T15_CAP_CASE}""",
+    "T15 domain-mix rebalancing (engine extension; the DoReMi-style "
+    "source reweighting step): each crawl source keeps AT MOST its capped "
+    "document count (src0->5, src1->10, default 15), selected as the "
+    "stratum's lowest deterministic sampling coordinates — exact counts, "
+    "stable under re-runs/appends/partitioning, with mix_weight = "
+    "total/kept for downstream loss reweighting. Spark side is "
+    "operators.sampling.cap_per_stratum: the row_number<=cap filter is "
+    "the WindowGroupLimit shape (per-group top-cap heap, never a full "
+    "stratum sort); the oracle replays coordinates, ranks, caps, and "
+    "weights identically.",
+)
+def t15_domain_cap(spark, sf_dir):
+    from .operators.sampling import cap_per_stratum
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = cap_per_stratum(
+        d, "source", {"src0": 5, "src1": 10}, ["doc_id"], seed="cap",
+        default_cap=15,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source", "stratum_total", "sample_rank", "mix_weight",
+    )
 
 
 def _c1_oracle() -> str:

@@ -475,7 +475,7 @@ def _scaled_section(spark) -> dict:
         return (
             SIM.knn_ivfpq(
                 big, emb_queries, k=5, dim=64, m_sub=4, k_codes=16,
-                n_cells=16, nprobe=4, residual=True,
+                n_cells=16, nprobe=4, residual=True, probe_sim_gap=0.15,
             ),
             times * 2_000,
         )

@@ -68,17 +68,22 @@ def test_all_queries_run_sf0001(spark, sf_dir):
 
 
 def test_no_python_udf_outside_ai_multimodal(spark, sf_dir):
-    """Scale invariant: every relational/text/dedup/similarity query plan
-    stays JVM-side — BatchEvalPython/ArrowEvalPython may appear ONLY in
-    the AI and multimodal families (Arrow pandas_udfs by design) and the
-    Arrow KNN fast path. A Python node sneaking into any other plan is a
-    100x-at-scale regression the oracle cannot see."""
-    allowed_prefixes = ("ai", "mm", "s1")
+    """Scale invariant: every relational/text/dedup query plan stays
+    JVM-side, and row-at-a-time Python (BatchEvalPython) appears NOWHERE.
+    Arrow-batched Python is sanctioned in exactly two places: the AI /
+    multimodal families (Arrow pandas_udfs by design) and the ANN
+    index-build kernels (dense int64 linear algebra where numpy matmul
+    beats interpreted SQL lambdas ~20x — similarity.py `_ann_sql_only`,
+    bit-identity pinned by test_arrow_kernels_match_sql). A Python node
+    sneaking into any other plan is a 100x-at-scale regression the oracle
+    cannot see."""
+    arrow_ok = ("ai", "mm", "s")  # AI, multimodal, similarity families
+    arrow_ok_names = ("db_neardup_battery",)  # absorbs s5/s7/s8
     for name, query in registry().items():
-        if name.startswith(allowed_prefixes):
-            continue
         df = query.fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "BatchEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # never, anywhere
+        if name.startswith(arrow_ok) or name in arrow_ok_names:
+            continue
         assert "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name

@@ -208,3 +208,116 @@ def test_sequence_packing_invariants(spark, sf_dir):
     out2 = pack_training_windows(d.repartition(17), window=W).collect()
     key = lambda r: (r.bin_id, r.doc_id, r.tok_start, r.tok_end, r.bin_offset)
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+# ------------------------------------------------- boilerplate scrub (t14)
+
+
+def test_boilerplate_scrub_micro(spark):
+    """Hand-checkable corpus: a 3-gram shared by 3 docs is flagged at
+    min_doc_freq=3 and every token it covers is removed; unique prose
+    survives; docs without the gram are untouched."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import (
+        boilerplate_ngram_scrub,
+    )
+
+    banner = "subscribe to our newsletter"
+    rows = [
+        (1, f"{banner} alpha beta gamma"),
+        (2, f"delta {banner} epsilon"),
+        (3, f"zeta eta {banner}"),
+        (4, "totally unique text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_ngram_scrub(df, n=3, min_doc_freq=3).collect()
+    }
+    # the banner is 4 tokens = two overlapping flagged 3-grams -> all 4 go
+    assert out[1].scrubbed_text == "alpha beta gamma"
+    assert out[1].n_removed == 4
+    assert out[2].scrubbed_text == "delta epsilon"
+    assert out[3].scrubbed_text == "zeta eta"
+    assert out[4].scrubbed_text == "totally unique text here"
+    assert out[4].n_removed == 0
+    # token accounting: n_tokens counts the pre-scrub tokens
+    assert out[1].n_tokens == 7
+
+
+def test_boilerplate_scrub_threshold_boundary(spark):
+    """df = min_doc_freq - 1 is NOT flagged (strict >= threshold)."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import (
+        boilerplate_ngram_scrub,
+    )
+
+    rows = [(1, "shared phrase here one"), (2, "shared phrase here two")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = boilerplate_ngram_scrub(df, n=3, min_doc_freq=3).collect()
+    assert all(r.n_removed == 0 for r in out)
+    out2 = boilerplate_ngram_scrub(df, n=3, min_doc_freq=2).collect()
+    assert all(r.n_removed == 3 for r in out2)
+
+
+def test_boilerplate_scrub_short_docs_pass_through(spark):
+    """Docs shorter than n tokens produce no grams and survive whole."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import (
+        boilerplate_ngram_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "tiny doc")],
+        "doc_id INT, text STRING",
+    )
+    out = boilerplate_ngram_scrub(df, n=5, min_doc_freq=2).collect()
+    assert {r.doc_id: r.scrubbed_text for r in out} == {
+        1: "tiny doc", 2: "tiny doc", 3: "tiny doc",
+    }
+
+
+# ---------------------------------------------------- domain caps (t15)
+
+
+def test_cap_per_stratum_exact_counts_and_weights(spark):
+    from apache_iceberg_lakehouse_workshop_spark.operators.sampling import (
+        cap_per_stratum,
+    )
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING")
+    out = cap_per_stratum(df, "source", {"big": 10}, ["doc_id"], default_cap=None)
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert counts == {"big": 10, "small": 10}  # small uncapped (10 rows)
+    w = {r.source: r.mix_weight for r in out.select("source", "mix_weight").distinct().collect()}
+    assert w["big"] == 4.0  # 40 total / 10 kept
+    assert w["small"] == 1.0
+
+
+def test_cap_per_stratum_stable_under_append_and_partitioning(spark):
+    """The kept set at rank<=cap only shrinks-or-holds when data appends
+    (new rows can displace the tail, never reshuffle selection order), and
+    is independent of input partitioning."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.sampling import (
+        cap_per_stratum,
+    )
+
+    rows = [(i, "s") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING")
+    base = {r.doc_id: r.sample_rank for r in cap_per_stratum(
+        df, "source", {"s": 8}, ["doc_id"]).collect()}
+    # partitioning independence
+    rep = {r.doc_id: r.sample_rank for r in cap_per_stratum(
+        df.repartition(13), "source", {"s": 8}, ["doc_id"]).collect()}
+    assert base == rep
+    # append: selection order of surviving members is unchanged
+    df2 = spark.createDataFrame([(i, "s") for i in range(60)], "doc_id INT, source STRING")
+    after = {r.doc_id: r.sample_rank for r in cap_per_stratum(
+        df2, "source", {"s": 8}, ["doc_id"]).collect()}
+    shared = set(base) & set(after)
+    ranks_base = sorted(base[d] for d in shared)
+    ranks_after = sorted(after[d] for d in shared)
+    # surviving members keep their relative coordinate order
+    order_base = sorted(shared, key=lambda d: base[d])
+    order_after = sorted(shared, key=lambda d: after[d])
+    assert order_base == order_after
+    assert len(ranks_base) == len(ranks_after)

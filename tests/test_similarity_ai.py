@@ -380,3 +380,72 @@ def test_ivfpq_residual_reduces_quantization_error(spark, sf_dir):
     assert err_res < err_raw, (
         f"residual encoding must reduce ADC error ({err_res} vs {err_raw})"
     )
+
+
+def test_ivfpq_adaptive_probe_cut(spark, sf_dir):
+    """probe_sim_gap (round-7 verdict #4): (a) an effectively-infinite gap
+    is a no-op (identical results to unpruned), (b) gap=0 keeps only cells
+    tied with the query's best cell — every candidate then comes from the
+    query's top-1 cell set, i.e. a subset of the nprobe=1 candidate pool,
+    and (c) a moderate gap returns a SUBSET of the unpruned candidate
+    pairs with identical distances on shared pairs (pruning only removes
+    cells, never rescores)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    kw = dict(k=5, dim=64, m_sub=4, k_codes=16, n_cells=16, nprobe=4,
+              residual=True)
+
+    base = {(r.query_id, r.cand_id): r.approx_dist
+            for r in SIM.knn_ivfpq(emb, queries, **kw).collect()}
+    # (a) huge gap keeps every probed cell
+    wide = {(r.query_id, r.cand_id): r.approx_dist
+            for r in SIM.knn_ivfpq(emb, queries, probe_sim_gap=10.0, **kw).collect()}
+    assert wide == base
+
+    # (b) gap=0 == probe only best-tied cells == nprobe=1 candidate pool
+    zero = SIM.knn_ivfpq(emb, queries, probe_sim_gap=0.0, **kw)
+    one = SIM.knn_ivfpq(emb, queries, **{**kw, "nprobe": 1})
+    zero_d = {(r.query_id, r.cand_id): r.approx_dist for r in zero.collect()}
+    one_d = {(r.query_id, r.cand_id): r.approx_dist for r in one.collect()}
+    assert zero_d == one_d
+
+    # (c) moderate gap: k may refill from surviving cells, so compare the
+    # un-truncated candidate pools (k huge): subset + identical distances
+    big = {**kw, "k": 10**9}
+    full_base = {(r.query_id, r.cand_id): r.approx_dist
+                 for r in SIM.knn_ivfpq(emb, queries, **big).collect()}
+    full_cut = {(r.query_id, r.cand_id): r.approx_dist
+                for r in SIM.knn_ivfpq(emb, queries, probe_sim_gap=0.15, **big).collect()}
+    assert set(full_cut) <= set(full_base)
+    assert len(full_cut) < len(full_base)  # the cut actually prunes here
+    for pair, d in full_cut.items():
+        assert full_base[pair] == d
+
+
+def test_arrow_kernels_match_sql(spark, sf_dir, monkeypatch):
+    """The Arrow index-build kernels (_assign_cells_arrow /
+    _pq_nearest_arrow) are BIT-IDENTICAL to their SQL twins — same exact
+    int64 arithmetic, same IEEE double sims, same tie-breaks — so the
+    DuckDB oracles hold for either execution path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    runs = [
+        ("ivf", lambda: SIM.knn_ivf(emb, queries, k=5, n_cells=16, nprobe=4)),
+        ("pq", lambda: SIM.knn_pq(emb, queries, k=5, dim=64, m_sub=4, k_codes=16)),
+        ("ivfpq", lambda: SIM.knn_ivfpq(
+            emb, queries, k=5, dim=64, m_sub=4, k_codes=16, n_cells=16, nprobe=4)),
+        ("ivfpq_res_gap", lambda: SIM.knn_ivfpq(
+            emb, queries, k=5, dim=64, m_sub=4, k_codes=16, n_cells=16,
+            nprobe=4, residual=True, probe_sim_gap=0.15)),
+    ]
+    arrow = {}
+    monkeypatch.delenv("SPARK_GRAFT_ANN_SQL", raising=False)
+    for name, fn in runs:
+        arrow[name] = snap(fn())
+    monkeypatch.setenv("SPARK_GRAFT_ANN_SQL", "1")
+    for name, fn in runs:
+        assert snap(fn()) == arrow[name], f"{name}: arrow != sql"

@@ -36,7 +36,12 @@ PROBES: dict[str, list[str]] = {
     "t1_token_stats": ["codegen", "no_python_udf"],
     "s1_knn_bruteforce": ["no_cartesian_blowup"],
     "e3_session_rollup": ["no_python_udf", "codegen"],
-    "w5_rolling_range": ["single_sort_window"],
+    # w5's RANGE window is deliberately unpartitioned — its input is the
+    # by-day AGGREGATE (cardinality = calendar days, volume-independent).
+    # global_window_post_agg pins that: a future edit moving the global
+    # window onto raw rows fails the gate. Same whitelist reasoning for
+    # e6_gapfill / a24_histogram CDF windows (O(days) / O(bins) inputs).
+    "w5_rolling_range": ["single_sort_window", "global_window_post_agg"],
     "j11_full_outer": ["no_cartesian_blowup", "partial_agg"],
     "a17_rollup_hierarchy": ["partial_agg", "pruned_schema"],
     # as-of join: the whole point is ONE sort-window pass, no join node at
@@ -87,21 +92,36 @@ PROBES: dict[str, list[str]] = {
     "e5_cohort_retention": ["partial_agg", "no_python_udf"],
     # dense-axis grid comes from sequence+explode over one broadcast row,
     # then ONE left join back — no scan-sized blowup
-    "e6_gapfill": ["partial_agg", "no_python_udf", "no_cartesian_blowup"],
+    "e6_gapfill": ["partial_agg", "no_python_udf", "no_cartesian_blowup",
+                   "global_window_post_agg"],
     # histogram: one partial-aggregated scan, codegen bucket math
-    "a24_histogram": ["partial_agg", "codegen", "no_python_udf"],
+    "a24_histogram": ["partial_agg", "codegen", "no_python_udf",
+                      "global_window_post_agg"],
     # PQ-ADC serving: the codebook and per-query distance table broadcast
     # (map-side equi-joins), distance sums partial-aggregate, and no
-    # candidate cross product ever materializes
-    "s6_knn_pq": ["broadcast_join", "partial_agg", "no_python_udf",
+    # candidate cross product ever materializes. The index build (cell
+    # assignment / PQ encoding) is the sanctioned Arrow-kernel shape:
+    # dense int64 linear algebra where numpy matmul over Arrow batches
+    # beats interpreted SQL array lambdas ~20x — arrow_kernel asserts the
+    # kernel is THERE and that no row-at-a-time Python ever appears
+    # (bit-identity vs the SQL twin pinned by test_arrow_kernels_match_sql)
+    "s6_knn_pq": ["broadcast_join", "partial_agg", "arrow_kernel",
                   "no_cartesian_blowup"],
     # IVF x PQ composed: centroids, codebook, probe set and distance
     # tables ALL broadcast; scoring is cell-restricted map-side equi-joins
-    # + one partial-aggregated distance sum — no cross product, no Python
-    "s7_knn_ivfpq": ["broadcast_join", "partial_agg", "no_python_udf",
+    # + one partial-aggregated distance sum — no cross product
+    "s7_knn_ivfpq": ["broadcast_join", "partial_agg", "arrow_kernel",
                      "no_cartesian_blowup"],
-    "s8_knn_ivfpq_res": ["broadcast_join", "partial_agg", "no_python_udf",
+    "s8_knn_ivfpq_res": ["broadcast_join", "partial_agg", "arrow_kernel",
                          "no_cartesian_blowup"],
+    # boilerplate scrub: gram df-count partial-aggregates, flagged set
+    # joins back by gram (hash join), coverage is a per-doc window — no
+    # cross product, no Python
+    "t14_boilerplate_scrub": ["partial_agg", "no_python_udf",
+                              "no_cartesian_blowup"],
+    # domain caps: the rank<=cap filter must plan as WindowGroupLimit
+    # (per-group top-cap heap) — a hot domain costs O(cap), not a sort
+    "t15_domain_cap": ["window_group_limit", "no_python_udf"],
     # sequence packing: the parallel prefix-sum segment sits behind a
     # localCheckpoint (single pinned execution), so the visible plan is
     # the map-side explode — the per-partition-window structure itself is
@@ -130,7 +150,28 @@ CHECKS = {
     "bucketed_window": lambda t, f: "__bucket" in f and "Window" in t,
     "no_exchange": lambda t, f: "Exchange" not in t,
     "semi_anti_join": lambda t, f: "LeftSemi" in t and "LeftAnti" in t,
+    "window_group_limit": lambda t, f: "WindowGroupLimit" in t or "WindowGroupLimit" in f,
+    # Arrow-batched kernels only: MapInPandas present (the deliberate
+    # dense-linear-algebra escape hatch), row-at-a-time Python absent
+    "arrow_kernel": lambda t, f: "MapInPandas" in f and "BatchEvalPython" not in f,
+    # every Window node must sit ON TOP of an aggregate (explain prints
+    # parents above children, so an agg must appear BELOW the deepest
+    # Window line): the whitelisted global windows run over post-agg
+    # frames whose cardinality is data-volume-independent (days/bins) —
+    # this gate fails if an edit moves a global sort onto raw rows
+    "global_window_post_agg": lambda t, f: _window_on_agg(t),
 }
+
+
+def _window_on_agg(tree: str) -> bool:
+    lines = tree.splitlines()
+    win = [i for i, l in enumerate(lines) if "Window" in l]
+    if not win:
+        # no Window node (e6/a24 currently compute their CDFs without
+        # one): vacuously safe — the gate exists so that a FUTURE window
+        # can only appear on top of an aggregate
+        return True
+    return any("HashAggregate" in l for l in lines[max(win):])
 
 
 def _final_tree(plan: str) -> str:
