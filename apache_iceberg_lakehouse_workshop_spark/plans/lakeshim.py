@@ -1369,7 +1369,12 @@ class LakeTable:
         return " AND ".join(conds) if conds else None
 
     @_requires("UPDATE", "WRITE")
-    def merge(self, source: DataFrame, key: str | list[str]) -> int:
+    def merge(
+        self,
+        source: DataFrame,
+        key: str | list[str],
+        snapshot_props: dict | None = None,
+    ) -> int:
         """``MERGE INTO t USING source ON t.key = source.key WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the standard
         Iceberg upsert DML (the lakehouse completion of the reference's
@@ -1412,13 +1417,14 @@ class LakeTable:
             if not merged.isEmpty():
                 new_dirs.append(self._write_commit_dir(merged, meta))
             return self._commit_rewrite(
-                parent, "merge", new_dirs, commit_filters=keep_filters or None
+                parent, "merge", new_dirs, props=snapshot_props,
+                commit_filters=keep_filters or None,
             )["id"]
         current = self.read()
         survivors = current.join(source.select(*keys), keys, "left_anti")
         merged = survivors.unionByName(source.select(*current.columns))
         commit = self._write_commit_dir(merged, meta)
-        return self._commit_rewrite(parent, "merge", [commit])["id"]
+        return self._commit_rewrite(parent, "merge", [commit], props=snapshot_props)["id"]
 
     @_requires("UPDATE", "WRITE")
     def merge_into(
@@ -2233,6 +2239,19 @@ class LakeTable:
             if v.get("type") == "tag"
         }
 
+    def refs(self) -> DataFrame:
+        """≈ Iceberg's ``t.refs`` metadata table / ``TABLE(table_refs('t'))``:
+        every named reference — tags AND branches, plus the implicit
+        ``main`` branch at the current snapshot — with its pinned snapshot
+        id (NULL for a branch created off an empty table)."""
+        meta = self._load_meta()
+        rows = [("main", "BRANCH", meta.get("current_snapshot_id"))]
+        for name, ref in sorted(meta.get("refs", {}).items()):
+            rows.append((name, ref.get("type", "").upper(), ref.get("snapshot_id")))
+        return self.spark.createDataFrame(
+            rows, "ref_name STRING, ref_type STRING, snapshot_id BIGINT"
+        )
+
     @_requires("SELECT")
     def read_tag(self, name: str) -> DataFrame:
         sid = self.tags().get(name)
@@ -2405,6 +2424,44 @@ class LakeTable:
             )
             self._commit(meta)
         return snap["id"]
+
+    @_requires("ALTER", "WRITE")
+    def rollback_to_timestamp(self, as_of_ms: int) -> int:
+        """``ROLLBACK TABLE … TO TIMESTAMP`` — roll back to the snapshot
+        that was current at the given instant (Dremio/Iceberg
+        rollback_to_timestamp)."""
+        meta = self._load_meta()
+        eligible = [s for s in meta["snapshots"] if s["ts_ms"] <= as_of_ms]
+        if not eligible:
+            raise ValueError(f"no snapshot of {self.name} at or before {as_of_ms}")
+        return self.rollback_to(eligible[-1]["id"])
+
+    # ---------------------------------------------------- table properties
+
+    @_requires("ALTER", "WRITE")
+    def set_properties(self, props: dict[str, str]) -> None:
+        """``ALTER TABLE … SET TBLPROPERTIES`` — free-form table metadata
+        riding the atomic commit (Iceberg table properties; the engine
+        stores them verbatim, honoring none as behavior switches — the
+        shim's knobs are constructor args, documented)."""
+        with self._commit_lock():
+            meta = self._load_meta()
+            meta.setdefault("properties", {}).update(
+                {str(k): str(v) for k, v in props.items()}
+            )
+            self._commit(meta)
+
+    @_requires("ALTER", "WRITE")
+    def unset_properties(self, keys: list[str]) -> None:
+        with self._commit_lock():
+            meta = self._load_meta()
+            stored = meta.get("properties", {})
+            for k in keys:
+                stored.pop(str(k), None)
+            self._commit(meta)
+
+    def properties(self) -> dict[str, str]:
+        return dict(self._load_meta().get("properties", {}))
 
     @_requires("ALTER", "WRITE")
     def maintain(self, target_file_mb: int = 128, keep_last: int = 3) -> None:

@@ -118,6 +118,23 @@ _RE_RENAME_COL = re.compile(
 _RE_DROP_COL = re.compile(
     r"^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+\"?(\w+)\"?\s*$", re.I
 )
+_RE_SET_PROPS = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*$", re.I | re.S
+)
+_RE_UNSET_PROPS = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*$", re.I | re.S
+)
+_RE_SHOW_PROPS = re.compile(r"^SHOW\s+TBLPROPERTIES\s+([\w.]+)\s*$", re.I)
+_RE_ROLLBACK = re.compile(
+    r"^ROLLBACK\s+TABLE\s+([\w.]+)\s+TO\s+(SNAPSHOT|TIMESTAMP)\s+'([^']+)'\s*$",
+    re.I,
+)
+_RE_SHOW_TABLES = re.compile(r"^SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$", re.I)
+_RE_SHOW_FOLDERS = re.compile(
+    r"^SHOW\s+(?:FOLDERS|SCHEMAS)(?:\s+IN\s+([\w.]+))?\s*$", re.I
+)
+_PROP_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
+_PROP_KEY_RE = re.compile(r"'([^']*)'")
 # Iceberg type promotion: ALTER TABLE t ALTER|MODIFY COLUMN c [SET DATA] TYPE bigint
 _RE_WIDEN_COL = re.compile(
     r"^ALTER\s+TABLE\s+([\w.]+)\s+(?:ALTER|MODIFY)\s+COLUMN\s+\"?(\w+)\"?"
@@ -279,6 +296,7 @@ _DML_SUPPORTED_FORMS = {
         "ALTER TABLE t ADD COLUMN name type | ALTER TABLE t RENAME COLUMN a TO b "
         "| ALTER TABLE t DROP COLUMN name "
         "| ALTER TABLE t ALTER COLUMN name TYPE widertype "
+        "| ALTER TABLE t SET/UNSET TBLPROPERTIES ('k' [= 'v'], ...) "
         "| ALTER TABLE t CREATE TAG name [AS OF SNAPSHOT 'id'] "
         "| ALTER TABLE t DROP TAG name "
         "| ALTER TABLE t CREATE BRANCH name [AS OF SNAPSHOT 'id'] "
@@ -400,6 +418,7 @@ class ScriptRunner:
             df.createOrReplaceTempView(leaf)
             t.snapshots().createOrReplaceTempView(f"{leaf}__snapshots")
             t.history().createOrReplaceTempView(f"{leaf}__history")
+            t.refs().createOrReplaceTempView(f"{leaf}__refs")
         for vfull, body in self.views.items():
             self.spark.sql(
                 f"CREATE OR REPLACE TEMP VIEW {self._vname(vfull)} AS "
@@ -1312,6 +1331,69 @@ class ScriptRunner:
                 # Iceberg schema evolution: metadata-only, data files never
                 # rewritten; old snapshots keep the pre-drop shape
                 self.lake.table(m.group(1)).drop_column(m.group(2))
+                continue
+            m = _RE_SET_PROPS.match(st)
+            if m:
+                pairs = dict(_PROP_PAIR_RE.findall(m.group(2)))
+                if not pairs:
+                    raise UnsupportedStatementError(
+                        "ALTER", st, "SET TBLPROPERTIES needs 'k' = 'v' pairs"
+                    )
+                self.lake.table(m.group(1)).set_properties(pairs)
+                continue
+            m = _RE_UNSET_PROPS.match(st)
+            if m:
+                self.lake.table(m.group(1)).unset_properties(
+                    _PROP_KEY_RE.findall(m.group(2))
+                )
+                continue
+            m = _RE_SHOW_PROPS.match(st)
+            if m:
+                props = self.lake.table(m.group(1)).properties()
+                result = self.spark.createDataFrame(
+                    sorted(props.items()), "key STRING, value STRING"
+                )
+                continue
+            m = _RE_ROLLBACK.match(st)
+            if m:
+                # Dremio/Iceberg rollback: metadata-only new history entry
+                # pointing at the old snapshot's files
+                t = self.lake.table(m.group(1))
+                if m.group(2).upper() == "SNAPSHOT":
+                    t.rollback_to(int(m.group(3)))
+                else:
+                    import datetime as _dt
+
+                    ts = _dt.datetime.fromisoformat(m.group(3))
+                    # naive literals default to UTC; offset-carrying ones
+                    # already name an instant (same rule as AT TIMESTAMP)
+                    ts = (
+                        ts.replace(tzinfo=_dt.timezone.utc)
+                        if ts.tzinfo is None
+                        else ts.astimezone(_dt.timezone.utc)
+                    )
+                    t.rollback_to_timestamp(int(ts.timestamp() * 1000))
+                continue
+            m = _RE_SHOW_TABLES.match(st)
+            if m:
+                names = (
+                    [
+                        f"{m.group(1)}.{t}"
+                        for t in self.lake.list_tables(m.group(1))
+                    ]
+                    if m.group(1)
+                    else self.lake._walk_tables()
+                )
+                result = self.spark.createDataFrame(
+                    [(n,) for n in names], "table_name STRING"
+                )
+                continue
+            m = _RE_SHOW_FOLDERS.match(st)
+            if m:
+                result = self.spark.createDataFrame(
+                    [(n,) for n in self.lake.list_namespaces(m.group(1))],
+                    "folder_name STRING",
+                )
                 continue
             m = _RE_WIDEN_COL.match(st)
             if m:

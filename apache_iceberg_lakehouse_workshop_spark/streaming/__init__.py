@@ -8,6 +8,8 @@ from .pipeline import (  # noqa: F401
     stream_maintain_reflection,
     stream_neardup_filter,
     stream_to_table,
+    stream_upsert_to_table,
+    upsert_stream_batch,
     tumbling_rollup,
     sliding_rollup,
     running_user_totals,

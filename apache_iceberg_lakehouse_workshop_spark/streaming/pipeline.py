@@ -39,7 +39,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -382,6 +382,78 @@ def stream_neardup_filter(
         append_stream_batch(out_table, checkpoint_dir, survivors, batch_id)
 
     writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_stream_batch(
+    lake_table,
+    checkpoint_dir: str,
+    keys: list[str],
+    batch_df: DataFrame,
+    batch_id: int,
+    seq_col: str | None = None,
+) -> bool:
+    """Idempotently UPSERT one CDC micro-batch: reduce the batch to its
+    per-key latest row (by ``seq_col`` — a change sequence / source
+    timestamp; deterministic tie-break over the remaining columns), then
+    ``merge`` it into the table as ONE atomic snapshot carrying
+    (checkpoint, batch_id) — the same exactly-once contract as
+    :func:`append_stream_batch`, for streams of updates instead of
+    streams of facts (Iceberg's streaming MERGE / CDC-apply shape).
+    Returns False on replay or empty batch."""
+    for snap in lake_table._load_meta()["snapshots"]:
+        props = snap.get("props") or {}
+        if props.get("checkpoint") == checkpoint_dir and props.get("batch_id") is not None \
+                and int(props["batch_id"]) >= batch_id:
+            return False
+    if batch_df.isEmpty():
+        return False
+    src = batch_df
+    if seq_col is not None:
+        others = [c for c in src.columns if c not in keys]
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc(seq_col), *[F.desc(c) for c in others if c != seq_col]
+        )
+        src = (
+            src.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        src = src.dropDuplicates(keys)
+    lake_table.merge(
+        src, keys, snapshot_props={"checkpoint": checkpoint_dir, "batch_id": batch_id}
+    )
+    return True
+
+
+def stream_upsert_to_table(
+    stream_df: DataFrame,
+    lake_table,
+    keys: list[str],
+    checkpoint_dir: str,
+    seq_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Sink a CDC/update stream into a lakehouse table as per-batch
+    MERGEs: each micro-batch collapses to its per-key latest row and
+    upserts atomically with its batch id in the snapshot summary, so the
+    table always holds exactly one (latest) row per key, replays dedupe,
+    and a reader at any snapshot sees a consistent upsert boundary. The
+    streaming twin of ``MERGE INTO`` — per batch it costs one key-range
+    pruned CoW merge (O(affected dirs), see LakeTable.merge), not a table
+    rewrite."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_stream_batch(
+            lake_table, checkpoint_dir, keys, batch_df, batch_id, seq_col
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if trigger_available_now:

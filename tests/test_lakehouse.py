@@ -1459,3 +1459,87 @@ def test_nondeterministic_predicate_never_routes(lake, spark):
     # deterministic functions still attribute columns normally
     assert pc("upper(city) = 'SF'") == {"city"}
     assert pc("amount > 10") == {"amount"}
+
+
+def test_refs_metadata_table(spark, tmp_path):
+    """Iceberg t.refs parity: tags + branches + implicit main, queryable
+    via the TABLE(table_refs('t')) TVF."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lake.create_table("db.rf", "id INT")
+    t.append(spark.createDataFrame([(1,)], "id INT"))
+    t.create_tag("v1")
+    t.append(spark.createDataFrame([(2,)], "id INT"))
+    t.create_branch("audit")
+    got = {r.ref_name: (r.ref_type, r.snapshot_id) for r in t.refs().collect()}
+    assert got == {
+        "main": ("BRANCH", 2),
+        "v1": ("TAG", 1),
+        "audit": ("BRANCH", 2),
+    }
+    out = lake.run_script(
+        "SELECT ref_name, ref_type, snapshot_id FROM TABLE(table_refs('db.rf')) "
+        "ORDER BY ref_name"
+    ).collect()
+    assert [(r.ref_name, r.ref_type, r.snapshot_id) for r in out] == [
+        ("audit", "BRANCH", 2), ("main", "BRANCH", 2), ("v1", "TAG", 1),
+    ]
+
+
+def test_tblproperties_and_show(spark, tmp_path):
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    lake.create_table("db.p", "id INT")
+    lake.run_script(
+        "ALTER TABLE db.p SET TBLPROPERTIES ('write.target-size'='134217728', "
+        "'owner'='data-eng')"
+    )
+    assert lake.table("db.p").properties() == {
+        "write.target-size": "134217728", "owner": "data-eng",
+    }
+    got = lake.run_script("SHOW TBLPROPERTIES db.p").collect()
+    assert [(r.key, r.value) for r in got] == [
+        ("owner", "data-eng"), ("write.target-size", "134217728"),
+    ]
+    lake.run_script("ALTER TABLE db.p UNSET TBLPROPERTIES ('owner')")
+    assert lake.table("db.p").properties() == {"write.target-size": "134217728"}
+
+
+def test_rollback_table_sql(spark, tmp_path):
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lake.create_table("db.rb", "id INT")
+    t.append(spark.createDataFrame([(1,)], "id INT"))
+    t.append(spark.createDataFrame([(2,)], "id INT"))
+    assert t.read().count() == 2
+    lake.run_script("ROLLBACK TABLE db.rb TO SNAPSHOT '1'")
+    assert t.read().count() == 1
+    assert [r.operation for r in t.snapshots().collect()][-1] == "rollback"
+    # timestamp form: roll forward to the state at snapshot 2's commit time
+    import datetime as _dt
+
+    ts2 = [r.committed_at_ms for r in t.snapshots().collect() if r.snapshot_id == 2][0]
+    iso = _dt.datetime.fromtimestamp(ts2 / 1000, _dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    lake.run_script(f"ROLLBACK TABLE db.rb TO TIMESTAMP '{iso}'")
+    assert t.read().count() == 2
+
+
+def test_show_tables_and_folders(spark, tmp_path):
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    lake.create_namespace("db.raw")
+    lake.create_namespace("db.gold")
+    lake.create_table("db.raw.a", "id INT")
+    lake.create_table("db.raw.b", "id INT")
+    tables = [r.table_name for r in lake.run_script("SHOW TABLES IN db.raw").collect()]
+    assert tables == ["db.raw.a", "db.raw.b"]
+    all_tables = [r.table_name for r in lake.run_script("SHOW TABLES").collect()]
+    assert all_tables == ["db.raw.a", "db.raw.b"]
+    folders = [r.folder_name for r in lake.run_script("SHOW FOLDERS IN db").collect()]
+    assert folders == ["gold", "raw"]

@@ -180,9 +180,9 @@ def test_misc_unsupported_statements_raise_dialect_error(lake, spark):
         ("OPTIMIZE TABLE db.tgt REWRITE MANIFESTS", "OPTIMIZE"),
         ("GRANT stuff", "GRANT"),
         ("COPY db.tgt TO 'somewhere'", "COPY"),
-        # DROP COLUMN / ALTER COLUMN TYPE became real statements in r7 —
-        # use a form that stays unsupported
-        ("ALTER TABLE db.tgt SET TBLPROPERTIES ('a'='b')", "ALTER"),
+        # DROP COLUMN / ALTER COLUMN TYPE / SET TBLPROPERTIES became real
+        # statements in r7 — use a form that stays unsupported
+        ("ALTER TABLE db.tgt FROBNICATE EVERYTHING", "ALTER"),
     ]:
         with pytest.raises(UnsupportedStatementError) as ei:
             runner.run(bad)

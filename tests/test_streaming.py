@@ -430,3 +430,65 @@ def test_stream_maintain_join_reflection(spark, tmp_path):
     assert routed is not None
     got = {r.city: (r.total, r.avg_amt) for r in routed.collect()}
     assert got == {"york": (30.0, 15.0), "kent": (5.0, 5.0)}
+
+
+def test_stream_upsert_to_table_cdc(spark, tmp_path):
+    """Streaming MERGE sink: each micro-batch collapses to its per-key
+    latest row (by seq) and upserts atomically — the table always holds
+    one row per key; replays and re-drains change nothing; snapshot
+    boundaries are consistent upsert states."""
+    from apache_iceberg_lakehouse_workshop_spark.streaming import (
+        stream_upsert_to_table,
+        upsert_stream_batch,
+    )
+
+    d = tmp_path / "cdc_in"
+    d.mkdir()
+    b1 = [
+        {"k": 1, "v": "a", "seq": 1},
+        {"k": 1, "v": "b", "seq": 2},   # same key twice in one batch: latest wins
+        {"k": 2, "v": "x", "seq": 1},
+    ]
+    b2 = [
+        {"k": 2, "v": "y", "seq": 5},   # update
+        {"k": 3, "v": "new", "seq": 1}, # insert
+    ]
+    import os
+    import time as _time
+
+    (d / "p1.json").write_text("\n".join(json.dumps(x) for x in b1))
+    (d / "p2.json").write_text("\n".join(json.dumps(x) for x in b2))
+    now = _time.time()
+    os.utime(d / "p1.json", (now - 20, now - 20))
+    os.utime(d / "p2.json", (now - 10, now - 10))
+
+    lake = Lakehouse(spark, str(tmp_path / "wh_u"))
+    t = lake.create_table("db.u.state", "k BIGINT, v STRING, seq BIGINT")
+    ckpt = str(tmp_path / "ckpt_upsert")
+
+    def run():
+        stream = spark.readStream.schema("k LONG, v STRING, seq LONG") \
+            .option("maxFilesPerTrigger", 1).json(str(d))
+        q = stream_upsert_to_table(stream, t, ["k"], ckpt, seq_col="seq")
+        q.awaitTermination(120)
+
+    run()
+    got = {r.k: (r.v, r.seq) for r in t.read().collect()}
+    assert got == {1: ("b", 2), 2: ("y", 5), 3: ("new", 1)}
+    # merge commits, one per non-empty batch
+    ops = [r.operation for r in t.snapshots().collect()]
+    assert ops == ["merge", "merge"]
+
+    # re-drain: no new data, no new snapshots, same contents
+    run()
+    assert [r.operation for r in t.snapshots().collect()] == ops
+    assert {r.k: (r.v, r.seq) for r in t.read().collect()} == got
+
+    # manual replay of an old batch id is ignored (exactly-once)
+    replay = spark.createDataFrame([(9, "ghost", 99)], "k LONG, v STRING, seq LONG")
+    assert upsert_stream_batch(t, ckpt, ["k"], replay, 0, "seq") is False
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+
+    # time travel: snapshot 1 is batch-1's consistent upsert state
+    s1 = {r.k: r.v for r in t.read(snapshot_id=1).collect()}
+    assert s1 == {1: "b", 2: "x"}
