@@ -71,6 +71,14 @@ class AcceleratorRegistry:
         self._defs: dict[str, tuple[Callable[[], DataFrame], list[str]]] = {}
         # name -> {anchor: snapshot_id} recorded at materialization
         self._anchors: dict[str, dict[str, int | None]] = {}
+        # name -> {anchor: schema-epoch} (len of the anchor's schema_log)
+        # recorded at materialization. Schema evolution (add/rename/drop/
+        # widen) is a metadata-only commit that does NOT advance
+        # current_snapshot_id, yet it changes what a read returns (a
+        # dropped-then-re-added column reads NULL; a rename changes result
+        # columns) — without this, is_fresh would keep serving the
+        # pre-evolution materialization
+        self._epochs: dict[str, dict[str, int]] = {}
         # name -> SQL text, for reflections whose definition IS a SQL string
         # (these survive process restarts via the registry file)
         self._sql_defs: dict[str, str] = {}
@@ -115,6 +123,7 @@ class AcceleratorRegistry:
                 "sql": sql,
                 "anchors": self._defs[name][1],
                 "anchor_snapshots": self._anchors.get(name, {}),
+                "anchor_epochs": self._epochs.get(name, {}),
                 **(
                     {"agg_shape": self._agg_shapes[name]}
                     if name in self._agg_shapes
@@ -154,6 +163,11 @@ class AcceleratorRegistry:
                 list(e["anchors"]),
             )
             self._anchors[name] = dict(e["anchor_snapshots"])
+            # registries written before schema-epoch tracking lack the key:
+            # leave the entry epoch-less so is_fresh reports stale once and
+            # the refresh records proper epochs
+            if "anchor_epochs" in e:
+                self._epochs[name] = dict(e["anchor_epochs"])
             if "agg_shape" in e:
                 shape = dict(e["agg_shape"])
                 shape["measures"] = [tuple(m) for m in shape["measures"]]
@@ -186,6 +200,18 @@ class AcceleratorRegistry:
             meta = self.lake.table(t)._load_meta()
             out[t] = meta["current_snapshot_id"]
         return out
+
+    def _current_epochs(self, anchor_tables: list[str]) -> dict[str, int]:
+        """Schema epoch per anchor: every evolution pushes one schema_log
+        entry, so the log length is a monotone evolution counter."""
+        return {
+            t: len(self.lake.table(t)._load_meta().get("schema_log", []))
+            for t in anchor_tables
+        }
+
+    def _record_anchor_state(self, name: str, anchor_tables: list[str]) -> None:
+        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        self._epochs[name] = self._current_epochs(anchor_tables)
 
     def _storage_name(self, name: str) -> str:
         return f"{_REFLECTION_NS}.{name}"
@@ -226,14 +252,20 @@ class AcceleratorRegistry:
         self._defs[name] = (definition, anchor_tables)
         self.lake.drop_table(self._storage_name(name))
         self.lake.create_table_as(self._storage_name(name), definition(), partition_by)
-        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        self._record_anchor_state(name, anchor_tables)
         self._save_registry()
 
     def is_fresh(self, name: str) -> bool:
         if name not in self._anchors:
             return False
         _, anchor_tables = self._defs[name]
-        return self._current_snapshot_ids(anchor_tables) == self._anchors[name]
+        if self._current_snapshot_ids(anchor_tables) != self._anchors[name]:
+            return False
+        # schema evolution is a metadata-only commit (same snapshot id) but
+        # changes read results — any evolution since materialization is
+        # staleness; entries without a recorded epoch (pre-upgrade registry
+        # files) refresh once to record one
+        return self._current_epochs(anchor_tables) == self._epochs.get(name)
 
     def resolve(self, name: str) -> DataFrame:
         """Transparent substitution: materialized scan when fresh, live
@@ -248,7 +280,7 @@ class AcceleratorRegistry:
         """Re-materialize from current anchor snapshots (readme.md:383-389)."""
         definition, anchor_tables = self._defs[name]
         self.lake.table(self._storage_name(name)).overwrite(definition())
-        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        self._record_anchor_state(name, anchor_tables)
         if name in self._sql_defs:
             self._save_registry()
 
@@ -275,7 +307,7 @@ class AcceleratorRegistry:
         except ValueError:
             return False
         self.lake.table(self._storage_name(name)).append(delta_definition(delta))
-        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        self._record_anchor_state(name, anchor_tables)
         if name in self._sql_defs:
             self._save_registry()
         return True
@@ -398,7 +430,7 @@ class AcceleratorRegistry:
             name, delta.groupBy(*dims).agg(*delta_aggs), dims, merge_aggs
         ):
             return False
-        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        self._record_anchor_state(name, anchor_tables)
         if name in self._sql_defs:
             self._save_registry()
         return True
@@ -458,7 +490,7 @@ class AcceleratorRegistry:
             return False  # ambiguous bare name etc. — full refresh decides
         if not self._merge_delta_partials(name, delta_grouped, dims, merge_aggs):
             return False
-        self._anchors[name] = self._current_snapshot_ids(anchor_tables)
+        self._record_anchor_state(name, anchor_tables)
         if name in self._sql_defs:
             self._save_registry()
         return True
@@ -959,6 +991,7 @@ class AcceleratorRegistry:
         """Reflection retirement (readme.md:381-389 autonomous retire)."""
         self._defs.pop(name, None)
         self._anchors.pop(name, None)
+        self._epochs.pop(name, None)
         self._agg_shapes.pop(name, None)
         self._join_shapes.pop(name, None)
         self._raw_shapes.pop(name, None)

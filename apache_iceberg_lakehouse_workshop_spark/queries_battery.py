@@ -362,6 +362,33 @@ tb_sample_battery = _register_battery(
     ],
 )
 
+mmb_media_battery = _register_battery(
+    "mmb_media_battery",
+    "MM2+MM3+MM4 multimodal battery: Arrow-batched feature extraction "
+    "over binary payloads (real PNG/JPEG/GIF/BMP/PPM header decode, "
+    "deterministic fake for codec-requiring payloads — the fixture blobs "
+    "are text, so the oracle replays the fake's digest arithmetic "
+    "exactly), video frame sampling (1->N row expansion inside "
+    "mapInPandas; real concatenated-PPM splitting, fake for compressed "
+    "containers), and the REAL WAV encode->parse roundtrip (stdlib wave "
+    "container around document bytes; every stat recomputable from "
+    "octet_length). All map-only, no shuffle.",
+    [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar"),
+     ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
+    [
+        ("mm2_media_features", "mm2_media_features",
+         {"media_id": "k1", "n_bytes": "n1", "content_md5": "s1",
+          "width": "n2", "height": "n3", "format": "s2"}),
+        ("mm3_frame_sample", "mm3_frame_sample",
+         {"media_id": "k1", "frame_no": "k2", "frame_ms": "n1",
+          "frame_md5": "s1"}),
+        ("mm4_audio_features", "mm4_audio_features",
+         {"media_id": "k1", "n_samples": "n1", "sample_rate": "n2",
+          "n_channels": "n3", "duration_ms": "k2"}),
+    ],
+)
+
+
 wb_window_battery = _register_battery(
     "wb_window_battery",
     "W2+W3 window frames: 7-day ROWS-frame rolling revenue and LEAD "
@@ -524,6 +551,9 @@ ABSORBED = {
     "t11_pii_scrub": "tb_sample_battery",
     "t12_chunking": "tb_sample_battery",
     "t14_boilerplate_scrub": "tb_sample_battery",
+    "mm2_media_features": "mmb_media_battery",
+    "mm3_frame_sample": "mmb_media_battery",
+    "mm4_audio_features": "mmb_media_battery",
     "t15_domain_cap": "tb_sample_battery",
     "t13_sequence_packing": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",

@@ -1045,6 +1045,34 @@ def mm3_frame_sample(spark, sf_dir):
     )
 
 
+@q(
+    "mm4_audio_features",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+              CAST(8000 AS BIGINT) AS sample_rate,
+              CAST(1 AS BIGINT) AS n_channels,
+              CAST(octet_length(encode(text)) * 1000 // 8000 AS BIGINT)
+                AS duration_ms
+       FROM documents""",
+    "REAL audio container roundtrip (round 7; no media libs needed): each "
+    "document's UTF-8 bytes are wrapped in a genuine 8-bit-PCM WAV via the "
+    "stdlib writer (operators/multimodal.wav_from_documents), then the "
+    "stdlib wave parser decodes the container back and emits sample "
+    "count / rate / channels / duration (extract_audio_features — the "
+    "silence/clipping/duration stats an audio curation pipeline filters "
+    "on; RMS rides the Spark output for pipelines, pinned by pytest on "
+    "crafted PCM). The oracle recomputes every stat from octet_length: a "
+    "value mismatch means the encode->parse roundtrip corrupted the "
+    "sample plane. mapInPandas Arrow batches, map-only, no shuffle.",
+)
+def mm4_audio_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    wavs = MM.wav_from_documents(d, sample_rate=8000)
+    return MM.extract_audio_features(wavs).select(
+        "media_id", "n_samples", "sample_rate", "n_channels", "duration_ms"
+    )
+
+
 # =====================================================================
 # AI functions (mock backend — deterministic, SQL-replicable)
 # =====================================================================

@@ -51,8 +51,7 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
                         "d4_simhash_neardup"],
     "S similarity search": ["s1_knn_bruteforce", "s2_embedding_neardup",
                             "s3_knn_lsh", "s4_knn_ivf", "db_neardup_battery"],  # s5/s6 ride the battery
-    "MM multimodal": ["mm1_binary_metadata", "mm2_media_features",
-                      "mm3_frame_sample"],
+    "MM multimodal": ["mm1_binary_metadata", "mmb_media_battery"],
     "AI functions": ["aib_ai_battery"],
     # R7 covered-query reflection substitution rides the driver hash via
     # r1_routed_reflection (aggregate rollup routing) and r2_routed_raw

@@ -832,3 +832,36 @@ def test_advisor_recommends_raw_reflection_for_repeated_scans(spark, tmp_path):
     assert sorted((x.region, x.amount) for x in out.collect()) == [
         ("east", 10.0), ("north", 100.0)
     ]
+
+
+def test_schema_evolution_staleness(spark, tmp_path):
+    """Schema evolution is a metadata-only commit (current_snapshot_id
+    unchanged) yet changes read results — reflections and the result cache
+    must go stale. The killer case: drop + re-add a column (values now
+    NULL) with NO new snapshot; a snapshot-only freshness check would keep
+    serving the pre-drop values from the materialization."""
+    from apache_iceberg_lakehouse_workshop_spark.plans import (
+        AcceleratorRegistry,
+        Lakehouse,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lake.create_table("db.ev", "id INT, tag STRING")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, tag STRING"))
+    reg = AcceleratorRegistry(lake)
+    reg.create_reflection(
+        "ev_raw", lambda: lake.table("db.ev").read(), ["db.ev"]
+    )
+    assert reg.is_fresh("ev_raw")
+    assert {r.id: r.tag for r in reg.resolve("ev_raw").collect()} == {1: "a", 2: "b"}
+
+    t.drop_column("tag")
+    t.add_column("tag", "STRING")  # same snapshot id, different read results
+    assert not reg.is_fresh("ev_raw")
+    # resolve() recomputes live: the re-added column reads NULL, not 'a'/'b'
+    assert {r.id: r.tag for r in reg.resolve("ev_raw").collect()} == {1: None, 2: None}
+    # refresh records the new epoch; fresh again until the NEXT evolution
+    reg.refresh("ev_raw")
+    assert reg.is_fresh("ev_raw")
+    t.widen_column("id", "BIGINT")
+    assert not reg.is_fresh("ev_raw")
