@@ -769,6 +769,7 @@ class LakeTable:
     _PRED_BETWEEN_RE = re.compile(
         r"^`?(\w+)`?\s+between\s+(.+?)\s+and\s+(.+)$", re.I | re.S
     )
+    _PRED_NOTNULL_RE = re.compile(r"^`?(\w+)`?\s+is\s+not\s+null$", re.I)
 
     @staticmethod
     def _parse_literal(lit: str) -> object | None:
@@ -891,6 +892,13 @@ class LakeTable:
                 if lo is not None and hi is not None:
                     conjs.append((m.group(1), "between", (lo, hi)))
                 continue
+            m = LakeTable._PRED_NOTNULL_RE.match(part)
+            if m:
+                # IS NOT NULL prunes files whose stats record an all-NULL
+                # column (the [None, None] range) — the common "keep only
+                # enriched rows" scan skips never-enriched files outright
+                conjs.append((m.group(1), "notnull", None))
+                continue
         return conjs
 
     @staticmethod
@@ -947,6 +955,11 @@ class LakeTable:
             return True  # no stats for this column: cannot prune
         marker = rng[2] if len(rng) > 2 else None
         mn, mx = rng[0], rng[1]
+        if op == "notnull":
+            # only an all-NULL file ([None, None] stats) provably fails
+            # IS NOT NULL; a file WITH a min/max may still hold NULLs, so
+            # the reverse (IS NULL) never prunes from min/max stats alone
+            return not (mn is None and mx is None)
         if mn is None:
             return False  # file is all-NULL in col: col op literal never TRUE
         def rng_op(mn, mx, val) -> bool:

@@ -7,6 +7,7 @@ from .pipeline import (  # noqa: F401
     stream_dedup,
     stream_maintain_reflection,
     stream_neardup_filter,
+    stream_stream_join,
     stream_to_table,
     stream_upsert_to_table,
     upsert_stream_batch,

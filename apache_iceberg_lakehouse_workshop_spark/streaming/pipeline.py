@@ -459,3 +459,48 @@ def stream_upsert_to_table(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "10 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join — two UNBOUNDED inputs joined on
+    equi-keys with a bounded time relationship (the right event at or
+    before the left event, within ``max_lag``): Spark buffers each side's
+    state only up to watermark + lag, so state is bounded while every
+    in-bound match is exact. This is the real-time twin of the as-of /
+    interval joins (attribute each purchase to the browse that preceded it
+    within N minutes, correlate sensor streams, click->impression
+    attribution).
+
+    The time-bound condition is what makes the state finite — without it
+    Spark would have to keep every past row of both sides forever; with
+    it, rows older than the watermark past the bound are evicted after
+    emitting. Outer variants ('leftOuter'/'rightOuter'/'fullOuter') emit
+    their NULL-padded rows only once the watermark proves no match can
+    arrive — exactly the late-data contract batch backfills need.
+
+    Column naming: the right side's timestamp and key columns come back
+    suffixed ``_r`` so both sides' values survive into the result."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    for c in on + [right_ts]:
+        rw = rw.withColumnRenamed(c, f"{c}_r")
+    cond = None
+    for c in on:
+        eq = F.col(c) == F.col(f"{c}_r")
+        cond = eq if cond is None else cond & eq
+    lag = F.expr(f"INTERVAL {max_lag}")
+    cond = (
+        cond
+        & (F.col(f"{right_ts}_r") <= F.col(left_ts))
+        & (F.col(f"{right_ts}_r") >= F.col(left_ts) - lag)
+    )
+    return lw.join(rw, cond, how)

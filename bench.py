@@ -480,6 +480,16 @@ def _scaled_section(spark) -> dict:
             times * 2_000,
         )
 
+    def t14(times):
+        from apache_iceberg_lakehouse_workshop_spark.operators import textstats as TSS
+
+        # token-salting would destroy cross-doc grams, so replicate with
+        # plain id offsets: every replica shares its boilerplate grams with
+        # the original — flagged-set size stays ~constant while instances
+        # scale linearly, exactly the production shape
+        big = replicate(docs, times, {"doc_id": 1_000_000})
+        return TSS.boilerplate_ngram_scrub(big, n=3, min_doc_freq=5), times * 5_000
+
     def j13(times):
         big = replicate(
             events, times, {"user_id": 10_000_000, "event_id": 100_000_000}
@@ -507,6 +517,7 @@ def _scaled_section(spark) -> dict:
         "s6_knn_pq": (s6, 8, 64),
         "s7_knn_ivfpq": (s7, 8, 64),
         "s8_knn_ivfpq_res": (s8, 8, 64),
+        "t14_boilerplate_scrub": (t14, 2, 16),
         "j13_asof_join": (j13, 8, 64),
     }
     out = {}

@@ -1543,3 +1543,27 @@ def test_show_tables_and_folders(spark, tmp_path):
     assert all_tables == ["db.raw.a", "db.raw.b"]
     folders = [r.folder_name for r in lake.run_script("SHOW FOLDERS IN db").collect()]
     assert folders == ["gold", "raw"]
+
+
+def test_is_not_null_data_skipping(lake, spark):
+    """IS NOT NULL prunes files whose stats record an all-NULL column (the
+    common 'keep only enriched rows' scan); files with any value — even
+    alongside NULLs — survive, and results equal the unpruned filter."""
+    t = lake.create_table("db.nn", "k BIGINT, v STRING")
+    t.append(spark.createDataFrame([(None, "a"), (None, "b")], "k BIGINT, v STRING"))
+    t.append(spark.createDataFrame([(5, "c"), (None, "d")], "k BIGINT, v STRING"))
+    t.append(spark.createDataFrame([(7, "e")], "k BIGINT, v STRING"))
+
+    got = t.read(where="k IS NOT NULL")
+    assert sorted(r.v for r in got.collect()) == ["c", "e"]
+    full = set(t.read().inputFiles())
+    pruned = set(got.inputFiles())
+    assert pruned < full and len(pruned) == 2  # the all-NULL commit dropped
+    # equivalence with the plain filter (mixed file keeps its NULL row out
+    # via the row filter, never via pruning)
+    want = sorted(r.v for r in t.read().filter("k IS NOT NULL").collect())
+    assert sorted(r.v for r in got.collect()) == want
+    # conjunct composes with range skipping
+    sel = t.read(where="k IS NOT NULL AND k > 6")
+    assert [r.v for r in sel.collect()] == ["e"]
+    assert len(set(sel.inputFiles())) == 1

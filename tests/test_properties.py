@@ -291,3 +291,26 @@ def test_file_may_match_widened_bigint_sound(vals, op, lit, partition_style):
                 f"pruned a file containing matching row {v!r} "
                 f"(stats={cols['c']!r}, op={op!r}, lit={lit!r})"
             )
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-99, max_value=99)),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_file_may_match_notnull_sound(vals):
+    """IS NOT NULL pruning: a file is skipped ONLY when provably all-NULL
+    — if any row holds a value, the file must survive."""
+    non_null = [v for v in vals if v is not None]
+    if non_null:
+        cols = {"c": [min(non_null), max(non_null)]}
+    else:
+        cols = {"c": [None, None]}
+    keep = LakeTable._file_may_match(cols, ("c", "notnull", None))
+    if not keep:
+        assert not non_null, f"pruned a file with values {non_null!r}"
+    if non_null:
+        assert keep

@@ -492,3 +492,71 @@ def test_stream_upsert_to_table_cdc(spark, tmp_path):
     # time travel: snapshot 1 is batch-1's consistent upsert state
     s1 = {r.k: r.v for r in t.read(snapshot_id=1).collect()}
     assert s1 == {1: "b", 2: "x"}
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join: two unbounded file streams joined
+    on user_id with a bounded time relationship drain to EXACTLY the rows
+    the equivalent batch join produces (inner; every event within the
+    watermark); the time bound is what keeps both sides' state finite."""
+    from apache_iceberg_lakehouse_workshop_spark.streaming import stream_stream_join
+
+    base = "2025-08-01 10:{m:02d}:00"
+    purchases = [
+        {"event_id": 1, "user_id": 1, "ts": base.format(m=10), "value": 50.0},
+        {"event_id": 2, "user_id": 1, "ts": base.format(m=30), "value": 70.0},
+        {"event_id": 3, "user_id": 2, "ts": base.format(m=15), "value": 10.0},
+        {"event_id": 4, "user_id": 3, "ts": base.format(m=20), "value": 99.0},
+    ]
+    browses = [
+        {"event_id": 11, "user_id": 1, "ts": base.format(m=5)},   # within 10m of p1
+        {"event_id": 12, "user_id": 1, "ts": base.format(m=25)},  # within 10m of p2
+        {"event_id": 13, "user_id": 1, "ts": base.format(m=9)},   # within 10m of p1
+        {"event_id": 14, "user_id": 2, "ts": base.format(m=1)},   # 14m before p3: out
+        {"event_id": 15, "user_id": 9, "ts": base.format(m=15)},  # no purchase
+    ]
+    import os
+    import time as _time
+
+    pd_dir, br_dir = tmp_path / "pur", tmp_path / "brw"
+    pd_dir.mkdir(); br_dir.mkdir()
+    (pd_dir / "p.json").write_text("\n".join(json.dumps(x) for x in purchases))
+    (br_dir / "b.json").write_text("\n".join(json.dumps(x) for x in browses))
+
+    p_schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    b_schema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    ps = spark.readStream.schema(p_schema).json(str(pd_dir))
+    bs = spark.readStream.schema(b_schema).json(str(br_dir))
+    joined = stream_stream_join(
+        ps.withColumnRenamed("event_id", "purchase_id"),
+        bs.withColumnRenamed("event_id", "browse_id"),
+        on=["user_id"], max_lag="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.purchase_id, r.browse_id) for r in spark.sql("SELECT * FROM ssj").collect()
+    )
+    # batch twin with identical condition
+    pb = spark.createDataFrame(
+        [(x["event_id"], x["user_id"], x["ts"], x["value"]) for x in purchases],
+        "purchase_id LONG, user_id LONG, ts STRING, value DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bb = spark.createDataFrame(
+        [(x["event_id"], x["user_id"], x["ts"]) for x in browses],
+        "browse_id LONG, user_id_r LONG, ts_r STRING",
+    ).withColumn("ts_r", F.col("ts_r").cast("timestamp"))
+    want = sorted(
+        (r.purchase_id, r.browse_id)
+        for r in pb.join(
+            bb,
+            (F.col("user_id") == F.col("user_id_r"))
+            & (F.col("ts_r") <= F.col("ts"))
+            & (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 10 minutes")),
+        ).collect()
+    )
+    assert got == want
+    assert got == [(1, 11), (1, 13), (2, 12)]
