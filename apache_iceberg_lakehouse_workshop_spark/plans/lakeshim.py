@@ -488,6 +488,7 @@ class LakeTable:
                     stats[rel] = {}
                     continue
                 cols: dict[str, list] = {}
+                nulls: dict[str, int] = {}
                 schema = md.schema
                 for ci in range(md.num_columns):
                     cpath = schema.column(ci).path
@@ -496,9 +497,14 @@ class LakeTable:
                     mn = mx = None
                     ok = True
                     all_null = True
+                    n_nulls: int | None = 0
                     try:
                         for rg in range(md.num_row_groups):
                             st = md.row_group(rg).column(ci).statistics
+                            if st is not None and st.has_null_count and n_nulls is not None:
+                                n_nulls += st.null_count
+                            else:
+                                n_nulls = None  # any gap: count unknowable
                             if st is None or not st.has_min_max:
                                 if st is not None and st.has_null_count and (
                                     st.null_count == md.row_group(rg).num_rows
@@ -514,6 +520,11 @@ class LakeTable:
                         # type (e.g. some DECIMAL encodings): that column
                         # simply doesn't prune
                         ok = False
+                        n_nulls = None
+                    if ok and n_nulls is not None:
+                        # exact per-file null count: lets IS NULL prune
+                        # null-free files (min/max alone never could)
+                        nulls[cpath] = n_nulls
                     if not ok:
                         continue
                     if all_null:
@@ -579,6 +590,11 @@ class LakeTable:
                             cols[k] = [tsv, tsv, "ts"]
                         else:
                             cols[k] = [val, val]
+                if nulls:
+                    # reserved key (no user column can be named this way
+                    # through the engine's identifier rules): per-file
+                    # null counts for IS NULL pruning
+                    cols["__nulls__"] = nulls
                 stats[rel] = cols
         tmp = os.path.join(commit_path, "_stats.json.tmp")
         with open(tmp, "w") as f:
@@ -770,6 +786,7 @@ class LakeTable:
         r"^`?(\w+)`?\s+between\s+(.+?)\s+and\s+(.+)$", re.I | re.S
     )
     _PRED_NOTNULL_RE = re.compile(r"^`?(\w+)`?\s+is\s+not\s+null$", re.I)
+    _PRED_ISNULL_RE = re.compile(r"^`?(\w+)`?\s+is\s+null$", re.I)
 
     @staticmethod
     def _parse_literal(lit: str) -> object | None:
@@ -899,6 +916,13 @@ class LakeTable:
                 # enriched rows" scan skips never-enriched files outright
                 conjs.append((m.group(1), "notnull", None))
                 continue
+            m = LakeTable._PRED_ISNULL_RE.match(part)
+            if m:
+                # IS NULL prunes files whose recorded null COUNT is zero
+                # (footer null_count, stored under the reserved __nulls__
+                # key) — min/max alone could never prove null-absence
+                conjs.append((m.group(1), "isnull", None))
+                continue
         return conjs
 
     @staticmethod
@@ -950,6 +974,12 @@ class LakeTable:
             return LakeTable._file_may_match(
                 cols, (col, ">=", lo)
             ) and LakeTable._file_may_match(cols, (col, "<=", hi))
+        if op == "isnull":
+            # prune only when the file's exact null count is recorded AND
+            # zero; a column absent from the file entirely (pre-evolution
+            # commit) reads as NULL -> always keep
+            nn = cols.get("__nulls__", {}).get(col)
+            return nn != 0
         rng = cols.get(col)
         if rng is None:
             return True  # no stats for this column: cannot prune
@@ -957,8 +987,7 @@ class LakeTable:
         mn, mx = rng[0], rng[1]
         if op == "notnull":
             # only an all-NULL file ([None, None] stats) provably fails
-            # IS NOT NULL; a file WITH a min/max may still hold NULLs, so
-            # the reverse (IS NULL) never prunes from min/max stats alone
+            # IS NOT NULL; a file WITH a min/max may still hold NULLs
             return not (mn is None and mx is None)
         if mn is None:
             return False  # file is all-NULL in col: col op literal never TRUE
@@ -1059,13 +1088,29 @@ class LakeTable:
         return rng_op(mn, mx, val)
 
     def _prune_file_lists(
-        self, dirs: list[str], where: str
+        self,
+        dirs: list[str],
+        where: str,
+        skip_isnull_cols: frozenset[str] | set[str] = frozenset(),
     ) -> list[list[str] | None] | None:
         """Per-dir surviving file lists for ``where`` (None entry = keep the
         whole dir: no stats manifest). Returns None when the predicate has
         no skippable conjunct at all. Metadata-only: reads each commit's
-        small ``_stats.json``, never a parquet footer."""
+        small ``_stats.json``, never a parquet footer.
+
+        ``skip_isnull_cols``: columns whose IS NULL conjuncts must not
+        prune — a dropped-then-re-added column's pre-drop files carry
+        PHYSICAL values (null_count 0) while the LOGICAL value is NULL
+        (tombstones), so the stats would wrongly prove "no NULL here".
+        Every other conjunct shape stays sound on stale stats (NULL never
+        satisfies a comparison, and tombstones only turn values INTO
+        NULLs, never the reverse)."""
         conjs = self._parse_prune_conjuncts(where)
+        if skip_isnull_cols:
+            conjs = [
+                c for c in conjs
+                if not (c[1] == "isnull" and c[0] in skip_isnull_cols)
+            ]
         if not conjs:
             return None
         try:
@@ -1256,7 +1301,10 @@ class LakeTable:
             # resolve a renamed column back to its physical name for the
             # stats lookup (stats are recorded under the written name)
             prune_where = self._sub_outside_literals(where, aliases_all)
-            file_lists = self._prune_file_lists(dirs, prune_where)
+            file_lists = self._prune_file_lists(
+                dirs, prune_where,
+                skip_isnull_cols=set(meta.get("column_tombstones", {})),
+            )
         cf = snap.get("commit_filters", {}) if snap else {}
         filters = [cf.get(d) for d in (snap["commit_dirs"] if snap else [])]
         df = self._read_dirs(dirs, file_lists, filters, schema, aliases_all, tombs)
@@ -1334,7 +1382,10 @@ class LakeTable:
         prune_where = self._sub_outside_literals(
             condition, meta.get("column_aliases", {})
         )
-        file_lists = self._prune_file_lists(dirs, prune_where)
+        file_lists = self._prune_file_lists(
+            dirs, prune_where,
+            skip_isnull_cols=set(meta.get("column_tombstones", {})),
+        )
         if file_lists is None:
             return None
         untouched, affected = [], []
@@ -2175,14 +2226,25 @@ class LakeTable:
         )["id"]
 
     @_requires("ALTER", "WRITE")
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> int:
         """Drop old snapshots and physically remove commit dirs no live
         snapshot references — ≈ ``expire_snapshots`` + ``remove_orphan_files``
-        (readme.md:391-401). Returns number of commit dirs removed."""
+        (readme.md:391-401). ``older_than_ms`` is Iceberg's time-based
+        retention: snapshots committed at or after the instant are kept
+        regardless of ``keep_last`` (the two compose — keep the newest
+        ``keep_last`` AND everything younger than the horizon). Returns
+        number of commit dirs removed."""
         with self._commit_lock():
             meta = self._load_meta()
             snaps = meta["snapshots"]
             keep = snaps[-keep_last:] if keep_last > 0 else snaps
+            if older_than_ms is not None:
+                keep = keep + [
+                    s for s in snaps
+                    if s["ts_ms"] >= older_than_ms and s not in keep
+                ]
             cur = self._current_snapshot(meta)
             if cur and cur not in keep:
                 keep.append(cur)

@@ -104,7 +104,8 @@ _RE_DROP_PART_FIELD = re.compile(
 # expiry as a statement (readme.md:391-401 metadata pruning)
 _RE_VACUUM = re.compile(
     r"^VACUUM\s+TABLE\s+([\w.]+)\s+EXPIRE\s+SNAPSHOTS"
-    r"(?:\s+RETAIN_LAST\s+(\d+))?\s*$",
+    r"(?:\s+OLDER_THAN\s*=?\s*'([^']+)')?"
+    r"(?:\s+RETAIN_LAST\s*=?\s*(\d+))?\s*$",
     re.I,
 )
 _RE_ADD_COL = re.compile(
@@ -130,6 +131,8 @@ _RE_ROLLBACK = re.compile(
     re.I,
 )
 _RE_SHOW_TABLES = re.compile(r"^SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$", re.I)
+_RE_DESCRIBE = re.compile(r"^DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*$", re.I)
+_RE_EXPLAIN = re.compile(r"^EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)$", re.I | re.S)
 _RE_SHOW_FOLDERS = re.compile(
     r"^SHOW\s+(?:FOLDERS|SCHEMAS)(?:\s+IN\s+([\w.]+))?\s*$", re.I
 )
@@ -285,7 +288,14 @@ _DML_SUPPORTED_FORMS = {
     "COPY": "COPY INTO t FROM 'path' [REGEX '...'] [FILE_FORMAT 'fmt'] [(opts)]",
     "GRANT": "GRANT p1[, p2] ON PROJECT|FOLDER|TABLE|VIEW obj TO USER|ROLE who",
     "OPTIMIZE": "OPTIMIZE TABLE t",
-    "VACUUM": "VACUUM TABLE t EXPIRE SNAPSHOTS [RETAIN_LAST n]",
+    "VACUUM": (
+        "VACUUM TABLE t EXPIRE SNAPSHOTS [OLDER_THAN 'ts'] [RETAIN_LAST n]"
+    ),
+    "ROLLBACK": "ROLLBACK TABLE t TO SNAPSHOT 'id' | TO TIMESTAMP 'ts'",
+    "SHOW": (
+        "SHOW TABLES [IN ns] | SHOW FOLDERS|SCHEMAS [IN ns] "
+        "| SHOW TBLPROPERTIES t"
+    ),
     "CREATE": (
         "CREATE FOLDER|NAMESPACE ns | CREATE TABLE t (cols) [PARTITION BY (...)] "
         "| CREATE TABLE t [PARTITION BY (...)] [DISTRIBUTE BY (...)] AS SELECT "
@@ -1276,8 +1286,19 @@ class ScriptRunner:
                 continue
             m = _RE_VACUUM.match(st)
             if m:
+                older_ms = None
+                if m.group(2):
+                    import datetime as _dt
+
+                    ts = _dt.datetime.fromisoformat(m.group(2))
+                    ts = (
+                        ts.replace(tzinfo=_dt.timezone.utc)
+                        if ts.tzinfo is None
+                        else ts.astimezone(_dt.timezone.utc)
+                    )
+                    older_ms = int(ts.timestamp() * 1000)
                 self.lake.table(m.group(1)).expire_snapshots(
-                    keep_last=int(m.group(2) or 1)
+                    keep_last=int(m.group(3) or 1), older_than_ms=older_ms
                 )
                 continue
             m = _RE_ADD_PART_FIELD.match(st)
@@ -1393,6 +1414,36 @@ class ScriptRunner:
                 result = self.spark.createDataFrame(
                     [(n,) for n in self.lake.list_namespaces(m.group(1))],
                     "folder_name STRING",
+                )
+                continue
+            m = _RE_DESCRIBE.match(st)
+            if m and self.lake.table_exists(m.group(1)):
+                schema = self.lake.table(m.group(1)).read().schema
+                result = self.spark.createDataFrame(
+                    [
+                        (f.name, f.dataType.simpleString(), f.nullable)
+                        for f in schema.fields
+                    ],
+                    "column_name STRING, data_type STRING, nullable BOOLEAN",
+                )
+                continue
+            m = _RE_EXPLAIN.match(st)
+            if m:
+                # EXPLAIN [PLAN FOR] <query>: run the inner statement
+                # through the same dialect pipeline, return the formatted
+                # physical plan as a one-column frame (Dremio's EXPLAIN
+                # PLAN surface; readers get the REAL Spark plan — the
+                # thing the engine's scale claims are audited against)
+                inner = self.run(m.group(1))
+                if inner is None:
+                    raise UnsupportedStatementError(
+                        "EXPLAIN", st, "EXPLAIN PLAN FOR <query> (SELECT ...)"
+                    )
+                plan = self.spark.sparkContext._jvm.PythonSQLUtils.explainString(
+                    inner._jdf.queryExecution(), "formatted"
+                )
+                result = self.spark.createDataFrame(
+                    [(plan,)], "plan STRING"
                 )
                 continue
             m = _RE_WIDEN_COL.match(st)

@@ -1567,3 +1567,66 @@ def test_is_not_null_data_skipping(lake, spark):
     sel = t.read(where="k IS NOT NULL AND k > 6")
     assert [r.v for r in sel.collect()] == ["e"]
     assert len(set(sel.inputFiles())) == 1
+
+
+def test_describe_and_explain_statements(spark, tmp_path):
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lake.create_table("db.de", "id INT, name STRING")
+    t.append(spark.createDataFrame([(1, "a")], "id INT, name STRING"))
+    desc = lake.run_script("DESCRIBE db.de").collect()
+    assert [(r.column_name, r.data_type) for r in desc] == [
+        ("id", "int"), ("name", "string"),
+    ]
+    plan = lake.run_script("EXPLAIN PLAN FOR SELECT COUNT(*) AS n FROM db.de")
+    txt = plan.collect()[0].plan
+    assert "Physical Plan" in txt and "HashAggregate" in txt
+
+
+def test_vacuum_older_than(spark, tmp_path):
+    import datetime as _dt
+
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lake.create_table("db.vo", "id INT")
+    t.append(spark.createDataFrame([(1,)], "id INT"))
+    t.append(spark.createDataFrame([(2,)], "id INT"))
+    t.append(spark.createDataFrame([(3,)], "id INT"))
+    snaps = {r.snapshot_id: r.committed_at_ms for r in t.snapshots().collect()}
+    # horizon between snapshot 1 and 2: snapshots >= horizon survive
+    horizon = (snaps[1] + snaps[2]) / 2 + 0.5
+    iso = _dt.datetime.fromtimestamp(horizon / 1000, _dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    lake.run_script(f"VACUUM TABLE db.vo EXPIRE SNAPSHOTS OLDER_THAN '{iso}' RETAIN_LAST 1")
+    left = sorted(r.snapshot_id for r in t.snapshots().collect())
+    assert left == [2, 3]  # 1 expired; 2 kept by horizon, 3 by retain_last
+    assert t.read().count() == 3  # current snapshot data intact
+
+
+def test_is_null_data_skipping_via_null_counts(lake, spark):
+    """IS NULL prunes files whose recorded footer null COUNT is zero; files
+    with any NULL (or unknown counts) survive; columns missing from old
+    files entirely read as NULL and are never pruned."""
+    t = lake.create_table("db.inn", "k BIGINT, v STRING")
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k BIGINT, v STRING").coalesce(1))  # no NULLs
+    t.append(spark.createDataFrame(
+        [(3, None), (4, "d")], "k BIGINT, v STRING").coalesce(1))  # one NULL
+    got = t.read(where="v IS NULL")
+    assert [r.k for r in got.collect()] == [3]
+    full = set(t.read().inputFiles())
+    pruned = set(got.inputFiles())
+    assert len(full) == 2 and pruned < full and len(pruned) == 1
+    # schema evolution: a column no old file carries reads as NULL — the
+    # old files must NOT be pruned for tag IS NULL
+    t.add_column("tag", "STRING")
+    t.append(spark.createDataFrame(
+        [(9, "z", "set")], "k BIGINT, v STRING, tag STRING").coalesce(1))
+    got2 = sorted(r.k for r in t.read(where="tag IS NULL").collect())
+    assert got2 == [1, 2, 3, 4]
+    # and the new file (tag never NULL there) is prunable
+    files2 = set(t.read(where="tag IS NULL").inputFiles())
+    assert len(files2) == 2

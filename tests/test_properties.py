@@ -314,3 +314,36 @@ def test_file_may_match_notnull_sound(vals):
         assert not non_null, f"pruned a file with values {non_null!r}"
     if non_null:
         assert keep
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-99, max_value=99)),
+        min_size=1,
+        max_size=6,
+    ),
+    count_known=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_file_may_match_isnull_sound(vals, count_known):
+    """IS NULL pruning: a file is skipped ONLY when its recorded null
+    count is exactly zero — unknown counts and columns missing from the
+    file (which read as NULL) always keep."""
+    non_null = [v for v in vals if v is not None]
+    n_nulls = len(vals) - len(non_null)
+    cols = {}
+    if non_null:
+        cols["c"] = [min(non_null), max(non_null)]
+    else:
+        cols["c"] = [None, None]
+    if count_known:
+        cols["__nulls__"] = {"c": n_nulls}
+    keep = LakeTable._file_may_match(cols, ("c", "isnull", None))
+    if not keep:
+        assert count_known and n_nulls == 0, (
+            f"pruned a file holding {n_nulls} NULLs (known={count_known})"
+        )
+    if n_nulls > 0 or not count_known:
+        assert keep
+    # a column entirely absent from the file reads as NULL: never pruned
+    assert LakeTable._file_may_match({}, ("zz", "isnull", None))
