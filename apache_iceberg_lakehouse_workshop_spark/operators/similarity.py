@@ -433,6 +433,174 @@ def _assign_cells_arrow(
     return df.select(out_id, vec_col).mapInPandas(kernel, schema)
 
 
+def _collect_centroids(centroids: DataFrame):
+    """(C matrix, cell ids, norms) from a driver-small centroid frame —
+    shared by the fused kernels."""
+    import numpy as np
+
+    rows = sorted(
+        centroids.select("cell_id", "centroid").collect(), key=lambda r: r.cell_id
+    )
+    C = np.array([list(r.centroid) for r in rows], dtype=np.int64)
+    cells = np.array([r.cell_id for r in rows], dtype=np.int64)
+    return C, cells, (C * C).sum(axis=1)
+
+
+def _best_cells(V, C, nb):
+    """Per-row nearest-centroid index under the engine's exact tie rule
+    (max cosine, then min cell_id == first argmax over cell-id-ascending
+    centroids); bit-identical to the SQL max_by."""
+    import numpy as np
+
+    na = (V * V).sum(axis=1)
+    dot = (V @ C.T).astype(np.float64)
+    ok = (na[:, None] > 0) & (nb[None, :] > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.where(
+            ok,
+            dot / np.sqrt(na.astype(np.float64)[:, None] * nb.astype(np.float64)[None, :]),
+            0.0,
+        )
+    return np.argmax(sim, axis=1)
+
+
+def _residual_arrow(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """ONE corpus pass: assign each vector its cell and emit the residual
+    (vector − centroid, exact int64) — replaces the SQL path's
+    assignment-kernel + join + interpreted zip_with. Bit-identical."""
+    import numpy as np
+
+    C, cells, nb = _collect_centroids(centroids)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"].to_numpy()])
+            best = _best_cells(V, C, nb)
+            R = V - C[best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell_id": cells[best],
+                    "qv2": list(R),
+                }
+            )
+
+    return v.select("vec_id", "qv").mapInPandas(
+        kernel, "vec_id long, cell_id long, qv2 array<bigint>"
+    )
+
+
+def _ivfpq_encode_arrow(
+    v: DataFrame,
+    centroids: DataFrame,
+    book: DataFrame,
+    out_id: str,
+    m_sub: int,
+    sub_dim: int,
+    residual: bool,
+) -> DataFrame:
+    """ONE corpus pass for IVF×PQ serving-side encode: assign the cell,
+    (optionally) subtract its centroid, and PQ-encode every subspace —
+    emits (out_id, cell_id, m, code) with ZERO shuffles, replacing the
+    assignment kernel + encode kernel + corpus-sized ``codes ⋈ cell``
+    equi-join of the staged form. Each step reuses the staged kernels'
+    exact arithmetic and tie rules, so results are bit-identical to both
+    the staged Arrow path and the SQL twins."""
+    import numpy as np
+
+    C, cells, nb = _collect_centroids(centroids)
+    brows = sorted(book.collect(), key=lambda r: (r.m, r.code))
+    by_m = {}
+    for m in {r.m for r in brows}:
+        grp = [r for r in brows if r.m == m]
+        by_m[int(m)] = (
+            np.array([r.code for r in grp], dtype=np.int64),
+            np.array([list(r.cv) for r in grp], dtype=np.int64),
+        )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[out_id].to_numpy()
+            V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"].to_numpy()])
+            best = _best_cells(V, C, nb)
+            X = V - C[best] if residual else V
+            n = len(ids)
+            out_codes = np.empty((n, m_sub), dtype=np.int64)
+            for m in range(m_sub):
+                codes_m, B = by_m[m]
+                SV = X[:, m * sub_dim : (m + 1) * sub_dim]
+                diff = SV[:, None, :] - B[None, :, :]
+                d = (diff * diff).sum(axis=2)
+                out_codes[:, m] = codes_m[np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, m_sub),
+                    "cell_id": np.repeat(cells[best], m_sub),
+                    "m": np.tile(np.arange(m_sub), n),
+                    "code": out_codes.reshape(-1),
+                }
+            )
+
+    return v.select(F.col("vec_id").alias(out_id), "qv").mapInPandas(
+        kernel, f"{out_id} long, cell_id long, m int, code long"
+    )
+
+
+def _pq_encode_arrow(
+    v: DataFrame, book: DataFrame, out_id: str, m_sub: int, sub_dim: int
+) -> DataFrame:
+    """One-pass PQ encode of whole vectors (no coarse quantizer):
+    (out_id, m, code) straight from (vec_id, qv) batches — skips the
+    subvector explode the staged form pays. Same exact arithmetic and
+    tie rule as :func:`_pq_nearest_arrow`."""
+    import numpy as np
+
+    brows = sorted(book.collect(), key=lambda r: (r.m, r.code))
+    by_m = {}
+    for m in {r.m for r in brows}:
+        grp = [r for r in brows if r.m == m]
+        by_m[int(m)] = (
+            np.array([r.code for r in grp], dtype=np.int64),
+            np.array([list(r.cv) for r in grp], dtype=np.int64),
+        )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[out_id].to_numpy()
+            V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"].to_numpy()])
+            n = len(ids)
+            out_codes = np.empty((n, m_sub), dtype=np.int64)
+            for m in range(m_sub):
+                codes_m, B = by_m[m]
+                SV = V[:, m * sub_dim : (m + 1) * sub_dim]
+                diff = SV[:, None, :] - B[None, :, :]
+                d = (diff * diff).sum(axis=2)
+                out_codes[:, m] = codes_m[np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, m_sub),
+                    "m": np.tile(np.arange(m_sub), n),
+                    "code": out_codes.reshape(-1),
+                }
+            )
+
+    return v.select(F.col("vec_id").alias(out_id), "qv").mapInPandas(
+        kernel, f"{out_id} long, m int, code long"
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -914,8 +1082,11 @@ def knn_pq(
     v = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
     )
-    sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
-    codes = _pq_nearest(sub, book, "cand_id")
+    if _ann_sql_only():
+        sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
+        codes = _pq_nearest(sub, book, "cand_id")
+    else:
+        codes = _pq_encode_arrow(v, book, "cand_id", m_sub, sub_dim)
 
     qv = queries.select(
         F.col(id_col).cast("long").alias("query_id"), quantized(F.col(vec_col)).alias("qv")
@@ -997,16 +1168,20 @@ def knn_ivfpq(
     v = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
     )
-    # coarse: each corpus vector lives in exactly one cell
-    c_cell = _assign_cells(
-        corpus.select(
-            F.col(id_col).cast("long").alias("cand_id"),
-            quantized(F.col(vec_col)).alias("cand_id_vec"),
-        ),
-        cents,
-        "cand_id",
-        nprobe=1,
-    ).select("cand_id", "cell_id")
+    # coarse: each corpus vector lives in exactly one cell. On the Arrow
+    # path the assignment is FUSED into the one-pass encode kernel
+    # (_ivfpq_encode_arrow) — no separate pass, no codes⋈cell shuffle
+    c_cell = None
+    if _ann_sql_only():
+        c_cell = _assign_cells(
+            corpus.select(
+                F.col(id_col).cast("long").alias("cand_id"),
+                quantized(F.col(vec_col)).alias("cand_id_vec"),
+            ),
+            cents,
+            "cand_id",
+            nprobe=1,
+        ).select("cand_id", "cell_id")
     q_cell = _assign_cells(
         queries.select(
             F.col(id_col).cast("long").alias("query_id"),
@@ -1024,29 +1199,37 @@ def knn_ivfpq(
     if residual:
         # encode (vector − cell centroid); one codebook across cells
         # (FAISS's shared-codebook IVFPQ), trained on the residuals
-        rv = (
-            v.join(c_cell.withColumnRenamed("cand_id", "vec_id"), "vec_id")
-            .join(F.broadcast(cents), "cell_id")
-            .select(
-                "vec_id",
-                "cell_id",
-                F.zip_with("qv", "centroid", lambda a, b: a - b).alias("qv2"),
+        if _ann_sql_only():
+            rv = (
+                v.join(c_cell.withColumnRenamed("cand_id", "vec_id"), "vec_id")
+                .join(F.broadcast(cents), "cell_id")
+                .select(
+                    "vec_id",
+                    "cell_id",
+                    F.zip_with("qv", "centroid", lambda a, b: a - b).alias("qv2"),
+                )
             )
-        )
+        else:
+            rv = _residual_arrow(v, cents)
         book = _pin_small(
             _pq_codebook_q(
                 rv.select("vec_id", F.col("qv2").alias("qv")), m_sub, sub_dim, k_codes
             )
         )
-        rsub = _pq_subvectors(
-            rv.select("vec_id", "cell_id", "qv2"),
-            "cand_id",
-            "vec_id",
-            F.col("qv2"),
-            m_sub,
-            sub_dim,
-        )
-        codes = _pq_nearest(rsub, book, "cand_id").join(c_cell, "cand_id")
+        if _ann_sql_only():
+            rsub = _pq_subvectors(
+                rv.select("vec_id", "cell_id", "qv2"),
+                "cand_id",
+                "vec_id",
+                F.col("qv2"),
+                m_sub,
+                sub_dim,
+            )
+            codes = _pq_nearest(rsub, book, "cand_id").join(c_cell, "cand_id")
+        else:
+            codes = _ivfpq_encode_arrow(
+                v, cents, book, "cand_id", m_sub, sub_dim, residual=True
+            )
         # per (query, probed cell): the query's residual IN THAT CELL
         qr = (
             q_cell.join(qv, "query_id")
@@ -1083,8 +1266,13 @@ def knn_ivfpq(
     else:
         # fine: PQ-encode the raw corpus (the only representation served)
         book = _pin_small(pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col))
-        sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
-        codes = _pq_nearest(sub, book, "cand_id").join(c_cell, "cand_id")
+        if _ann_sql_only():
+            sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
+            codes = _pq_nearest(sub, book, "cand_id").join(c_cell, "cand_id")
+        else:
+            codes = _ivfpq_encode_arrow(
+                v, cents, book, "cand_id", m_sub, sub_dim, residual=False
+            )
         qsub = _pq_subvectors(qv, "query_id", "query_id", F.col("qv"), m_sub, sub_dim)
         dtab = qsub.join(F.broadcast(book), "m").select(
             "query_id", "m", "code", _l2_int(F.col("sv"), F.col("cv")).alias("d")
