@@ -49,6 +49,27 @@ def _pin_small(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def _train_slice(v: DataFrame, id_name: str, train_frac: float | None) -> DataFrame:
+    """Deterministic md5-threshold slice of a (id, qv) frame used ONLY for
+    quantizer TRAINING (seed refinement / codebook Lloyd steps) — encoding
+    and serving always see the full corpus. This is FAISS's standard
+    practice at scale (train on ~256 vectors per centroid, not the corpus).
+
+    The filter keeps the rows whose md5(id) is lexicographically below the
+    threshold — i.e. the SMALLEST md5 values. Seed picks order by the same
+    md5 and take the n smallest, so sampling leaves the seed set unchanged
+    (whenever the slice still holds ≥ n rows); only the Lloyd means see
+    fewer points. ``md5 < thr8`` with an 8-hex threshold compares the md5's
+    first 8 chars in any engine's binary collation, so a DuckDB oracle
+    replays the slice verbatim."""
+    if train_frac is None or train_frac >= 1.0:
+        return v
+    from .sampling import _threshold_hex
+
+    thr = _threshold_hex(train_frac)
+    return v.filter(F.md5(F.col(id_name).cast("string")) < F.lit(thr))
+
+
 # ------------------------------------------------------------ primitives
 
 
@@ -602,27 +623,37 @@ def _pq_encode_arrow(
 
 
 def ivf_centroids(
-    corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_frac: float | None = None,
 ) -> DataFrame:
     """Coarse quantizer: ``n_cells`` centroids sampled deterministically
     (min-md5-of-id order — reproducible, no RNG, engine-portable) then
     refined with one distributed Lloyd step (assign → per-cell mean via
     posexplode/groupBy). K stays driver-small; the refinement is two narrow
-    shuffles."""
-    seed_pick = (
-        corpus.select(F.col(id_col).cast("long").alias("sid"), quantized(F.col(vec_col)).alias("v"))
-        .orderBy(F.md5(F.col("sid").cast("string")), F.asc("sid"))
-        .limit(n_cells)
+    shuffles.
+
+    ``train_frac`` trains on a deterministic md5-threshold slice of the
+    corpus instead of every vector (:func:`_train_slice`): the seed set is
+    unchanged (seeds are the smallest-md5 rows, which any slice keeps) and
+    only the Lloyd means see the sample — FAISS's train-on-a-sample
+    practice, turning the O(corpus) refinement into O(corpus ×
+    train_frac)."""
+    train = _train_slice(
+        corpus.select(F.col(id_col).cast("long").alias("sid"), quantized(F.col(vec_col)).alias("v")),
+        "sid",
+        train_frac,
     )
+    seed_pick = train.orderBy(F.md5(F.col("sid").cast("string")), F.asc("sid")).limit(n_cells)
     seeds = seed_pick.select(
         F.row_number().over(Window.orderBy("sid")).cast("long").alias("cell_id"),
         F.col("v").alias("centroid"),
     )
     # one Lloyd refinement: nearest seed per vector -> mean vector per cell
     assigned = _assign_cells(
-        corpus.select(
-            F.col(id_col).cast("long").alias("m"), quantized(F.col(vec_col)).alias("m_vec")
-        ),
+        train.select(F.col("sid").alias("m"), F.col("v").alias("m_vec")),
         seeds,
         "m",
         nprobe=1,
@@ -689,6 +720,7 @@ def knn_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_frac: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-flat: corpus vectors live in their nearest
     centroid cell; each query probes its ``nprobe`` nearest cells and scores
@@ -696,10 +728,12 @@ def knn_ivf(
 
     At 100 TB: the index build is two narrow shuffles (centroid means) and
     one map-side assignment; the query path joins on cell_id so the scored
-    set shrinks ~n_cells/nprobe-fold vs brute force. Same output schema as
-    knn_bruteforce/knn_lsh — drop-in."""
+    set shrinks ~n_cells/nprobe-fold vs brute force. ``train_frac`` trains
+    the coarse quantizer on a deterministic md5 sample of the corpus
+    (:func:`_train_slice`) — assignment/serving still see every vector.
+    Same output schema as knn_bruteforce/knn_lsh — drop-in."""
     corpus = _widen(corpus)
-    cents = _pin_small(ivf_centroids(corpus, n_cells, id_col, vec_col))
+    cents = _pin_small(ivf_centroids(corpus, n_cells, id_col, vec_col, train_frac=train_frac))
     c = _assign_cells(
         corpus.select(
             F.col(id_col).cast("long").alias("cand_id"), quantized(F.col(vec_col)).alias("cand_id_vec")
@@ -998,6 +1032,7 @@ def pq_codebook(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_frac: float | None = None,
 ) -> DataFrame:
     """Per-subspace codebooks for product quantization: ``m_sub``
     subspaces × ``k_codes`` centroids, trained like :func:`ivf_centroids`
@@ -1006,20 +1041,29 @@ def pq_codebook(
     round) so any engine reproduces it bit-for-bit. Returns (m, code, cv).
 
     The whole book is m_sub × k_codes rows — driver/broadcast-small at any
-    corpus size; training is two narrow shuffles."""
+    corpus size; training is two narrow shuffles. ``train_frac`` trains the
+    Lloyd step on a deterministic md5 slice (:func:`_train_slice`; seed set
+    unchanged)."""
     sub_dim = dim // m_sub
     if sub_dim * m_sub != dim:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     v = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
     )
-    return _pq_codebook_q(v, m_sub, sub_dim, k_codes)
+    return _pq_codebook_q(v, m_sub, sub_dim, k_codes, train_frac=train_frac)
 
 
-def _pq_codebook_q(v: DataFrame, m_sub: int, sub_dim: int, k_codes: int) -> DataFrame:
+def _pq_codebook_q(
+    v: DataFrame,
+    m_sub: int,
+    sub_dim: int,
+    k_codes: int,
+    train_frac: float | None = None,
+) -> DataFrame:
     """:func:`pq_codebook` over an ALREADY-quantized (vec_id, qv) frame —
     the entry point residual encoding uses (qv = vector − its coarse
     centroid, still exact int64)."""
+    v = _train_slice(v, "vec_id", train_frac)
     seeds = (
         v.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
         .limit(k_codes)
@@ -1058,6 +1102,7 @@ def knn_pq(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_frac: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via product quantization with asymmetric distance
     computation (ADC): corpus vectors live as ``m_sub`` small int codes
@@ -1078,7 +1123,9 @@ def knn_pq(
     ascending distance, ties broken by cand_id."""
     sub_dim = dim // m_sub
     corpus = _widen(corpus)
-    book = _pin_small(pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col))
+    book = _pin_small(
+        pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col, train_frac=train_frac)
+    )
     v = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
     )
@@ -1127,6 +1174,7 @@ def knn_ivfpq(
     vec_col: str = "embedding",
     residual: bool = False,
     probe_sim_gap: float | None = None,
+    train_frac: float | None = None,
 ) -> DataFrame:
     """IVF × PQ composed — the real large-scale ANN serving shape
     (:func:`knn_pq`'s docstring names it): the IVF coarse quantizer
@@ -1153,6 +1201,12 @@ def knn_ivfpq(
     Deterministic (same IEEE doubles both engines compute), so the oracle
     replays the cut exactly.
 
+    ``train_frac`` trains BOTH quantizers (coarse centroids and the PQ
+    codebook) on a deterministic md5-threshold sample of the corpus
+    (:func:`_train_slice`) — FAISS's train-on-a-sample practice. Encoding
+    and serving still cover every vector; only the Lloyd means see the
+    sample, and the md5 filter replays verbatim in any engine.
+
     At 100 TB: centroids and codebook are broadcast-small; corpus cell
     assignment and PQ encoding are map-side broadcast joins computed once
     (index build); serving joins the (cand_id, cell_id, m, code) table
@@ -1164,7 +1218,7 @@ def knn_ivfpq(
     broken by cand_id."""
     sub_dim = dim // m_sub
     corpus = _widen(corpus)
-    cents = _pin_small(ivf_centroids(corpus, n_cells, id_col, vec_col))
+    cents = _pin_small(ivf_centroids(corpus, n_cells, id_col, vec_col, train_frac=train_frac))
     v = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
     )
@@ -1210,10 +1264,13 @@ def knn_ivfpq(
                 )
             )
         else:
-            rv = _residual_arrow(v, cents)
+            # training needs residuals only for the md5 slice; the fused
+            # encode kernel recomputes full-corpus residuals in its own pass
+            rv = _residual_arrow(_train_slice(v, "vec_id", train_frac), cents)
         book = _pin_small(
             _pq_codebook_q(
-                rv.select("vec_id", F.col("qv2").alias("qv")), m_sub, sub_dim, k_codes
+                rv.select("vec_id", F.col("qv2").alias("qv")), m_sub, sub_dim, k_codes,
+                train_frac=train_frac if _ann_sql_only() else None,
             )
         )
         if _ann_sql_only():
@@ -1265,7 +1322,9 @@ def knn_ivfpq(
         )
     else:
         # fine: PQ-encode the raw corpus (the only representation served)
-        book = _pin_small(pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col))
+        book = _pin_small(
+            pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col, train_frac=train_frac)
+        )
         if _ann_sql_only():
             sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
             codes = _pq_nearest(sub, book, "cand_id").join(c_cell, "cand_id")

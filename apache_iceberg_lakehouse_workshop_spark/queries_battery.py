@@ -286,6 +286,8 @@ db_neardup_battery = _register_battery(
          {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
         ("s8_knn_ivfpq_res", "s8_knn_ivfpq_res",
          {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
+        ("s9_knn_pq_strain", "s9_knn_pq_strain",
+         {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
     ],
 )
 
@@ -544,6 +546,7 @@ ABSORBED = {
     "s6_knn_pq": "db_neardup_battery",
     "s7_knn_ivfpq": "db_neardup_battery",
     "s8_knn_ivfpq_res": "db_neardup_battery",
+    "s9_knn_pq_strain": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "t8_vocab_topk": "tb_sample_battery",

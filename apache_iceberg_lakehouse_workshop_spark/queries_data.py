@@ -617,36 +617,59 @@ def s4_knn_ivf(spark, sf_dir):
     return SIM.knn_ivf(emb, queries, k=5, n_cells=16, nprobe=4)
 
 
-def _pq_oracle(dim: int = 64, m_sub: int = 4, k_codes: int = 16, k: int = 5) -> str:
+def _pq_oracle(
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    train_frac: float | None = None,
+) -> str:
     """DuckDB twin of knn_pq: md5-ordered seed sampling, one Lloyd step per
     SUBSPACE (exact-int squared-L2 assignment, per-position mean = one IEEE
     division + HALF_UP round), asymmetric distance scoring by summing the
     per-subspace code distances — pure int64 end to end, so the replay is
-    bit-identical, not merely close."""
+    bit-identical, not merely close.
+
+    ``train_frac`` replays similarity._train_slice: the Lloyd step (seed
+    pick unchanged — seeds are the smallest-md5 rows, which the slice
+    keeps) trains on rows with md5(vec_id) below the 8-hex threshold;
+    encoding and scoring still cover every vector."""
     sd = dim // m_sub
     l2 = (
         "(SELECT SUM(({a}[t.i] - {b}[t.i]) * ({a}[t.i] - {b}[t.i])) "
         f"FROM range(1, {sd + 1}) t(i))"
     )
+    if train_frac is None:
+        train_ctes, tv, tsub = "", "v", "sub"
+    else:
+        from .operators.sampling import _threshold_hex
+
+        thr = _threshold_hex(train_frac)
+        train_ctes = f"""vt AS (SELECT * FROM v
+             WHERE md5(CAST(vec_id AS VARCHAR)) < '{thr}'),
+       subt AS (SELECT vec_id, m.m AS m, qv[m.m*{sd}+1 : (m.m+1)*{sd}] AS sv
+                FROM vt CROSS JOIN range(0, {m_sub}) m(m)),
+       """
+        tv, tsub = "vt", "subt"
     return f"""WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
        sub AS (SELECT vec_id, m.m AS m, qv[m.m*{sd}+1 : (m.m+1)*{sd}] AS sv
                FROM v CROSS JOIN range(0, {m_sub}) m(m)),
-       seed_ids AS (SELECT vec_id AS sid FROM embeddings
+       {train_ctes}seed_ids AS (SELECT vec_id AS sid FROM {tv}
                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}),
        seeds AS (SELECT row_number() OVER (ORDER BY sid) AS code, v.qv
                  FROM seed_ids JOIN v ON v.vec_id = seed_ids.sid),
        sbook AS (SELECT code, m.m AS m, qv[m.m*{sd}+1 : (m.m+1)*{sd}] AS cv
                  FROM seeds CROSS JOIN range(0, {m_sub}) m(m)),
-       a0 AS (SELECT sub.vec_id, sub.m, sbook.code,
-                     {l2.format(a="sub.sv", b="sbook.cv")} AS d
-              FROM sub JOIN sbook ON sbook.m = sub.m),
+       a0 AS (SELECT {tsub}.vec_id, {tsub}.m, sbook.code,
+                     {l2.format(a=f"{tsub}.sv", b="sbook.cv")} AS d
+              FROM {tsub} JOIN sbook ON sbook.m = {tsub}.m),
        a1 AS (SELECT vec_id, m, code FROM
                 (SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                               ORDER BY d, code) AS rn FROM a0)
               WHERE rn = 1),
        cmeans AS (SELECT a1.m, a1.code, t.i AS pos,
-                         round(CAST(SUM(sub.sv[t.i]) AS DOUBLE) / COUNT(*)) AS mv
-                  FROM a1 JOIN sub USING (vec_id, m)
+                         round(CAST(SUM({tsub}.sv[t.i]) AS DOUBLE) / COUNT(*)) AS mv
+                  FROM a1 JOIN {tsub} USING (vec_id, m)
                   CROSS JOIN range(1, {sd + 1}) t(i)
                   GROUP BY a1.m, a1.code, t.i),
        book AS (SELECT m, code, list(mv::BIGINT ORDER BY pos) AS cv
@@ -687,6 +710,24 @@ def s6_knn_pq(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.knn_pq(emb, queries, k=5, dim=64, m_sub=4, k_codes=16)
+
+
+@q(
+    "s9_knn_pq_strain",
+    _pq_oracle(train_frac=0.5),
+    "PQ top-k with SAMPLED quantizer training (train_frac=0.5): the Lloyd "
+    "codebook step trains on a deterministic md5-threshold slice of the "
+    "corpus — FAISS's train-on-a-sample practice, the shape that makes "
+    "index builds O(sample) instead of O(corpus) at 100 TB — while "
+    "encoding and ADC scoring still cover every vector. The DuckDB oracle "
+    "replays the slice (md5 < '80000000'), training, encoding, and scoring "
+    "bit-identically, pinning that sampling changes ONLY the trained "
+    "codebook, never the serving algebra.",
+)
+def s9_knn_pq_strain(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.knn_pq(emb, queries, k=5, dim=64, m_sub=4, k_codes=16, train_frac=0.5)
 
 
 def _ivfpq_oracle(

@@ -449,3 +449,39 @@ def test_arrow_kernels_match_sql(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ANN_SQL", "1")
     for name, fn in runs:
         assert snap(fn()) == arrow[name], f"{name}: arrow != sql"
+
+
+def test_sampled_training_invariants(spark, sf_dir, monkeypatch):
+    """train_frac (FAISS train-on-a-sample): frac=1.0 is bit-identical to
+    the default full-corpus training; a real slice is deterministic, keeps
+    the output shape, and its Arrow and SQL paths still agree (the md5
+    slice is engine-portable, so the DuckDB oracle replays it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = snap(SIM.knn_pq(emb, queries, k=5))
+    assert snap(SIM.knn_pq(emb, queries, k=5, train_frac=1.0)) == base
+
+    runs = [
+        ("ivf", lambda: SIM.knn_ivf(emb, queries, k=5, n_cells=16, nprobe=4,
+                                    train_frac=0.5)),
+        ("pq", lambda: SIM.knn_pq(emb, queries, k=5, train_frac=0.5)),
+        ("ivfpq_res", lambda: SIM.knn_ivfpq(
+            emb, queries, k=5, n_cells=16, nprobe=4, residual=True,
+            probe_sim_gap=0.15, train_frac=0.5)),
+    ]
+    monkeypatch.delenv("SPARK_GRAFT_ANN_SQL", raising=False)
+    arrow = {name: snap(fn()) for name, fn in runs}
+    for name, got in arrow.items():
+        per_q = {}
+        for row in got:
+            per_q.setdefault(row[0], []).append(row)
+        assert all(len(v) == 5 for v in per_q.values()), f"{name}: not k rows"
+    # deterministic across invocations
+    assert snap(runs[1][1]()) == arrow["pq"]
+    monkeypatch.setenv("SPARK_GRAFT_ANN_SQL", "1")
+    for name, fn in runs:
+        assert snap(fn()) == arrow[name], f"{name}: sampled arrow != sql"
