@@ -1357,3 +1357,135 @@ def knn_ivfpq(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _cell_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Per-cell pairwise cosine over Arrow batches: one ``applyInPandas``
+    per cell_id group computing the cell's int64 Gram matrix with numpy and
+    emitting only pairs at/above (threshold − margin). The margin keeps the
+    kernel a pure volume reducer — the EXACT inclusion decision happens
+    Spark-side on the HALF_UP-rounded similarity, so results match the SQL
+    twin bit-for-bit. Raw sims are the same IEEE doubles the SQL path
+    computes (exact int64 dots/norms, one sqrt+divide per pair)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("raw_sim", T.DoubleType()),
+        ]
+    )
+    cut = threshold - 1e-9
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.array(list(pdf["qv"]), dtype=np.int64)[order]
+        dots = V @ V.T  # exact: |dot| <= d * scale^2 << 2^53
+        n2 = (V**2).sum(axis=1)
+        denom = np.sqrt((n2[:, None] * n2[None, :]).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom > 0, dots.astype(np.float64) / denom, 0.0)
+        ia, ib = np.triu_indices(len(ids), k=1)  # ids sorted => vec_a < vec_b
+        s = sim[ia, ib]
+        keep = s >= cut
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "raw_sim": s[keep]}
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(kern, schema=schema)
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    sim_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_frac: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    deduplication over an embedding column: k-means-cluster the embeddings
+    (the :func:`ivf_centroids` coarse quantizer), compare pairs ONLY within
+    each cluster (cosine ≥ ``sim_threshold``, rounded HALF_UP to 6 dp so
+    any engine agrees at the boundary), form duplicate groups by connected
+    components (min-label propagation — "A~B, B~C" is ONE group), and keep
+    the component's min-id document. Unlike MinHash/SimHash this catches
+    SEMANTIC duplicates — paraphrases, near-identical embeddings that
+    share no n-grams.
+
+    Returns one row per corpus vector: (vec_id, cluster_rep, cluster_size,
+    is_kept) where is_kept = 1 iff vec_id == cluster_rep (singletons keep
+    themselves, cluster_size 1).
+
+    At 100 TB: the quadratic term is per-CELL, Σ|cell|² — the SemDeDup
+    design itself: n_cells grows with the corpus (the paper clusters 50k
+    ways at LAION scale) so cells stay bounded and the per-cell Gram
+    matrix (:func:`_cell_pairs_arrow`, one numpy matmul per cell) stays
+    in-memory; centroids broadcast; component formation is O(edges) per
+    round on the pair set, which the threshold keeps ≪ corpus. Training
+    rides ``train_frac`` (:func:`_train_slice`) like every quantizer
+    here."""
+    from .dedup import duplicate_clusters
+
+    corpus = _widen(corpus)
+    cents = _pin_small(
+        ivf_centroids(corpus, n_cells, id_col, vec_col, train_frac=train_frac)
+    )
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    assigned = _assign_cells(
+        v.select(F.col("vec_id").alias("m"), F.col("qv").alias("m_vec")),
+        cents,
+        "m",
+        nprobe=1,
+    ).select(F.col("m").alias("vec_id"), "cell_id", F.col("m_vec").alias("qv"))
+    if _ann_sql_only():
+        a = assigned.select(
+            F.col("vec_id").alias("vec_a"),
+            "cell_id",
+            F.col("qv").alias("va"),
+            int_dot(F.col("qv"), F.col("qv")).alias("na"),
+        )
+        b = assigned.select(
+            F.col("vec_id").alias("vec_b"),
+            "cell_id",
+            F.col("qv").alias("vb"),
+            int_dot(F.col("qv"), F.col("qv")).alias("nb"),
+        )
+        dot = int_dot(F.col("va"), F.col("vb")).cast("double")
+        sim = F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            dot / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        ).otherwise(F.lit(0.0))
+        raw = (
+            a.join(b, "cell_id")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", sim.alias("raw_sim"))
+        )
+    else:
+        raw = _cell_pairs_arrow(assigned, sim_threshold)
+    pairs = raw.filter(F.round(F.col("raw_sim"), 6) >= F.lit(sim_threshold)).select(
+        "vec_a", "vec_b"
+    )
+    clusters = duplicate_clusters(pairs, "vec_a", "vec_b")
+    out = (
+        v.select("vec_id")
+        .join(clusters.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_rep", F.col("vec_id")).alias("cluster_rep"),
+        )
+    )
+    w = Window.partitionBy("cluster_rep")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_rep")).cast("long").alias("is_kept"),
+    )

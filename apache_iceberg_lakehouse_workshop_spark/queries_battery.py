@@ -288,6 +288,9 @@ db_neardup_battery = _register_battery(
          {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
         ("s9_knn_pq_strain", "s9_knn_pq_strain",
          {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
+        ("d6_semdedup", "d6_semdedup",
+         {"vec_id": "k1", "cluster_rep": "k2", "cluster_size": "n1",
+          "is_kept": "n2"}),
     ],
 )
 
@@ -547,6 +550,7 @@ ABSORBED = {
     "s7_knn_ivfpq": "db_neardup_battery",
     "s8_knn_ivfpq_res": "db_neardup_battery",
     "s9_knn_pq_strain": "db_neardup_battery",
+    "d6_semdedup": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "t8_vocab_topk": "tb_sample_battery",

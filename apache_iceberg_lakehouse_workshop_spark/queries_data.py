@@ -730,6 +730,105 @@ def s9_knn_pq_strain(spark, sf_dir):
     return SIM.knn_pq(emb, queries, k=5, dim=64, m_sub=4, k_codes=16, train_frac=0.5)
 
 
+def _semdedup_oracle(n_cells: int = 16, thr: float = 0.95, dim: int = 64) -> str:
+    """DuckDB twin of similarity.semdedup over the seeded dup corpus: the
+    _ivf_oracle centroid training + nprobe=1 cell assignment, per-cell
+    pairwise quantized cosine (HALF_UP-rounded threshold test — identical
+    to the Spark-side inclusion decision), recursive-CTE transitive
+    closure over the pair set (an independent algorithm vs the engine's
+    min-label propagation), and a left join so singletons keep
+    themselves."""
+    d1 = dim + 1
+    cos = (
+        "CASE WHEN {na} > 0 AND {nc} > 0 "
+        "THEN CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nc} AS DOUBLE)) "
+        "ELSE 0.0 END"
+    )
+    return f"""WITH RECURSIVE corpus AS ({_ECORPUS}),
+       v AS (SELECT vec_id, {_QVEC} AS qv FROM corpus),
+       seed_ids AS (SELECT vec_id AS sid FROM v
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}),
+       seeds AS (SELECT row_number() OVER (ORDER BY sid) AS cell_id, v.qv AS centroid
+                 FROM seed_ids JOIN v ON v.vec_id = seed_ids.sid),
+       vn AS (SELECT vec_id, qv,
+                     (SELECT SUM(qv[t.i] * qv[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM v),
+       sn AS (SELECT cell_id, centroid,
+                     (SELECT SUM(centroid[t.i] * centroid[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM seeds),
+       sa AS (SELECT vn.vec_id, sn.cell_id,
+                     {cos.format(dot=f"(SELECT SUM(vn.qv[t.i] * sn.centroid[t.i]) FROM range(1, {d1}) t(i))", na="vn.nrm", nc="sn.nrm")} AS sim
+              FROM vn CROSS JOIN sn),
+       a1 AS (SELECT vec_id, cell_id
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY sim DESC, cell_id) AS rn FROM sa)
+              WHERE rn = 1),
+       cmeans AS (SELECT a1.cell_id, t.i AS pos,
+                         round(CAST(SUM(v.qv[t.i]) AS DOUBLE) / COUNT(*)) AS mval
+                  FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, {d1}) t(i)
+                  GROUP BY a1.cell_id, t.i),
+       cents AS (SELECT cell_id, list(mval::BIGINT ORDER BY pos) AS centroid
+                 FROM cmeans GROUP BY cell_id),
+       cn AS (SELECT cell_id, centroid,
+                     (SELECT SUM(centroid[t.i] * centroid[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM cents),
+       ca AS (SELECT vn.vec_id, cn.cell_id,
+                     {cos.format(dot=f"(SELECT SUM(vn.qv[t.i] * cn.centroid[t.i]) FROM range(1, {d1}) t(i))", na="vn.nrm", nc="cn.nrm")} AS sim
+              FROM vn CROSS JOIN cn),
+       corpus_cell AS (SELECT vec_id, cell_id
+                       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                          ORDER BY sim DESC, cell_id) AS rn FROM ca)
+                       WHERE rn = 1),
+       pv AS (SELECT cc.vec_id, cc.cell_id, vn.qv, vn.nrm
+              FROM corpus_cell cc JOIN vn USING (vec_id)),
+       pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                 FROM pv a JOIN pv b
+                   ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                 WHERE round({cos.format(dot=f"(SELECT SUM(a.qv[t.i] * b.qv[t.i]) FROM range(1, {d1}) t(i))", na="a.nrm", nc="b.nrm")}, 6) >= {thr}),
+       edges AS (SELECT va AS a, vb AS b FROM pairs
+                 UNION ALL
+                 SELECT vb AS a, va AS b FROM pairs),
+       verts AS (SELECT DISTINCT a AS vx FROM edges),
+       reach(src, node) AS (
+           SELECT vx, vx FROM verts
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+       ),
+       comp AS (SELECT src AS vec_id, MIN(node) AS cluster_rep
+                FROM reach GROUP BY src),
+       res AS (SELECT v.vec_id, COALESCE(comp.cluster_rep, v.vec_id) AS cluster_rep
+               FROM v LEFT JOIN comp USING (vec_id))
+       SELECT CAST(vec_id AS BIGINT) AS vec_id,
+              CAST(cluster_rep AS BIGINT) AS cluster_rep,
+              CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+                  AS cluster_size,
+              CAST(CASE WHEN vec_id = cluster_rep THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_kept
+       FROM res"""
+
+
+@q(
+    "d6_semdedup",
+    _semdedup_oracle(),
+    "SemDeDup (Abbas et al. 2023): SEMANTIC deduplication — k-means-cluster "
+    "the embedding column (deterministic sampled+refined centroids), "
+    "pairwise cosine ONLY within each cluster (>= 0.95, HALF_UP-rounded "
+    "boundary), connected components over the pair set, keep the min-id "
+    "document per component. Catches paraphrase-level duplicates that "
+    "share no n-grams with MinHash/SimHash. Corpus re-seeds vec_id < 20 as "
+    "exact copies so dup groups exist deterministically; the DuckDB oracle "
+    "replays training + assignment + pair test and closes components with "
+    "a recursive CTE — an independent algorithm for the same clusters.",
+)
+def d6_semdedup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(dup)
+    return SIM.semdedup(corpus, n_cells=16, sim_threshold=0.95)
+
+
 def _ivfpq_oracle(
     dim: int = 64,
     m_sub: int = 4,

@@ -492,6 +492,37 @@ def _scaled_section(spark) -> dict:
             times * 2_000,
         )
 
+    def d6(times):
+        # id-offset replicas would be EXACT copies — quadratic dup-pair
+        # growth, not the per-probe "replication preserves semantics"
+        # contract. Circularly rotating each replica's embedding by its
+        # replica index keeps every intra-replica pairwise dot identical
+        # to the original corpus while cross-replica cosines stay ~random
+        # (far below threshold); a fixed 20-copy seed keeps the component
+        # closure non-trivial at every tier.
+        big = replicate(emb, times, {"vec_id": 1_000_000}).withColumn(
+            "embedding",
+            F.expr(
+                "concat(slice(embedding, CAST(__r % 64 AS INT) + 1, "
+                "64 - CAST(__r % 64 AS INT)), "
+                "slice(embedding, 1, CAST(__r % 64 AS INT)))"
+            ),
+        )
+        seeded = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 500_000_000).alias("vec_id"), "embedding"
+        )
+        corpus = big.select("vec_id", "embedding").unionByName(seeded)
+        rows = times * 2_000
+        # SemDeDup scaling contract: n_cells grows with the corpus so the
+        # per-cell Gram matrix stays bounded (~500 vectors/cell here)
+        return (
+            SIM.semdedup(
+                corpus, n_cells=max(16, rows // 500), sim_threshold=0.95,
+                train_frac=_tf(times),
+            ),
+            rows,
+        )
+
     def t14(times):
         from apache_iceberg_lakehouse_workshop_spark.operators import textstats as TSS
 
@@ -529,6 +560,7 @@ def _scaled_section(spark) -> dict:
         "s6_knn_pq": (s6, 8, 64),
         "s7_knn_ivfpq": (s7, 8, 64),
         "s8_knn_ivfpq_res": (s8, 8, 64),
+        "d6_semdedup": (d6, 8, 64),
         "t14_boilerplate_scrub": (t14, 2, 16),
         "j13_asof_join": (j13, 8, 64),
     }

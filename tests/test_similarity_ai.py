@@ -451,6 +451,40 @@ def test_arrow_kernels_match_sql(spark, sf_dir, monkeypatch):
         assert snap(fn()) == arrow[name], f"{name}: arrow != sql"
 
 
+def test_semdedup_transitive_groups_and_singletons(spark):
+    """SemDeDup keeps one doc per TRANSITIVE duplicate group (A~B, B~C →
+    one survivor even when (A, C) alone misses the threshold) and leaves
+    non-duplicates as singletons keeping themselves."""
+    # 1/2/3 are unit vectors at 0°/2°/4° in one plane: adjacent cosines
+    # (≈0.99939 quantized) clear the 0.999 threshold, the 0°-4° pair
+    # (≈0.99755) does NOT — the cluster must come from the transitive hop
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.035, 0.0, 0.0]),
+        (3, [0.998, 0.070, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),       # orthogonal singleton
+        (5, [0.0, 0.0, 1.0, 0.0]),       # singleton
+        (6, [0.0, 0.0, 1.0, 0.0]),       # exact copy of 5
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {
+        r.vec_id: r
+        for r in SIM.semdedup(df, n_cells=2, sim_threshold=0.999).collect()
+    }
+    assert len(out) == 6
+    # 1-2-3 one component via the chain (1~2 and 2~3 at 0.999; 1~3 below)
+    assert out[1].cluster_rep == out[2].cluster_rep == out[3].cluster_rep == 1
+    assert out[1].cluster_size == 3 and out[1].is_kept == 1
+    assert out[2].is_kept == 0 and out[3].is_kept == 0
+    # 5-6 exact copies: one survivor
+    assert out[5].cluster_rep == out[6].cluster_rep == 5
+    assert out[5].is_kept == 1 and out[6].is_kept == 0
+    # 4 is a singleton keeping itself
+    assert out[4].cluster_rep == 4 and out[4].cluster_size == 1 and out[4].is_kept == 1
+
+
 def test_sampled_training_invariants(spark, sf_dir, monkeypatch):
     """train_frac (FAISS train-on-a-sample): frac=1.0 is bit-identical to
     the default full-corpus training; a real slice is deterministic, keeps
