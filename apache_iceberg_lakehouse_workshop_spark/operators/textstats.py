@@ -651,3 +651,138 @@ def boilerplate_ngram_scrub(
             " ",
         ).alias("scrubbed_text"),
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality filtering (Wenzek et al. 2020,
+    arXiv:1911.00359): train a BIGRAM LM with add-k smoothing on
+    ``reference`` (the corpus itself by default — CCNet uses a clean
+    reference like Wikipedia), score every document's per-bigram
+    cross-entropy, and bucket the corpus into head / middle / tail by
+    exact global tertiles — the split CCNet keeps/reviews/drops.
+
+    Output one row per document with ≥ 2 tokens: (doc_id, n_bigrams,
+    log_ppl, bucket). ``log_ppl`` is the mean negative log-probability
+    (natural log), lower = more fluent under the model.
+
+    Cross-engine exactness: probabilities are rationals of exact integer
+    counts — (c12+k)/(c1+k·V) — evaluated as one IEEE division; each
+    bigram's log-prob is quantized HALF_UP to 1e-6 and summed as int64
+    (order-independent — a double AVG would depend on partition
+    accumulation order), then one final division + round(6). Buckets use
+    SQL NTILE semantics over (log_ppl, doc_id) — a total order on already-
+    rounded values — so a DuckDB oracle reproduces every row bit-for-bit.
+
+    At 100 TB: counts are partial-aggregated map-reduce; the model join is
+    a shuffle equi-join on (w1, w2); everything stays JVM-codegen (no
+    UDFs). The tertile rank is a PARALLEL prefix rank (range shuffle +
+    per-partition row_number + broadcast P-entry offset map — the
+    :func:`pack_training_windows` pattern), never a single-partition
+    NTILE window; driver state is O(partitions)."""
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokens(F.col(text_col)).alias("ws")
+    )
+    ref = (
+        base
+        if reference is None
+        else reference.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens(F.col(text_col)).alias("ws"),
+        )
+    )
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        pairs = F.when(
+            F.size("ws") >= 2,
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+        return df.select("doc_id", F.explode(pairs).alias("bg")).select(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+
+    ref_bg = bigrams(ref)
+    c12 = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("nctx"))
+    vocab = ref.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+
+    bg = bigrams(base)
+    scored = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    v = F.col("v").cast("double")
+    kf = F.lit(float(k))
+    p = F.when(F.col("nctx").isNull(), F.lit(1.0) / v).otherwise(
+        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + kf)
+        / (F.col("nctx").cast("double") + kf * v)
+    )
+    lpq = F.round(F.log(p) * F.lit(1_000_000.0)).cast("long")
+    doc = (
+        scored.select("doc_id", lpq.alias("lpq"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lpq").alias("s"))
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.col("s").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1_000_000.0)),
+                6,
+            ).alias("log_ppl"),
+        )
+    )
+
+    # exact global tertiles without a single-partition NTILE: parallel
+    # prefix rank (same shape as pack_training_windows' token offsets)
+    p_n = max(2, spark.sparkContext.defaultParallelism)
+    r = (
+        doc.repartitionByRange(p_n, "log_ppl", "doc_id")
+        .sortWithinPartitions("log_ppl", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = Window.partitionBy("__pid").orderBy("log_ppl", "doc_id")
+    r = r.withColumn("__loc", F.row_number().over(local)).localCheckpoint()
+    counts = {
+        row["__pid"]: row["n"]
+        for row in r.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(counts):
+        prefix[pid] = acc
+        acc += counts[pid]
+    total = acc
+    if total == 0:
+        return r.select(
+            "doc_id", "n_bigrams", "log_ppl", F.lit("head").alias("bucket")
+        )
+    pmap = F.create_map(*[F.lit(x) for kv in sorted(prefix.items()) for x in kv])
+    rank = (F.col("__loc") + pmap[F.col("__pid")]).cast("long")
+    # SQL NTILE(3): the first (total % 3) buckets hold ceil(total/3) rows
+    q, rem = divmod(total, 3)
+    if q == 0:
+        bucket_no = rank  # fewer docs than buckets: NTILE gives 1, 2, ...
+    else:
+        big = rem * (q + 1)
+        bucket_no = F.when(
+            rank <= F.lit(big), F.ceil(rank / F.lit(float(q + 1)))
+        ).otherwise(F.lit(rem) + F.ceil((rank - F.lit(big)) / F.lit(float(q))))
+    bucket = (
+        F.when(bucket_no == 1, F.lit("head"))
+        .when(bucket_no == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return r.select("doc_id", "n_bigrams", "log_ppl", bucket.alias("bucket"))

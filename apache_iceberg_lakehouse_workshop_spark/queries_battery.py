@@ -334,7 +334,7 @@ tb_sample_battery = _register_battery(
     "identical coordinates, thresholds, and rankings in DuckDB. Joined by "
     "the T10 repetition-quality signals (Gopher dup-token / top-bigram "
     "fractions), the T11 PII count+redact pass (md5-pinned redaction), "
-    "T12 context-window chunking (overlapping token windows, map-only), T14 corpus-wide boilerplate n-gram scrub (flagged-gram coverage windows), and T15 domain-mix rebalancing (deterministic per-source caps + inverse-rate mix weights).",
+    "T12 context-window chunking (overlapping token windows, map-only), T14 corpus-wide boilerplate n-gram scrub (flagged-gram coverage windows), T15 domain-mix rebalancing (deterministic per-source caps + inverse-rate mix weights), and T16 CCNet LM-perplexity quality buckets (bigram LM cross-entropy, exact head/middle/tail tertiles).",
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "varchar"), ("s2", "varchar"),
      ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"),
      ("v2", "double")],
@@ -364,6 +364,9 @@ tb_sample_battery = _register_battery(
         ("t15_domain_cap", "t15_domain_cap",
          {"doc_id": "k1", "source": "s1", "stratum_total": "n1",
           "sample_rank": "n2", "mix_weight": "v1"}),
+        ("t16_lm_perplexity", "t16_lm_perplexity",
+         {"doc_id": "k1", "n_bigrams": "n1", "log_ppl": "v1",
+          "bucket": "s1"}),
     ],
 )
 
@@ -562,6 +565,7 @@ ABSORBED = {
     "mm3_frame_sample": "mmb_media_battery",
     "mm4_audio_features": "mmb_media_battery",
     "t15_domain_cap": "tb_sample_battery",
+    "t16_lm_perplexity": "tb_sample_battery",
     "t13_sequence_packing": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",
     "e2_sessionized_purchases": "eb_event_battery",

@@ -983,6 +983,51 @@ def t8_vocab_topk(spark, sf_dir):
 
 
 @q(
+    "t16_lm_perplexity",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS ws FROM documents),
+       bg AS (SELECT doc_id,
+                     unnest(ws[1:len(ws)-1]) AS w1,
+                     unnest(ws[2:len(ws)]) AS w2
+              FROM tok),
+       c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+       c1 AS (SELECT w1, SUM(c) AS nctx FROM c12 GROUP BY w1),
+       vocab AS (SELECT COUNT(DISTINCT w) AS v
+                 FROM (SELECT unnest(ws) AS w FROM tok) u),
+       sc AS (SELECT bg.doc_id,
+                     CAST(round(ln(
+                         (CAST(c12.c AS DOUBLE) + 1.0)
+                         / (CAST(c1.nctx AS DOUBLE) + 1.0 * CAST(vocab.v AS DOUBLE))
+                     ) * 1000000) AS BIGINT) AS lpq
+              FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+              CROSS JOIN vocab),
+       d AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lpq) AS s
+             FROM sc GROUP BY doc_id),
+       ce AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                     round(-CAST(s AS DOUBLE)
+                           / (CAST(n_bigrams AS DOUBLE) * 1000000.0), 6)
+                         AS log_ppl
+              FROM d)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, log_ppl,
+              CASE ntile(3) OVER (ORDER BY log_ppl, doc_id)
+                   WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+              END AS bucket
+       FROM ce""",
+    "T16 CCNet-style LM quality filtering (engine extension; Wenzek et "
+    "al. 2020): bigram LM with add-1 smoothing self-trained on the "
+    "corpus, per-document cross-entropy, head/middle/tail split by exact "
+    "global tertiles — the CCNet keep/review/drop decision. Log-probs are "
+    "rationals of exact counts quantized HALF_UP at 1e-6 and summed as "
+    "int64 (accumulation-order-free), so the DuckDB replay is "
+    "bit-identical; the tertile rank is a parallel prefix rank (range "
+    "shuffle + broadcast offset map), matched by the oracle's NTILE over "
+    "the same rounded total order.",
+)
+def t16_lm_perplexity(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return TS.lm_perplexity(d)
+
+
+@q(
     "j14_asof_forward",
     """WITH j AS (
          SELECT p.event_id AS purchase_id,

@@ -321,3 +321,42 @@ def test_cap_per_stratum_stable_under_append_and_partitioning(spark):
     order_after = sorted(shared, key=lambda d: after[d])
     assert order_base == order_after
     assert len(ranks_base) == len(ranks_after)
+
+
+def test_lm_perplexity_reference_and_partitioning(spark):
+    """CCNet LM scoring: (a) self-trained scores are partitioning-
+    independent (int64-quantized log-prob sums, parallel prefix rank);
+    (b) with an external reference corpus, unseen contexts take the
+    uniform 1/V branch and unseen continuations the (0+k) numerator —
+    fluent-under-reference docs score lower than out-of-domain ones."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import (
+        lm_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat again"),
+            (3, "zq xv qj zz vx jq"),          # out-of-domain gibberish
+            (4, "the mat sat on the cat"),
+            (5, "one"),                         # <2 tokens: excluded
+        ],
+        "doc_id INT, text STRING",
+    )
+    base = {r.doc_id: (r.n_bigrams, r.log_ppl, r.bucket)
+            for r in lm_perplexity(docs).collect()}
+    assert set(base) == {1, 2, 3, 4}
+    rep = {r.doc_id: (r.n_bigrams, r.log_ppl, r.bucket)
+           for r in lm_perplexity(docs.repartition(7)).collect()}
+    assert base == rep
+
+    ref = spark.createDataFrame(
+        [(100, "the cat sat on the mat the cat sat on the mat")],
+        "doc_id INT, text STRING",
+    )
+    scored = {r.doc_id: r.log_ppl for r in lm_perplexity(docs, reference=ref).collect()}
+    # doc 1 is in-domain for the reference; doc 3 shares no vocabulary
+    assert scored[1] < scored[3]
+    # doc 4 reuses the vocab but with unseen transitions: worse than 1,
+    # better than pure unseen-context gibberish
+    assert scored[1] < scored[4] <= scored[3]
