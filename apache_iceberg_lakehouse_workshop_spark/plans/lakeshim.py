@@ -361,6 +361,7 @@ class LakeTable:
         commit_dirs: list[str],
         props: dict | None = None,
         commit_filters: dict[str, str] | None = None,
+        delete_dirs: list[str] | None = None,
     ) -> dict:
         """Verify-and-swap for rewrite-style commits: the new file set was
         derived from the snapshot that was current at ``base_parent``; if
@@ -375,7 +376,9 @@ class LakeTable:
                     f"(now {meta.get('current_snapshot_id')}); retry the "
                     "operation against the new snapshot"
                 )
-            snap = self._new_snapshot(meta, operation, commit_dirs, props, commit_filters)
+            snap = self._new_snapshot(
+                meta, operation, commit_dirs, props, commit_filters, delete_dirs
+            )
             self._commit(meta)
         return snap
 
@@ -393,6 +396,7 @@ class LakeTable:
         commit_dirs: list[str],
         props: dict | None = None,
         commit_filters: dict[str, str] | None = None,
+        delete_dirs: list[str] | None = None,
     ) -> dict:
         cur = self._current_snapshot(meta)
         snap = {
@@ -404,6 +408,13 @@ class LakeTable:
             "operation": operation,
             "commit_dirs": commit_dirs,
         }
+        if delete_dirs:
+            # Iceberg v2 merge-on-read: position-delete dirs whose
+            # (file_path, row_index) rows are anti-joined out of every
+            # read of THIS snapshot. Rewrite-style commits that re-derive
+            # the full row set from read() simply don't pass them — the
+            # deletes are materialized away.
+            snap["delete_dirs"] = delete_dirs
         if commit_filters:
             # {commit_dir: exclude_predicate}: rows of that dir where the
             # predicate is TRUE are NOT part of this snapshot (they were
@@ -621,6 +632,9 @@ class LakeTable:
                 dirs,
                 snapshot_props,
                 dict(cur.get("commit_filters", {})) if cur else None,
+                # new data files have no delete entries; existing position
+                # deletes keep applying to the files they reference
+                list(cur.get("delete_dirs", [])) if cur else None,
             )
             self._commit(meta)
         return snap["id"]
@@ -636,9 +650,9 @@ class LakeTable:
         )["id"]
 
     @_requires("DELETE", "WRITE")
-    def delete_where(self, condition: str) -> int:
-        """``DELETE FROM t WHERE condition`` — copy-on-write: surviving rows
-        are rewritten; prior snapshots remain readable
+    def delete_where(self, condition: str, mode: str | None = None) -> int:
+        """``DELETE FROM t WHERE condition`` — copy-on-write by default:
+        surviving rows are rewritten; prior snapshots remain readable
         (industry-examples/logistics_AI.sql:60; media_ai.sql:49; Iceberg CoW
         delete). ``condition='true'`` clears the table.
 
@@ -651,10 +665,52 @@ class LakeTable:
         predicate are carried into the new snapshot untouched; only the
         affected dirs' survivors are rewritten — a selective DELETE on a
         100 TB table rewrites O(affected data), not O(table). Falls back
-        to the full rewrite when the predicate has no skippable conjunct."""
+        to the full rewrite when the predicate has no skippable conjunct.
+
+        ``mode='merge-on-read'`` (or table property
+        ``write.delete.mode=merge-on-read`` — the Iceberg v2 knob): no data
+        file is rewritten; matching rows' physical coordinates
+        (``_metadata.file_path``, ``_metadata.row_index``) are written to a
+        position-delete dir the snapshot references, and every read
+        anti-joins them out. A small DELETE on a 100 TB table writes
+        O(matching rows), not O(affected files); ``compact()`` (or any
+        full-rewrite DML) later materializes the deletes away. Prior
+        snapshots never reference the new delete dir — time travel still
+        sees the rows."""
         meta = self._load_meta()
+        if mode is None:
+            mode = meta.get("properties", {}).get(
+                "write.delete.mode", "copy-on-write"
+            )
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         parent = meta.get("current_snapshot_id")
         snap = self._current_snapshot(meta)
+        if mode == "merge-on-read":
+            if snap is None or not snap["commit_dirs"]:
+                return self._commit_rewrite(parent, "delete", [])["id"]
+            matched = self._read_with_pos(snap, meta).filter(
+                f"({condition}) IS TRUE"
+            ).select(
+                F.col("__sg_file").alias("file_path"),
+                F.col("__sg_pos").alias("pos"),
+            )
+            if matched.isEmpty():
+                # metadata-only snapshot: nothing matched
+                return self._commit_rewrite(
+                    parent, "delete", list(snap["commit_dirs"]),
+                    commit_filters=dict(snap.get("commit_filters", {})) or None,
+                    delete_dirs=list(snap.get("delete_dirs", [])) or None,
+                )["id"]
+            ddir = f"deletes-{uuid.uuid4().hex[:12]}"
+            matched.write.mode("error").parquet(
+                os.path.join(self.path, "data", ddir)
+            )
+            return self._commit_rewrite(
+                parent, "delete", list(snap["commit_dirs"]),
+                commit_filters=dict(snap.get("commit_filters", {})) or None,
+                delete_dirs=list(snap.get("delete_dirs", [])) + [ddir],
+            )["id"]
         split = (
             self._affected_dirs_split(snap, meta, condition)
             if snap and snap["commit_dirs"]
@@ -1165,8 +1221,14 @@ class LakeTable:
         schema: T.StructType | None = None,
         aliases: dict[str, str] | None = None,
         tombstones: dict[str, set[str]] | None = None,
+        with_pos: bool = False,
     ) -> DataFrame | None:
         """Scan a list of commit dirs as one DataFrame.
+
+        ``with_pos`` attaches each row's physical identity —
+        ``_metadata.file_path`` / ``_metadata.row_index`` as ``__sg_file``
+        / ``__sg_pos`` — the coordinates Iceberg v2 position-delete files
+        key on; they must be captured per-scan, before the union.
 
         Each commit is read with itself as basePath (its partition dirs
         become columns) and the commits union by name — sibling commit dirs
@@ -1191,6 +1253,12 @@ class LakeTable:
                 part = rd.parquet(*files)
             else:
                 continue
+            if with_pos:
+                part = part.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__sg_file"),
+                    F.col("_metadata.row_index").alias("__sg_pos"),
+                )
             if tombstones:
                 # a dropped-then-re-added column: this dir's physical data
                 # predates the drop — stale, must read as NULL (the union's
@@ -1307,17 +1375,38 @@ class LakeTable:
             )
         cf = snap.get("commit_filters", {}) if snap else {}
         filters = [cf.get(d) for d in (snap["commit_dirs"] if snap else [])]
-        df = self._read_dirs(dirs, file_lists, filters, schema, aliases_all, tombs)
+        del_dirs = snap.get("delete_dirs", []) if snap else []
+        df = self._read_dirs(
+            dirs, file_lists, filters, schema, aliases_all, tombs,
+            with_pos=bool(del_dirs),
+        )
         if df is None:
             # every file provably excluded: empty result, correct schema
             base = self._read_dirs(
                 dirs, filters=filters, schema=schema, aliases=aliases_all, tombstones=tombs
             )
             df = base.limit(0)
+        elif del_dirs:
+            df = self._apply_position_deletes(df, del_dirs)
         df = self._finalize_read(df, meta, schema, aliases_all)
         if where is not None:
             df = df.filter(where)
         return df
+
+    def _apply_position_deletes(self, df: DataFrame, rel_dirs: list[str]) -> DataFrame:
+        """Anti-join the snapshot's position-delete files (Iceberg v2
+        merge-on-read): each delete row is a (file_path, row_index) pair
+        naming one physical row. At scale the delete set is small relative
+        to data (that's why MoR was chosen over CoW) — AQE broadcasts it;
+        the data side stays a pure scan, no rewrite amplification."""
+        paths = [os.path.join(self.path, "data", d) for d in rel_dirs]
+        dels = self.spark.read.parquet(*paths).select(
+            F.col("file_path").alias("__sg_file"),
+            F.col("pos").alias("__sg_pos"),
+        )
+        return df.join(dels, ["__sg_file", "__sg_pos"], "left_anti").drop(
+            "__sg_file", "__sg_pos"
+        )
 
     def _finalize_read(
         self,
@@ -1325,14 +1414,18 @@ class LakeTable:
         meta: dict,
         schema: T.StructType | None,
         aliases: dict[str, str] | None = None,
+        keep: list[str] | None = None,
     ) -> DataFrame:
         """Project a raw commit-dir union onto the governing schema (current
         or, for time travel, the snapshot's epoch): column order + types
         govern; columns no data file has yet read as typed NULLs; renamed
         columns read their pre-rename physical name from old commits;
-        hidden-partition columns drop."""
+        hidden-partition columns drop. ``keep`` carries named service
+        columns (e.g. the __sg_file/__sg_pos row coordinates) through the
+        schema projection."""
         drop = [c for c in df.columns if c.startswith(_HP_PREFIX)]
         user_cols = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
+        extra = [F.col(c) for c in (keep or []) if c in df.columns]
         if schema is not None:
             present = set(df.columns)
             if aliases is None:
@@ -1349,10 +1442,37 @@ class LakeTable:
                 else:
                     c = F.lit(None)
                 cols.append(c.cast(f.dataType).alias(f.name))
-            return df.select(*cols)
+            return df.select(*cols, *extra)
         if drop:
             return df.select(*user_cols)
         return df
+
+    def _read_with_pos(self, snap: dict, meta: dict) -> DataFrame:
+        """The snapshot's LIVE rows with their physical coordinates
+        (``__sg_file``, ``__sg_pos``) — the scan side of a merge-on-read
+        DELETE: existing position deletes are applied first (an
+        already-deleted row can never re-match), declared-schema columns
+        are projected for the predicate, the coordinates ride along."""
+        schema = T.StructType.fromJson(meta["schema"]) if meta.get("schema") else None
+        aliases = meta.get("column_aliases", {})
+        tombs = self._tombstoned_dirs(meta, schema, None)
+        dirs = [os.path.join(self.path, "data", d) for d in snap["commit_dirs"]]
+        cf = snap.get("commit_filters", {})
+        filters = [cf.get(d) for d in snap["commit_dirs"]]
+        df = self._read_dirs(
+            dirs, None, filters, schema, aliases, tombs, with_pos=True
+        )
+        del_dirs = snap.get("delete_dirs", [])
+        if del_dirs:
+            paths = [os.path.join(self.path, "data", d) for d in del_dirs]
+            dels = self.spark.read.parquet(*paths).select(
+                F.col("file_path").alias("__sg_file"),
+                F.col("pos").alias("__sg_pos"),
+            )
+            df = df.join(dels, ["__sg_file", "__sg_pos"], "left_anti")
+        return self._finalize_read(
+            df, meta, schema, aliases, keep=["__sg_file", "__sg_pos"]
+        )
 
     def _read_subset(self, snap: dict, meta: dict, rel_dirs: list[str]) -> DataFrame:
         """Normalized read of a SUBSET of the snapshot's commit dirs (their
@@ -1377,6 +1497,13 @@ class LakeTable:
         predicate has no skippable conjunct (caller rewrites everything).
         Conservative by construction — any stats doubt lands the dir in
         ``affected``."""
+        if snap.get("delete_dirs"):
+            # merge-on-read deletes outstanding: the affected-only carry
+            # path reads dirs WITHOUT applying position deletes, which
+            # would resurrect deleted rows into the rewritten dir. Full
+            # rewrite (via read(), deletes applied) also materializes the
+            # deletes away — the Iceberg CoW-after-MoR contract.
+            return None
         rel_dirs = snap["commit_dirs"]
         dirs = [os.path.join(self.path, "data", d) for d in rel_dirs]
         prune_where = self._sub_outside_literals(
@@ -2215,14 +2342,18 @@ class LakeTable:
         commit = self._write_commit_dir(packed, meta)
         if not scoped:
             return self._commit_rewrite(parent, "compact", [commit])["id"]
-        # partition-scoped: keep old dirs, excluding the rewritten rows
+        # partition-scoped: keep old dirs, excluding the rewritten rows.
+        # Outstanding position deletes still apply to the kept files (the
+        # rewritten rows were read with deletes applied; entries pointing
+        # at them are excluded by the commit filter anyway) — carry them.
         cur = self._current_snapshot(meta)
         old_dirs = list(cur["commit_dirs"]) if cur else []
         filters = dict(cur.get("commit_filters", {})) if cur else {}
         for d in old_dirs:
             filters[d] = f"({filters[d]}) OR ({where})" if d in filters else where
         return self._commit_rewrite(
-            parent, "compact", old_dirs + [commit], commit_filters=filters
+            parent, "compact", old_dirs + [commit], commit_filters=filters,
+            delete_dirs=list(cur.get("delete_dirs", [])) or None if cur else None,
         )["id"]
 
     @_requires("ALTER", "WRITE")
@@ -2261,6 +2392,9 @@ class LakeTable:
                     keep.append(s)
             keep.sort(key=lambda s: s["id"])  # history stays chronological
             live = {d for s in keep for d in s["commit_dirs"]}
+            # position-delete dirs referenced by any kept snapshot are as
+            # load-bearing as data dirs: removing one would resurrect rows
+            live |= {d for s in keep for d in s.get("delete_dirs", [])}
             removed = 0
             data_root = os.path.join(self.path, "data")
             if os.path.isdir(data_root):

@@ -13,7 +13,8 @@ router so those scripts execute end-to-end against a :class:`Lakehouse`:
 - ``CREATE TABLE t [PARTITION BY (...)] [DISTRIBUTE BY (...)] AS SELECT``
   -> ``create_table_as``
 - ``INSERT INTO t [(cols)] VALUES ... | SELECT ...`` -> ``append``
-- ``DELETE FROM t [WHERE cond]`` -> ``delete_where`` (CoW snapshot)
+- ``DELETE FROM t [WHERE cond]`` -> ``delete_where`` (CoW snapshot, or
+  merge-on-read position deletes when ``write.delete.mode`` says so)
 - ``DROP TABLE [IF EXISTS] t`` -> ``drop_table``
 - ``CREATE [OR REPLACE] VIEW v AS body`` -> tracked logical view
 - anything else -> dialect-translated ``spark.sql``

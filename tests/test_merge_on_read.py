@@ -1,0 +1,151 @@
+"""Iceberg v2 merge-on-read DELETE: position-delete files
+(_metadata.file_path / row_index) applied by anti-join at read, carried by
+appends, materialized away by full-rewrite DML and compaction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _mk(lake, spark, name="ns.t"):
+    lake.create_namespace("ns")
+    t = lake.create_table(name, "id BIGINT, v STRING, g BIGINT")
+    t.append(
+        spark.range(10).select(
+            F.col("id"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            (F.col("id") % 2).alias("g"),
+        )
+    )
+    return t
+
+
+def _data_files(t):
+    snap = t._current_snapshot(t._load_meta())
+    out = []
+    for d in snap["commit_dirs"]:
+        for root, _dirs, names in os.walk(os.path.join(t.path, "data", d)):
+            out += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    return sorted(out)
+
+
+def test_mor_delete_rewrites_no_data_file(lake, spark):
+    t = _mk(lake, spark)
+    before = _data_files(t)
+    s1 = t._load_meta()["current_snapshot_id"]
+    t.delete_where("id >= 7", mode="merge-on-read")
+    assert sorted(r.id for r in t.read().collect()) == list(range(7))
+    # the data-file set is IDENTICAL — only a delete dir was added
+    assert _data_files(t) == before
+    snap = t._current_snapshot(t._load_meta())
+    assert len(snap.get("delete_dirs", [])) == 1
+    # prior snapshot still sees every row (time travel unaffected)
+    assert sorted(r.id for r in t.read(snapshot_id=s1).collect()) == list(range(10))
+
+
+def test_mor_deletes_compound_and_never_rematch(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_where("id >= 7", mode="merge-on-read")
+    t.delete_where("id = 3", mode="merge-on-read")
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 4, 5, 6]
+    # a predicate matching only already-deleted rows is metadata-only
+    meta = t._load_meta()
+    n_dirs = len(t._current_snapshot(meta).get("delete_dirs", []))
+    t.delete_where("id = 8", mode="merge-on-read")
+    meta = t._load_meta()
+    assert len(t._current_snapshot(meta).get("delete_dirs", [])) == n_dirs
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 4, 5, 6]
+
+
+def test_mor_mode_via_table_property_and_sql(lake, spark):
+    t = _mk(lake, spark)
+    before = _data_files(t)
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    # plain DELETE FROM routes through the property — Iceberg's knob
+    lake.run_script("DELETE FROM ns.t WHERE id = 5;")
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4, 6, 7, 8, 9]
+    assert _data_files(t) == before
+    t.unset_properties(["write.delete.mode"])
+    t.delete_where("id = 6")  # back to CoW: rewrites, clears delete dirs
+    snap = t._current_snapshot(t._load_meta())
+    assert not snap.get("delete_dirs")
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4, 7, 8, 9]
+
+
+def test_mor_reads_compose_with_where_skipping_and_appends(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_where("id = 2", mode="merge-on-read")
+    assert sorted(r.id for r in t.read(where="id >= 1 AND id <= 4").collect()) == [1, 3, 4]
+    t.append(spark.createDataFrame([(100, "x", 0)], "id BIGINT, v STRING, g BIGINT"))
+    snap = t._current_snapshot(t._load_meta())
+    assert len(snap.get("delete_dirs", [])) == 1  # appends carry deletes
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 3, 4, 5, 6, 7, 8, 9, 100]
+
+
+def test_full_rewrites_materialize_deletes_away(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_where("id >= 8", mode="merge-on-read")
+    t.update_where({"v": "'upd'"}, "id = 1")
+    snap = t._current_snapshot(t._load_meta())
+    assert not snap.get("delete_dirs")
+    assert sorted(r.id for r in t.read().collect()) == list(range(8))
+
+    t.delete_where("id = 0", mode="merge-on-read")
+    t.compact()
+    snap = t._current_snapshot(t._load_meta())
+    assert not snap.get("delete_dirs")
+    assert sorted(r.id for r in t.read().collect()) == list(range(1, 8))
+
+    t.delete_where("id = 7", mode="merge-on-read")
+    src = spark.createDataFrame(
+        [(3, "merged", 1), (200, "new", 0)], "id BIGINT, v STRING, g BIGINT"
+    )
+    t.merge(src, "id")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert 7 not in got and got[3] == "merged" and got[200] == "new"
+    assert not t._current_snapshot(t._load_meta()).get("delete_dirs")
+
+
+def test_scoped_compact_carries_deletes(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_where("id = 1", mode="merge-on-read")  # odd partition, survives scope
+    t.compact(where="g = 0")  # rewrite only the even-g rows
+    snap = t._current_snapshot(t._load_meta())
+    assert snap.get("delete_dirs"), "scoped compact must carry delete dirs"
+    assert sorted(r.id for r in t.read().collect()) == [0, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_expire_keeps_live_delete_dirs(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_where("id = 4", mode="merge-on-read")
+    t.append(spark.createDataFrame([(50, "y", 0)], "id BIGINT, v STRING, g BIGINT"))
+    t.expire_snapshots(keep_last=1)
+    # current snapshot still references the delete dir — rows stay deleted
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 5, 6, 7, 8, 9, 50]
+    # materialize, then expire: the delete dir becomes unreferenced and is removed
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    data_root = os.path.join(t.path, "data")
+    assert not [d for d in os.listdir(data_root) if d.startswith("deletes-")]
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 5, 6, 7, 8, 9, 50]
+
+
+def test_mor_null_predicate_rows_survive(lake, spark):
+    lake.create_namespace("ns")
+    t = lake.create_table("ns.n", "id BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "id BIGINT, v STRING"
+        )
+    )
+    t.delete_where("v = 'a'", mode="merge-on-read")
+    # v IS NULL makes the predicate NULL, not TRUE: the row survives
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
