@@ -745,7 +745,12 @@ class LakeTable:
         return self._commit_rewrite(parent, "delete", [commit])["id"]
 
     @_requires("UPDATE", "WRITE")
-    def update_where(self, assignments: dict[str, str], condition: str = "true") -> int:
+    def update_where(
+        self,
+        assignments: dict[str, str],
+        condition: str = "true",
+        mode: str | None = None,
+    ) -> int:
         """``UPDATE t SET col = expr[, ...] [WHERE cond]`` — copy-on-write
         (Dremio/Iceberg UPDATE; the DML completion of the reference's
         INSERT/DELETE surface). Only rows where the predicate is TRUE are
@@ -756,8 +761,19 @@ class LakeTable:
         Affected-only rewrite, same as :meth:`delete_where`: commit dirs
         whose stats prove no row matches the predicate carry over
         untouched; only affected dirs rewrite — O(affected data) at any
-        table size. Unprunable predicates rewrite everything."""
+        table size. Unprunable predicates rewrite everything.
+
+        ``mode='merge-on-read'`` (or table property ``write.update.mode``):
+        Iceberg v2 MoR UPDATE — matched rows are position-deleted and
+        their updated copies appended; untouched data files are never
+        rewritten. Cost is O(matching rows) at any table size."""
         meta = self._load_meta()
+        if mode is None:
+            mode = meta.get("properties", {}).get(
+                "write.update.mode", "copy-on-write"
+            )
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown update mode {mode!r}")
         parent = meta.get("current_snapshot_id")
         cond = F.expr(condition)
         current = self.read()
@@ -779,6 +795,34 @@ class LakeTable:
             return cols
 
         snap = self._current_snapshot(meta)
+        if mode == "merge-on-read":
+            if snap is None or not snap["commit_dirs"]:
+                return self._commit_rewrite(parent, "update", [])["id"]
+            matched = self._read_with_pos(snap, meta).filter(
+                f"({condition}) IS TRUE"
+            )
+            # one pass, reused twice (delete coords + updated copies)
+            matched = matched.localCheckpoint()
+            if matched.isEmpty():
+                return self._commit_rewrite(
+                    parent, "update", list(snap["commit_dirs"]),
+                    commit_filters=dict(snap.get("commit_filters", {})) or None,
+                    delete_dirs=list(snap.get("delete_dirs", [])) or None,
+                )["id"]
+            ddir = f"deletes-{uuid.uuid4().hex[:12]}"
+            matched.select(
+                F.col("__sg_file").alias("file_path"),
+                F.col("__sg_pos").alias("pos"),
+            ).write.mode("error").parquet(os.path.join(self.path, "data", ddir))
+            # predicate is already TRUE on every matched row, so the
+            # WHEN(cond) in updated_cols always takes the new value
+            body = matched.drop("__sg_file", "__sg_pos")
+            commit = self._write_commit_dir(body.select(*updated_cols(body)), meta)
+            return self._commit_rewrite(
+                parent, "update", list(snap["commit_dirs"]) + [commit],
+                commit_filters=dict(snap.get("commit_filters", {})) or None,
+                delete_dirs=list(snap.get("delete_dirs", [])) + [ddir],
+            )["id"]
         split = (
             self._affected_dirs_split(snap, meta, condition)
             if snap and snap["commit_dirs"]
@@ -1565,6 +1609,7 @@ class LakeTable:
         source: DataFrame,
         key: str | list[str],
         snapshot_props: dict | None = None,
+        mode: str | None = None,
     ) -> int:
         """``MERGE INTO t USING source ON t.key = source.key WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the standard
@@ -1580,11 +1625,48 @@ class LakeTable:
         Affected-only rewrite: commit dirs whose key stats are disjoint
         from the source's key RANGE (one narrow agg) provably hold no
         colliding row and carry over untouched — an upsert of one day's
-        keys into a 100 TB table rewrites O(affected data), not O(table)."""
+        keys into a 100 TB table rewrites O(affected data), not O(table).
+
+        ``mode='merge-on-read'`` (or table property ``write.merge.mode``):
+        Iceberg v2 MoR MERGE — target rows whose key collides with the
+        source are position-deleted (left-semi join for coordinates, no
+        file rewrite) and the WHOLE source appends (replacements +
+        inserts in one commit dir). Cost is O(source + matching rows)."""
         keys = [key] if isinstance(key, str) else list(key)
         meta = self._load_meta()
+        if mode is None:
+            mode = meta.get("properties", {}).get(
+                "write.merge.mode", "copy-on-write"
+            )
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         parent = meta.get("current_snapshot_id")
         snap = self._current_snapshot(meta)
+        if mode == "merge-on-read" and snap and snap["commit_dirs"]:
+            with_pos = self._read_with_pos(snap, meta)
+            # no forced broadcast: the source is usually the small side but
+            # isn't contractually so — AQE picks the join strategy
+            matched = with_pos.join(
+                source.select(*keys).distinct(), keys, "left_semi"
+            ).select(
+                F.col("__sg_file").alias("file_path"),
+                F.col("__sg_pos").alias("pos"),
+            ).localCheckpoint()
+            cols = [c for c in with_pos.columns if c not in ("__sg_file", "__sg_pos")]
+            commit = self._write_commit_dir(source.select(*cols), meta)
+            del_dirs = list(snap.get("delete_dirs", []))
+            if not matched.isEmpty():
+                ddir = f"deletes-{uuid.uuid4().hex[:12]}"
+                matched.write.mode("error").parquet(
+                    os.path.join(self.path, "data", ddir)
+                )
+                del_dirs.append(ddir)
+            return self._commit_rewrite(
+                parent, "merge", list(snap["commit_dirs"]) + [commit],
+                props=snapshot_props,
+                commit_filters=dict(snap.get("commit_filters", {})) or None,
+                delete_dirs=del_dirs or None,
+            )["id"]
         split = None
         if snap and snap["commit_dirs"]:
             cond = self._source_key_range_condition(source, [(k, k) for k in keys])
@@ -1629,7 +1711,10 @@ class LakeTable:
         source_alias: str = "s",
     ) -> int:
         """General ``MERGE INTO`` (standard Iceberg/SQL:2003 semantics —
-        the full DML shape beyond :meth:`merge`'s plain upsert):
+        the full DML shape beyond :meth:`merge`'s plain upsert). Always
+        copy-on-write: the conditional clause families need the full-outer
+        join anyway, so MoR would save little — ``write.merge.mode``
+        applies to the :meth:`merge` upsert path.
 
         - ``matched``: ordered ``("update", cond_or_None, set)`` /
           ``("delete", cond_or_None, None)`` clauses, where ``set`` is

@@ -149,3 +149,57 @@ def test_mor_null_predicate_rows_survive(lake, spark):
     t.delete_where("v = 'a'", mode="merge-on-read")
     # v IS NULL makes the predicate NULL, not TRUE: the row survives
     assert sorted(r.id for r in t.read().collect()) == [2, 3]
+
+
+def test_mor_update_position_deletes_plus_appended_copies(lake, spark):
+    t = _mk(lake, spark)
+    before = _data_files(t)
+    t.update_where({"v": "concat(v, '!')"}, "id >= 8", mode="merge-on-read")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[8] == "v8!" and got[9] == "v9!" and got[0] == "v0"
+    assert len(got) == 10
+    # old files intact; one new commit dir holds the two updated copies
+    assert set(before) <= set(_data_files(t))
+    snap = t._current_snapshot(t._load_meta())
+    assert len(snap.get("delete_dirs", [])) == 1
+    # property-routed, no-match predicate: metadata-only
+    t.set_properties({"write.update.mode": "merge-on-read"})
+    t.update_where({"v": "'x'"}, "id = 999")
+    assert len(t._current_snapshot(t._load_meta()).get("delete_dirs", [])) == 1
+    # updated rows can be MoR-updated again (their copies have coordinates)
+    t.update_where({"v": "concat(v, '?')"}, "id = 9")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[9] == "v9!?" and len(got) == 10
+
+
+def test_mor_merge_upsert(lake, spark):
+    t = _mk(lake, spark)
+    before = _data_files(t)
+    src = spark.createDataFrame(
+        [(3, "m3", 1), (300, "new", 0)], "id BIGINT, v STRING, g BIGINT"
+    )
+    t.merge(src, "id", mode="merge-on-read")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[3] == "m3" and got[300] == "new" and len(got) == 11
+    assert set(before) <= set(_data_files(t))
+    snap = t._current_snapshot(t._load_meta())
+    assert len(snap.get("delete_dirs", [])) == 1
+    # insert-only source: no delete dir added
+    t.merge(
+        spark.createDataFrame([(301, "i", 1)], "id BIGINT, v STRING, g BIGINT"),
+        "id",
+        mode="merge-on-read",
+    )
+    snap = t._current_snapshot(t._load_meta())
+    assert len(snap.get("delete_dirs", [])) == 1
+    assert {r.id for r in t.read().collect()} == set(range(10)) | {300, 301}
+    # CoW merge afterwards materializes everything away
+    t.merge(
+        spark.createDataFrame([(0, "z", 0)], "id BIGINT, v STRING, g BIGINT"),
+        "id",
+        mode="copy-on-write",
+    )
+    snap = t._current_snapshot(t._load_meta())
+    assert not snap.get("delete_dirs")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[0] == "z" and got[3] == "m3" and len(got) == 12
