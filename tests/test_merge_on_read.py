@@ -203,3 +203,33 @@ def test_mor_merge_upsert(lake, spark):
     assert not snap.get("delete_dirs")
     got = {r.id: r.v for r in t.read().collect()}
     assert got[0] == "z" and got[3] == "m3" and len(got) == 12
+
+
+def test_mor_update_and_merge_modes_via_sql_properties(lake, spark):
+    """Plain UPDATE / MERGE INTO statements route through write.update.mode
+    / write.merge.mode set by ALTER TABLE ... SET TBLPROPERTIES — the
+    Iceberg knobs, no API-only switch."""
+    t = _mk(lake, spark)
+    before = _data_files(t)
+    lake.run_script(
+        "ALTER TABLE ns.t SET TBLPROPERTIES ("
+        "'write.update.mode' = 'merge-on-read', "
+        "'write.merge.mode' = 'merge-on-read');"
+    )
+    lake.run_script("UPDATE ns.t SET v = concat(v, '!') WHERE id = 7;")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[7] == "v7!" and len(got) == 10
+    assert set(before) <= set(_data_files(t))
+    assert len(t._current_snapshot(t._load_meta()).get("delete_dirs", [])) == 1
+    spark.createDataFrame(
+        [(1, "m1", 1), (500, "new", 0)], "id BIGINT, v STRING, g BIGINT"
+    ).createOrReplaceTempView("mor_src")
+    lake.run_script(
+        "MERGE INTO ns.t AS t USING mor_src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *;"
+    )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[1] == "m1" and got[500] == "new" and len(got) == 11
+    assert set(before) <= set(_data_files(t))
+    assert len(t._current_snapshot(t._load_meta()).get("delete_dirs", [])) == 2
