@@ -362,6 +362,7 @@ class LakeTable:
         props: dict | None = None,
         commit_filters: dict[str, str] | None = None,
         delete_dirs: list[str] | None = None,
+        eq_deletes: list[dict] | None = None,
     ) -> dict:
         """Verify-and-swap for rewrite-style commits: the new file set was
         derived from the snapshot that was current at ``base_parent``; if
@@ -377,7 +378,8 @@ class LakeTable:
                     "operation against the new snapshot"
                 )
             snap = self._new_snapshot(
-                meta, operation, commit_dirs, props, commit_filters, delete_dirs
+                meta, operation, commit_dirs, props, commit_filters, delete_dirs,
+                eq_deletes,
             )
             self._commit(meta)
         return snap
@@ -397,6 +399,7 @@ class LakeTable:
         props: dict | None = None,
         commit_filters: dict[str, str] | None = None,
         delete_dirs: list[str] | None = None,
+        eq_deletes: list[dict] | None = None,
     ) -> dict:
         cur = self._current_snapshot(meta)
         snap = {
@@ -415,6 +418,17 @@ class LakeTable:
             # the full row set from read() simply don't pass them — the
             # deletes are materialized away.
             snap["delete_dirs"] = delete_dirs
+        if eq_deletes:
+            # Iceberg v2 EQUALITY deletes: each entry is
+            # {"dir": <parquet dir of key tuples>, "cols": [physical key
+            # columns], "applies_to": [commit dirs present when the delete
+            # was written]} — the sequence-number rule at commit-dir
+            # granularity: a data row is removed iff its key null-safe-
+            # equals a delete row AND it lives in an applies_to dir; rows
+            # appended later always survive. Written WITHOUT reading the
+            # target (the point: O(keys) streaming upserts), folded away by
+            # any full rewrite.
+            snap["eq_deletes"] = eq_deletes
         if commit_filters:
             # {commit_dir: exclude_predicate}: rows of that dir where the
             # predicate is TRUE are NOT part of this snapshot (they were
@@ -633,8 +647,12 @@ class LakeTable:
                 snapshot_props,
                 dict(cur.get("commit_filters", {})) if cur else None,
                 # new data files have no delete entries; existing position
-                # deletes keep applying to the files they reference
+                # deletes keep applying to the files they reference, and
+                # equality deletes only to their applies_to dirs (the new
+                # commit dir is NOT in any applies_to — appended rows
+                # survive, Iceberg's sequence rule)
                 list(cur.get("delete_dirs", [])) if cur else None,
+                list(cur.get("eq_deletes", [])) if cur else None,
             )
             self._commit(meta)
         return snap["id"]
@@ -701,6 +719,7 @@ class LakeTable:
                     parent, "delete", list(snap["commit_dirs"]),
                     commit_filters=dict(snap.get("commit_filters", {})) or None,
                     delete_dirs=list(snap.get("delete_dirs", [])) or None,
+                    eq_deletes=list(snap.get("eq_deletes", [])) or None,
                 )["id"]
             ddir = f"deletes-{uuid.uuid4().hex[:12]}"
             matched.write.mode("error").parquet(
@@ -710,6 +729,7 @@ class LakeTable:
                 parent, "delete", list(snap["commit_dirs"]),
                 commit_filters=dict(snap.get("commit_filters", {})) or None,
                 delete_dirs=list(snap.get("delete_dirs", [])) + [ddir],
+                eq_deletes=list(snap.get("eq_deletes", [])) or None,
             )["id"]
         split = (
             self._affected_dirs_split(snap, meta, condition)
@@ -808,6 +828,7 @@ class LakeTable:
                     parent, "update", list(snap["commit_dirs"]),
                     commit_filters=dict(snap.get("commit_filters", {})) or None,
                     delete_dirs=list(snap.get("delete_dirs", [])) or None,
+                    eq_deletes=list(snap.get("eq_deletes", [])) or None,
                 )["id"]
             ddir = f"deletes-{uuid.uuid4().hex[:12]}"
             matched.select(
@@ -822,6 +843,7 @@ class LakeTable:
                 parent, "update", list(snap["commit_dirs"]) + [commit],
                 commit_filters=dict(snap.get("commit_filters", {})) or None,
                 delete_dirs=list(snap.get("delete_dirs", [])) + [ddir],
+                eq_deletes=list(snap.get("eq_deletes", [])) or None,
             )["id"]
         split = (
             self._affected_dirs_split(snap, meta, condition)
@@ -1420,9 +1442,10 @@ class LakeTable:
         cf = snap.get("commit_filters", {}) if snap else {}
         filters = [cf.get(d) for d in (snap["commit_dirs"] if snap else [])]
         del_dirs = snap.get("delete_dirs", []) if snap else []
+        eq_entries = snap.get("eq_deletes", []) if snap else []
         df = self._read_dirs(
             dirs, file_lists, filters, schema, aliases_all, tombs,
-            with_pos=bool(del_dirs),
+            with_pos=bool(del_dirs) or bool(eq_entries),
         )
         if df is None:
             # every file provably excluded: empty result, correct schema
@@ -1430,8 +1453,16 @@ class LakeTable:
                 dirs, filters=filters, schema=schema, aliases=aliases_all, tombstones=tombs
             )
             df = base.limit(0)
-        elif del_dirs:
-            df = self._apply_position_deletes(df, del_dirs)
+        elif del_dirs or eq_entries:
+            # equality first (needs the data columns, keeps __sg_*), then
+            # position deletes (drop __sg_*); both only remove rows, so
+            # the order is semantically free
+            if eq_entries:
+                df = self._apply_equality_deletes(df, eq_entries)
+            if del_dirs:
+                df = self._apply_position_deletes(df, del_dirs)
+            else:
+                df = df.drop("__sg_file", "__sg_pos")
         df = self._finalize_read(df, meta, schema, aliases_all)
         if where is not None:
             df = df.filter(where)
@@ -1451,6 +1482,47 @@ class LakeTable:
         return df.join(dels, ["__sg_file", "__sg_pos"], "left_anti").drop(
             "__sg_file", "__sg_pos"
         )
+
+    def _apply_equality_deletes(self, df: DataFrame, entries: list[dict]) -> DataFrame:
+        """Anti-join the snapshot's EQUALITY-delete files (Iceberg v2): each
+        entry's parquet dir holds key tuples (physical column names, so
+        later renames don't break them); a data row is removed when its key
+        null-safe-equals a delete row AND its commit dir is in the entry's
+        ``applies_to`` (data written before the delete — the sequence rule).
+        One hash anti-join per entry; the delete side is the small side by
+        design (one upsert batch of keys) and deduped before the join.
+        ``compact()`` / any full-rewrite DML folds the entries away, so the
+        chain never grows past the maintenance cadence. Expects ``df`` to
+        carry ``__sg_file``; leaves it in place for the caller."""
+        # _metadata.file_path is an absolute file URI — anchor the commit-
+        # dir extraction on the table's ABSOLUTE data root (a relative
+        # self.path would silently match nothing and skip every delete)
+        data_root = os.path.abspath(self.path).rstrip("/") + "/data/"
+        dir_expr = F.regexp_extract(
+            F.col("__sg_file"), re.escape(data_root) + "([^/]+)/", 1
+        )
+        df = df.withColumn("__sg_dir", dir_expr)
+        for i, e in enumerate(entries):
+            applies = list(e.get("applies_to", []))
+            if not applies:
+                continue
+            missing = [c for c in e["cols"] if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"equality-delete file {e['dir']} references column(s) "
+                    f"{missing} no longer readable on {self.name}"
+                )
+            dels = self.spark.read.parquet(
+                os.path.join(self.path, "data", e["dir"])
+            )
+            dels = dels.select(
+                *[F.col(c).alias(f"__eq{i}_{c}") for c in e["cols"]]
+            ).dropDuplicates()
+            cond = F.col("__sg_dir").isin(applies)
+            for c in e["cols"]:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq{i}_{c}"))
+            df = df.join(dels, on=cond, how="left_anti")
+        return df.drop("__sg_dir")
 
     def _finalize_read(
         self,
@@ -1506,6 +1578,9 @@ class LakeTable:
         df = self._read_dirs(
             dirs, None, filters, schema, aliases, tombs, with_pos=True
         )
+        eq_entries = snap.get("eq_deletes", [])
+        if eq_entries:
+            df = self._apply_equality_deletes(df, eq_entries)
         del_dirs = snap.get("delete_dirs", [])
         if del_dirs:
             paths = [os.path.join(self.path, "data", d) for d in del_dirs]
@@ -1541,12 +1616,14 @@ class LakeTable:
         predicate has no skippable conjunct (caller rewrites everything).
         Conservative by construction — any stats doubt lands the dir in
         ``affected``."""
-        if snap.get("delete_dirs"):
-            # merge-on-read deletes outstanding: the affected-only carry
-            # path reads dirs WITHOUT applying position deletes, which
-            # would resurrect deleted rows into the rewritten dir. Full
-            # rewrite (via read(), deletes applied) also materializes the
-            # deletes away — the Iceberg CoW-after-MoR contract.
+        if snap.get("delete_dirs") or snap.get("eq_deletes"):
+            # merge-on-read deletes outstanding (position OR equality): the
+            # affected-only carry path reads dirs WITHOUT applying them,
+            # which would resurrect deleted rows into the rewritten dir —
+            # and carrying untouched dirs while dropping the entries would
+            # resurrect rows there too. Full rewrite (via read(), deletes
+            # applied) also materializes the deletes away — the Iceberg
+            # CoW-after-MoR contract.
             return None
         rel_dirs = snap["commit_dirs"]
         dirs = [os.path.join(self.path, "data", d) for d in rel_dirs]
@@ -1666,6 +1743,7 @@ class LakeTable:
                 props=snapshot_props,
                 commit_filters=dict(snap.get("commit_filters", {})) or None,
                 delete_dirs=del_dirs or None,
+                eq_deletes=list(snap.get("eq_deletes", [])) or None,
             )["id"]
         split = None
         if snap and snap["commit_dirs"]:
@@ -1698,6 +1776,114 @@ class LakeTable:
         merged = survivors.unionByName(source.select(*current.columns))
         commit = self._write_commit_dir(merged, meta)
         return self._commit_rewrite(parent, "merge", [commit], props=snapshot_props)["id"]
+
+    def _eq_delete_payload(
+        self, keys_df: DataFrame, meta: dict
+    ) -> tuple[DataFrame, list[str]]:
+        """Validate/cast/rename the key columns for an equality-delete
+        file: every column must exist in the declared schema, values cast
+        to the declared type (so the read-side null-safe equality compares
+        like with like), names resolved to PHYSICAL names so later renames
+        can't orphan the file. Deduped — the delete side should be the
+        provably-small side of the read-side anti-join."""
+        aliases = meta.get("column_aliases", {})
+        schema = (
+            T.StructType.fromJson(meta["schema"]) if meta.get("schema") else None
+        )
+        sel, phys = [], []
+        for c in keys_df.columns:
+            col = F.col(c)
+            if schema is not None:
+                if c not in schema.fieldNames():
+                    raise ValueError(
+                        f"unknown equality-delete key column {c!r} on {self.name}"
+                    )
+                col = col.cast(schema[c].dataType)
+            p = aliases.get(c, c)
+            sel.append(col.alias(p))
+            phys.append(p)
+        return keys_df.select(*sel).dropDuplicates(), phys
+
+    @_requires("DELETE", "WRITE")
+    def delete_by_key(
+        self, keys_df: DataFrame, snapshot_props: dict | None = None
+    ) -> int:
+        """Iceberg v2 EQUALITY delete — the delete-file flavor streaming
+        CDC writers (e.g. Flink upsert mode) emit: remove every current row
+        whose values on the key columns (= ``keys_df``'s columns) match a
+        key row, WITHOUT reading or rewriting the target. The keys land in
+        an equality-delete file whose entry applies to the commit dirs
+        present NOW; rows appended later are immune (Iceberg's sequence-
+        number rule). Write cost is O(keys) at ANY table size — no scan,
+        no shuffle over the target. NULL key values match NULL columns
+        (null-safe equality). Reads anti-join the file out until a
+        ``compact()`` / full-rewrite DML folds it away."""
+        meta = self._load_meta()
+        parent = meta.get("current_snapshot_id")
+        snap = self._current_snapshot(meta)
+        if snap is None or not snap["commit_dirs"]:
+            # nothing to delete from: metadata-only snapshot
+            return self._commit_rewrite(
+                parent, "delete", [], props=snapshot_props
+            )["id"]
+        payload, phys = self._eq_delete_payload(keys_df, meta)
+        ddir = f"eqdeletes-{uuid.uuid4().hex[:12]}"
+        payload.write.mode("error").parquet(os.path.join(self.path, "data", ddir))
+        entry = {
+            "dir": ddir, "cols": phys, "applies_to": list(snap["commit_dirs"]),
+        }
+        return self._commit_rewrite(
+            parent, "delete", list(snap["commit_dirs"]), props=snapshot_props,
+            commit_filters=dict(snap.get("commit_filters", {})) or None,
+            delete_dirs=list(snap.get("delete_dirs", [])) or None,
+            eq_deletes=list(snap.get("eq_deletes", [])) + [entry],
+        )["id"]
+
+    @_requires("UPDATE", "WRITE")
+    def upsert_equality(
+        self,
+        source: DataFrame,
+        key: str | list[str],
+        snapshot_props: dict | None = None,
+    ) -> int:
+        """Flink-style Iceberg streaming upsert: ONE atomic commit holding
+        an equality-delete file of the source's keys (applying to every
+        pre-existing commit dir) plus the source rows as a new data dir —
+        every source row replaces-or-inserts, and the target is NEVER read.
+        O(source) per call at any table size: the write shape that keeps a
+        CDC sink over a 100 TB table cheap, where even the MoR ``merge``
+        still pays a target scan for its position-delete coordinates.
+
+        The caller guarantees one row per key in ``source`` (the streaming
+        wrapper collapses each micro-batch to its per-key latest first);
+        duplicate source keys would all land. ``compact()`` on the
+        maintenance cadence folds the accumulated delete files away."""
+        keys = [key] if isinstance(key, str) else list(key)
+        meta = self._load_meta()
+        parent = meta.get("current_snapshot_id")
+        snap = self._current_snapshot(meta)
+        commit = self._write_commit_dir(source, meta)
+        eq = list(snap.get("eq_deletes", [])) if snap else []
+        if snap and snap["commit_dirs"]:
+            payload, phys = self._eq_delete_payload(source.select(*keys), meta)
+            ddir = f"eqdeletes-{uuid.uuid4().hex[:12]}"
+            payload.write.mode("error").parquet(
+                os.path.join(self.path, "data", ddir)
+            )
+            eq.append({
+                "dir": ddir, "cols": phys,
+                "applies_to": list(snap["commit_dirs"]),
+            })
+        return self._commit_rewrite(
+            parent, "upsert",
+            (list(snap["commit_dirs"]) if snap else []) + [commit],
+            props=snapshot_props,
+            commit_filters=(dict(snap.get("commit_filters", {})) or None)
+            if snap else None,
+            delete_dirs=(list(snap.get("delete_dirs", [])) or None)
+            if snap else None,
+            eq_deletes=eq or None,
+        )["id"]
 
     @_requires("UPDATE", "WRITE")
     def merge_into(
@@ -2042,6 +2228,14 @@ class LakeTable:
                 if src == name:
                     raise ValueError(
                         f"cannot drop {name}: partition field {spec!r} references it"
+                    )
+            phys = meta.get("column_aliases", {}).get(name, name)
+            cur = self._current_snapshot(meta) or {}
+            for e in cur.get("eq_deletes", []):
+                if phys in e["cols"]:
+                    raise ValueError(
+                        f"cannot drop {name}: outstanding equality-delete "
+                        f"file {e['dir']} keys on it — run compact() first"
                     )
             self._push_schema_log(meta)
             meta["schema"] = T.StructType(
@@ -2439,6 +2633,7 @@ class LakeTable:
         return self._commit_rewrite(
             parent, "compact", old_dirs + [commit], commit_filters=filters,
             delete_dirs=list(cur.get("delete_dirs", [])) or None if cur else None,
+            eq_deletes=(list(cur.get("eq_deletes", [])) or None) if cur else None,
         )["id"]
 
     @_requires("ALTER", "WRITE")
@@ -2480,6 +2675,7 @@ class LakeTable:
             # position-delete dirs referenced by any kept snapshot are as
             # load-bearing as data dirs: removing one would resurrect rows
             live |= {d for s in keep for d in s.get("delete_dirs", [])}
+            live |= {e["dir"] for s in keep for e in s.get("eq_deletes", [])}
             removed = 0
             data_root = os.path.join(self.path, "data")
             if os.path.isdir(data_root):
@@ -2628,6 +2824,13 @@ class LakeTable:
             }
             if head and head.get("commit_filters"):
                 snap["commit_filters"] = dict(head["commit_filters"])
+            # branch appends carry the head's merge-on-read entries exactly
+            # like main-line appends — dropping them would resurrect
+            # deleted rows in every branch read after the first append
+            if head and head.get("delete_dirs"):
+                snap["delete_dirs"] = list(head["delete_dirs"])
+            if head and head.get("eq_deletes"):
+                snap["eq_deletes"] = list(head["eq_deletes"])
             if snapshot_props:
                 snap["props"] = snapshot_props
             meta["snapshots"].append(snap)

@@ -1,0 +1,221 @@
+"""Iceberg v2 EQUALITY deletes: key-tuple delete files written WITHOUT
+reading the target, applied by null-safe anti-join at read, scoped to the
+commit dirs that existed at delete time (the sequence-number rule), folded
+away by compaction — the primitive under Flink-style O(batch) streaming
+upserts (upsert_equality / stream_upsert_to_table(equality=True))."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _mk(lake, spark, name="ns.t"):
+    lake.create_namespace("ns")
+    t = lake.create_table(name, "id BIGINT, v STRING, g BIGINT")
+    t.append(
+        spark.range(10).select(
+            F.col("id"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            (F.col("id") % 2).alias("g"),
+        )
+    )
+    return t
+
+
+def _data_files(t):
+    snap = t._current_snapshot(t._load_meta())
+    out = []
+    for d in snap["commit_dirs"]:
+        for root, _dirs, names in os.walk(os.path.join(t.path, "data", d)):
+            out += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    return sorted(out)
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+
+
+def test_delete_by_key_no_rewrite_and_time_travel(lake, spark):
+    t = _mk(lake, spark)
+    before = _data_files(t)
+    prev = t._current_snapshot(t._load_meta())["id"]
+    t.delete_by_key(_keys(spark, [3, 7, 999]))
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+    assert _data_files(t) == before  # no data file rewritten
+    snap = t._current_snapshot(t._load_meta())
+    assert len(snap.get("eq_deletes", [])) == 1
+    # prior snapshot never references the delete file
+    assert sorted(r.id for r in t.read(snapshot_id=prev).collect()) == list(range(10))
+
+
+def test_sequence_rule_later_appends_survive(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_by_key(_keys(spark, [4]))
+    # re-insert the same key AFTER the delete: the new row must survive
+    t.append(spark.createDataFrame([(4, "reborn", 0)], "id BIGINT, v STRING, g BIGINT"))
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[4] == "reborn" and len(got) == 10
+    # and a second equality delete covers the new dir too
+    t.delete_by_key(_keys(spark, [4]))
+    assert 4 not in {r.id for r in t.read().collect()}
+
+
+def test_upsert_equality_replaces_and_inserts_without_target_read(lake, spark):
+    t = _mk(lake, spark)
+    before = _data_files(t)
+    n_snaps = len(t._load_meta()["snapshots"])
+    t.upsert_equality(
+        spark.createDataFrame(
+            [(2, "u2", 0), (200, "new", 0)], "id BIGINT, v STRING, g BIGINT"
+        ),
+        "id",
+    )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[2] == "u2" and got[200] == "new" and len(got) == 11
+    assert set(before) <= set(_data_files(t))  # old files untouched
+    assert len(t._load_meta()["snapshots"]) == n_snaps + 1  # one atomic commit
+    # chained: the second upsert's delete must cover the FIRST upsert's dir
+    t.upsert_equality(
+        spark.createDataFrame([(200, "newer", 0)], "id BIGINT, v STRING, g BIGINT"),
+        "id",
+    )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[200] == "newer" and len(got) == 11
+
+
+def test_compact_materializes_equality_deletes_away(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_by_key(_keys(spark, [0, 1]))
+    t.upsert_equality(
+        spark.createDataFrame([(5, "u5", 1)], "id BIGINT, v STRING, g BIGINT"), "id"
+    )
+    t.compact()
+    snap = t._current_snapshot(t._load_meta())
+    assert not snap.get("eq_deletes") and not snap.get("delete_dirs")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert sorted(got) == [2, 3, 4, 5, 6, 7, 8, 9] and got[5] == "u5"
+
+
+def test_cow_dml_after_equality_deletes_never_resurrects(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_by_key(_keys(spark, [9]))
+    # CoW delete must full-rewrite (affected-only carry would resurrect 9)
+    t.delete_where("id = 0")
+    snap = t._current_snapshot(t._load_meta())
+    assert not snap.get("eq_deletes")
+    assert sorted(r.id for r in t.read().collect()) == list(range(1, 9))
+
+
+def test_composes_with_position_deletes_and_where_skipping(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_where("id = 1", mode="merge-on-read")  # position delete
+    t.delete_by_key(_keys(spark, [2]))  # equality delete
+    assert sorted(r.id for r in t.read().collect()) == [0, 3, 4, 5, 6, 7, 8, 9]
+    assert sorted(r.id for r in t.read(where="id <= 4").collect()) == [0, 3, 4]
+    # MoR DML on top of both: the matched set excludes eq-deleted rows
+    t.update_where({"v": "'seen'"}, "id <= 2", mode="merge-on-read")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[0] == "seen" and 1 not in got and 2 not in got
+
+
+def test_rename_keeps_delete_file_applicable_drop_refused(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_by_key(_keys(spark, [6]))
+    t.rename_column("id", "ident")
+    assert sorted(r.ident for r in t.read().collect()) == [0, 1, 2, 3, 4, 5, 7, 8, 9]
+    # a NEW delete keyed on the renamed column also works (physical names)
+    t.delete_by_key(spark.createDataFrame([(7,)], "ident BIGINT"))
+    assert 7 not in {r.ident for r in t.read().collect()}
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.drop_column("ident")
+    t.compact()
+    t.drop_column("ident")  # folded away: drop is legal again
+
+
+def test_null_keys_match_null_rows(lake, spark):
+    lake.create_namespace("ns")
+    t = lake.create_table("ns.n", "id BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame([(1, "a"), (None, "b"), (None, "c")], "id BIGINT, v STRING")
+    )
+    t.delete_by_key(spark.createDataFrame([(None,)], "id BIGINT"))
+    assert [r.v for r in t.read().collect()] == ["a"]
+
+
+def test_unknown_key_column_raises(lake, spark):
+    t = _mk(lake, spark)
+    with pytest.raises(ValueError, match="unknown equality-delete key"):
+        t.delete_by_key(spark.createDataFrame([(1,)], "nope BIGINT"))
+
+
+def test_branch_append_carries_equality_deletes(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_by_key(_keys(spark, [5]))
+    t.create_branch("audit")
+    t.append_to_branch(
+        "audit",
+        spark.createDataFrame([(50, "b", 0)], "id BIGINT, v STRING, g BIGINT"),
+    )
+    ids = sorted(r.id for r in t.read_branch("audit").collect())
+    assert 5 not in ids and 50 in ids
+
+
+def test_expire_snapshots_keeps_live_delete_files(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_by_key(_keys(spark, [8]))
+    t.append(spark.createDataFrame([(80, "x", 0)], "id BIGINT, v STRING, g BIGINT"))
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4, 5, 6, 7, 9, 80]
+
+
+def test_incremental_read_invalidated_by_equality_commits(lake, spark):
+    t = _mk(lake, spark)
+    base = t._current_snapshot(t._load_meta())["id"]
+    t.delete_by_key(_keys(spark, [1]))
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(base)
+
+
+def test_stream_upsert_equality_matches_cow_merge(lake, spark, tmp_path):
+    """The Flink-upsert-mode sink (equality=True) lands the same table
+    state as the CoW-merge sink, with zero data-file rewrites."""
+    from apache_iceberg_lakehouse_workshop_spark.streaming.pipeline import (
+        upsert_stream_batch,
+    )
+
+    lake.create_namespace("ns")
+    eq_t = lake.create_table("ns.eq", "id BIGINT, v STRING, seq BIGINT")
+    cow_t = lake.create_table("ns.cow", "id BIGINT, v STRING, seq BIGINT")
+    batches = [
+        [(1, "a1", 1), (2, "b1", 1)],
+        [(1, "a2", 2), (3, "c1", 1), (1, "a3", 3)],  # in-batch dup key
+        [(2, "b2", 2)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "id BIGINT, v STRING, seq BIGINT")
+        assert upsert_stream_batch(
+            eq_t, str(tmp_path / "ck_eq"), ["id"], df, i, "seq", equality=True
+        )
+        assert upsert_stream_batch(
+            cow_t, str(tmp_path / "ck_cow"), ["id"], df, i, "seq"
+        )
+    want = {(1, "a3", 3), (2, "b2", 2), (3, "c1", 1)}
+    assert {(r.id, r.v, r.seq) for r in eq_t.read().collect()} == want
+    assert {(r.id, r.v, r.seq) for r in cow_t.read().collect()} == want
+    # replay of an already-applied batch is a no-op (exactly-once)
+    df = spark.createDataFrame(batches[2], "id BIGINT, v STRING, seq BIGINT")
+    assert not upsert_stream_batch(
+        eq_t, str(tmp_path / "ck_eq"), ["id"], df, 2, "seq", equality=True
+    )
+    # maintenance folds the per-batch delete files away
+    eq_t.compact()
+    assert not eq_t._current_snapshot(eq_t._load_meta()).get("eq_deletes")
+    assert {(r.id, r.v, r.seq) for r in eq_t.read().collect()} == want
