@@ -786,3 +786,79 @@ def lm_perplexity(
         .otherwise(F.lit("tail"))
     )
     return r.select("doc_id", "n_bigrams", "log_ppl", bucket.alias("bucket"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n: int = 20,
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval (Robertson & Zaragoza 2009): rank the
+    corpus against a bag-of-terms query — the classic full-text scorer and
+    the lexical complement of the embedding KNN family
+    (operators/similarity.py). The reference exposes retrieval only through
+    its AI-semantic surface (semantic_example.sql); pretraining-data
+    pipelines also need the lexical side (quality probes, near-miss
+    contamination checks, retrieval-based filtering a la DSIR).
+
+    Per (doc, term): idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene variant — always
+    positive, so stopword-ish terms can't flip signs). Output: top-``n``
+    docs as (rank, doc_id, score_q6) where ``score_q6`` is the score
+    quantized HALF_UP at 1e-6 and summed as int64 — the
+    :func:`lm_perplexity` exactness contract: per-term quantization makes
+    the doc score independent of float accumulation order, so a DuckDB
+    oracle replays it bit-for-bit, and ties break on doc_id for a total
+    order.
+
+    At 100 TB: one explode + partial-aggregated tf/df/dl counts (map-side
+    combine), the per-term df table and the (N, avgdl) scalars are
+    broadcast 1-to-few-row joins, the final top-n is
+    TakeOrderedAndProject — no UDFs, no driver collect, no global sort."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        tok.where(F.col("w").isin([str(t) for t in terms]))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfc = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = F.round(idf * tfc * F.lit(1000000.0), 0).cast("long")
+    top = (
+        scored.groupBy("doc_id")
+        .agg(F.sum(per_term).alias("score_q6"))
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(n)
+    )
+    w = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.col("score_q6").cast("long").alias("score_q6"),
+    )

@@ -367,6 +367,8 @@ tb_sample_battery = _register_battery(
         ("t16_lm_perplexity", "t16_lm_perplexity",
          {"doc_id": "k1", "n_bigrams": "n1", "log_ppl": "v1",
           "bucket": "s1"}),
+        ("t17_bm25_topk", "t17_bm25_topk",
+         {"rank": "k1", "doc_id": "k2", "score_q6": "n1"}),
     ],
 )
 
@@ -567,6 +569,7 @@ ABSORBED = {
     "t15_domain_cap": "tb_sample_battery",
     "t16_lm_perplexity": "tb_sample_battery",
     "t13_sequence_packing": "tb_sample_battery",
+    "t17_bm25_topk": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",
     "e2_sessionized_purchases": "eb_event_battery",
     "e3_session_rollup": "eb_event_battery",

@@ -1027,6 +1027,56 @@ def t16_lm_perplexity(spark, sf_dir):
     return TS.lm_perplexity(d)
 
 
+# BM25 hyperparameters + query terms, shared by the Spark side and the
+# DuckDB oracle (terms exist in the synthetic documents corpus)
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@q(
+    "t17_bm25_topk",
+    f"""WITH tok AS (SELECT doc_id, unnest({_TOKS_DOC}) AS w FROM documents),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+                 FROM dl),
+       tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+              WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w),
+       dft AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+               FROM tf GROUP BY w),
+       sc AS (SELECT tf.doc_id,
+                     CAST(round(
+                         ln(1.0 + (stats.n_docs - dft.df + 0.5)
+                                  / (dft.df + 0.5))
+                         * ((CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+                            / (CAST(tf.tf AS DOUBLE)
+                               + {_BM25_K1} * (1.0 - {_BM25_B}
+                                  + {_BM25_B} * CAST(dl.dl AS DOUBLE)
+                                    / stats.avgdl)))
+                         * 1000000) AS BIGINT) AS pt
+              FROM tf JOIN dft USING (w) JOIN dl USING (doc_id)
+              CROSS JOIN stats),
+       agg AS (SELECT doc_id, SUM(pt) AS score_q6 FROM sc GROUP BY doc_id)
+       SELECT CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC)
+                   AS BIGINT) AS rank,
+              CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(score_q6 AS BIGINT) AS score_q6
+       FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 20""",
+    "T17 Okapi BM25 lexical retrieval (engine extension; Robertson & "
+    "Zaragoza 2009, Lucene idf variant): top-20 documents for a fixed "
+    "bag-of-terms query — the lexical complement of the s* embedding-KNN "
+    "family. Per-(doc,term) scores are quantized HALF_UP at 1e-6 and "
+    "summed as int64 (accumulation-order-free, the t16 exactness "
+    "contract); ties break on doc_id. Plan: explode -> partial-aggregated "
+    "tf/df/dl counts, broadcast df table + (N, avgdl) scalars, "
+    "TakeOrderedAndProject top-k — no UDFs, no driver collect.",
+)
+def t17_bm25_topk(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return TS.bm25_topk(
+        d, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, n=20
+    )
+
+
 @q(
     "j14_asof_forward",
     """WITH j AS (

@@ -360,3 +360,24 @@ def test_lm_perplexity_reference_and_partitioning(spark):
     # doc 4 reuses the vocab but with unseen transitions: worse than 1,
     # better than pure unseen-context gibberish
     assert scored[1] < scored[4] <= scored[3]
+
+
+def test_bm25_ranks_term_dense_short_docs_first(spark):
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import bm25_topk
+
+    rows = [
+        (1, "spark spark spark"),                      # dense, short
+        (2, "spark " + "filler " * 40),                # one hit, long
+        (3, "spark spark " + "filler " * 40),          # two hits, long
+        (4, "nothing relevant here"),
+        (5, "vector stream spark"),                    # all three terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = bm25_topk(df, ["spark", "vector", "stream"], n=5).collect()
+    ranked = [r.doc_id for r in out]
+    assert 4 not in ranked  # no query term -> no row
+    assert ranked[0] == 5  # matches every term
+    # same term count, shorter doc wins; more hits beat fewer at equal dl
+    assert ranked.index(1) < ranked.index(3) < ranked.index(2)
+    assert [r.rank for r in out] == [1, 2, 3, 4]
+    assert all(r.score_q6 > 0 for r in out)
