@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "o1_topk",             # TakeOrderedAndProject
     "m1_medallion_gold",   # view-stack pipeline
     "t1_token_stats",      # text analysis (codegen string ops)
+    "t17_bm25_topk",       # BM25 lexical retrieval (tf/df/dl + broadcast)
     "d1_exact_dup_groups", # content-hash dedup
     "d2_minhash_lsh_pairs",# MinHash-LSH near-dup (bucketed candidate join)
     "s1_knn_bruteforce",   # ANN brute force
@@ -313,6 +314,71 @@ def _routed_raw_probe(spark) -> dict:
         "cold_files_planned": cold_files,
         "routed_files_planned": routed_files,
     }
+
+
+def _cdc_upsert_probe(spark) -> dict:
+    """Round-7 write-path probe: the three upsert strategies applying the
+    same 2k-row CDC batches to a lineitem-sized lake table —
+
+    - ``cow``: CoW MERGE (key-range-pruned affected-dir rewrite),
+    - ``mor``: merge-on-read MERGE (position deletes: target scan for
+      coordinates, no data rewrite),
+    - ``eq``: equality-delete upsert (Flink upsert mode: NO target read).
+
+    Each strategy gets its own table and applies REPS successive batches
+    (so ``eq`` accumulates delete files exactly like a live CDC sink);
+    medians reported, plus the read cost after the eq batches — the price
+    the zero-scan writes defer to readers until compaction folds them.
+    The scale-invariant claim: cow/mor costs grow with the affected table
+    slice, eq stays O(batch) at ANY table size."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    keys = ["l_orderkey", "l_linenumber"]
+
+    def batch(i):
+        # deterministic, disjoint-ish batches: every 300th row, shifted
+        return (
+            li.where((F.col("l_orderkey") + i) % 300 == 0)
+            .limit(2000)
+            .withColumn("l_quantity", F.col("l_quantity") + 100 + i)
+        )
+
+    out: dict = {}
+    with tempfile.TemporaryDirectory() as wh:
+        lake = Lakehouse(spark, wh)
+        strategies = {
+            "cow": lambda t, b: t.merge(b, keys),
+            "mor": lambda t, b: t.merge(b, keys, mode="merge-on-read"),
+            "eq": lambda t, b: t.upsert_equality(b, keys),
+        }
+        n_rows = None
+        for name, apply in strategies.items():
+            t = lake.create_table_as(f"bench.cdc_{name}", li)
+            runs = []
+            for i in range(REPS):
+                b = batch(i).localCheckpoint()  # exclude batch prep
+                t0 = time.time()
+                apply(t, b)
+                runs.append(time.time() - t0)
+            out[f"{name}_upsert_s"] = round(statistics.median(runs), 4)
+            if name == "eq":
+                reads = []
+                for _ in range(REPS):
+                    t0 = time.time()
+                    n_rows = t.read().count()
+                    reads.append(time.time() - t0)
+                out["eq_read_after_s"] = round(statistics.median(reads), 4)
+                out["eq_delete_files"] = len(
+                    t._current_snapshot(t._load_meta()).get("eq_deletes", [])
+                )
+        out["table_rows"] = n_rows
+        out["batch_rows"] = 2000
+    return out
 
 
 def _data_skipping_probe(spark) -> dict:
@@ -623,6 +689,7 @@ def main() -> None:
     routed = _routed_reflection_probe(spark)
     routed_raw = _routed_raw_probe(spark)
     skipping = _data_skipping_probe(spark)
+    cdc = _cdc_upsert_probe(spark)
     scaled = _scaled_section(spark)
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -639,6 +706,7 @@ def main() -> None:
         "routed_reflection": routed,
         "routed_raw": routed_raw,
         "data_skipping": skipping,
+        "cdc_upsert": cdc,
         "scaled": scaled,
     }
     line = json.dumps(out)

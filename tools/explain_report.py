@@ -122,6 +122,11 @@ PROBES: dict[str, list[str]] = {
     # domain caps: the rank<=cap filter must plan as WindowGroupLimit
     # (per-group top-cap heap) — a hot domain costs O(cap), not a sort
     "t15_domain_cap": ["window_group_limit", "no_python_udf"],
+    # BM25: tf/df/dl are partial-aggregated counts, the per-term df table
+    # and (N, avgdl) scalars broadcast, top-k is TakeOrderedAndProject —
+    # no Python, no cross-product-sized candidate set
+    "t17_bm25_topk": ["partial_agg", "broadcast_join", "take_ordered",
+                      "no_python_udf", "no_cartesian_blowup"],
     # sequence packing: the parallel prefix-sum segment sits behind a
     # localCheckpoint (single pinned execution), so the visible plan is
     # the map-side explode — the per-partition-window structure itself is
