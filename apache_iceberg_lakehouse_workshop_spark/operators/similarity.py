@@ -1489,3 +1489,55 @@ def semdedup(
         F.count("*").over(w).cast("long").alias("cluster_size"),
         (F.col("vec_id") == F.col("cluster_rep")).cast("long").alias("is_kept"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
+    any number of ranked retrieval lists into one — the standard hybrid-
+    search combiner (BM25 lexical x embedding KNN) because it needs no
+    score calibration, only ranks. Each list contributes
+    ``1 / (k + rank)`` per document; documents missing from a list simply
+    contribute nothing.
+
+    Output: top-``n`` rows (rank, doc_id, rrf_q6, n_systems) where
+    ``rrf_q6`` is the fused score quantized HALF_UP at 1e-6 per
+    contribution and summed as int64 — accumulation-order-free, so a SQL
+    oracle replays it bit-for-bit (the textstats.bm25_topk contract);
+    ties break on doc_id.
+
+    At 100 TB: the input lists are already top-m (tiny); the fusion is a
+    union + one partial-aggregated groupBy + TakeOrderedAndProject —
+    cost is O(sum of list lengths), independent of corpus size."""
+    from pyspark.sql import Window
+
+    scored = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.round(F.lit(1000000.0) / (F.lit(float(k)) + F.col(rank_col)), 0)
+            .cast("long")
+            .alias("pt"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    top = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("pt").alias("rrf_q6"),
+            F.count("*").cast("long").alias("n_systems"),
+        )
+        .orderBy(F.desc("rrf_q6"), F.asc("doc_id"))
+        .limit(n)
+    )
+    w = Window.orderBy(F.desc("rrf_q6"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.col("rrf_q6").cast("long").alias("rrf_q6"),
+        "n_systems",
+    )

@@ -291,6 +291,8 @@ db_neardup_battery = _register_battery(
         ("d6_semdedup", "d6_semdedup",
          {"vec_id": "k1", "cluster_rep": "k2", "cluster_size": "n1",
           "is_kept": "n2"}),
+        ("s10_hybrid_rrf", "s10_hybrid_rrf",
+         {"rank": "k1", "doc_id": "k2", "rrf_q6": "n1", "n_systems": "n2"}),
     ],
 )
 
@@ -556,6 +558,7 @@ ABSORBED = {
     "s8_knn_ivfpq_res": "db_neardup_battery",
     "s9_knn_pq_strain": "db_neardup_battery",
     "d6_semdedup": "db_neardup_battery",
+    "s10_hybrid_rrf": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "t8_vocab_topk": "tb_sample_battery",

@@ -1033,9 +1033,12 @@ _BM25_TERMS = ("spark", "vector", "stream")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@q(
-    "t17_bm25_topk",
-    f"""WITH tok AS (SELECT doc_id, unnest({_TOKS_DOC}) AS w FROM documents),
+def _bm25_ranked_sql(n: int) -> str:
+    """DuckDB replay of textstats.bm25_topk over documents with the shared
+    hyperparameters: the ranked top-``n`` as (rank, doc_id, score_q6).
+    Factored so the hybrid-retrieval oracle reuses the identical lexical
+    side at a different depth."""
+    return f"""WITH tok AS (SELECT doc_id, unnest({_TOKS_DOC}) AS w FROM documents),
        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
                  FROM dl),
@@ -1060,7 +1063,12 @@ _BM25_K1, _BM25_B = 1.2, 0.75
                    AS BIGINT) AS rank,
               CAST(doc_id AS BIGINT) AS doc_id,
               CAST(score_q6 AS BIGINT) AS score_q6
-       FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 20""",
+       FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT {n}"""
+
+
+@q(
+    "t17_bm25_topk",
+    _bm25_ranked_sql(20),
     "T17 Okapi BM25 lexical retrieval (engine extension; Robertson & "
     "Zaragoza 2009, Lucene idf variant): top-20 documents for a fixed "
     "bag-of-terms query — the lexical complement of the s* embedding-KNN "
@@ -1074,6 +1082,81 @@ def t17_bm25_topk(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return TS.bm25_topk(
         d, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, n=20
+    )
+
+
+def _knn_ranked_sql(query_vec_id: int, n: int) -> str:
+    """DuckDB replay of similarity.knn_bruteforce for ONE query vector:
+    the ranked top-``n`` as (rank, doc_id) with the s1 quantized-int64
+    dot-product contract (vec_id aligns with documents.doc_id)."""
+    from .queries_data import _QVEC
+
+    return f"""WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+       nv AS (SELECT vec_id, qv,
+                     (SELECT SUM(qv[t.i] * qv[t.i]) FROM range(1, 65) t(i)) AS nrm
+              FROM v),
+       p AS (SELECT a.vec_id AS cand_id,
+                    (SELECT SUM(a.qv[t.i] * b.qv[t.i]) FROM range(1, 65) t(i)) AS dot,
+                    a.nrm AS na, b.nrm AS nb
+             FROM nv a, nv b
+             WHERE b.vec_id = {query_vec_id} AND a.vec_id <> b.vec_id),
+       s AS (SELECT cand_id,
+                    round(CASE WHEN na > 0 AND nb > 0
+                               THEN CAST(dot AS DOUBLE)
+                                    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                               ELSE 0.0 END, 6) AS cosine_sim
+             FROM p)
+       SELECT CAST(rnk AS BIGINT) AS rank, CAST(cand_id AS BIGINT) AS doc_id
+       FROM (SELECT *, row_number() OVER (ORDER BY cosine_sim DESC, cand_id)
+                        AS rnk
+             FROM s) t
+       WHERE rnk <= {n}"""
+
+
+_RRF_K, _RRF_DEPTH = 60, 50
+
+
+@q(
+    "s10_hybrid_rrf",
+    f"""WITH lex AS ({_bm25_ranked_sql(_RRF_DEPTH)}),
+       sem AS ({_knn_ranked_sql(0, _RRF_DEPTH)}),
+       pts AS (SELECT doc_id,
+                      CAST(round(1000000.0 / ({_RRF_K} + rank)) AS BIGINT) AS pt
+               FROM lex
+               UNION ALL
+               SELECT doc_id,
+                      CAST(round(1000000.0 / ({_RRF_K} + rank)) AS BIGINT) AS pt
+               FROM sem),
+       agg AS (SELECT doc_id, SUM(pt) AS rrf_q6,
+                      CAST(COUNT(*) AS BIGINT) AS n_systems
+               FROM pts GROUP BY doc_id)
+       SELECT CAST(row_number() OVER (ORDER BY rrf_q6 DESC, doc_id ASC)
+                   AS BIGINT) AS rank,
+              CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(rrf_q6 AS BIGINT) AS rrf_q6, n_systems
+       FROM agg ORDER BY rrf_q6 DESC, doc_id ASC LIMIT 20""",
+    "S10 hybrid retrieval via reciprocal-rank fusion (engine extension; "
+    "Cormack et al. 2009): the t17 BM25 lexical top-50 fused with the s1 "
+    "brute-force embedding top-50 for query document 0 — the standard "
+    "hybrid-search combiner (rank-based, needs no score calibration). "
+    "Per-list contributions 1/(60+rank) are quantized HALF_UP at 1e-6 and "
+    "summed as int64 (accumulation-order-free); ties break on doc_id. "
+    "Fusion cost is O(list lengths) — union + partial-agg groupBy + "
+    "TakeOrderedAndProject — independent of corpus size.",
+)
+def s10_hybrid_rrf(spark, sf_dir):
+    from .operators import similarity as SIM
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = TS.bm25_topk(
+        d, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, n=_RRF_DEPTH
+    )
+    sem = SIM.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=_RRF_DEPTH
+    ).select(F.col("cand_id").alias("doc_id"), "rank")
+    return SIM.rrf_fuse(
+        [lex.select("doc_id", "rank"), sem], k=_RRF_K, n=20
     )
 
 

@@ -519,3 +519,24 @@ def test_sampled_training_invariants(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ANN_SQL", "1")
     for name, fn in runs:
         assert snap(fn()) == arrow[name], f"{name}: sampled arrow != sql"
+
+
+def test_rrf_fuse_hybrid_semantics(spark):
+    from apache_iceberg_lakehouse_workshop_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "rank BIGINT, doc_id BIGINT"
+    ).select("doc_id", "rank")
+    sem = spark.createDataFrame(
+        [(1, 20), (2, 40), (3, 50)], "rank BIGINT, doc_id BIGINT"
+    ).select("doc_id", "rank")
+    out = rrf_fuse([lex, sem], k=60, n=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 20 appears in BOTH lists (ranks 2+1) -> beats every single-list doc
+    assert out[0].doc_id == 20 and by_id[20].n_systems == 2
+    assert {r.doc_id for r in out} == {10, 20, 30, 40, 50}
+    # exact quantized contributions: round(1e6/(60+r))
+    assert by_id[20].rrf_q6 == round(1e6 / 62) + round(1e6 / 61)
+    assert by_id[10].rrf_q6 == round(1e6 / 61)
+    # ranks are a total order 1..5, ties impossible here
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]

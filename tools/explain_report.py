@@ -127,6 +127,10 @@ PROBES: dict[str, list[str]] = {
     # no Python, no cross-product-sized candidate set
     "t17_bm25_topk": ["partial_agg", "broadcast_join", "take_ordered",
                       "no_python_udf", "no_cartesian_blowup"],
+    # hybrid RRF: fusion of already-top-m lists — union + partial-agg'd
+    # groupBy + top-k; the semantic side broadcasts its 1-vector query
+    "s10_hybrid_rrf": ["partial_agg", "broadcast_join", "take_ordered",
+                       "no_python_udf"],
     # sequence packing: the parallel prefix-sum segment sits behind a
     # localCheckpoint (single pinned execution), so the visible plan is
     # the map-side explode — the per-partition-window structure itself is
