@@ -862,3 +862,87 @@ def bm25_topk(
         "doc_id",
         F.col("score_q6").cast("long").alias("score_q6"),
     )
+
+
+def dsir_topk(
+    docs: DataFrame,
+    target_where: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 100,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): rank raw
+    documents by importance weight under hashed-n-gram bag-of-words models
+    of a TARGET distribution vs the RAW distribution — the
+    data-selection pass that picks pretraining data resembling a
+    high-quality target corpus. ``target_where`` names the target subset
+    (e.g. ``"lang = 'en'"``); the weight of a document is
+    sum over tokens of ln(p_target(bucket)/p_raw(bucket)) under add-1
+    smoothing — the log importance ratio of the unigram product model.
+
+    Hashed features: each token maps to one of 256 buckets by the first
+    two hex chars of ``md5(seed|token)`` — the engine's portable-hash
+    contract (operators/sampling.py), so any engine recomputes identical
+    features. The per-bucket log-ratio is ONE ln over a ratio of exact
+    int64 products, quantized HALF_UP at 1e-6; per-doc weights sum as
+    int64 (accumulation-order-free — the lm_perplexity contract), so a
+    DuckDB oracle replays the selection bit-for-bit. Output: the selected
+    top-``n`` as (rank, doc_id, n_tokens, weight_q6), ties on doc_id.
+
+    At 100 TB: explode + partial-aggregated bucket counts, a 256-row
+    log-ratio table broadcast back onto the token stream, partial-agg'd
+    per-doc sums, TakeOrderedAndProject top-n — no UDFs, no driver
+    collect, no global sort. (The int64 smoothing products are exact in
+    IEEE double below ~2^53 total tokens per side — beyond that the 1e-6
+    quantization dominates either way.)"""
+    from pyspark.sql import Window
+
+    B = 256
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    tokb = tok.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col("w"))), 1, 2
+        ).alias("b"),
+    )
+    raw = tokb.groupBy("b").agg(F.count("*").alias("c_raw"))
+    tgt_ids = docs.filter(target_where).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+    tgt = (
+        tokb.join(tgt_ids, "doc_id")
+        .groupBy("b")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    r = raw.join(tgt, "b", "left").na.fill({"c_tgt": 0})
+    totals = r.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    num = ((F.col("c_tgt") + 1) * (F.col("t_raw") + B)).cast("double")
+    den = ((F.col("c_raw") + 1) * (F.col("t_tgt") + B)).cast("double")
+    lr = r.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(F.log(num / den) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("lr_q6"),
+    )
+    scored = (
+        tokb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lr_q6").alias("weight_q6"),
+        )
+    )
+    top = scored.orderBy(F.desc("weight_q6"), F.asc("doc_id")).limit(n)
+    w = Window.orderBy(F.desc("weight_q6"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "n_tokens",
+        F.col("weight_q6").cast("long").alias("weight_q6"),
+    )

@@ -1085,6 +1085,46 @@ def t17_bm25_topk(spark, sf_dir):
     )
 
 
+@q(
+    "t18_dsir_select",
+    f"""WITH tok AS (SELECT doc_id, unnest({_TOKS_DOC}) AS w FROM documents),
+       tb AS (SELECT doc_id, substr(md5('dsir|' || w), 1, 2) AS b FROM tok),
+       raw AS (SELECT b, COUNT(*) AS c_raw FROM tb GROUP BY b),
+       tgt AS (SELECT tb.b, COUNT(*) AS c_tgt
+               FROM tb JOIN documents d USING (doc_id)
+               WHERE d.lang = 'en' GROUP BY tb.b),
+       r AS (SELECT raw.b, c_raw, COALESCE(c_tgt, 0) AS c_tgt
+             FROM raw LEFT JOIN tgt USING (b)),
+       tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM r),
+       lr AS (SELECT b,
+                     CAST(round(ln(
+                         CAST((c_tgt + 1) * (t_raw + 256) AS DOUBLE)
+                         / CAST((c_raw + 1) * (t_tgt + 256) AS DOUBLE)
+                     ) * 1000000) AS BIGINT) AS lr_q6
+              FROM r CROSS JOIN tot),
+       sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     SUM(lr_q6) AS weight_q6
+              FROM tb JOIN lr USING (b) GROUP BY doc_id)
+       SELECT CAST(row_number() OVER (ORDER BY weight_q6 DESC, doc_id ASC)
+                   AS BIGINT) AS rank,
+              CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+              CAST(weight_q6 AS BIGINT) AS weight_q6
+       FROM sc ORDER BY weight_q6 DESC, doc_id ASC LIMIT 100""",
+    "T18 DSIR data selection (engine extension; Xie et al. 2023): rank "
+    "documents by hashed-unigram importance weight of a TARGET "
+    "distribution (the lang='en' subset) vs the RAW corpus — the "
+    "select-pretraining-data-like-the-target pass. 256 md5-prefix "
+    "feature buckets (the portable-hash contract), add-1 smoothing as "
+    "ONE ln over a ratio of exact int64 products quantized at 1e-6, "
+    "per-doc int64 sums, top-100 via TakeOrderedAndProject — the DuckDB "
+    "oracle replays feature hashing, smoothing, and ranking "
+    "bit-for-bit.",
+)
+def t18_dsir_select(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return TS.dsir_topk(d, "lang = 'en'", n=100)
+
+
 def _knn_ranked_sql(query_vec_id: int, n: int) -> str:
     """DuckDB replay of similarity.knn_bruteforce for ONE query vector:
     the ranked top-``n`` as (rank, doc_id) with the s1 quantized-int64

@@ -381,3 +381,24 @@ def test_bm25_ranks_term_dense_short_docs_first(spark):
     assert ranked.index(1) < ranked.index(3) < ranked.index(2)
     assert [r.rank for r in out] == [1, 2, 3, 4]
     assert all(r.score_q6 > 0 for r in out)
+
+
+def test_dsir_selects_target_like_documents(spark):
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import dsir_topk
+
+    rows = (
+        # the target subset: distinct vocabulary
+        [(i, "alpha beta gamma alpha beta", "tgt") for i in range(5)]
+        # raw candidates: one target-like, one mixed, several off-target
+        + [(10, "alpha beta alpha beta", "raw"),
+           (11, "alpha zeta eta theta", "raw")]
+        + [(20 + i, "zeta eta theta zeta eta", "raw") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, src STRING")
+    out = dsir_topk(df, "src = 'tgt'", n=20).collect()
+    w = {r.doc_id: r.weight_q6 for r in out}
+    # target-like candidate outranks mixed outranks off-target
+    assert w[10] > w[11] > w[20]
+    assert all(w[20 + i] == w[20] for i in range(5))  # identical docs tie
+    ranked = [r.doc_id for r in out]
+    assert ranked.index(10) < ranked.index(11) < ranked.index(20)

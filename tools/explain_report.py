@@ -131,6 +131,11 @@ PROBES: dict[str, list[str]] = {
     # groupBy + top-k; the semantic side broadcasts its 1-vector query
     "s10_hybrid_rrf": ["partial_agg", "broadcast_join", "take_ordered",
                        "no_python_udf"],
+    # DSIR: bucket counts partial-aggregate, the 256-row log-ratio table
+    # broadcasts back onto the token stream, per-doc sums partial-agg,
+    # top-100 is a heap — no global sort, no Python, no cross product
+    "t18_dsir_select": ["partial_agg", "broadcast_join", "take_ordered",
+                        "no_python_udf", "no_cartesian_blowup"],
     # sequence packing: the parallel prefix-sum segment sits behind a
     # localCheckpoint (single pinned execution), so the visible plan is
     # the map-side explode — the per-partition-window structure itself is
