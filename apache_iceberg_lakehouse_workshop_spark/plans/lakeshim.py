@@ -2891,6 +2891,16 @@ class LakeTable:
                         == cur_snap.get("commit_filters", {}).get(d)
                         for d in cur_snap["commit_dirs"]
                     )
+                    # (c) merge-on-read state: every delete main's head
+                    # holds must ride the branch head too (append_to_branch
+                    # carries them, so a true descendant always passes) —
+                    # otherwise publishing would resurrect deleted rows
+                    and set(cur_snap.get("delete_dirs", []))
+                    <= set(head_snap.get("delete_dirs", []))
+                    and all(
+                        e in head_snap.get("eq_deletes", [])
+                        for e in cur_snap.get("eq_deletes", [])
+                    )
                 )
             if not ok:
                 raise ValueError(
@@ -2961,9 +2971,78 @@ class LakeTable:
         return dict(self._load_meta().get("properties", {}))
 
     @_requires("ALTER", "WRITE")
+    @_requires("ALTER", "WRITE")
+    def fold_deletes(self) -> int:
+        """Consolidate EVERY outstanding merge-on-read delete file —
+        position AND equality — into ONE compact position-delete dir,
+        without rewriting any data file: the engine twin of Iceberg's
+        ``rewrite_position_delete_files`` + equality→position conversion.
+
+        Why it exists at 100 TB: a live CDC sink accumulates one delete
+        file per batch; every read then pays one anti-join per equality
+        entry. ``compact()`` folds them but rewrites the whole table —
+        O(table). This pays ONE scan (coordinates only, no data rewrite):
+        afterwards reads are back to a single position anti-join and
+        ``drop_column`` is legal again. The delete set is the raw scan
+        minus the live rows, so chained/overlapping delete files collapse
+        exactly. No-op (metadata unchanged) when nothing is outstanding."""
+        meta = self._load_meta()
+        parent = meta.get("current_snapshot_id")
+        snap = self._current_snapshot(meta)
+        if snap is None or (
+            not snap.get("delete_dirs") and not snap.get("eq_deletes")
+        ):
+            return parent
+        schema = (
+            T.StructType.fromJson(meta["schema"]) if meta.get("schema") else None
+        )
+        aliases = meta.get("column_aliases", {})
+        tombs = self._tombstoned_dirs(meta, schema, None)
+        dirs = [os.path.join(self.path, "data", d) for d in snap["commit_dirs"]]
+        cf = snap.get("commit_filters", {})
+        raw = self._read_dirs(
+            dirs, None, [cf.get(d) for d in snap["commit_dirs"]],
+            schema, aliases, tombs, with_pos=True,
+        )
+        live = raw
+        eq = snap.get("eq_deletes", [])
+        if eq:
+            live = self._apply_equality_deletes(live, eq)
+        dd = snap.get("delete_dirs", [])
+        if dd:
+            paths = [os.path.join(self.path, "data", d) for d in dd]
+            dels = self.spark.read.parquet(*paths).select(
+                F.col("file_path").alias("__sg_file"),
+                F.col("pos").alias("__sg_pos"),
+            )
+            live = live.join(dels, ["__sg_file", "__sg_pos"], "left_anti")
+        deleted = raw.select("__sg_file", "__sg_pos").join(
+            live.select("__sg_file", "__sg_pos"),
+            ["__sg_file", "__sg_pos"],
+            "left_anti",
+        ).select(
+            F.col("__sg_file").alias("file_path"),
+            F.col("__sg_pos").alias("pos"),
+        )
+        new_dd = []
+        if not deleted.isEmpty():
+            ddir = f"deletes-{uuid.uuid4().hex[:12]}"
+            deleted.write.mode("error").parquet(
+                os.path.join(self.path, "data", ddir)
+            )
+            new_dd = [ddir]
+        return self._commit_rewrite(
+            parent, "fold", list(snap["commit_dirs"]),
+            commit_filters=dict(cf) or None,
+            delete_dirs=new_dd or None,
+        )["id"]
+
     def maintain(self, target_file_mb: int = 128, keep_last: int = 3) -> None:
         """One-call table optimization — the engine twin of the reference's
-        "automated table optimization" (readme.md:391-401)."""
+        "automated table optimization" (readme.md:391-401). Outstanding
+        merge-on-read delete files fold first (coordinates-only scan), then
+        data bin-packs, then history expires."""
+        self.fold_deletes()
         self.compact(target_file_mb)
         self.expire_snapshots(keep_last)
 

@@ -397,6 +397,7 @@ def upsert_stream_batch(
     batch_id: int,
     seq_col: str | None = None,
     equality: bool = False,
+    fold_every: int | None = None,
 ) -> bool:
     """Idempotently UPSERT one CDC micro-batch: reduce the batch to its
     per-key latest row (by ``seq_col`` — a change sequence / source
@@ -412,7 +413,11 @@ def upsert_stream_batch(
     Iceberg upsert mode: each batch writes an equality-delete file of its
     keys plus its rows, O(batch) per trigger with NO target scan at all
     (the CoW merge pays a key-range-pruned target read every batch).
-    ``compact()`` on the maintenance cadence folds the delete files."""
+    ``fold_every=N`` bounds the read-side cost of a long-running sink:
+    once N equality-delete files are outstanding they consolidate into
+    one position-delete dir (``fold_deletes`` — ONE coordinates-only
+    scan, no data rewrite), so readers never chain more than N
+    anti-joins no matter how long the stream runs."""
     for snap in lake_table._load_meta()["snapshots"]:
         props = snap.get("props") or {}
         if props.get("checkpoint") == checkpoint_dir and props.get("batch_id") is not None \
@@ -436,6 +441,10 @@ def upsert_stream_batch(
     props = {"checkpoint": checkpoint_dir, "batch_id": batch_id}
     if equality:
         lake_table.upsert_equality(src, keys, snapshot_props=props)
+        if fold_every is not None:
+            snap = lake_table._current_snapshot(lake_table._load_meta())
+            if len((snap or {}).get("eq_deletes", [])) >= fold_every:
+                lake_table.fold_deletes()
     else:
         lake_table.merge(src, keys, snapshot_props=props)
     return True
@@ -449,6 +458,7 @@ def stream_upsert_to_table(
     seq_col: str | None = None,
     trigger_available_now: bool = True,
     equality: bool = False,
+    fold_every: int | None = None,
 ):
     """Sink a CDC/update stream into a lakehouse table as per-batch
     MERGEs: each micro-batch collapses to its per-key latest row and
@@ -459,12 +469,15 @@ def stream_upsert_to_table(
     pruned CoW merge (O(affected dirs), see LakeTable.merge), not a table
     rewrite. ``equality=True`` switches to Iceberg v2 equality-delete
     upserts (Flink upsert mode): O(batch) per trigger, zero target
-    scans — the shape a high-frequency CDC sink needs at 100 TB."""
+    scans — the shape a high-frequency CDC sink needs at 100 TB;
+    ``fold_every=N`` caps the outstanding delete files (readers never
+    chain more than N anti-joins) via a coordinates-only fold, no data
+    rewrite."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_stream_batch(
             lake_table, checkpoint_dir, keys, batch_df, batch_id, seq_col,
-            equality=equality,
+            equality=equality, fold_every=fold_every,
         )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(

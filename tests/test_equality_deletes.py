@@ -219,3 +219,78 @@ def test_stream_upsert_equality_matches_cow_merge(lake, spark, tmp_path):
     eq_t.compact()
     assert not eq_t._current_snapshot(eq_t._load_meta()).get("eq_deletes")
     assert {(r.id, r.v, r.seq) for r in eq_t.read().collect()} == want
+
+
+def test_fold_deletes_consolidates_without_data_rewrite(lake, spark):
+    t = _mk(lake, spark)
+    before = _data_files(t)
+    t.delete_where("id = 1", mode="merge-on-read")  # position delete
+    t.delete_by_key(_keys(spark, [2]))  # equality delete
+    t.upsert_equality(
+        spark.createDataFrame([(3, "u3", 1), (30, "n", 0)],
+                              "id BIGINT, v STRING, g BIGINT"),
+        "id",
+    )
+    want = {r.id: r.v for r in t.read().collect()}
+    t.fold_deletes()
+    snap = t._current_snapshot(t._load_meta())
+    assert not snap.get("eq_deletes")
+    assert len(snap.get("delete_dirs", [])) == 1  # one consolidated dir
+    assert set(before) <= set(_data_files(t))  # data files untouched
+    assert {r.id: r.v for r in t.read().collect()} == want
+    assert want[3] == "u3" and 1 not in want and 2 not in want and want[30] == "n"
+    # drop_column legal again after the equality entries folded
+    t.drop_column("g")
+    # idempotent: nothing outstanding beyond the folded dir -> fold again
+    sid = t._current_snapshot(t._load_meta())["id"]
+    t.fold_deletes()
+    assert {r.id for r in t.read().collect()} == set(want)
+
+
+def test_fold_deletes_noop_when_clean(lake, spark):
+    t = _mk(lake, spark)
+    sid = t._current_snapshot(t._load_meta())["id"]
+    assert t.fold_deletes() == sid  # metadata untouched
+    assert t._current_snapshot(t._load_meta())["id"] == sid
+
+
+def test_publish_fallback_refuses_missing_main_deletes(lake, spark):
+    """Chain-broken fast-forward must not resurrect rows main deleted
+    AFTER the branch was staged."""
+    import pytest as _pt
+
+    t = _mk(lake, spark)
+    t.create_branch("wap")
+    t.append_to_branch(
+        "wap", spark.createDataFrame([(90, "b", 0)], "id BIGINT, v STRING, g BIGINT")
+    )
+    # main advances with a MoR delete the branch doesn't carry
+    t.delete_by_key(_keys(spark, [0]))
+    # expire intermediate history so the parent chain breaks
+    t.expire_snapshots(keep_last=1)
+    with _pt.raises(ValueError, match="fast-forward"):
+        t.publish_branch("wap")
+
+
+def test_stream_upsert_equality_fold_every_bounds_delete_files(lake, spark, tmp_path):
+    from apache_iceberg_lakehouse_workshop_spark.streaming.pipeline import (
+        upsert_stream_batch,
+    )
+
+    lake.create_namespace("ns")
+    t = lake.create_table("ns.cdc", "id BIGINT, v STRING, seq BIGINT")
+    state = {}
+    for i in range(7):
+        rows = [(i % 4, f"v{i}", i), (100 + i, f"n{i}", i)]
+        state[i % 4] = (f"v{i}", i)
+        state[100 + i] = (f"n{i}", i)
+        df = spark.createDataFrame(rows, "id BIGINT, v STRING, seq BIGINT")
+        upsert_stream_batch(
+            t, str(tmp_path / "ck"), ["id"], df, i, "seq",
+            equality=True, fold_every=3,
+        )
+        snap = t._current_snapshot(t._load_meta())
+        # readers never chain more than fold_every equality anti-joins
+        assert len(snap.get("eq_deletes", [])) < 3 or not snap.get("eq_deletes")
+    got = {r.id: (r.v, r.seq) for r in t.read().collect()}
+    assert got == state
