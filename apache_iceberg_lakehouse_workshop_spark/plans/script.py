@@ -83,6 +83,13 @@ _RE_INSERT_COLS_VALUES = re.compile(
 )
 _RE_DROP = re.compile(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I)
 _RE_OPTIMIZE = re.compile(r"^OPTIMIZE\s+TABLE\s+([\w.]+)\s*$", re.I)
+# OPTIMIZE TABLE t REWRITE DELETES — consolidate merge-on-read delete
+# files (position + equality) into one position-delete dir without
+# rewriting data: the statement form of fold_deletes() (Iceberg's
+# rewrite_position_delete_files maintenance action)
+_RE_OPTIMIZE_DELETES = re.compile(
+    r"^OPTIMIZE\s+TABLE\s+([\w.]+)\s+REWRITE\s+DELETES\s*$", re.I
+)
 # Dremio's full OPTIMIZE surface: partition-scoped rewrite, target file
 # size, sort / Z-order clustering (readme.md:391-401 "partition
 # optimization"); REWRITE MANIFESTS stays unsupported (no manifest files
@@ -288,7 +295,11 @@ _DML_SUPPORTED_FORMS = {
     "DELETE": "DELETE FROM t [WHERE cond]",
     "COPY": "COPY INTO t FROM 'path' [REGEX '...'] [FILE_FORMAT 'fmt'] [(opts)]",
     "GRANT": "GRANT p1[, p2] ON PROJECT|FOLDER|TABLE|VIEW obj TO USER|ROLE who",
-    "OPTIMIZE": "OPTIMIZE TABLE t",
+    "OPTIMIZE": (
+        "OPTIMIZE TABLE t [REWRITE DATA] [FOR PARTITIONS cond] "
+        "[(TARGET_FILE_SIZE_MB = n)] [SORT|CLUSTER BY (cols)] "
+        "| OPTIMIZE TABLE t REWRITE DELETES"
+    ),
     "VACUUM": (
         "VACUUM TABLE t EXPIRE SNAPSHOTS [OLDER_THAN 'ts'] [RETAIN_LAST n]"
     ),
@@ -1265,6 +1276,10 @@ class ScriptRunner:
                 # automates (readme.md:393): bin-pack small files + expire
                 # old snapshots (SURVEY §4 R9)
                 self.lake.table(m.group(1)).maintain()
+                continue
+            m = _RE_OPTIMIZE_DELETES.match(st)
+            if m:
+                self.lake.table(m.group(1)).fold_deletes()
                 continue
             m = _RE_OPTIMIZE_EXT.match(st)
             if m and (m.group("part") or m.group("mb") or m.group("kind")):

@@ -599,6 +599,25 @@ def _scaled_section(spark) -> dict:
         big = replicate(docs, times, {"doc_id": 1_000_000})
         return TSS.boilerplate_ngram_scrub(big, n=3, min_doc_freq=5), times * 5_000
 
+    def t17(times):
+        from apache_iceberg_lakehouse_workshop_spark.operators import textstats as TSS
+
+        # plain id offsets: replicas multiply every tf/df/dl count by the
+        # tier — the BM25 count pipeline's production shape (counts grow,
+        # the ranked top-k stays k rows)
+        big = replicate(docs, times, {"doc_id": 1_000_000})
+        return (
+            TSS.bm25_topk(big, ["spark", "vector", "stream"], n=20),
+            times * 5_000,
+        )
+
+    def t18(times):
+        from apache_iceberg_lakehouse_workshop_spark.operators import textstats as TSS
+
+        dl = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+        big = replicate(dl, times, {"doc_id": 1_000_000})
+        return TSS.dsir_topk(big, "lang = 'en'", n=100), times * 5_000
+
     def j13(times):
         big = replicate(
             events, times, {"user_id": 10_000_000, "event_id": 100_000_000}
@@ -628,6 +647,8 @@ def _scaled_section(spark) -> dict:
         "s8_knn_ivfpq_res": (s8, 8, 64),
         "d6_semdedup": (d6, 8, 64),
         "t14_boilerplate_scrub": (t14, 2, 16),
+        "t17_bm25_topk": (t17, 4, 32),
+        "t18_dsir_select": (t18, 4, 32),
         "j13_asof_join": (j13, 8, 64),
     }
     out = {}

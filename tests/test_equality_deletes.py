@@ -294,3 +294,14 @@ def test_stream_upsert_equality_fold_every_bounds_delete_files(lake, spark, tmp_
         assert len(snap.get("eq_deletes", [])) < 3 or not snap.get("eq_deletes")
     got = {r.id: (r.v, r.seq) for r in t.read().collect()}
     assert got == state
+
+
+def test_optimize_rewrite_deletes_sql(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_by_key(_keys(spark, [1, 3]))
+    t.delete_where("id = 5", mode="merge-on-read")
+    lake.run_script("OPTIMIZE TABLE ns.t REWRITE DELETES;")
+    snap = t._current_snapshot(t._load_meta())
+    assert not snap.get("eq_deletes")
+    assert len(snap.get("delete_dirs", [])) == 1
+    assert sorted(r.id for r in t.read().collect()) == [0, 2, 4, 6, 7, 8, 9]
