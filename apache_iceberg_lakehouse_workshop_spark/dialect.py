@@ -164,7 +164,8 @@ _FOLDER = re.compile(r"\bCREATE\s+FOLDER\b", re.I)
 # extension) -> the `<leaf>__snapshots` / `__history` / `__files` /
 # `__partitions` views that Lakehouse.run_script registers per table.
 _META_TVF = re.compile(
-    r"TABLE\s*\(\s*table_(snapshot|history|files|partitions|refs)\s*\(\s*'([\w.]+)'\s*\)\s*\)",
+    r"TABLE\s*\(\s*table_(snapshot|history|delete_files|files|partitions|refs)"
+    r"\s*\(\s*'([\w.]+)'\s*\)\s*\)",
     re.I,
 )
 

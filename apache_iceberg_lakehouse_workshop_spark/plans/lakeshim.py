@@ -2464,6 +2464,39 @@ class LakeTable:
         return self.spark.createDataFrame(rows, "file_path STRING, size_bytes BIGINT, commit_dir STRING") \
             if rows else self.spark.createDataFrame([], "file_path STRING, size_bytes BIGINT, commit_dir STRING")
 
+    def delete_files(self) -> DataFrame:
+        """≈ Iceberg ``t.delete_files`` — one row per live merge-on-read
+        delete file with Iceberg's content ids: 1 = position deletes
+        (file_path/pos rows), 2 = equality deletes (key tuples;
+        ``equality_cols`` lists the physical key columns). Empty when no
+        MoR state is outstanding — the post-``fold_deletes``/``compact``
+        invariant an operator checks before expecting single-anti-join
+        reads. SQL: ``TABLE(table_delete_files('t'))``."""
+        meta = self._load_meta()
+        snap = self._current_snapshot(meta)
+        rows = []
+
+        def walk(rel_dir, content, eq_cols):
+            base = os.path.join(self.path, "data", rel_dir)
+            for root, _dirs, names in os.walk(base):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        p = os.path.join(root, n)
+                        rows.append(
+                            (p, os.path.getsize(p), rel_dir, content, eq_cols)
+                        )
+
+        for d in (snap or {}).get("delete_dirs", []):
+            walk(d, 1, None)
+        for e in (snap or {}).get("eq_deletes", []):
+            walk(e["dir"], 2, ",".join(e["cols"]))
+        schema = (
+            "file_path STRING, size_bytes BIGINT, commit_dir STRING, "
+            "content INT, equality_cols STRING"
+        )
+        return self.spark.createDataFrame(rows, schema) if rows \
+            else self.spark.createDataFrame([], schema)
+
     def partitions(self) -> DataFrame:
         """≈ ``t.partitions`` — one row per live partition with file count,
         byte size, and exact row count (read from parquet footers, not by

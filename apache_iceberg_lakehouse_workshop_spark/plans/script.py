@@ -1049,11 +1049,14 @@ class ScriptRunner:
         metadata crawl."""
         wanted = {
             (leaf, kind.lower())
-            for leaf, kind in re.findall(r"\b(\w+?)__(files|partitions)\b", sql)
+            for leaf, kind in re.findall(
+                r"\b(\w+?)__(delete_files|files|partitions)\b", sql
+            )
         } | {
             (name.split(".")[-1], kind.lower())
             for kind, name in re.findall(
-                r"table_(files|partitions)\s*\(\s*'([\w.]+)'", sql, re.I
+                r"table_(delete_files|files|partitions)\s*\(\s*'([\w.]+)'",
+                sql, re.I,
             )
         }
         if not wanted:
@@ -1066,7 +1069,11 @@ class ScriptRunner:
             if len(matches) != 1:
                 continue  # unknown or ambiguous leaf: let resolution fail naturally
             t = self.lake.table(matches[0])
-            df = t.files() if kind == "files" else t.partitions()
+            df = {
+                "files": t.files,
+                "partitions": t.partitions,
+                "delete_files": t.delete_files,
+            }[kind]()
             df.createOrReplaceTempView(f"{leaf}__{kind}")
 
     def _dataset_anchors(self, dataset: str) -> list[str]:

@@ -305,3 +305,98 @@ def test_optimize_rewrite_deletes_sql(lake, spark):
     assert not snap.get("eq_deletes")
     assert len(snap.get("delete_dirs", [])) == 1
     assert sorted(r.id for r in t.read().collect()) == [0, 2, 4, 6, 7, 8, 9]
+
+
+def test_delete_files_metadata_table_and_tvf(lake, spark):
+    t = _mk(lake, spark)
+    assert t.delete_files().count() == 0
+    t.delete_where("id = 1", mode="merge-on-read")
+    t.delete_by_key(_keys(spark, [2]))
+    df = t.delete_files().collect()
+    by_content = {r.content: r for r in df}
+    assert set(by_content) == {1, 2}
+    assert by_content[2].equality_cols == "id"
+    assert by_content[1].equality_cols is None
+    assert all(r.size_bytes > 0 for r in df)
+    # SQL TVF form (Iceberg t.delete_files parity)
+    out = lake.run_script(
+        "SELECT content, COUNT(*) AS n FROM TABLE(table_delete_files('ns.t')) "
+        "GROUP BY content ORDER BY content;"
+    )
+    assert [(r.content, r.n) for r in out.collect()] == [(1, 1), (2, 1)]
+    # post-maintenance invariant: fold leaves exactly one position dir
+    t.fold_deletes()
+    assert {r.content for r in t.delete_files().collect()} == {1}
+    t.compact()
+    assert t.delete_files().count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rows_st = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 9)), min_size=1, max_size=4
+)
+_ops_st = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _rows_st),
+        st.tuples(st.just("delete_by_key"),
+                  st.lists(st.integers(0, 7), min_size=1, max_size=3)),
+        st.tuples(st.just("upsert"), _rows_st),
+        st.tuples(st.just("mor_delete"), st.integers(0, 7)),
+        st.tuples(st.just("fold"), st.none()),
+        st.tuples(st.just("compact"), st.none()),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(_ops_st)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_mor_delete_machinery_matches_model(spark, ops):
+    """Model-based soundness: ANY interleaving of appends, equality
+    deletes, equality upserts, position deletes, folds, and compactions
+    reads back exactly what a plain multiset model predicts — no
+    resurrection, no lost rows, regardless of which delete files are
+    outstanding when the next op lands."""
+    import shutil
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="eqprop-")
+    try:
+        lake = Lakehouse(spark, wh)
+        t = lake.create_table("m.t", "id BIGINT, v STRING")
+        model: list[tuple[int, str]] = []
+
+        def df_of(rows):
+            return spark.createDataFrame(
+                [(k, f"v{x}") for k, x in rows], "id BIGINT, v STRING"
+            )
+
+        for op, arg in ops:
+            if op == "append":
+                t.append(df_of(arg))
+                model += [(k, f"v{x}") for k, x in arg]
+            elif op == "delete_by_key":
+                t.delete_by_key(
+                    spark.createDataFrame([(k,) for k in arg], "id BIGINT")
+                )
+                model = [r for r in model if r[0] not in set(arg)]
+            elif op == "upsert":
+                t.upsert_equality(df_of(arg), "id")
+                keys = {k for k, _ in arg}
+                model = [r for r in model if r[0] not in keys]
+                model += [(k, f"v{x}") for k, x in arg]
+            elif op == "mor_delete":
+                t.delete_where(f"id = {arg}", mode="merge-on-read")
+                model = [r for r in model if r[0] != arg]
+            elif op == "fold":
+                t.fold_deletes()
+            elif op == "compact":
+                t.compact(n_files=2)
+        got = sorted((r.id, r.v) for r in t.read().collect())
+        assert got == sorted(model)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
