@@ -400,3 +400,30 @@ def test_mor_delete_machinery_matches_model(spark, ops):
         assert got == sorted(model)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_read_changes_changelog(lake, spark):
+    """CDC-out: read_changes emits net row-level changes with _change_type
+    (Iceberg create_changelog_view / Delta table_changes semantics)."""
+    t = lake.create_table("c.t", "id BIGINT, v STRING")
+    base = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, v STRING"))
+    s2 = t.append(spark.createDataFrame([(3, "c")], "id BIGINT, v STRING"))
+    # append-only range: the O(delta) fast path, inserts only
+    assert [(r.id, r.v, r._change_type) for r in t.read_changes(base).collect()] \
+        == [(3, "c", "insert")]
+    # upsert: the replaced key appears as delete + insert
+    s3 = t.upsert_equality(
+        spark.createDataFrame([(2, "B"), (4, "d")], "id BIGINT, v STRING"), "id"
+    )
+    ch = sorted((r.id, r.v, r._change_type) for r in t.read_changes(s2, s3).collect())
+    assert ch == [(2, "B", "insert"), (2, "b", "delete"), (4, "d", "insert")]
+    # from the empty table
+    assert sorted((r.id, r._change_type) for r in t.read_changes(None).collect()) \
+        == [(1, "insert"), (2, "insert"), (3, "insert"), (4, "insert")]
+    # net-zero rewrite: compaction is invisible to the changelog
+    s4 = t.compact()
+    assert t.read_changes(s3, s4).count() == 0
+    # MoR position delete shows as a delete
+    t.delete_where("id = 1", mode="merge-on-read")
+    assert [(r.id, r._change_type) for r in t.read_changes(s4).collect()] \
+        == [(1, "delete")]
