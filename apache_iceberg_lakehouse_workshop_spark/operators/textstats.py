@@ -946,3 +946,54 @@ def dsir_topk(
         "n_tokens",
         F.col("weight_q6").cast("long").alias("weight_q6"),
     )
+
+
+def encode_token_ids(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-id encoding — the step between corpus vocab statistics
+    (:func:`bm25_topk`'s tf/df machinery, t8's top-k) and sequence packing
+    (:func:`pack_training_windows`): map every token to its id under the
+    corpus top-``vocab_size`` vocabulary (rank by frequency, ties
+    lexicographic — deterministic), OOV tokens to id 0.
+
+    Output one row per document: (doc_id, n_tokens, n_oov, ids_md5) where
+    ``ids_md5`` fingerprints the ORDERED id sequence (ids joined by ',')
+    — the order-sensitive artifact a DuckDB oracle replays exactly
+    (string_agg ORDER BY position), without shipping whole id arrays
+    through the driver compare.
+
+    At 100 TB: vocab is partial-aggregated counts + a top-V heap (V rows,
+    broadcast back); encoding is a map-side broadcast join on the token;
+    the per-doc sequence rebuild is one groupBy with an array_sort over
+    (pos, id) structs — per-doc state only, no global sort, no UDFs."""
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.desc("c"), F.asc("w")).limit(vocab_size)
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    vocab = top.select(
+        "w", F.row_number().over(w).cast("long").alias("tid")
+    )
+    enc = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("tid"), F.lit(0)).alias("tid")
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"].cast("string"),
+        ),
+        ",",
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("long")).cast("long").alias("n_oov"),
+        F.md5(seq).alias("ids_md5"),
+    )

@@ -373,6 +373,8 @@ tb_sample_battery = _register_battery(
          {"rank": "k1", "doc_id": "k2", "score_q6": "n1"}),
         ("t18_dsir_select", "t18_dsir_select",
          {"rank": "k1", "doc_id": "k2", "n_tokens": "n1", "weight_q6": "n2"}),
+        ("t19_token_ids", "t19_token_ids",
+         {"doc_id": "k1", "n_tokens": "n1", "n_oov": "n2", "ids_md5": "s1"}),
     ],
 )
 
@@ -576,6 +578,7 @@ ABSORBED = {
     "t13_sequence_packing": "tb_sample_battery",
     "t17_bm25_topk": "tb_sample_battery",
     "t18_dsir_select": "tb_sample_battery",
+    "t19_token_ids": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",
     "e2_sessionized_purchases": "eb_event_battery",
     "e3_session_rollup": "eb_event_battery",

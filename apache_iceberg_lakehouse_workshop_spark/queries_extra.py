@@ -1125,6 +1125,40 @@ def t18_dsir_select(spark, sf_dir):
     return TS.dsir_topk(d, "lang = 'en'", n=100)
 
 
+@q(
+    "t19_token_ids",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS ws FROM documents),
+       tokp AS (SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS pos
+                FROM tok WHERE len(ws) > 0),
+       counts AS (SELECT w, COUNT(*) AS c FROM tokp GROUP BY w),
+       vocab AS (SELECT w,
+                        CAST(row_number() OVER (ORDER BY c DESC, w ASC)
+                             AS BIGINT) AS tid
+                 FROM counts ORDER BY c DESC, w ASC LIMIT 1000),
+       enc AS (SELECT doc_id, pos, COALESCE(tid, 0) AS tid
+               FROM tokp LEFT JOIN vocab USING (w))
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+              md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos))
+                  AS ids_md5
+       FROM enc GROUP BY doc_id""",
+    "T19 vocabulary-id encoding (engine extension): tokens -> ids under "
+    "the corpus top-1000 vocabulary (frequency rank, lexicographic ties), "
+    "OOV -> 0 — the step between vocab stats (t8) and sequence packing "
+    "(t13) in an LM data-prep chain. ids_md5 fingerprints the ORDERED id "
+    "sequence so the driver hash pins per-position encoding, not just "
+    "counts. Plan: partial-agg counts, top-V heap broadcast back, "
+    "map-side encode, per-doc array_sort rebuild — no global sort, no "
+    "UDFs.",
+)
+def t19_token_ids(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return TS.encode_token_ids(d, vocab_size=1000)
+
+
 def _knn_ranked_sql(query_vec_id: int, n: int) -> str:
     """DuckDB replay of similarity.knn_bruteforce for ONE query vector:
     the ranked top-``n`` as (rank, doc_id) with the s1 quantized-int64

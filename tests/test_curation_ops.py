@@ -402,3 +402,23 @@ def test_dsir_selects_target_like_documents(spark):
     assert all(w[20 + i] == w[20] for i in range(5))  # identical docs tie
     ranked = [r.doc_id for r in out]
     assert ranked.index(10) < ranked.index(11) < ranked.index(20)
+
+
+def test_encode_token_ids_chain(spark):
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import (
+        encode_token_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "bb zz"), (3, "")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in encode_token_ids(df, vocab_size=2).collect()}
+    # vocab: aa (3) -> 1, bb (2) -> 2; cc/zz OOV -> 0
+    import hashlib
+
+    assert out[1].n_tokens == 4 and out[1].n_oov == 1
+    assert out[1].ids_md5 == hashlib.md5(b"1,2,1,0").hexdigest()
+    assert out[2].n_tokens == 2 and out[2].n_oov == 1
+    assert out[2].ids_md5 == hashlib.md5(b"2,0").hexdigest()
+    assert 3 not in out  # empty doc: no tokens, no row

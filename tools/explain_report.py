@@ -131,6 +131,10 @@ PROBES: dict[str, list[str]] = {
     # groupBy + top-k; the semantic side broadcasts its 1-vector query
     "s10_hybrid_rrf": ["partial_agg", "broadcast_join", "take_ordered",
                        "no_python_udf"],
+    # token-id encoding: counts partial-agg, top-V heap broadcast back,
+    # per-doc array_sort rebuild — no global sort over tokens, no Python
+    "t19_token_ids": ["partial_agg", "broadcast_join", "no_python_udf",
+                      "no_cartesian_blowup"],
     # DSIR: bucket counts partial-aggregate, the 256-row log-ratio table
     # broadcasts back onto the token stream, per-doc sums partial-agg,
     # top-100 is a heap — no global sort, no Python, no cross product
