@@ -3249,6 +3249,37 @@ class Lakehouse:
         with open(self._grants_path, "w") as f:
             json.dump(entries, f, indent=1)
 
+    def revoke(
+        self,
+        privileges: list[str],
+        object_type: str,
+        object_name: str,
+        grantee_type: str,
+        grantee: str,
+    ) -> None:
+        """``REVOKE p1, p2 ON PROJECT|FOLDER|TABLE obj FROM USER|ROLE who``
+        — the inverse of :meth:`grant`: the named privileges are removed
+        from the exactly-matching registry entry (same object type/name
+        and grantee); an entry left with no privileges disappears. Scope
+        is exact, like Dremio: revoking at TABLE level does not carve
+        holes in a covering FOLDER/PROJECT grant."""
+        privs = {p.strip().upper() for p in privileges if p.strip()}
+        entries = []
+        for g in self._load_grants():
+            if (
+                g["object_type"] == object_type.upper()
+                and g["object_name"] == (object_name or "")
+                and g["grantee_type"] == grantee_type.upper()
+                and g["grantee"] == grantee
+            ):
+                left = [p for p in g["privileges"] if p not in privs]
+                if not left:
+                    continue
+                g = dict(g, privileges=left)
+            entries.append(g)
+        with open(self._grants_path, "w") as f:
+            json.dump(entries, f, indent=1)
+
     def grants(self, grantee: str | None = None) -> list[dict]:
         out = self._load_grants()
         if grantee is not None:

@@ -174,6 +174,11 @@ _RE_GRANT = re.compile(
     r"(\"[^\"]+\"|[\w.]+)?\s+TO\s+(USER|ROLE)\s+(\"[^\"]+\"|[\w.@-]+)\s*$",
     re.I | re.S,
 )
+_RE_REVOKE = re.compile(
+    r"^REVOKE\s+(.*?)\s+ON\s+(PROJECT|FOLDER|TABLE|VIEW)\s*"
+    r"(\"[^\"]+\"|[\w.]+)?\s+FROM\s+(USER|ROLE)\s+(\"[^\"]+\"|[\w.@-]+)\s*$",
+    re.I | re.S,
+)
 _RE_COPY_INTO = re.compile(
     r"^COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'"
     r"(?:\s+REGEX\s+'([^']*)')?"
@@ -295,6 +300,7 @@ _DML_SUPPORTED_FORMS = {
     "DELETE": "DELETE FROM t [WHERE cond]",
     "COPY": "COPY INTO t FROM 'path' [REGEX '...'] [FILE_FORMAT 'fmt'] [(opts)]",
     "GRANT": "GRANT p1[, p2] ON PROJECT|FOLDER|TABLE|VIEW obj TO USER|ROLE who",
+    "REVOKE": "REVOKE p1[, p2] ON PROJECT|FOLDER|TABLE|VIEW obj FROM USER|ROLE who",
     "OPTIMIZE": (
         "OPTIMIZE TABLE t [REWRITE DATA] [FOR PARTITIONS cond] "
         "[(TARGET_FILE_SIZE_MB = n)] [SORT|CLUSTER BY (cols)] "
@@ -1480,6 +1486,17 @@ class ScriptRunner:
             if m:
                 privs, obj_type, obj_name, who_type, who = m.groups()
                 self.lake.grant(
+                    [p.strip() for p in privs.replace("\n", " ").split(",")],
+                    obj_type,
+                    (obj_name or "").strip('"'),
+                    who_type,
+                    who.strip('"'),
+                )
+                continue
+            m = _RE_REVOKE.match(st)
+            if m:
+                privs, obj_type, obj_name, who_type, who = m.groups()
+                self.lake.revoke(
                     [p.strip() for p in privs.replace("\n", " ").split(",")],
                     obj_type,
                     (obj_name or "").strip('"'),

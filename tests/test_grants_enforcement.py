@@ -118,3 +118,35 @@ def test_permissions_sql_verbatim_then_enforced(spark, tmp_path):
     assert t.read().count() == 1  # PROJECT SELECT
     t.append(spark.createDataFrame([Row(id=2, amount=1.0)]))  # PROJECT INSERT
     t.delete_where("id = 2")  # PROJECT DELETE
+
+
+def test_revoke_removes_privileges_api_and_sql(spark, tmp_path):
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    lake = Lakehouse(
+        spark, str(tmp_path / "wh"), enforce_grants=True, current_user="ana"
+    )
+    lake.grant(["SELECT", "INSERT"], "TABLE", "ns.t", "USER", "ana")
+    # need DDL rights for setup: a project-wide grant, revoked after
+    lake.grant(["CREATE TABLE", "WRITE"], "PROJECT", "", "USER", "ana")
+    lake.create_namespace("ns")
+    t = lake.create_table("ns.t", "id BIGINT")
+    lake.revoke(["CREATE TABLE", "WRITE"], "PROJECT", "", "USER", "ana")
+    t.append(spark.createDataFrame([(1,)], "id BIGINT"))
+    assert t.read().count() == 1
+    # revoke INSERT only: reads keep working, writes stop
+    lake.run_script('REVOKE INSERT ON TABLE ns.t FROM USER ana;')
+    import pytest as _pt
+
+    with _pt.raises(PermissionError):
+        t.append(spark.createDataFrame([(2,)], "id BIGINT"))
+    assert t.read().count() == 1
+    # revoke the rest: the entry disappears entirely
+    lake.revoke(["SELECT"], "TABLE", "ns.t", "USER", "ana")
+    assert lake.grants("ana") == []
+    with _pt.raises(PermissionError):
+        t.read()
+    # exact scope: revoking at TABLE level never touches a FOLDER grant
+    lake.grant(["SELECT"], "FOLDER", "ns", "USER", "ana")
+    lake.revoke(["SELECT"], "TABLE", "ns.t", "USER", "ana")
+    assert t.read().count() == 1
