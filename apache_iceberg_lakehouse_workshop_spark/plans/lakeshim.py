@@ -2431,12 +2431,21 @@ class LakeTable:
         (readme.md:360-365)."""
         meta = self._load_meta()
         rows = [
-            (s["id"], s["parent_id"], s["ts_ms"], s["operation"], len(s["commit_dirs"]))
+            (
+                s["id"], s["parent_id"], s["ts_ms"], s["operation"],
+                len(s["commit_dirs"]),
+                # Iceberg snapshot-summary flavor: outstanding MoR delete
+                # files (position dirs + equality entries) and the commit
+                # props streaming sinks ride (checkpoint/batch_id)
+                len(s.get("delete_dirs", [])) + len(s.get("eq_deletes", [])),
+                json.dumps(s["props"], sort_keys=True) if s.get("props") else None,
+            )
             for s in meta["snapshots"]
         ]
         return self.spark.createDataFrame(
             rows, "snapshot_id BIGINT, parent_id BIGINT, committed_at_ms BIGINT, "
-                  "operation STRING, n_commit_dirs INT"
+                  "operation STRING, n_commit_dirs INT, n_delete_files INT, "
+                  "summary STRING"
         )
 
     def history(self) -> DataFrame:

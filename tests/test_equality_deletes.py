@@ -427,3 +427,19 @@ def test_read_changes_changelog(lake, spark):
     t.delete_where("id = 1", mode="merge-on-read")
     assert [(r.id, r._change_type) for r in t.read_changes(s4).collect()] \
         == [(1, "delete")]
+
+
+def test_snapshots_expose_delete_file_counts_and_summary(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_by_key(_keys(spark, [1]))
+    t.delete_where("id = 2", mode="merge-on-read")
+    t.upsert_equality(
+        spark.createDataFrame([(3, "u", 1)], "id BIGINT, v STRING, g BIGINT"),
+        "id",
+        snapshot_props={"batch_id": 7},
+    )
+    snaps = {r.snapshot_id: r for r in t.snapshots().collect()}
+    last = snaps[max(snaps)]
+    assert last.n_delete_files == 3  # 1 eq + 1 pos + 1 eq (upsert)
+    assert '"batch_id": 7' in last.summary
+    assert snaps[min(snaps)].n_delete_files == 0
