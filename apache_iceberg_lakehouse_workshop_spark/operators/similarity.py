@@ -1516,6 +1516,8 @@ def rrf_fuse(
     cost is O(sum of list lengths), independent of corpus size."""
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     scored = None
     for r in rankings:
         part = r.select(

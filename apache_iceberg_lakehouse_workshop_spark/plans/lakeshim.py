@@ -1458,7 +1458,7 @@ class LakeTable:
             # position deletes (drop __sg_*); both only remove rows, so
             # the order is semantically free
             if eq_entries:
-                df = self._apply_equality_deletes(df, eq_entries)
+                df = self._apply_equality_deletes(df, eq_entries, aliases_all)
             if del_dirs:
                 df = self._apply_position_deletes(df, del_dirs)
             else:
@@ -1483,7 +1483,9 @@ class LakeTable:
             "__sg_file", "__sg_pos"
         )
 
-    def _apply_equality_deletes(self, df: DataFrame, entries: list[dict]) -> DataFrame:
+    def _apply_equality_deletes(
+        self, df: DataFrame, entries: list[dict], aliases: dict | None = None
+    ) -> DataFrame:
         """Anti-join the snapshot's EQUALITY-delete files (Iceberg v2): each
         entry's parquet dir holds key tuples (physical column names, so
         later renames don't break them); a data row is removed when its key
@@ -1493,7 +1495,17 @@ class LakeTable:
         design (one upsert batch of keys) and deduped before the join.
         ``compact()`` / any full-rewrite DML folds the entries away, so the
         chain never grows past the maintenance cadence. Expects ``df`` to
-        carry ``__sg_file``; leaves it in place for the caller."""
+        carry ``__sg_file``; leaves it in place for the caller.
+
+        ``df`` is the PRE-finalize union, where a renamed column's value
+        rides under the OLD physical name in pre-rename dirs and under the
+        CURRENT name in post-rename dirs (missing side NULL) — so each
+        key compares against the same {current, physical} COALESCE lineage
+        that ``_finalize_read`` uses, never a single raw column. A key
+        column no data file contains yet (added, never written) is a typed
+        NULL — delete rows with NULL keys match it (null-safe contract)."""
+        aliases = aliases if aliases is not None else {}
+        phys_to_current = {v: k for k, v in aliases.items()}
         # _metadata.file_path is an absolute file URI — anchor the commit-
         # dir extraction on the table's ABSOLUTE data root (a relative
         # self.path would silently match nothing and skip every delete)
@@ -1506,12 +1518,6 @@ class LakeTable:
             applies = list(e.get("applies_to", []))
             if not applies:
                 continue
-            missing = [c for c in e["cols"] if c not in df.columns]
-            if missing:
-                raise ValueError(
-                    f"equality-delete file {e['dir']} references column(s) "
-                    f"{missing} no longer readable on {self.name}"
-                )
             dels = self.spark.read.parquet(
                 os.path.join(self.path, "data", e["dir"])
             )
@@ -1520,7 +1526,20 @@ class LakeTable:
             ).dropDuplicates()
             cond = F.col("__sg_dir").isin(applies)
             for c in e["cols"]:
-                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq{i}_{c}"))
+                names = [c]
+                cur = phys_to_current.get(c)
+                if cur is not None:
+                    names.append(cur)
+                present = [n for n in names if n in df.columns]
+                if present:
+                    key = F.coalesce(*[F.col(n) for n in present])
+                else:
+                    # column added to the schema but not yet in any data
+                    # file: every row's value IS NULL for it
+                    key = F.lit(None).cast(
+                        dels.schema[f"__eq{i}_{c}"].dataType
+                    )
+                cond = cond & key.eqNullSafe(F.col(f"__eq{i}_{c}"))
             df = df.join(dels, on=cond, how="left_anti")
         return df.drop("__sg_dir")
 
@@ -1580,7 +1599,7 @@ class LakeTable:
         )
         eq_entries = snap.get("eq_deletes", [])
         if eq_entries:
-            df = self._apply_equality_deletes(df, eq_entries)
+            df = self._apply_equality_deletes(df, eq_entries, aliases)
         del_dirs = snap.get("delete_dirs", [])
         if del_dirs:
             paths = [os.path.join(self.path, "data", d) for d in del_dirs]
@@ -1862,10 +1881,13 @@ class LakeTable:
         meta = self._load_meta()
         parent = meta.get("current_snapshot_id")
         snap = self._current_snapshot(meta)
+        # validate the keys BEFORE any data lands on disk — a typo'd key
+        # column must not leave an orphaned commit dir behind, and must
+        # fail identically on an empty table
+        payload, phys = self._eq_delete_payload(source.select(*keys), meta)
         commit = self._write_commit_dir(source, meta)
         eq = list(snap.get("eq_deletes", [])) if snap else []
         if snap and snap["commit_dirs"]:
-            payload, phys = self._eq_delete_payload(source.select(*keys), meta)
             ddir = f"eqdeletes-{uuid.uuid4().hex[:12]}"
             payload.write.mode("error").parquet(
                 os.path.join(self.path, "data", ddir)
@@ -2421,8 +2443,12 @@ class LakeTable:
         df = self._read_dirs(
             [os.path.join(self.path, "data", d) for d in new_dirs], tombstones=tombs
         )
-        keep = [c for c in df.columns if not c.startswith(_HP_PREFIX)]
-        return df.select(*keep)
+        # normalize to the CURRENT declared schema exactly like read():
+        # renamed columns surface under their new name, declared types
+        # govern, never-written columns read as typed NULLs — without this
+        # a delta spanning a rename would expose BOTH physical names and
+        # diverge from every other read surface
+        return self._finalize_read(df, meta, schema)
 
     # ---------------------------------------------------- metadata tables
 
@@ -3012,7 +3038,6 @@ class LakeTable:
     def properties(self) -> dict[str, str]:
         return dict(self._load_meta().get("properties", {}))
 
-    @_requires("ALTER", "WRITE")
     @_requires("SELECT")
     def read_changes(
         self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
@@ -3046,6 +3071,12 @@ class LakeTable:
         new = self.read(snapshot_id=to_snapshot_id) if to_snapshot_id \
             else self.read()
         cols = new.columns
+        unmappable = [c for c, t in new.dtypes if t.startswith("map<")]
+        if unmappable:
+            raise ValueError(
+                "read_changes over rewritten history needs GROUP BY on every "
+                f"column, and map columns are not groupable: {unmappable}"
+            )
         oc = old.groupBy(*cols).agg(F.count("*").alias("__n_old"))
         nc = new.groupBy(*cols).agg(F.count("*").alias("__n_new"))
         j = (
@@ -3102,7 +3133,7 @@ class LakeTable:
         live = raw
         eq = snap.get("eq_deletes", [])
         if eq:
-            live = self._apply_equality_deletes(live, eq)
+            live = self._apply_equality_deletes(live, eq, aliases)
         dd = snap.get("delete_dirs", [])
         if dd:
             paths = [os.path.join(self.path, "data", d) for d in dd]
@@ -3132,12 +3163,15 @@ class LakeTable:
             delete_dirs=new_dd or None,
         )["id"]
 
+    @_requires("ALTER", "WRITE")
     def maintain(self, target_file_mb: int = 128, keep_last: int = 3) -> None:
         """One-call table optimization — the engine twin of the reference's
-        "automated table optimization" (readme.md:391-401). Outstanding
-        merge-on-read delete files fold first (coordinates-only scan), then
-        data bin-packs, then history expires."""
-        self.fold_deletes()
+        "automated table optimization" (readme.md:391-401). The unscoped
+        ``compact()`` reads with all merge-on-read deletes applied and
+        commits with no delete state, so it folds position AND equality
+        delete files away by itself — no separate ``fold_deletes()`` pass
+        (that's the lighter standalone action for folding WITHOUT a data
+        rewrite)."""
         self.compact(target_file_mb)
         self.expire_snapshots(keep_last)
 

@@ -318,9 +318,11 @@ def test_delete_files_metadata_table_and_tvf(lake, spark):
     assert by_content[2].equality_cols == "id"
     assert by_content[1].equality_cols is None
     assert all(r.size_bytes > 0 for r in df)
-    # SQL TVF form (Iceberg t.delete_files parity)
+    # SQL TVF form (Iceberg t.delete_files parity) — one DIR per delete
+    # commit; parquet part-file counts within a dir are plan-dependent
     out = lake.run_script(
-        "SELECT content, COUNT(*) AS n FROM TABLE(table_delete_files('ns.t')) "
+        "SELECT content, COUNT(DISTINCT commit_dir) AS n "
+        "FROM TABLE(table_delete_files('ns.t')) "
         "GROUP BY content ORDER BY content;"
     )
     assert [(r.content, r.n) for r in out.collect()] == [(1, 1), (2, 1)]
@@ -443,3 +445,64 @@ def test_snapshots_expose_delete_file_counts_and_summary(lake, spark):
     assert last.n_delete_files == 3  # 1 eq + 1 pos + 1 eq (upsert)
     assert '"batch_id": 7' in last.summary
     assert snaps[min(snaps)].n_delete_files == 0
+
+
+def test_eq_delete_matches_rows_written_after_rename(lake, spark):
+    """Post-rename dirs store the key under the NEW physical name; the
+    anti-join must compare the same {current, physical} coalesce lineage
+    _finalize_read uses — otherwise a second upsert silently fails to
+    replace rows the first upsert wrote (duplicate keys)."""
+    lake.create_namespace("ns")
+    t = lake.create_table("ns.r", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, v STRING"))
+    t.rename_column("id", "ident")
+    t.upsert_equality(
+        spark.createDataFrame([(1, "b1")], "ident BIGINT, v STRING"), "ident"
+    )
+    t.upsert_equality(
+        spark.createDataFrame([(1, "c1")], "ident BIGINT, v STRING"), "ident"
+    )
+    got = {r.ident: r.v for r in t.read().collect()}
+    assert got == {1: "c1", 2: "b"}
+    # delete_by_key reaches post-rename rows too
+    t.delete_by_key(spark.createDataFrame([(1,)], "ident BIGINT"))
+    assert {r.ident for r in t.read().collect()} == {2}
+
+
+def test_eq_delete_on_never_written_column_is_null_semantics(lake, spark):
+    """A key column added to the schema but present in no data file is a
+    typed NULL everywhere: non-NULL delete keys match nothing, a NULL
+    delete key matches every pre-existing row — and reads never raise."""
+    lake.create_namespace("ns")
+    t = lake.create_table("ns.w", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, v STRING"))
+    t.add_column("w", "BIGINT")
+    t.delete_by_key(spark.createDataFrame([(5,)], "w BIGINT"))
+    assert t.read().count() == 2  # nothing matches a concrete key
+    t.delete_by_key(spark.createDataFrame([(None,)], "w BIGINT"))
+    assert t.read().count() == 0  # every row's w IS NULL
+
+
+def test_read_changes_is_select_gated(spark, tmp_path):
+    lake = Lakehouse(
+        spark, str(tmp_path / "wh"), enforce_grants=True, current_user="ana"
+    )
+    lake.grant(["CREATE TABLE", "WRITE", "INSERT"], "PROJECT", "", "USER", "ana")
+    t = lake.create_table("g.t", "id BIGINT")
+    base = t.append(spark.createDataFrame([(1,)], "id BIGINT"))
+    # WRITE/INSERT without SELECT must NOT read the changelog
+    with pytest.raises(PermissionError, match="SELECT"):
+        t.read_changes(None)
+    lake.grant(["SELECT"], "TABLE", "g.t", "USER", "ana")
+    assert t.read_changes(None).count() == 1
+
+
+def test_read_changes_fast_path_normalizes_schema_across_rename(lake, spark):
+    lake.create_namespace("ns")
+    t = lake.create_table("ns.f", "id BIGINT, v STRING")
+    base = t.append(spark.createDataFrame([(1, "a")], "id BIGINT, v STRING"))
+    t.rename_column("id", "ident")
+    t.append(spark.createDataFrame([(2, "b")], "ident BIGINT, v STRING"))
+    ch = t.read_changes(base)
+    assert ch.columns == ["ident", "v", "_change_type"]
+    assert [(r.ident, r.v) for r in ch.collect()] == [(2, "b")]
