@@ -1458,7 +1458,7 @@ class LakeTable:
             # position deletes (drop __sg_*); both only remove rows, so
             # the order is semantically free
             if eq_entries:
-                df = self._apply_equality_deletes(df, eq_entries, aliases_all)
+                df = self._apply_equality_deletes(df, eq_entries, meta)
             if del_dirs:
                 df = self._apply_position_deletes(df, del_dirs)
             else:
@@ -1484,7 +1484,7 @@ class LakeTable:
         )
 
     def _apply_equality_deletes(
-        self, df: DataFrame, entries: list[dict], aliases: dict | None = None
+        self, df: DataFrame, entries: list[dict], meta: dict | None = None
     ) -> DataFrame:
         """Anti-join the snapshot's EQUALITY-delete files (Iceberg v2): each
         entry's parquet dir holds key tuples (physical column names, so
@@ -1504,7 +1504,8 @@ class LakeTable:
         that ``_finalize_read`` uses, never a single raw column. A key
         column no data file contains yet (added, never written) is a typed
         NULL — delete rows with NULL keys match it (null-safe contract)."""
-        aliases = aliases if aliases is not None else {}
+        aliases = (meta or {}).get("column_aliases", {})
+        lineage = (meta or {}).get("column_lineage", {})
         phys_to_current = {v: k for k, v in aliases.items()}
         # _metadata.file_path is an absolute file URI — anchor the commit-
         # dir extraction on the table's ABSOLUTE data root (a relative
@@ -1526,10 +1527,13 @@ class LakeTable:
             ).dropDuplicates()
             cond = F.col("__sg_dir").isin(applies)
             for c in e["cols"]:
-                names = [c]
+                # c is the ORIGINAL physical name; a renamed column's data
+                # may ride under the current name or any intermediate —
+                # the same full lineage _finalize_read coalesces
                 cur = phys_to_current.get(c)
-                if cur is not None:
-                    names.append(cur)
+                names = [cur] + lineage.get(cur, [c]) if cur is not None else [c]
+                seen: set = set()
+                names = [n for n in names if not (n in seen or seen.add(n))]
                 present = [n for n in names if n in df.columns]
                 if present:
                     key = F.coalesce(*[F.col(n) for n in present])
@@ -1565,15 +1569,25 @@ class LakeTable:
             present = set(df.columns)
             if aliases is None:
                 aliases = meta.get("column_aliases", {})
+            lineage = meta.get("column_lineage", {})
             cols = []
             for f in schema.fields:
                 physical = aliases.get(f.name)
-                if f.name in present and physical in present:
-                    c = F.coalesce(F.col(f.name), F.col(physical))
-                elif f.name in present:
-                    c = F.col(f.name)
-                elif physical in present:
-                    c = F.col(physical)
+                # every name this logical column was EVER written under,
+                # newest-first: current, then the rename lineage (which
+                # ends at the original physical name)
+                names, seen = [], set()
+                for n in [f.name] + lineage.get(
+                    f.name, [physical] if physical else []
+                ):
+                    if n not in seen:
+                        seen.add(n)
+                        names.append(n)
+                hits = [n for n in names if n in present]
+                if len(hits) > 1:
+                    c = F.coalesce(*[F.col(n) for n in hits])
+                elif hits:
+                    c = F.col(hits[0])
                 else:
                     c = F.lit(None)
                 cols.append(c.cast(f.dataType).alias(f.name))
@@ -1599,7 +1613,7 @@ class LakeTable:
         )
         eq_entries = snap.get("eq_deletes", [])
         if eq_entries:
-            df = self._apply_equality_deletes(df, eq_entries, aliases)
+            df = self._apply_equality_deletes(df, eq_entries, meta)
         del_dirs = snap.get("delete_dirs", [])
         if del_dirs:
             paths = [os.path.join(self.path, "data", d) for d in del_dirs]
@@ -2264,6 +2278,7 @@ class LakeTable:
                 [f for f in schema.fields if f.name != name]
             ).jsonValue()
             meta.get("column_aliases", {}).pop(name, None)
+            meta.get("column_lineage", {}).pop(name, None)
             live = sorted({d for s in meta["snapshots"] for d in s["commit_dirs"]})
             if live:
                 meta.setdefault("column_tombstones", {}).setdefault(name, []).append(
@@ -2346,9 +2361,18 @@ class LakeTable:
             ]
             meta["schema"] = T.StructType(fields).jsonValue()
             aliases = meta.setdefault("column_aliases", {})
-            # chase prior renames so the alias always points at a physical name
+            # chase prior renames so the alias always points at the ORIGINAL
+            # physical name (predicate/stats substitution stays 1-to-1)...
             physical = aliases.pop(old, old)
             aliases[new] = physical
+            # ...but data may have been WRITTEN under any intermediate name
+            # (appends between renames store the then-current name), so the
+            # read side needs the FULL lineage, newest-first, to coalesce
+            # every generation of files (a rename chain id->a->b with
+            # appends under each must read all three)
+            lineage = meta.setdefault("column_lineage", {})
+            prior = lineage.pop(old, [physical])
+            lineage[new] = ([old] if old not in prior else []) + prior
             self._commit(meta)
 
     # --------------------------------------------------- partition evolution
@@ -3133,7 +3157,7 @@ class LakeTable:
         live = raw
         eq = snap.get("eq_deletes", [])
         if eq:
-            live = self._apply_equality_deletes(live, eq, aliases)
+            live = self._apply_equality_deletes(live, eq, meta)
         dd = snap.get("delete_dirs", [])
         if dd:
             paths = [os.path.join(self.path, "data", d) for d in dd]
