@@ -1288,6 +1288,7 @@ class LakeTable:
         aliases: dict[str, str] | None = None,
         tombstones: dict[str, set[str]] | None = None,
         with_pos: bool = False,
+        lineage: dict | None = None,
     ) -> DataFrame | None:
         """Scan a list of commit dirs as one DataFrame.
 
@@ -1350,21 +1351,26 @@ class LakeTable:
                     present = set(part.columns)
                     aliases = aliases or {}
                     for f in schema.fields:
-                        physical = aliases.get(f.name)
-                        if f.name not in present:
-                            src = (
-                                F.col(physical)
-                                if physical in present
-                                else F.lit(None)
-                            )
-                            part = part.withColumn(f.name, src.cast(f.dataType))
-                        # a filter recorded BEFORE a rename references the
-                        # old physical name: make it resolve too (the final
-                        # declared-schema projection drops it again)
-                        if physical and physical not in present:
-                            part = part.withColumn(
-                                physical, F.col(f.name).cast(f.dataType)
-                            )
+                        # a filter may have been recorded under ANY
+                        # generation's name (current, intermediate rename,
+                        # or original physical): make every lineage name
+                        # resolve to the dir's canonical value (the final
+                        # declared-schema projection drops the extras)
+                        names = self._lineage_names(
+                            f.name, aliases, lineage or {}
+                        )
+                        hits = [n for n in names if n in present]
+                        if len(hits) > 1:
+                            canon = F.coalesce(*[F.col(n) for n in hits])
+                        elif hits:
+                            canon = F.col(hits[0])
+                        else:
+                            canon = F.lit(None)
+                        for n in names:
+                            if n not in present:
+                                part = part.withColumn(
+                                    n, canon.cast(f.dataType)
+                                )
                 part = part.filter(f"({excl}) IS NOT TRUE")
             parts.append(part)
         if not parts:
@@ -1419,9 +1425,11 @@ class LakeTable:
         if hist is not None:
             schema_json = hist.get("schema")
             aliases_all = hist.get("aliases", {})
+            lineage_all = hist.get("lineage", {})
         else:
             schema_json = meta.get("schema")
             aliases_all = meta.get("column_aliases", {})
+            lineage_all = meta.get("column_lineage", {})
         schema = T.StructType.fromJson(schema_json) if schema_json else None
         dirs = [os.path.join(self.path, "data", d) for d in (snap["commit_dirs"] if snap else [])]
         if not dirs:
@@ -1445,12 +1453,13 @@ class LakeTable:
         eq_entries = snap.get("eq_deletes", []) if snap else []
         df = self._read_dirs(
             dirs, file_lists, filters, schema, aliases_all, tombs,
-            with_pos=bool(del_dirs) or bool(eq_entries),
+            with_pos=bool(del_dirs) or bool(eq_entries), lineage=lineage_all,
         )
         if df is None:
             # every file provably excluded: empty result, correct schema
             base = self._read_dirs(
-                dirs, filters=filters, schema=schema, aliases=aliases_all, tombstones=tombs
+                dirs, filters=filters, schema=schema, aliases=aliases_all,
+                tombstones=tombs, lineage=lineage_all,
             )
             df = base.limit(0)
         elif del_dirs or eq_entries:
@@ -1463,7 +1472,7 @@ class LakeTable:
                 df = self._apply_position_deletes(df, del_dirs)
             else:
                 df = df.drop("__sg_file", "__sg_pos")
-        df = self._finalize_read(df, meta, schema, aliases_all)
+        df = self._finalize_read(df, meta, schema, aliases_all, lineage=lineage_all)
         if where is not None:
             df = df.filter(where)
         return df
@@ -1531,9 +1540,11 @@ class LakeTable:
                 # may ride under the current name or any intermediate —
                 # the same full lineage _finalize_read coalesces
                 cur = phys_to_current.get(c)
-                names = [cur] + lineage.get(cur, [c]) if cur is not None else [c]
-                seen: set = set()
-                names = [n for n in names if not (n in seen or seen.add(n))]
+                names = (
+                    self._lineage_names(cur, aliases, lineage)
+                    if cur is not None
+                    else [c]
+                )
                 present = [n for n in names if n in df.columns]
                 if present:
                     key = F.coalesce(*[F.col(n) for n in present])
@@ -1547,6 +1558,27 @@ class LakeTable:
             df = df.join(dels, on=cond, how="left_anti")
         return df.drop("__sg_dir")
 
+    @staticmethod
+    def _lineage_names(
+        current: str, aliases: dict, lineage: dict
+    ) -> list[str]:
+        """Every name this logical column was ever written under, newest-
+        first: the current name, then the recorded rename lineage (which
+        ends at the original physical name). Single source of truth for
+        _finalize_read / _apply_equality_deletes / commit-filter
+        normalization / read_changes alignment — the read surfaces must
+        never disagree on a column's generations."""
+        physical = aliases.get(current)
+        names: list[str] = []
+        seen: set = set()
+        for n in [current] + lineage.get(
+            current, [physical] if physical else []
+        ):
+            if n is not None and n not in seen:
+                seen.add(n)
+                names.append(n)
+        return names
+
     def _finalize_read(
         self,
         df: DataFrame,
@@ -1554,6 +1586,7 @@ class LakeTable:
         schema: T.StructType | None,
         aliases: dict[str, str] | None = None,
         keep: list[str] | None = None,
+        lineage: dict | None = None,
     ) -> DataFrame:
         """Project a raw commit-dir union onto the governing schema (current
         or, for time travel, the snapshot's epoch): column order + types
@@ -1569,20 +1602,11 @@ class LakeTable:
             present = set(df.columns)
             if aliases is None:
                 aliases = meta.get("column_aliases", {})
-            lineage = meta.get("column_lineage", {})
+            if lineage is None:
+                lineage = meta.get("column_lineage", {})
             cols = []
             for f in schema.fields:
-                physical = aliases.get(f.name)
-                # every name this logical column was EVER written under,
-                # newest-first: current, then the rename lineage (which
-                # ends at the original physical name)
-                names, seen = [], set()
-                for n in [f.name] + lineage.get(
-                    f.name, [physical] if physical else []
-                ):
-                    if n not in seen:
-                        seen.add(n)
-                        names.append(n)
+                names = self._lineage_names(f.name, aliases, lineage)
                 hits = [n for n in names if n in present]
                 if len(hits) > 1:
                     c = F.coalesce(*[F.col(n) for n in hits])
@@ -2178,6 +2202,10 @@ class LakeTable:
                 "valid_through": meta.get("current_snapshot_id"),
                 "schema": meta.get("schema"),
                 "aliases": dict(meta.get("column_aliases", {})),
+                "lineage": {
+                    k: list(v)
+                    for k, v in meta.get("column_lineage", {}).items()
+                },
             }
         )
 
@@ -2441,6 +2469,8 @@ class LakeTable:
         by_id = {s["id"]: s for s in snaps}
         if from_snapshot_id is not None and from_snapshot_id not in by_id:
             raise ValueError(f"unknown snapshot {from_snapshot_id} for {self.name}")
+        if to_snapshot_id is not None and to_snapshot_id not in by_id:
+            raise ValueError(f"unknown snapshot {to_snapshot_id} for {self.name}")
         end = by_id[to_snapshot_id] if to_snapshot_id is not None else self._current_snapshot(meta)
         if end is None:
             return self.read().limit(0)  # still empty: empty delta
@@ -2508,18 +2538,24 @@ class LakeTable:
                   "is_current BOOLEAN"
         )
 
+    def _walk_parquet(self, rel_dir: str):
+        """(absolute_path, size_bytes) per parquet file under a data dir —
+        shared by the files()/delete_files() metadata tables."""
+        base = os.path.join(self.path, "data", rel_dir)
+        for root, _dirs, names in os.walk(base):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    yield p, os.path.getsize(p)
+
     def files(self) -> DataFrame:
         """≈ ``t.files`` — one row per live data file."""
         meta = self._load_meta()
         snap = self._current_snapshot(meta)
         rows = []
         for d in snap["commit_dirs"] if snap else []:
-            base = os.path.join(self.path, "data", d)
-            for root, _dirs, names in os.walk(base):
-                for n in names:
-                    if n.endswith(".parquet"):
-                        p = os.path.join(root, n)
-                        rows.append((p, os.path.getsize(p), d))
+            for p, size in self._walk_parquet(d):
+                rows.append((p, size, d))
         return self.spark.createDataFrame(rows, "file_path STRING, size_bytes BIGINT, commit_dir STRING") \
             if rows else self.spark.createDataFrame([], "file_path STRING, size_bytes BIGINT, commit_dir STRING")
 
@@ -2536,14 +2572,8 @@ class LakeTable:
         rows = []
 
         def walk(rel_dir, content, eq_cols):
-            base = os.path.join(self.path, "data", rel_dir)
-            for root, _dirs, names in os.walk(base):
-                for n in names:
-                    if n.endswith(".parquet"):
-                        p = os.path.join(root, n)
-                        rows.append(
-                            (p, os.path.getsize(p), rel_dir, content, eq_cols)
-                        )
+            for p, size in self._walk_parquet(rel_dir):
+                rows.append((p, size, rel_dir, content, eq_cols))
 
         for d in (snap or {}).get("delete_dirs", []):
             walk(d, 1, None)
@@ -3101,12 +3131,36 @@ class LakeTable:
                 "read_changes over rewritten history needs GROUP BY on every "
                 f"column, and map columns are not groupable: {unmappable}"
             )
-        oc = old.groupBy(*cols).agg(F.count("*").alias("__n_old"))
-        nc = new.groupBy(*cols).agg(F.count("*").alias("__n_new"))
+        # the old snapshot reads under its EPOCH schema (possibly pre-
+        # rename/pre-add-column names): align it onto the current schema
+        # via the same lineage coalesce every other read surface uses
+        meta = self._load_meta()
+        aliases = meta.get("column_aliases", {})
+        lineage = meta.get("column_lineage", {})
+        exprs = []
+        for f in new.schema.fields:
+            hits = [
+                n
+                for n in self._lineage_names(f.name, aliases, lineage)
+                if n in old.columns
+            ]
+            e = (
+                F.coalesce(*[F.col(n) for n in hits])
+                if len(hits) > 1
+                else F.col(hits[0]) if hits else F.lit(None)
+            )
+            exprs.append(e.cast(f.dataType).alias(f.name))
+        old = old.select(*exprs)
+        # NULL-SAFE multiset diff: GROUP BY groups NULL (and NaN) with
+        # itself, unlike a USING join's EqualTo — a count-weighted union
+        # never fabricates delete+insert pairs for NULL-bearing rows,
+        # and it's one shuffle instead of two aggregations plus a join
+        weighted = new.withColumn("__w", F.lit(1)).unionByName(
+            old.withColumn("__w", F.lit(-1))
+        )
         j = (
-            oc.join(nc, cols, "full_outer")
-            .na.fill({"__n_old": 0, "__n_new": 0})
-            .withColumn("__d", F.col("__n_new") - F.col("__n_old"))
+            weighted.groupBy(*cols)
+            .agg(F.sum("__w").alias("__d"))
             .filter(F.col("__d") != 0)
         )
         return (

@@ -506,3 +506,62 @@ def test_read_changes_fast_path_normalizes_schema_across_rename(lake, spark):
     ch = t.read_changes(base)
     assert ch.columns == ["ident", "v", "_change_type"]
     assert [(r.ident, r.v) for r in ch.collect()] == [(2, "b")]
+
+
+def test_read_changes_null_rows_do_not_churn(lake, spark):
+    """NULL-bearing unchanged rows must not surface as phantom
+    delete+insert pairs (the multiset diff is null-safe GROUP BY, not a
+    null-unsafe join)."""
+    t = lake.create_table("c.n", "id BIGINT, v STRING")
+    base = t.append(
+        spark.createDataFrame([(1, None), (2, "b")], "id BIGINT, v STRING")
+    )
+    t.upsert_equality(
+        spark.createDataFrame([(3, "c")], "id BIGINT, v STRING"), "id"
+    )  # non-append: forces the multiset-diff path
+    ch = [(r.id, r.v, r._change_type) for r in t.read_changes(base).collect()]
+    assert ch == [(3, "c", "insert")]
+
+
+def test_read_changes_slow_path_spans_schema_evolution(lake, spark):
+    t = lake.create_table("c.e", "id BIGINT, v STRING")
+    base = t.append(spark.createDataFrame([(1, "a")], "id BIGINT, v STRING"))
+    t.rename_column("id", "ident")
+    t.add_column("w", "BIGINT")
+    t.upsert_equality(
+        spark.createDataFrame([(1, "A", 9)], "ident BIGINT, v STRING, w BIGINT"),
+        "ident",
+    )
+    ch = sorted(
+        (r.ident, r.v, r.w, r._change_type)
+        for r in t.read_changes(base).collect()
+    )
+    # the epoch-schema old side aligns onto the current schema (w NULL)
+    assert ch == [(1, "A", 9, "insert"), (1, "a", None, "delete")]
+
+
+def test_read_changes_unknown_to_snapshot_raises_value_error(lake, spark):
+    t = _mk(lake, spark)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read_changes(None, 9999)
+
+
+def test_time_travel_sees_intermediate_rename_generations(lake, spark):
+    """VERSION AS OF at an epoch inside a rename chain reads rows written
+    under intermediate names (the epoch's schema_log entry carries the
+    lineage captured at push time)."""
+    lake.create_namespace("ns")
+    t = lake.create_table("ns.tt", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "one")], "id BIGINT, v STRING"))
+    t.rename_column("id", "a")
+    t.append(spark.createDataFrame([(2, "two")], "a BIGINT, v STRING"))
+    t.rename_column("a", "b")
+    s3 = t.append(spark.createDataFrame([(3, "three")], "b BIGINT, v STRING"))
+    t.rename_column("b", "c")
+    # current read under the final name
+    assert sorted((r.c, r.v) for r in t.read().collect()) == [
+        (1, "one"), (2, "two"), (3, "three"),
+    ]
+    # travel to the 'b' epoch: all three generations, under 'b'
+    got = sorted((r.b, r.v) for r in t.read(snapshot_id=s3).collect())
+    assert got == [(1, "one"), (2, "two"), (3, "three")]
