@@ -174,6 +174,14 @@ _RE_GRANT = re.compile(
     r"(\"[^\"]+\"|[\w.]+)?\s+TO\s+(USER|ROLE)\s+(\"[^\"]+\"|[\w.@-]+)\s*$",
     re.I | re.S,
 )
+# TABLE(table_changes('t', from[, to])) — the changelog TVF (Delta
+# table_changes / Iceberg changelog view): rows with _change_type between
+# two snapshot ids; NULL/omitted 'to' means current
+_RE_CHANGES_TVF = re.compile(
+    r"TABLE\s*\(\s*table_changes\s*\(\s*'([\w.]+)'\s*,\s*(NULL|\d+)"
+    r"(?:\s*,\s*(NULL|\d+))?\s*\)\s*\)",
+    re.I,
+)
 _RE_REVOKE = re.compile(
     r"^REVOKE\s+(.*?)\s+ON\s+(PROJECT|FOLDER|TABLE|VIEW)\s*"
     r"(\"[^\"]+\"|[\w.]+)?\s+FROM\s+(USER|ROLE)\s+(\"[^\"]+\"|[\w.@-]+)\s*$",
@@ -633,6 +641,7 @@ class ScriptRunner:
     def _query(self, sql: str) -> DataFrame:
         self._refresh()
         self._register_file_meta_views(sql)
+        sql = self._register_changes_views(sql)
         sql = self._rewrite_time_travel(sql)
         if re.search(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", sql, re.I):
             return self._asof_query(sql)
@@ -1081,6 +1090,23 @@ class ScriptRunner:
                 "delete_files": t.delete_files,
             }[kind]()
             df.createOrReplaceTempView(f"{leaf}__{kind}")
+
+    def _register_changes_views(self, sql: str) -> str:
+        """JIT-register ``TABLE(table_changes('t', from[, to]))`` as a
+        temp view over :meth:`LakeTable.read_changes` and substitute the
+        view name — the SQL surface of the changelog (Delta's
+        table_changes shape)."""
+        def repl(m: re.Match) -> str:
+            name = m.group(1)
+            frm = None if m.group(2).upper() == "NULL" else int(m.group(2))
+            to = m.group(3)
+            to = None if to is None or to.upper() == "NULL" else int(to)
+            leaf = name.split(".")[-1]
+            view = f"{leaf}__changes_{frm or 0}_{to or 0}"
+            self.lake.table(name).read_changes(frm, to).createOrReplaceTempView(view)
+            return view
+
+        return _RE_CHANGES_TVF.sub(repl, sql)
 
     def _dataset_anchors(self, dataset: str) -> list[str]:
         """Lake tables a dataset depends on: itself if it is a table, else

@@ -565,3 +565,26 @@ def test_time_travel_sees_intermediate_rename_generations(lake, spark):
     # travel to the 'b' epoch: all three generations, under 'b'
     got = sorted((r.b, r.v) for r in t.read(snapshot_id=s3).collect())
     assert got == [(1, "one"), (2, "two"), (3, "three")]
+
+
+def test_table_changes_sql_tvf(lake, spark):
+    t = _mk(lake, spark)
+    base = t._current_snapshot(t._load_meta())["id"]
+    t.upsert_equality(
+        spark.createDataFrame([(0, "Z", 0), (77, "n", 1)],
+                              "id BIGINT, v STRING, g BIGINT"),
+        "id",
+    )
+    out = lake.run_script(
+        f"SELECT _change_type, COUNT(*) AS n "
+        f"FROM TABLE(table_changes('ns.t', {base})) "
+        f"GROUP BY _change_type ORDER BY _change_type;"
+    )
+    assert [(r._change_type, r.n) for r in out.collect()] == [
+        ("delete", 1), ("insert", 2),
+    ]
+    # NULL from = since the empty table
+    out = lake.run_script(
+        "SELECT COUNT(*) AS n FROM TABLE(table_changes('ns.t', NULL));"
+    )
+    assert out.collect()[0].n == 11
