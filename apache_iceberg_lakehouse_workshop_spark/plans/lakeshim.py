@@ -3544,6 +3544,105 @@ class Lakehouse:
                 out.append(rel.replace(os.sep, "."))
         return sorted(out)
 
+    # ------------------------------------------- automated optimization
+
+    def table_health(self, name: str) -> dict:
+        """Fragmentation metrics for one table, METADATA COST ONLY (file
+        listing + sizes + the snapshot json — no data read): the signals
+        the reference's automated table optimization watches
+        (readme.md:391-401 "Dremio detects when table fragmentation
+        affects performance")."""
+        t = self.table(name)
+        meta = t._load_meta()
+        snap = t._current_snapshot(meta)
+        sizes = [
+            s for d in (snap["commit_dirs"] if snap else [])
+            for _p, s in t._walk_parquet(d)
+        ]
+        n = len(sizes)
+        return {
+            "table": name,
+            "n_files": n,
+            "avg_file_mb": round(sum(sizes) / n / 1048576, 3) if n else 0.0,
+            "n_commit_dirs": len(snap["commit_dirs"]) if snap else 0,
+            "n_delete_files": (
+                len(snap.get("delete_dirs", [])) + len(snap.get("eq_deletes", []))
+                if snap else 0
+            ),
+            "n_snapshots": len(meta["snapshots"]),
+        }
+
+    def maintenance_plan(
+        self,
+        target_file_mb: int = 128,
+        max_delete_files: int = 3,
+        max_commit_dirs: int = 8,
+        keep_snapshots: int = 10,
+    ) -> list[dict]:
+        """Recommended maintenance actions across the warehouse — the
+        detection half of the reference's fully-automated optimization
+        (readme.md:391-401). Per table, in execution order:
+
+        - ``compact`` when files are fragmented (more than one file with
+          average size under half the target) or commit history is deep
+          (scan = union of ``n_commit_dirs`` scans) — bin-packing also
+          folds any merge-on-read delete files away;
+        - ``fold_deletes`` when delete files exceed ``max_delete_files``
+          and compaction is NOT otherwise warranted (coordinates-only
+          scan, far cheaper than a rewrite);
+        - ``expire_snapshots`` when history exceeds ``keep_snapshots``.
+
+        Pure recommendation (metadata-only); :meth:`auto_maintain`
+        executes it. An empty list IS the health check."""
+        plan = []
+        for name in self._walk_tables():
+            h = self.table_health(name)
+            frag = h["n_files"] > 1 and h["avg_file_mb"] < target_file_mb / 2
+            deep = h["n_commit_dirs"] > max_commit_dirs
+            if frag or deep:
+                plan.append({
+                    "table": name, "action": "compact",
+                    "reason": (
+                        f"{h['n_files']} files averaging {h['avg_file_mb']} MB"
+                        if frag else f"{h['n_commit_dirs']} commit dirs"
+                    ),
+                })
+            elif h["n_delete_files"] > max_delete_files:
+                plan.append({
+                    "table": name, "action": "fold_deletes",
+                    "reason": f"{h['n_delete_files']} merge-on-read delete files",
+                })
+            if h["n_snapshots"] > keep_snapshots:
+                plan.append({
+                    "table": name, "action": "expire_snapshots",
+                    "reason": f"{h['n_snapshots']} snapshots",
+                })
+        return plan
+
+    def auto_maintain(
+        self,
+        target_file_mb: int = 128,
+        max_delete_files: int = 3,
+        max_commit_dirs: int = 8,
+        keep_snapshots: int = 10,
+    ) -> list[dict]:
+        """Execute :meth:`maintenance_plan` — the reference's "no
+        scheduling of jobs" posture (readme.md:415) as one idempotent
+        call: run it on any cadence; healthy tables cost one metadata
+        read each and get no action. Returns the executed plan."""
+        plan = self.maintenance_plan(
+            target_file_mb, max_delete_files, max_commit_dirs, keep_snapshots
+        )
+        for step in plan:
+            t = self.table(step["table"])
+            if step["action"] == "compact":
+                t.compact(target_file_mb)
+            elif step["action"] == "fold_deletes":
+                t.fold_deletes()
+            elif step["action"] == "expire_snapshots":
+                t.expire_snapshots(keep_last=keep_snapshots)
+        return plan
+
     def run_script(self, sql: str, source_roots: dict[str, str] | None = None):
         """Run a (Dremio-dialect) SQL script against the warehouse — the
         'paste your workshop script at the engine' surface. DDL/DML
