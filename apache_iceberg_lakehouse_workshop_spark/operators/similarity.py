@@ -1378,7 +1378,12 @@ def _cell_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
             T.StructField("raw_sim", T.DoubleType()),
         ]
     )
-    cut = threshold - 1e-9
+    # The Spark-side inclusion decision is round(raw_sim, 6) >= threshold
+    # (HALF_UP), which accepts raw sims down to threshold - 5e-7 — the
+    # kernel's pre-filter margin must cover that rounding slack, else pairs
+    # in [threshold-5e-7, threshold) would pass the SQL twin but be dropped
+    # here, breaking the bit-identity contract. 1e-6 > 5e-7 with headroom.
+    cut = threshold - 1e-6
 
     def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)

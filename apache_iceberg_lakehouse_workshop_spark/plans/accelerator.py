@@ -267,13 +267,23 @@ class AcceleratorRegistry:
         # files) refresh once to record one
         return self._current_epochs(anchor_tables) == self._epochs.get(name)
 
+    def _storage(self, name: str):
+        """Reflection storage handle with the grants check BYPASSED: a
+        routed/resolved read serves an internal materialization of data the
+        user was already authorized to read on the queried dataset, so
+        routing must never make a permitted query fail with a
+        PermissionError on the internal ``_reflections`` namespace."""
+        t = self.lake.table(self._storage_name(name))
+        t._acl = None
+        return t
+
     def resolve(self, name: str) -> DataFrame:
         """Transparent substitution: materialized scan when fresh, live
         recompute when stale (correctness always wins — readme.md:334-344
         'queries are automatically accelerated … always up to date')."""
         definition, _ = self._defs[name]
         if self.is_fresh(name):
-            return self.lake.table(self._storage_name(name)).read()
+            return self._storage(name).read()
         return definition()
 
     def refresh(self, name: str) -> None:
@@ -720,7 +730,7 @@ class AcceleratorRegistry:
         too."""
         from pyspark.sql import functions as F
 
-        base = self.lake.table(self._storage_name(name)).read(where=where)
+        base = self._storage(name).read(where=where)
         aggs = []
         for agg, col, alias in measures:
             if agg == "SUM":
@@ -851,7 +861,7 @@ class AcceleratorRegistry:
                 continue  # SELECT *: only a full RAW reflection covers it
             if not self.is_fresh(name):
                 continue  # stale: correctness wins, plain plan runs
-            storage = self.lake.table(self._storage_name(name))
+            storage = self._storage(name)
             stored_set = (
                 set(stored) if stored is not None else set(storage.read().columns)
             )

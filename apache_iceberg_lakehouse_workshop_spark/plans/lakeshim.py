@@ -2196,10 +2196,16 @@ class LakeTable:
         committed with (Iceberg records a schema-id per snapshot; the shim
         records the epoch's last snapshot id). ``valid_through`` is the last
         snapshot committed under the old schema; a pre-first-snapshot
-        evolution records None (nothing to time-travel to)."""
+        evolution records None (nothing to time-travel to). The bound is the
+        MAX snapshot id in the table, not main's current: branch snapshots
+        take ids above main's head, so a branch commit made before this
+        evolution must still resolve to the pre-evolution epoch."""
+        snaps = meta.get("snapshots") or []
         meta.setdefault("schema_log", []).append(
             {
-                "valid_through": meta.get("current_snapshot_id"),
+                "valid_through": max((s["id"] for s in snaps), default=None)
+                if snaps
+                else None,
                 "schema": meta.get("schema"),
                 "aliases": dict(meta.get("column_aliases", {})),
                 "lineage": {
@@ -3044,12 +3050,17 @@ class LakeTable:
             by_id = {s["id"]: s for s in meta["snapshots"]}
             if snapshot_id not in by_id:
                 raise ValueError(f"unknown snapshot {snapshot_id} for {self.name}")
+            target = by_id[snapshot_id]
             snap = self._new_snapshot(
                 meta,
                 "rollback",
-                list(by_id[snapshot_id]["commit_dirs"]),
-                commit_filters=dict(by_id[snapshot_id].get("commit_filters", {}))
-                or None,
+                list(target["commit_dirs"]),
+                commit_filters=dict(target.get("commit_filters", {})) or None,
+                # carry the target's outstanding merge-on-read state: rolling
+                # back to (or past) a snapshot with position/equality deletes
+                # must NOT resurrect the deleted rows
+                delete_dirs=list(target.get("delete_dirs", [])) or None,
+                eq_deletes=[dict(e) for e in target.get("eq_deletes", [])] or None,
             )
             self._commit(meta)
         return snap["id"]
@@ -3295,18 +3306,14 @@ class Lakehouse:
         # time-range pruning (and the affected-only DML that reuses it)
         # would compare wall-clock literals against UTC stats. Pin the
         # session to UTC (the framework's own builder already does —
-        # session.py); if that fails, disable "ts"-marker pruning.
-        self._ts_prune_ok = True
+        # session.py). Safety does NOT depend on this succeeding:
+        # _prune_file_lists re-checks the session timezone on every call
+        # and skips "ts"-marker pruning unless it reads UTC.
         try:
             if (spark.conf.get("spark.sql.session.timeZone", "") or "") != "UTC":
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:
-            try:
-                self._ts_prune_ok = (
-                    spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
-                )
-            except Exception:
-                self._ts_prune_ok = False
+            pass  # per-call timezone gate in _prune_file_lists keeps reads safe
 
     # -------------------------------------------------------- namespaces
 

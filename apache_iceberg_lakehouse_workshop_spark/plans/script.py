@@ -445,10 +445,33 @@ class ScriptRunner:
 
     def _refresh(self) -> None:
         """(Re-)register every table + stacked view as temp views. Lazy
-        DataFrames over current snapshots — metadata cost only."""
+        DataFrames over current snapshots — metadata cost only.
+
+        Under ``enforce_grants`` a table the user may not SELECT is skipped
+        (recorded in ``self._denied``) instead of failing the whole refresh
+        — one unreadable table must not break scripts over readable ones;
+        ``_query`` raises PermissionError only when the SQL actually names
+        a denied table. Engine-internal reflection storage
+        (``_reflections.*``) is never user-gated: it materializes data the
+        user was already authorized to read on the anchored dataset."""
+        self._denied: set[str] = set()
         for full in self.lake._walk_tables():
             t = self.lake.table(full)
-            df = t.read()
+            if full.split(".", 1)[0] == "_reflections":
+                t._acl = None
+            leaf0 = full.split(".")[-1]
+            try:
+                df = t.read()
+            except PermissionError:
+                self._denied.add(full)
+                self._denied.add(leaf0)
+                # drop any view another (authorized) runner registered in
+                # this shared Spark session — a denied user must not read
+                # through a stale temp view
+                for v in (self._vname(full), leaf0, f"{leaf0}__snapshots",
+                          f"{leaf0}__history", f"{leaf0}__refs"):
+                    self.spark.catalog.dropTempView(v)
+                continue
             df.createOrReplaceTempView(self._vname(full))
             leaf = full.split(".")[-1]
             df.createOrReplaceTempView(leaf)
@@ -640,6 +663,11 @@ class ScriptRunner:
 
     def _query(self, sql: str) -> DataFrame:
         self._refresh()
+        for name in sorted(getattr(self, "_denied", ()), key=len, reverse=True):
+            if re.search(r"(?<![\w.`])" + re.escape(name) + r"(?![\w.])", sql):
+                raise PermissionError(
+                    f"user {self.lake.current_user!r} lacks SELECT on {name!r}"
+                )
         self._register_file_meta_views(sql)
         sql = self._register_changes_views(sql)
         sql = self._rewrite_time_travel(sql)

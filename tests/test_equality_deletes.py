@@ -588,3 +588,23 @@ def test_table_changes_sql_tvf(lake, spark):
         "SELECT COUNT(*) AS n FROM TABLE(table_changes('ns.t', NULL));"
     )
     assert out.collect()[0].n == 11
+
+
+def test_rollback_to_equality_delete_snapshot_keeps_deletes(lake, spark):
+    """ADVICE r7 (high): rollback must carry eq_deletes too — rolling back
+    to a snapshot holding outstanding equality deletes must not resurrect
+    the keyed-out rows."""
+    t = _mk(lake, spark)
+    t.delete_by_key(_keys(spark, [3, 7]))
+    s_del = t._load_meta()["current_snapshot_id"]
+    t.append(spark.range(20, 23).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") % 2).alias("g")))
+    t.rollback_to(s_del)
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # the sequence rule survives the rollback: re-appending a deleted key
+    # AFTER the rollback creates a fresh dir, which the old delete does
+    # not apply to
+    t.append(_keys(spark, [3]).select(
+        F.col("id"), F.lit("re-added").alias("v"), F.lit(1).cast("bigint").alias("g")))
+    assert 3 in {r.id for r in t.read().collect()}

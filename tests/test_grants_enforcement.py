@@ -150,3 +150,35 @@ def test_revoke_removes_privileges_api_and_sql(spark, tmp_path):
     lake.grant(["SELECT"], "FOLDER", "ns", "USER", "ana")
     lake.revoke(["SELECT"], "TABLE", "ns.t", "USER", "ana")
     assert t.read().count() == 1
+
+
+def test_reflection_routing_never_denies_a_permitted_query(spark, tmp_path):
+    """ADVICE r7: reflection storage lives in the internal _reflections
+    namespace no user holds grants on — routing a permitted query through
+    it must NOT raise PermissionError (the materialization holds data the
+    user was already authorized to read)."""
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+    root = str(tmp_path / "wh")
+    admin = Lakehouse(spark, root)
+    r_admin = ScriptRunner(admin)
+    r_admin.run(
+        """
+        CREATE FOLDER IF NOT EXISTS db;
+        CREATE TABLE db.sales2 (region VARCHAR, amount DOUBLE);
+        INSERT INTO db.sales2 VALUES ('east', 10.0), ('west', 7.0), ('east', 20.0);
+        ALTER DATASET db.sales2 CREATE AGGREGATE REFLECTION s2_agg
+        USING DIMENSIONS (region) MEASURES (amount (SUM, COUNT));
+        """
+    )
+    admin.grant(["SELECT"], "TABLE", "db.sales2", "USER", "gia")
+    user = Lakehouse(spark, root, enforce_grants=True, current_user="gia")
+    r = ScriptRunner(user)
+    r.use_reflection_routing = True
+    sql = "SELECT region, SUM(amount) AS total FROM db.sales2 GROUP BY region"
+    out = r.run(sql)  # must not raise
+    assert {r_.region: r_.total for r_ in out.collect()} == {
+        "east": 30.0, "west": 7.0,
+    }
+    # and it genuinely routed (else the test proves nothing)
+    assert any("_reflections" in f for f in out.inputFiles())

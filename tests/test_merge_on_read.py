@@ -233,3 +233,33 @@ def test_mor_update_and_merge_modes_via_sql_properties(lake, spark):
     assert got[1] == "m1" and got[500] == "new" and len(got) == 11
     assert set(before) <= set(_data_files(t))
     assert len(t._current_snapshot(t._load_meta()).get("delete_dirs", [])) == 2
+
+
+def test_rollback_to_mor_snapshot_keeps_deletes(lake, spark):
+    """ADVICE r7 (high): rollback must carry the target snapshot's
+    outstanding position-delete state — rolling back to (or past) a
+    merge-on-read DELETE must not resurrect the deleted rows."""
+    t = _mk(lake, spark)
+    t.delete_where("id >= 5", mode="merge-on-read")
+    s_del = t._load_meta()["current_snapshot_id"]
+    t.append(spark.range(100, 103).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") % 2).alias("g")))
+    # roll back TO the MoR-delete snapshot: 5 rows, not 10
+    t.rollback_to(s_del)
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    # the timestamp flavor routes through the same fix
+    snaps = {r.snapshot_id: r.committed_at_ms for r in t.snapshots().collect()}
+    t.rollback_to_timestamp(snaps[s_del])
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_sql_rollback_keeps_mor_deletes(lake, spark):
+    t = _mk(lake, spark)
+    t.delete_where("id >= 5", mode="merge-on-read")
+    s_del = t._load_meta()["current_snapshot_id"]
+    t.append(spark.range(100, 103).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") % 2).alias("g")))
+    lake.run_script(f"ROLLBACK TABLE ns.t TO SNAPSHOT '{s_del}';")
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]

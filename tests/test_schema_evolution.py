@@ -227,3 +227,30 @@ def test_double_rename_with_appends_between_reads_all_generations(lake, spark):
     # predicate reads still work across the chain (pruning is conservative
     # for generations whose stats live under old names — never wrong)
     assert [r.v for r in t.read(where="b = 3").collect()] == ["three"]
+
+
+def test_branch_snapshot_before_evolution_keeps_its_epoch(lake, spark):
+    """ADVICE r7: branch snapshots take ids ABOVE main's head, so the
+    schema log's valid_through must bound by the table-wide max id — a
+    branch commit made before an evolution reads under the pre-evolution
+    epoch, not the new schema."""
+    t = _seed(spark, lake)
+    t.create_branch("audit")
+    t.append_to_branch(
+        "audit",
+        spark.createDataFrame([(3, 30.0, "c")], "id INT, amount DOUBLE, tag STRING"),
+    )
+    bid = t.branches()["audit"]
+    assert bid > t._load_meta()["current_snapshot_id"]  # the hazard setup
+    t.add_column("channel", "STRING")
+    # committed before the evolution -> pre-evolution epoch (no 'channel')
+    assert "channel" not in t.read_branch("audit").columns
+    assert sorted(r.id for r in t.read_branch("audit").collect()) == [1, 2, 3]
+    # a post-evolution branch commit reads under the NEW schema
+    t.append_to_branch(
+        "audit",
+        spark.createDataFrame(
+            [(4, 40.0, "d", "web")], "id INT, amount DOUBLE, tag STRING, channel STRING"
+        ),
+    )
+    assert "channel" in t.read_branch("audit").columns

@@ -540,3 +540,32 @@ def test_rrf_fuse_hybrid_semantics(spark):
     assert by_id[10].rrf_q6 == round(1e6 / 61)
     # ranks are a total order 1..5, ties impossible here
     assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_cell_pairs_kernel_margin_covers_rounding_slack(spark):
+    """ADVICE r7 (medium): the Arrow kernel's pre-filter margin must cover
+    the HALF_UP rounding slack — a pair whose raw cosine lies in
+    [threshold-5e-7, threshold) passes the exact decision
+    (round6(sim) >= threshold) and must therefore be emitted by the
+    kernel, else the Arrow and SQL paths split duplicate components."""
+    import math
+
+    threshold = 0.95
+    x = 10_000_000
+    found = None
+    y0 = round(x * math.tan(math.acos(threshold)))
+    for y in range(y0 - 400, y0 + 400):
+        c = x / math.sqrt(x * x + y * y)
+        in_band = threshold - 5e-7 <= c < threshold
+        half_up_accepts = math.floor(c * 1e6 + 0.5) / 1e6 >= threshold
+        if in_band and half_up_accepts:
+            found = (y, c)
+            break
+    assert found is not None, "no integer vector lands in the slack band"
+    y, _ = found
+    df = spark.createDataFrame(
+        [(0, 1, [x, 0]), (0, 2, [x, y])],
+        "cell_id INT, vec_id LONG, qv ARRAY<LONG>",
+    )
+    pairs = SIM._cell_pairs_arrow(df, threshold).collect()
+    assert [(p.vec_a, p.vec_b) for p in pairs] == [(1, 2)]
