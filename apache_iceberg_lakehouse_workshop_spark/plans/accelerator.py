@@ -100,6 +100,10 @@ class AcceleratorRegistry:
         # USING DISPLAY(cols), readme.md:320-326). cols=None means the
         # reflection stores every dataset column (SELECT *)
         self._raw_shapes: dict[str, dict] = {}
+        # name -> {"tables", "keys", "colmap": {src_ref: stored_col}} for
+        # RAW reflections on a plain projection-over-join VIEW: an
+        # explicitly spelled query over the SAME join routes here too
+        self._raw_join_shapes: dict[str, dict] = {}
         self._load_registry()
 
     # ------------------------------------------------------- persistence
@@ -137,6 +141,11 @@ class AcceleratorRegistry:
                 **(
                     {"raw_shape": self._raw_shapes[name]}
                     if name in self._raw_shapes
+                    else {}
+                ),
+                **(
+                    {"raw_join_shape": self._raw_join_shapes[name]}
+                    if name in self._raw_join_shapes
                     else {}
                 ),
             }
@@ -178,6 +187,8 @@ class AcceleratorRegistry:
                 self._join_shapes[name] = shape
             if "raw_shape" in e:
                 self._raw_shapes[name] = dict(e["raw_shape"])
+            if "raw_join_shape" in e:
+                self._raw_join_shapes[name] = dict(e["raw_join_shape"])
 
     # ----------------------------------------------------------- helpers
 
@@ -887,6 +898,186 @@ class AcceleratorRegistry:
             return out
         return None
 
+    # --------------------------------------- RAW join-subtree reflections
+
+    def register_raw_join_shape(
+        self,
+        name: str,
+        tables: list[str],
+        join_keys: list[str],
+        colmap: dict[str, str],
+        view_body: str | None = None,
+        dataset: str | None = None,
+    ) -> None:
+        """Record that RAW reflection ``name`` stores the rows of a plain
+        PROJECTION over an inner equi-join view — so a query spelling the
+        SAME join explicitly (``SELECT cols FROM a JOIN b ON … WHERE …``)
+        routes to the materialization too: the last spelling of Dremio's
+        'accelerates any query it covers' (readme.md:331-355) the engine
+        serves. ``colmap`` maps source refs ``'tbl.col'`` to the stored
+        output column name; identity uses the same canonical join-subtree
+        form as :meth:`register_join_agg_shape`."""
+        t, k = self._canonical_join(tables, join_keys)
+        canon_map = {}
+        for src, out in colmap.items():
+            tbl, _, col = src.rpartition(".")
+            canon_map[f"{self._resolve_dataset(tbl) or tbl}.{col}"] = out
+        self._raw_join_shapes[name] = {
+            "tables": list(t),
+            "keys": list(k),
+            "colmap": canon_map,
+            "view_body": view_body,
+            "dataset": dataset,
+        }
+        if name in self._sql_defs:
+            self._save_registry()
+
+    def _rewrite_pred_to_stored(self, where: str, canon_ref) -> str | None:
+        """Rewrite every column reference in ``where`` (qualified
+        ``alias.col`` / ``tbl.col`` or bare) to its stored reflection
+        column via ``canon_ref``; None when any reference cannot be proven
+        covered (unknown qualifier, ambiguous bare name, subquery,
+        nondeterministic function) — the caller then falls back to the
+        plain plan. Single-quoted literals pass through untouched."""
+        out: list[str] = []
+        i, n = 0, len(where)
+        while i < n:
+            ch = where[i]
+            if ch == "'":
+                j = where.find("'", i + 1)
+                j = n - 1 if j == -1 else j
+                out.append(where[i : j + 1])
+                i = j + 1
+                continue
+            if ch.isalpha() or ch == "_":
+                k = i
+                while k < n and (where[k].isalnum() or where[k] == "_"):
+                    k += 1
+                ident = where[i:k]
+                m = k
+                while m < n and where[m].isspace():
+                    m += 1
+                if m < n and where[m] == "(":
+                    if ident.lower() in self._PRED_NONDETERMINISTIC:
+                        return None
+                    out.append(where[i:k])
+                    i = k
+                    continue
+                if k < n and where[k] == ".":
+                    j = k + 1
+                    k2 = j
+                    while k2 < n and (where[k2].isalnum() or where[k2] in "._"):
+                        k2 += 1
+                    ref = where[i:k2]
+                    stored = canon_ref(ref)
+                    if stored is None:
+                        return None
+                    out.append(stored)
+                    i = k2
+                    continue
+                low = ident.lower()
+                if low == "select":
+                    return None
+                if low in self._PRED_KEYWORDS:
+                    out.append(ident)
+                    i = k
+                    continue
+                stored = canon_ref(ident)
+                if stored is None:
+                    return None
+                out.append(stored)
+                i = k
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
+    def route_raw_join(
+        self,
+        tables: list[str],
+        join_keys: list[str],
+        select: list[tuple[str, str]],
+        where: str | None = None,
+        aliases: dict[str, str] | None = None,
+        order: list[tuple[str, bool]] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame | None:
+        """Serve an explicitly spelled ``SELECT cols FROM a JOIN b ON …
+        [WHERE] [ORDER BY] [LIMIT]`` from a FRESH RAW reflection registered
+        on the equivalent join VIEW. ``select`` is [(source_ref,
+        output_name)]; ``aliases`` is the query's alias→table map. Column
+        references resolve through the shape's colmap (alias- and
+        key-order-invariant via the canonical join identity); anything
+        unresolvable falls back to the plain plan. At 100 TB this replaces
+        the query's join shuffle with a pruned scan of the pre-joined
+        reflection storage."""
+        want = self._canonical_join(tables, join_keys)
+        aliases = aliases or {}
+
+        for name, shape in self._raw_join_shapes.items():
+            if name not in self._defs:
+                continue
+            if (tuple(shape["tables"]), tuple(shape["keys"])) != want:
+                continue
+            if self._view_drifted(shape):
+                continue
+            if not self.is_fresh(name):
+                continue
+            colmap = shape["colmap"]
+
+            def canon_ref(ref: str, colmap=colmap) -> str | None:
+                tbl, _, col = ref.rpartition(".")
+                if tbl:
+                    tbl = aliases.get(tbl, tbl)
+                    return colmap.get(
+                        f"{self._resolve_dataset(tbl) or tbl}.{col}"
+                    )
+                # bare ref: covered only when exactly ONE source column
+                # spells it (a join makes bare names ambiguous otherwise)
+                hits = [
+                    v for s, v in colmap.items()
+                    if s.rpartition(".")[2] == ref
+                ]
+                return hits[0] if len(hits) == 1 else None
+
+            sel_stored = []
+            ok = True
+            for ref, out_name in select:
+                st = canon_ref(ref)
+                if st is None:
+                    ok = False
+                    break
+                sel_stored.append((st, out_name))
+            if not ok:
+                continue
+            w = None
+            if where is not None:
+                w = self._rewrite_pred_to_stored(where, canon_ref)
+                if w is None:
+                    continue
+            df = self._storage(name).read(where=w)
+            if order is not None:
+                ord_exprs = []
+                out_to_stored = {o: s for s, o in sel_stored}
+                for ref, desc in order:
+                    st = canon_ref(ref) or out_to_stored.get(ref)
+                    if st is None:
+                        ok = False
+                        break
+                    ord_exprs.append(
+                        F.col(st).desc() if desc else F.col(st).asc()
+                    )
+                if not ok:
+                    continue
+                df = df.orderBy(*ord_exprs)
+            routed = df.select(
+                *[F.col(st).alias(o) for st, o in sel_stored]
+            )
+            if limit is not None:
+                routed = routed.limit(limit)
+            return routed
+        return None
+
     # -------------------------------------------- join-subtree reflections
 
     def _canonical_join(
@@ -1005,6 +1196,7 @@ class AcceleratorRegistry:
         self._agg_shapes.pop(name, None)
         self._join_shapes.pop(name, None)
         self._raw_shapes.pop(name, None)
+        self._raw_join_shapes.pop(name, None)
         was_sql = self._sql_defs.pop(name, None) is not None
         self.lake.drop_table(self._storage_name(name))
         if was_sql:

@@ -98,6 +98,24 @@ _RAW_FORBIDDEN = re.compile(
     re.I,
 )
 
+# routable RAW scan over an EXPLICITLY SPELLED join: SELECT items FROM
+# a JOIN b ON ... [WHERE] [ORDER BY] [LIMIT] — no GROUP BY/agg (served by
+# a RAW reflection registered on the equivalent join view)
+_RE_ROUTABLE_RAW_JOIN = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+"
+    r"(?P<from>[\w.]+.*?\bJOIN\b.*?)\s*"
+    r"(?:\bWHERE\s+(?P<where>.*?)\s*)?"
+    r"(?:\bORDER\s+BY\s+(?P<order>[\w.]+(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*[\w.]+(?:\s+(?:ASC|DESC))?)*)\s*)?"
+    r"(?:\bLIMIT\s+(?P<limit>\d+)\s*)?;?\s*$",
+    re.I | re.S,
+)
+_RAW_JOIN_FORBIDDEN = re.compile(
+    r"\b(GROUP\s+BY|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|QUALIFY|"
+    r"OVER|WITH|LATERAL|TABLESAMPLE)\b",
+    re.I,
+)
+
 
 def _strip_str_literals(text: str) -> str:
     """Blank out single-quoted literals so keyword guards don't trip on
@@ -322,6 +340,9 @@ class WorkloadAdvisor:
         raw = self._route_raw_sql(sql)
         if raw is not None:
             return raw
+        rawj = self._route_raw_join_sql(sql)
+        if rawj is not None:
+            return rawj
         m = _RE_ROUTABLE.match(sql)
         if m is not None:
             parsed = self._parse_select_items(
@@ -408,6 +429,40 @@ class WorkloadAdvisor:
         table, cols, where, order, limit = parsed
         return self.accelerator.route_raw(
             table, cols, where=where, order=order, limit=limit
+        )
+
+    def _route_raw_join_sql(self, sql: str):
+        """Route an explicitly spelled non-aggregate join query —
+        ``SELECT items FROM a JOIN b ON … [WHERE] [ORDER BY] [LIMIT]`` —
+        through a RAW reflection registered on the equivalent join view
+        (readme.md:331-355). Anything unprovable falls back to the plain
+        plan (return None)."""
+        m = _RE_ROUTABLE_RAW_JOIN.match(sql)
+        if m is None or _RAW_JOIN_FORBIDDEN.search(_strip_str_literals(sql)):
+            return None
+        tree = parse_join_tree(m.group("from"))
+        if tree is None:
+            return None
+        tables, keys, aliases = tree
+        select: list[tuple[str, str]] = []
+        for item in m.group("select").split(","):
+            im = re.match(r"^([\w.]+)(?:\s+AS\s+(\w+))?$", item.strip(), re.I)
+            if im is None:
+                return None  # *, expressions, aggregates: not servable
+            ref = im.group(1)
+            select.append((ref, im.group(2) or ref.rpartition(".")[2]))
+        order = None
+        if m.group("order"):
+            order = []
+            for o in m.group("order").split(","):
+                om = _RE_ORDER_ITEM.match(o.strip())
+                if om is None:
+                    return None
+                order.append((om.group(1), (om.group(2) or "").upper() == "DESC"))
+        limit = int(m.group("limit")) if m.group("limit") else None
+        return self.accelerator.route_raw_join(
+            tables, keys, select, where=m.group("where"),
+            aliases=aliases, order=order, limit=limit,
         )
 
     def _observe_raw_sql(self, sql: str) -> bool:

@@ -1222,6 +1222,10 @@ class ScriptRunner:
             self.accelerator.register_raw_shape(
                 name, dataset, raw_cols, view_body=self._view_body_of(dataset)
             )
+            # a RAW reflection on a plain projection-over-join VIEW also
+            # registers its join subtree: a query spelling the SAME join
+            # explicitly routes too (readme.md:331-355)
+            self._maybe_register_raw_join_shape(name, dataset, raw_cols)
         if _RE_USING_DIMENSIONS.match(using):
             # aggregation reflections register their shape so covered
             # queries (dims a subset, AVG from SUM+COUNT) can route to them
@@ -1288,6 +1292,63 @@ class ScriptRunner:
             name, tables, keys, dims, measures,
             view_body=body, dataset=dataset,
         )
+
+    def _join_view_body(self, dataset: str) -> str | None:
+        """The view body for ``dataset`` (full or leaf spelling), or None
+        when it isn't a view."""
+        body = self.views.get(dataset)
+        if body is None and "." not in dataset:
+            matches = [v for v in self.views if v.split(".")[-1] == dataset]
+            body = self.views[matches[0]] if len(matches) == 1 else None
+        return body
+
+    def _maybe_register_raw_join_shape(
+        self, name: str, dataset: str, raw_cols: list[str] | None
+    ) -> None:
+        """If ``dataset`` is a view whose body is a plain PROJECTION over
+        an inner equi-join (qualified select items, no WHERE/agg/set-op),
+        register the join subtree + column map so a query that spells the
+        SAME join explicitly routes to this RAW reflection — the covered-
+        query spelling of readme.md:331-355 beyond the view-name route."""
+        from .advisor import parse_join_tree
+
+        body = self._join_view_body(dataset)
+        if body is None:
+            return
+        if re.search(
+            r"\b(WHERE|GROUP\s+BY|HAVING|QUALIFY|LIMIT|ORDER\s+BY|UNION|"
+            r"INTERSECT|EXCEPT|DISTINCT)\b",
+            body,
+            re.I,
+        ):
+            return
+        m = re.match(
+            r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<from>.*?)\s*;?\s*$",
+            body,
+            re.I | re.S,
+        )
+        if m is None:
+            return
+        tree = parse_join_tree(m.group("from"))
+        if tree is None:
+            return
+        tables, keys, aliases = tree
+        colmap: dict[str, str] = {}
+        for item in dialect.split_args_top_level(m.group("sel")):
+            pm = re.match(r"^(\w+)\.(\w+)(?:\s+AS\s+(\w+))?$", item.strip(), re.I)
+            if pm is None or pm.group(1) not in aliases:
+                # bare / starred / computed item: its source table cannot
+                # be proven — skip registration, view-name routing remains
+                return
+            colmap[f"{aliases[pm.group(1)]}.{pm.group(2)}"] = (
+                pm.group(3) or pm.group(2)
+            )
+        if raw_cols is not None:
+            colmap = {s: o for s, o in colmap.items() if o in raw_cols}
+        if colmap:
+            self.accelerator.register_raw_join_shape(
+                name, tables, keys, colmap, view_body=body, dataset=dataset
+            )
 
     # ------------------------------------------------------------- driver
 

@@ -249,6 +249,8 @@ ab_shapes_battery = _register_battery(
          {"pri": "s1", "total_c": "n1", "n": "n2"}),
         ("r2_routed_raw", "r2_routed_raw",
          {"c_custkey": "k1", "c_name": "s1", "c_acctbal": "v1"}),
+        ("r3_routed_raw_join", "r3_routed_raw_join",
+         {"o_orderkey": "k1", "cust_name": "s1", "o_totalprice": "v1"}),
     ],
 )
 
@@ -604,6 +606,7 @@ ABSORBED = {
     "a23_stat_aggs": "ab_shapes_battery",
     "r1_routed_reflection": "ab_shapes_battery",
     "r2_routed_raw": "ab_shapes_battery",
+    "r3_routed_raw_join": "ab_shapes_battery",
     "a24_histogram": "ab_shapes_battery",
     "w2_rolling_7day": "wb_window_battery",
     "w3_lead_gap": "wb_window_battery",

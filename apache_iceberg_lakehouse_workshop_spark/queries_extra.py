@@ -1381,6 +1381,70 @@ def r2_routed_raw(spark, sf_dir):
 
 
 @q(
+    "r3_routed_raw_join",
+    """SELECT c_name AS cust_name, o_orderkey, o_totalprice
+       FROM customer JOIN orders ON o_custkey = c_custkey
+       WHERE o_totalprice > 200000
+       ORDER BY o_orderkey
+       LIMIT 100""",
+    "R8 join-shape covered-query matching for RAW reflections — the last "
+    "spelling of Dremio's 'accelerates any query it covers' "
+    "(readme.md:331-355): a RAW reflection registered on a projection-"
+    "over-join VIEW serves a query that spells the SAME join EXPLICITLY, "
+    "with different table order, different aliases, and the equi-key "
+    "sides swapped (canonical join-subtree identity). The oracle "
+    "recomputes the join from the raw parquet rows — value equality "
+    "proves the substitution exact. ORDER BY the unique key keeps the "
+    "LIMIT deterministic across engines.",
+)
+def r3_routed_raw_join(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from .plans import Lakehouse
+    from .plans.script import ScriptRunner
+
+    wh = tempfile.mkdtemp(prefix="rawjoin_wh_")
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    lake = Lakehouse(spark, wh)
+    lake.create_table_as(
+        "r8.customer",
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name"
+        ),
+    )
+    lake.create_table_as(
+        "r8.orders",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+    )
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE OR REPLACE VIEW r8.cust_orders AS
+          SELECT c.c_name AS cust_name, o.o_orderkey, o.o_totalprice
+          FROM r8.customer c
+          JOIN r8.orders o ON c.c_custkey = o.o_custkey;
+        ALTER DATASET r8.cust_orders CREATE RAW REFLECTION co_raw USING RAW;
+        """
+    )
+    r.use_reflection_routing = True
+    # table order swapped, fresh aliases, key sides reversed vs the view
+    out = r.run(
+        "SELECT y.c_name AS cust_name, x.o_orderkey, x.o_totalprice "
+        "FROM r8.orders x JOIN r8.customer y ON x.o_custkey = y.c_custkey "
+        "WHERE x.o_totalprice > 200000 "
+        "ORDER BY x.o_orderkey LIMIT 100"
+    )
+    assert any(
+        "_reflections" in f for f in out.inputFiles()
+    ), "explicitly spelled join must be served by the RAW join reflection"
+    return out
+
+
+@q(
     "r1_routed_reflection",
     """SELECT o_orderpriority AS pri,
               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -53,9 +53,11 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
                             "s3_knn_lsh", "s4_knn_ivf", "db_neardup_battery"],  # s5/s6 ride the battery
     "MM multimodal": ["mm1_binary_metadata", "mmb_media_battery"],
     "AI functions": ["aib_ai_battery"],
-    # R7 covered-query reflection substitution rides the driver hash via
-    # r1_routed_reflection (aggregate rollup routing) and r2_routed_raw
-    # (RAW/DISPLAY routing), both absorbed into ab_shapes_battery
+    # Covered-query reflection substitution rides the driver hash via
+    # r1_routed_reflection (aggregate rollup routing), r2_routed_raw
+    # (RAW/DISPLAY routing), and r3_routed_raw_join (explicitly spelled
+    # join served by a RAW reflection on the equivalent join view), all
+    # absorbed into ab_shapes_battery
     "R acceleration": ["ab_shapes_battery"],
 }
 

@@ -730,17 +730,25 @@ def main() -> None:
         "cdc_upsert": cdc,
         "scaled": scaled,
     }
-    line = json.dumps(out)
-    # the driver parses the headline JSON from a bounded stdout tail that
-    # has clipped it before (BENCH_r06 "parsed": null) — emit the line
-    # LAST on stdout and also write it to BENCH.json beside the script
-    print(line)
+    # the driver parses the headline JSON from a ~2000-char stdout tail
+    # that clipped the full line twice (BENCH_r06/r07 "parsed": null) —
+    # print a COMPACT line (~700 chars: metric/value/queries/sf) LAST and
+    # keep the full detail (reflection/routed/skipping/cdc/scaled) in
+    # BENCH.json beside the script
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "reps",
+            "lineitem_rows", "rows_per_sec_multi_avg",
+        )
+    }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(out) + "\n")
     except OSError:
         pass
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -865,3 +865,87 @@ def test_schema_evolution_staleness(spark, tmp_path):
     assert reg.is_fresh("ev_raw")
     t.widen_column("id", "BIGINT")
     assert not reg.is_fresh("ev_raw")
+
+
+# --------------------------------------------- RAW join-shape routing
+
+
+_JOIN_SETUP = """
+CREATE TABLE dremio.demo.customers (cust_id INT, name VARCHAR);
+INSERT INTO dremio.demo.customers VALUES (1, 'ana'), (2, 'bo');
+CREATE TABLE dremio.demo.orders (order_id INT, cust_id INT, amount DOUBLE);
+INSERT INTO dremio.demo.orders VALUES (10, 1, 5.0), (11, 1, 7.0), (12, 2, 9.0);
+CREATE OR REPLACE VIEW dremio.demo.cust_orders AS
+  SELECT c.name AS cust_name, o.order_id, o.amount
+  FROM dremio.demo.customers c
+  JOIN dremio.demo.orders o ON c.cust_id = o.cust_id;
+ALTER DATASET dremio.demo.cust_orders CREATE RAW REFLECTION co_raw USING RAW;
+"""
+
+
+def test_raw_join_shape_routes_explicit_join(runner):
+    """Round-8 #1: a RAW reflection on a join VIEW serves a query that
+    spells the SAME join explicitly — with different aliases and the
+    equi-key sides swapped (canonical join-subtree identity,
+    readme.md:331-355)."""
+    runner.run(_JOIN_SETUP)
+    sql = (
+        "SELECT x.name AS cust_name, y.amount "
+        "FROM dremio.demo.customers x "
+        "JOIN dremio.demo.orders y ON y.cust_id = x.cust_id "
+        "WHERE y.amount > 5 ORDER BY y.amount DESC"
+    )
+    out = runner.run(sql)
+    assert _reads_reflection(out), "explicit join must scan the RAW reflection"
+    got = [(r.cust_name, r.amount) for r in out.collect()]
+    runner.use_reflection_routing = False
+    want = [(r.cust_name, r.amount) for r in runner.run(sql).collect()]
+    assert got == want == [("bo", 9.0), ("ana", 7.0)]
+
+
+def test_raw_join_shape_uncovered_column_falls_back(runner):
+    runner.run(_JOIN_SETUP)
+    # c.cust_id is not projected by the view: must fall back, stay correct
+    sql = (
+        "SELECT c.cust_id, o.amount FROM dremio.demo.customers c "
+        "JOIN dremio.demo.orders o ON c.cust_id = o.cust_id"
+    )
+    out = runner.run(sql)
+    assert not _reads_reflection(out)
+    assert sorted((r.cust_id, r.amount) for r in out.collect()) == [
+        (1, 5.0), (1, 7.0), (2, 9.0)
+    ]
+    # WHERE over an unprojected column falls back too
+    sql2 = (
+        "SELECT o.amount FROM dremio.demo.customers c "
+        "JOIN dremio.demo.orders o ON c.cust_id = o.cust_id "
+        "WHERE c.cust_id = 2"
+    )
+    out2 = runner.run(sql2)
+    assert not _reads_reflection(out2)
+    assert [r.amount for r in out2.collect()] == [9.0]
+
+
+def test_raw_join_shape_stale_falls_back(runner):
+    runner.run(_JOIN_SETUP)
+    sql = (
+        "SELECT c.name AS cust_name, o.amount FROM dremio.demo.customers c "
+        "JOIN dremio.demo.orders o ON c.cust_id = o.cust_id"
+    )
+    assert _reads_reflection(runner.run(sql))
+    runner.run("INSERT INTO dremio.demo.orders VALUES (13, 2, 99.0)")
+    out = runner.run(sql)
+    assert not _reads_reflection(out), "stale reflection must not serve"
+    assert 99.0 in {r.amount for r in out.collect()}
+
+
+def test_raw_join_shape_different_join_never_matches(runner):
+    """A query over a DIFFERENT join (other key) must not be served."""
+    runner.run(_JOIN_SETUP)
+    sql = (
+        "SELECT c.name AS cust_name, o.amount FROM dremio.demo.customers c "
+        "JOIN dremio.demo.orders o ON c.cust_id = o.order_id"
+    )
+    out = runner.run(sql)
+    assert not _reads_reflection(out)
+    assert out.count() == 0  # no order_id equals a cust_id
