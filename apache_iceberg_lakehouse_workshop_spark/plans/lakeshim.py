@@ -3104,8 +3104,61 @@ class LakeTable:
         return dict(self._load_meta().get("properties", {}))
 
     @_requires("SELECT")
+    def snapshot_id_at(self, ts_ms: int) -> int | None:
+        """The snapshot that was current at ``ts_ms`` (the table's state
+        at that instant) — None when the table had no snapshot yet.
+        Resolves the timestamp bounds of ``TABLE(table_changes('t',
+        TIMESTAMP '…'))`` via snapshot history, like Iceberg's
+        timestamp-based changelog/time-travel resolution."""
+        meta = self._load_meta()
+        eligible = [s["id"] for s in meta["snapshots"] if s["ts_ms"] <= ts_ms]
+        return eligible[-1] if eligible else None
+
+    def _changelog_key_cols(self) -> list[str] | None:
+        """Declared changelog identifier columns — the
+        ``changelog.key-columns`` table property (comma-separated), the
+        shim's spelling of Iceberg's identifier-field ids."""
+        raw = self.properties().get("changelog.key-columns")
+        if not raw:
+            return None
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
+    @staticmethod
+    def _pair_updates(diff: DataFrame, key_cols: list[str]) -> DataFrame:
+        """Pair same-key delete+insert changelog rows into
+        ``update_preimage`` / ``update_postimage`` (Iceberg
+        ``create_changelog_view(compute_updates=true)`` semantics). Only
+        an UNAMBIGUOUS pair (exactly one delete and one insert for the
+        key) is promoted; keys with any other multiplicity keep plain
+        insert/delete rows — a changelog must never guess which old row
+        became which new row."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(c) for c in key_cols])
+        is_del = F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+        is_ins = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+        counted = diff.withColumn("__nd", F.sum(is_del).over(w)).withColumn(
+            "__ni", F.sum(is_ins).over(w)
+        )
+        paired = (F.col("__nd") == 1) & (F.col("__ni") == 1)
+        return counted.withColumn(
+            "_change_type",
+            F.when(
+                paired & (F.col("_change_type") == "delete"),
+                F.lit("update_preimage"),
+            )
+            .when(
+                paired & (F.col("_change_type") == "insert"),
+                F.lit("update_postimage"),
+            )
+            .otherwise(F.col("_change_type")),
+        ).drop("__nd", "__ni")
+
     def read_changes(
-        self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+        key_cols: list[str] | None = None,
     ) -> DataFrame:
         """Row-level changelog between two snapshots — the CDC-OUT
         complement of the upsert sinks (Iceberg ``create_changelog_view`` /
@@ -3115,6 +3168,13 @@ class LakeTable:
         means "since the empty table"; ``to_snapshot_id=None`` means
         current.
 
+        ``key_cols`` (or the ``changelog.key-columns`` table property)
+        declares identifier columns: a key with exactly one delete and
+        one insert in the range is emitted as ``update_preimage`` /
+        ``update_postimage`` instead (Iceberg's ``compute_updates``) —
+        what an SCD-merging CDC consumer needs to distinguish an UPDATE
+        from an unrelated delete+insert.
+
         Append-only ranges take the :meth:`read_incremental` fast path —
         ONLY the new commit dirs are read, O(delta). Ranges containing
         rewrites / MoR deletes / upserts fall back to an exact multiset
@@ -3123,8 +3183,10 @@ class LakeTable:
         worst case (what any engine pays to diff rewritten history).
         Float columns diff by IEEE equality (NaN groups as itself under
         GROUP BY, so NaN rows still pair up)."""
+        keys = key_cols if key_cols is not None else self._changelog_key_cols()
         try:
             delta = self.read_incremental(from_snapshot_id, to_snapshot_id)
+            # append-only range: inserts only, nothing to pair
             return delta.withColumn("_change_type", F.lit("insert"))
         except ValueError:
             pass
@@ -3174,7 +3236,7 @@ class LakeTable:
             .agg(F.sum("__w").alias("__d"))
             .filter(F.col("__d") != 0)
         )
-        return (
+        diff = (
             j.withColumn(
                 "__i", F.explode(F.sequence(F.lit(1), F.abs(F.col("__d"))))
             )
@@ -3185,6 +3247,9 @@ class LakeTable:
                 .alias("_change_type"),
             )
         )
+        if keys and set(keys) <= set(cols):
+            diff = self._pair_updates(diff, keys)
+        return diff
 
     @_requires("ALTER", "WRITE")
     def fold_deletes(self) -> int:

@@ -176,10 +176,13 @@ _RE_GRANT = re.compile(
 )
 # TABLE(table_changes('t', from[, to])) — the changelog TVF (Delta
 # table_changes / Iceberg changelog view): rows with _change_type between
-# two snapshot ids; NULL/omitted 'to' means current
+# two snapshot ids OR TIMESTAMP '…' bounds (resolved to the snapshot
+# current at that instant via snapshot history); NULL/omitted 'to' means
+# current
 _RE_CHANGES_TVF = re.compile(
-    r"TABLE\s*\(\s*table_changes\s*\(\s*'([\w.]+)'\s*,\s*(NULL|\d+)"
-    r"(?:\s*,\s*(NULL|\d+))?\s*\)\s*\)",
+    r"TABLE\s*\(\s*table_changes\s*\(\s*'([\w.]+)'\s*,\s*"
+    r"(NULL|\d+|TIMESTAMP\s*'[^']+')"
+    r"(?:\s*,\s*(NULL|\d+|TIMESTAMP\s*'[^']+'))?\s*\)\s*\)",
     re.I,
 )
 _RE_REVOKE = re.compile(
@@ -1123,15 +1126,37 @@ class ScriptRunner:
         """JIT-register ``TABLE(table_changes('t', from[, to]))`` as a
         temp view over :meth:`LakeTable.read_changes` and substitute the
         view name — the SQL surface of the changelog (Delta's
-        table_changes shape)."""
+        table_changes shape). Bounds are snapshot ids or ``TIMESTAMP
+        '…'`` literals, the latter resolved to the snapshot current at
+        that instant (UTC, matching the pinned session timezone)."""
+        def bound(t, tok, is_to=False):
+            if tok is None or tok.upper() == "NULL":
+                return None
+            tm = re.match(r"TIMESTAMP\s*'([^']+)'", tok, re.I)
+            if tm is None:
+                return int(tok)
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(tm.group(1))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            sid = t.snapshot_id_at(int(dt.timestamp() * 1000))
+            if sid is None and is_to:
+                # a 'to' instant before the first snapshot: None would
+                # silently mean "current" — refuse instead
+                raise ValueError(
+                    f"no snapshot of {t.name} at or before {tm.group(1)}"
+                )
+            return sid  # None as 'from' = since the empty table
+
         def repl(m: re.Match) -> str:
             name = m.group(1)
-            frm = None if m.group(2).upper() == "NULL" else int(m.group(2))
-            to = m.group(3)
-            to = None if to is None or to.upper() == "NULL" else int(to)
+            t = self.lake.table(name)
+            frm = bound(t, m.group(2))
+            to = bound(t, m.group(3), is_to=True)
             leaf = name.split(".")[-1]
             view = f"{leaf}__changes_{frm or 0}_{to or 0}"
-            self.lake.table(name).read_changes(frm, to).createOrReplaceTempView(view)
+            t.read_changes(frm, to).createOrReplaceTempView(view)
             return view
 
         return _RE_CHANGES_TVF.sub(repl, sql)

@@ -251,6 +251,8 @@ ab_shapes_battery = _register_battery(
          {"c_custkey": "k1", "c_name": "s1", "c_acctbal": "v1"}),
         ("r3_routed_raw_join", "r3_routed_raw_join",
          {"o_orderkey": "k1", "cust_name": "s1", "o_totalprice": "v1"}),
+        ("r4_changelog_rename", "r4_changelog_rename",
+         {"k": "k1", "price": "v1", "change_type": "s1"}),
     ],
 )
 
@@ -607,6 +609,7 @@ ABSORBED = {
     "r1_routed_reflection": "ab_shapes_battery",
     "r2_routed_raw": "ab_shapes_battery",
     "r3_routed_raw_join": "ab_shapes_battery",
+    "r4_changelog_rename": "ab_shapes_battery",
     "a24_histogram": "ab_shapes_battery",
     "w2_rolling_7day": "wb_window_battery",
     "w3_lead_gap": "wb_window_battery",

@@ -1445,6 +1445,85 @@ def r3_routed_raw_join(spark, sf_dir):
 
 
 @q(
+    "r4_changelog_rename",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_totalprice AS price
+         FROM orders WHERE o_orderkey % 10 < 5),
+       app AS (
+         SELECT o_orderkey AS k, o_totalprice AS price
+         FROM orders WHERE o_orderkey % 10 IN (5, 6)),
+       after_del AS (
+         SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM app)
+         WHERE price >= 50000),
+       ups AS (
+         SELECT o_orderkey AS k, o_totalprice + 1 AS price
+         FROM orders WHERE o_orderkey % 10 = 3),
+       new_state AS (
+         SELECT * FROM after_del WHERE k % 10 <> 3
+         UNION ALL SELECT * FROM ups),
+       d AS (
+         SELECT k, price, SUM(w) AS dd FROM (
+           SELECT k, price, 1 AS w FROM new_state
+           UNION ALL SELECT k, price, -1 AS w FROM base)
+         GROUP BY k, price HAVING SUM(w) <> 0),
+       x AS (
+         SELECT k, price,
+                CASE WHEN dd > 0 THEN 'insert' ELSE 'delete' END AS ct
+         FROM d),
+       p AS (
+         SELECT k, price, ct,
+                SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY k) AS nd,
+                SUM(CASE WHEN ct = 'insert' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY k) AS ni
+         FROM x)
+       SELECT k, price,
+              CASE WHEN nd = 1 AND ni = 1 AND ct = 'delete'
+                     THEN 'update_preimage'
+                   WHEN nd = 1 AND ni = 1 AND ct = 'insert'
+                     THEN 'update_postimage'
+                   ELSE ct END AS change_type
+       FROM p""",
+    "R8 CDC-out changelog END TO END under the value hash, over a RENAME-"
+    "spanning DML history: base load -> append -> merge-on-read DELETE -> "
+    "RENAME COLUMN -> equality upsert, then read_changes(base, current) "
+    "with declared key columns. The oracle recomputes the net multiset "
+    "diff (and the same unambiguous update_preimage/update_postimage "
+    "pairing) from the raw parquet rows in pure SQL — value equality "
+    "proves the changelog exact across the schema evolution, including "
+    "the epoch-aligned read of the pre-rename snapshot.",
+)
+def r4_changelog_rename(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from .plans import Lakehouse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    wh = tempfile.mkdtemp(prefix="cdc_wh_")
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    lake = Lakehouse(spark, wh)
+    t = lake.create_table_as("cdc.orders", orders.filter(F.col("k") % 10 < 5))
+    s0 = t._load_meta()["current_snapshot_id"]
+    t.append(orders.filter((F.col("k") % 10).isin(5, 6)))
+    t.delete_where("amount < 50000", mode="merge-on-read")
+    t.rename_column("amount", "price")
+    t.upsert_equality(
+        orders.filter(F.col("k") % 10 == 3).select(
+            "k", (F.col("amount") + 1).alias("price")
+        ),
+        "k",
+    )
+    return t.read_changes(s0, key_cols=["k"]).select(
+        "k", "price", F.col("_change_type").alias("change_type")
+    )
+
+
+@q(
     "r1_routed_reflection",
     """SELECT o_orderpriority AS pri,
               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -608,3 +608,199 @@ def test_rollback_to_equality_delete_snapshot_keeps_deletes(lake, spark):
     t.append(_keys(spark, [3]).select(
         F.col("id"), F.lit("re-added").alias("v"), F.lit(1).cast("bigint").alias("g")))
     assert 3 in {r.id for r in t.read().collect()}
+
+
+def test_read_changes_update_pairing(lake, spark):
+    """Round-8 #2: with declared identifier columns a same-key delete+
+    insert pair is emitted as update_preimage/update_postimage (Iceberg
+    create_changelog_view compute_updates); ambiguous multiplicities stay
+    plain insert/delete."""
+    t = lake.create_table("c.p", "id BIGINT, v STRING")
+    base = t.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (5, "x")], "id BIGINT, v STRING")
+    )
+    t.delete_where("id = 5")
+    s2 = t.append(
+        spark.createDataFrame(
+            [(5, "y"), (5, "z")], "id BIGINT, v STRING"
+        )
+    )
+    s3 = t.upsert_equality(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id BIGINT, v STRING"), "id"
+    )
+    ch = sorted(
+        (r.id, r.v, r._change_type)
+        for r in t.read_changes(base, s3, key_cols=["id"]).collect()
+    )
+    assert ch == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "c", "insert"),
+        # id=5 has 1 delete + 2 inserts: ambiguous, never guessed
+        (5, "x", "delete"),
+        (5, "y", "insert"),
+        (5, "z", "insert"),
+    ]
+    # no keys declared -> plain rows (back-compat)
+    plain = {r._change_type for r in t.read_changes(base, s3).collect()}
+    assert plain == {"insert", "delete"}
+    # the changelog.key-columns table property drives the default
+    t.set_properties({"changelog.key-columns": "id"})
+    prop = sorted(
+        (r.id, r.v, r._change_type)
+        for r in t.read_changes(base, s3).collect()
+    )
+    assert prop == ch
+
+
+def test_table_changes_tvf_timestamp_bounds(lake, spark):
+    """TABLE(table_changes('t', TIMESTAMP '...')) resolves bounds to the
+    snapshot current at that instant via snapshot history."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    t = lake.create_table("c.ts", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "a")], "id BIGINT, v STRING"))
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2, "b")], "id BIGINT, v STRING"))
+    snaps = sorted(
+        (r.snapshot_id, r.committed_at_ms) for r in t.snapshots().collect()
+    )
+    first_ms = snaps[0][1]
+    lit = datetime.fromtimestamp(first_ms / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    out = lake.run_script(
+        f"SELECT id, v, _change_type "
+        f"FROM TABLE(table_changes('c.ts', TIMESTAMP '{lit}')) ORDER BY id"
+    )
+    # state at the first commit's instant -> only the second append differs
+    assert [(r.id, r.v, r._change_type) for r in out.collect()] == [
+        (2, "b", "insert")
+    ]
+    # an instant before the table existed -> since the empty table
+    early = datetime.fromtimestamp(
+        (first_ms - 10_000) / 1000, tz=timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    out2 = lake.run_script(
+        f"SELECT COUNT(*) AS n "
+        f"FROM TABLE(table_changes('c.ts', TIMESTAMP '{early}'))"
+    )
+    assert out2.collect()[0].n == 2
+
+
+_cl_ops_st = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _rows_st),
+        st.tuples(st.just("delete_by_key"),
+                  st.lists(st.integers(0, 7), min_size=1, max_size=3)),
+        st.tuples(st.just("upsert"), _rows_st),
+        st.tuples(st.just("mor_delete"), st.integers(0, 7)),
+        st.tuples(st.just("fold"), st.none()),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("rename"), st.none()),
+        st.tuples(st.just("addcol"), st.none()),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(_cl_ops_st, st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_read_changes_matches_model_diff(spark, ops, data):
+    """Round-8 #8 model-based changelog soundness: for ANY interleaving of
+    appends / equality deletes / upserts / MoR deletes / folds /
+    compactions / RENAME / ADD COLUMN, ``read_changes(s_i, s_j)`` equals
+    the model's multiset diff between the states at those snapshots, for
+    random snapshot pairs — inserts are exactly state_j − state_i and
+    deletes exactly state_i − state_j, across schema evolution."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    wh = tempfile.mkdtemp(prefix="clprop-")
+    try:
+        lake = Lakehouse(spark, wh)
+        t = lake.create_table("m.c", "id BIGINT, v STRING")
+        kcol, has_w = "id", False
+        model: list[tuple] = []  # rows as (k, v, w)
+        # snapshot id -> frozen model state (fold/compact are net-zero and
+        # never change the state; they still advance the snapshot)
+        states: list[tuple[int | None, tuple]] = [(None, ())]
+
+        def df_of(rows):
+            if has_w:
+                return spark.createDataFrame(
+                    [(k, f"v{x}", x) for k, x in rows],
+                    f"{kcol} BIGINT, v STRING, w BIGINT",
+                )
+            return spark.createDataFrame(
+                [(k, f"v{x}") for k, x in rows], f"{kcol} BIGINT, v STRING"
+            )
+
+        for op, arg in ops:
+            if op == "append":
+                t.append(df_of(arg))
+                model += [
+                    (k, f"v{x}", x if has_w else None) for k, x in arg
+                ]
+            elif op == "delete_by_key":
+                t.delete_by_key(
+                    spark.createDataFrame([(k,) for k in arg], f"{kcol} BIGINT")
+                )
+                model = [r for r in model if r[0] not in set(arg)]
+            elif op == "upsert":
+                t.upsert_equality(df_of(arg), kcol)
+                keys = {k for k, _ in arg}
+                model = [r for r in model if r[0] not in keys]
+                model += [
+                    (k, f"v{x}", x if has_w else None) for k, x in arg
+                ]
+            elif op == "mor_delete":
+                t.delete_where(f"{kcol} = {arg}", mode="merge-on-read")
+                model = [r for r in model if r[0] != arg]
+            elif op == "fold":
+                t.fold_deletes()
+            elif op == "compact":
+                t.compact(n_files=2)
+            elif op == "rename" and kcol == "id":
+                t.rename_column("id", "ident")
+                kcol = "ident"
+            elif op == "addcol" and not has_w:
+                t.add_column("w", "BIGINT")
+                has_w = True
+            sid = t._load_meta()["current_snapshot_id"]
+            states.append((sid, tuple(sorted(model, key=repr))))
+
+        def row_tuple(r):
+            # a range ending BEFORE the rename/add-column reads under the
+            # to-snapshot's epoch schema (old names, no w) — accept both
+            d = r.asDict()
+            return (d.get("ident", d.get("id")), d["v"], d.get("w"))
+
+        # check (None -> current) plus two random pairs i < j
+        pairs = [(0, len(states) - 1)]
+        for _ in range(2):
+            j = data.draw(st.integers(1, len(states) - 1))
+            i = data.draw(st.integers(0, j - 1))
+            pairs.append((i, j))
+        for i, j in pairs:
+            s_i, st_i = states[i]
+            s_j, st_j = states[j]
+            want_ins = Counter(st_j) - Counter(st_i)
+            want_del = Counter(st_i) - Counter(st_j)
+            got = t.read_changes(s_i, s_j).collect()
+            got_ins = Counter(
+                row_tuple(r) for r in got
+                if r._change_type in ("insert", "update_postimage")
+            )
+            got_del = Counter(
+                row_tuple(r) for r in got
+                if r._change_type in ("delete", "update_preimage")
+            )
+            assert got_ins == want_ins, (i, j, s_i, s_j)
+            assert got_del == want_del, (i, j, s_i, s_j)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

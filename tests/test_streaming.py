@@ -560,3 +560,63 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert got == [(1, 11), (1, 13), (2, 12)]
+
+
+def test_cdc_roundtrip_changes_out_to_upsert_in(spark, tmp_path):
+    """Round-8 #2 roundtrip: the CDC-OUT changelog of table A, drained
+    through the CDC-IN streaming upsert sink into table B, reproduces A —
+    the two halves of the CDC surface compose. Pairing declared via the
+    changelog.key-columns property; the sink applies inserts and
+    update_postimages (the apply-side of an SCD-1 merge)."""
+    from apache_iceberg_lakehouse_workshop_spark.streaming import (
+        stream_upsert_to_table,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "wh_rt"))
+    a = lake.create_table("db.a", "k BIGINT, v STRING")
+    a.set_properties({"changelog.key-columns": "k"})
+    a.append(spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING"))
+    a.upsert_equality(
+        spark.createDataFrame([(2, "B2"), (3, "c")], "k BIGINT, v STRING"), "k"
+    )
+    a.upsert_equality(
+        spark.createDataFrame([(1, "A3")], "k BIGINT, v STRING"), "k"
+    )
+
+    # replay the changelog range-by-range (one file per snapshot interval,
+    # one micro-batch per file) so the upserted ranges genuinely carry
+    # update_postimage rows through the sink
+    import os
+    import time as _time
+
+    sids = [None] + sorted(r.snapshot_id for r in a.snapshots().collect())
+    d = tmp_path / "cdc_rt"
+    d.mkdir()
+    now = _time.time()
+    seen_types: set[str] = set()
+    for i in range(len(sids) - 1):
+        rows = a.read_changes(sids[i], sids[i + 1]).collect()
+        seen_types |= {r._change_type for r in rows}
+        apply_rows = [
+            {"k": r.k, "v": r.v}
+            for r in rows
+            if r._change_type in ("insert", "update_postimage")
+        ]
+        p = d / f"range{i}.json"
+        p.write_text("\n".join(json.dumps(x) for x in apply_rows))
+        os.utime(p, (now - 30 + i, now - 30 + i))
+    assert "update_postimage" in seen_types  # the pairing rode the ranges
+
+    b = lake.create_table("db.b", "k BIGINT, v STRING")
+    stream = (
+        spark.readStream.schema("k LONG, v STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = stream_upsert_to_table(
+        stream, b, ["k"], str(tmp_path / "ckpt_rt"), equality=True
+    )
+    q.awaitTermination(120)
+    assert sorted((r.k, r.v) for r in b.read().collect()) == sorted(
+        (r.k, r.v) for r in a.read().collect()
+    )
