@@ -634,10 +634,25 @@ def register_sql_udfs(spark) -> None:
 
     @F.pandas_udf(StringType())
     def _classify_sql(text: pd.Series, labels: pd.Series) -> pd.Series:
-        out = []
-        for t, labs in zip(text, labels):
-            label_list = [] if labs is None else list(labs)  # numpy array -> list
-            out.append(backend.classify(pd.Series([t]), label_list).iloc[0])
+        # labels arrive PER ROW on the SQL path (almost always one ARRAY
+        # literal per query): group the Arrow batch by distinct label-set
+        # and classify each group in ONE backend call, so the HTTP backend
+        # keeps its batching instead of degrading to a POST per row
+        groups: dict[tuple | None, list[int]] = {}
+        vals = list(labels)
+        for i in range(len(vals)):
+            labs = vals[i]
+            key = None if labs is None else tuple(str(x) for x in labs)
+            groups.setdefault(key, []).append(i)
+        out: list = [None] * len(vals)
+        texts = list(text)
+        for key, positions in groups.items():
+            label_list = [] if key is None else list(key)
+            res = backend.classify(
+                pd.Series([texts[p] for p in positions]), label_list
+            )
+            for j, p in enumerate(positions):
+                out[p] = res.iloc[j]
         return pd.Series(out)
 
     @F.pandas_udf(StringType())

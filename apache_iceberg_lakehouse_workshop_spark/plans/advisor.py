@@ -212,11 +212,27 @@ class WorkloadAdvisor:
     a script runner or call :meth:`observe` directly with a known shape.
     """
 
-    def __init__(self, accelerator, min_count: int = 3):
+    def __init__(
+        self,
+        accelerator,
+        min_count: int = 3,
+        benefit_threshold: float = 5.0,
+    ):
         self.accelerator = accelerator
         self.min_count = min_count
+        # minimum estimated rows-per-group reduction an AGGREGATE
+        # reflection must deliver before apply() materializes it — a
+        # reflection whose partials hold ~as many rows as the anchor
+        # (high-cardinality dims) costs storage + refresh and accelerates
+        # nothing (readme.md:381-389 'intelligently determines')
+        self.benefit_threshold = benefit_threshold
+        # anchors below this row count skip the gate: a reflection there
+        # is harmless either way and the reduction estimate is noise
+        self.benefit_min_rows = 1000
         # (dataset, dims tuple) -> {"count": n, "measures": {(col, agg), ...}}
         self._shapes: dict[tuple, dict] = {}
+        # reflection name -> human-readable refusal reason (benefit gate)
+        self._refused: dict[str, str] = {}
 
     # ---------------------------------------------------------- observing
 
@@ -617,30 +633,65 @@ class WorkloadAdvisor:
                 name = self._reflection_name("_".join(t.split(".")[-1] for t in tables_sorted), dims)
                 if name in existing:
                     continue
-                out.append(
-                    {
-                        "name": name,
-                        "join": dict(entry["join"]),
-                        "dimensions": list(dims),
-                        "measures": sorted(entry["measures"]),
-                        "hits": entry["count"],
-                    }
-                )
+                rec = {
+                    "name": name,
+                    "join": dict(entry["join"]),
+                    "dimensions": list(dims),
+                    "measures": sorted(entry["measures"]),
+                    "hits": entry["count"],
+                }
+                if name in self._refused:
+                    rec["refused_reason"] = self._refused[name]
+                out.append(rec)
                 continue
             dataset, dims = key
             name = self._reflection_name(dataset, dims)
             if name in existing:
                 continue
-            out.append(
-                {
-                    "name": name,
-                    "dataset": dataset,
-                    "dimensions": list(dims),
-                    "measures": sorted(entry["measures"]),
-                    "hits": entry["count"],
-                }
-            )
+            rec = {
+                "name": name,
+                "dataset": dataset,
+                "dimensions": list(dims),
+                "measures": sorted(entry["measures"]),
+                "hits": entry["count"],
+            }
+            if name in self._refused:
+                rec["refused_reason"] = self._refused[name]
+            out.append(rec)
         return out
+
+    def _benefit_gate(
+        self, name: str, from_txt: str, dims: list[str], prepare_sql
+    ) -> bool:
+        """Estimate the rows-per-group reduction an AGGREGATE reflection
+        on ``dims`` would deliver (one trial COUNT + COUNT(DISTINCT dims)
+        scan — at 100 TB swap in TABLESAMPLE or stored NDV sketches) and
+        refuse materialization below ``benefit_threshold``, recording why
+        (surfaced via :meth:`recommendations` as ``refused_reason``).
+        Unestimable shapes pass — correctness never depends on the gate."""
+        if name in self._refused:
+            return False
+        sql = (
+            f"SELECT COUNT(*) AS __n, COUNT(DISTINCT {', '.join(dims)}) "
+            f"AS __g FROM {from_txt}"
+        )
+        if prepare_sql is not None:
+            sql = prepare_sql(sql)
+        try:
+            row = self.accelerator._run_sql(sql).collect()[0]
+            n, g = row["__n"], row["__g"]
+        except Exception:
+            return True
+        if n < self.benefit_min_rows:
+            return True
+        if not g or n / g >= self.benefit_threshold:
+            return True
+        self._refused[name] = (
+            f"estimated reduction {n / g:.1f}x < {self.benefit_threshold:g}x "
+            f"threshold ({g} groups over {n} rows): partials ~ anchor size; "
+            "consider a RAW reflection on the projected columns instead"
+        )
+        return False
 
     @staticmethod
     def _reflection_name(dataset: str, dims: tuple) -> str:
@@ -700,6 +751,10 @@ class WorkloadAdvisor:
                 else:
                     cols.append(f"{agg}({colq}) AS {col}_{agg.lower()}")
             if join:
+                if not self._benefit_gate(
+                    rec["name"], join["from"], join["dims_q"], prepare_sql
+                ):
+                    continue
                 # materialize the join ONCE; dims selected under their bare
                 # stored names so routing's rollup finds them
                 dim_items = [
@@ -728,6 +783,10 @@ class WorkloadAdvisor:
                     rec["measures"],
                 )
                 created.append(rec["name"])
+                continue
+            if not self._benefit_gate(
+                rec["name"], rec["dataset"], list(rec["dimensions"]), prepare_sql
+            ):
                 continue
             body = (
                 f"SELECT {', '.join(list(rec['dimensions']) + cols)} "

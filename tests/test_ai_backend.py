@@ -369,3 +369,38 @@ def test_deadline_caps_retry_spend(stub):
     took = time.monotonic() - t0
     assert out.isna().all()
     assert took < 3.0, f"deadline must cap the chunk, took {took:.1f}s"
+
+
+def test_classify_sql_path_batches_per_label_set(spark, stub):
+    """Round-8 #7: the SQL AI_CLASSIFY path must keep the HTTP backend's
+    batching — one POST per DISTINCT label-set per Arrow batch, never one
+    per row."""
+    from apache_iceberg_lakehouse_workshop_spark.functions.ai import (
+        register_sql_udfs,
+    )
+
+    url, state = stub
+    set_backend(HttpBackend(f"{url}/llm", batch_size=64))
+    # re-register so the SQL UDFs close over the HTTP backend
+    import apache_iceberg_lakehouse_workshop_spark.functions.ai as ai_mod
+
+    ai_mod._REGISTERED_SESSIONS.discard(id(spark))
+    register_sql_udfs(spark)
+    df = spark.createDataFrame(
+        [(i, f"all about beta decay {i}") for i in range(20)],
+        "id int, txt string",
+    ).repartition(1)
+    df.createOrReplaceTempView("clsin")
+    out = spark.sql(
+        "SELECT id, "
+        "  AI_CLASSIFY(txt, CASE WHEN id % 2 = 0 "
+        "    THEN ARRAY('alpha','beta') ELSE ARRAY('beta','gamma') END) AS lab "
+        "FROM clsin"
+    ).collect()
+    assert {r.lab for r in out} == {"beta"}
+    reqs = [r for r in state.requests if r["path"] == "/llm"]
+    # 20 rows, ONE partition, 2 distinct label-sets -> at most 2 POSTs per
+    # Arrow batch (Spark may split the partition into a few batches, but
+    # never 20 single-row posts)
+    assert len(reqs) <= 4, [r["n_items"] for r in reqs]
+    assert sum(r["n_items"] for r in reqs) == 20

@@ -949,3 +949,45 @@ def test_raw_join_shape_different_join_never_matches(runner):
     out = runner.run(sql)
     assert not _reads_reflection(out)
     assert out.count() == 0  # no order_id equals a cust_id
+
+
+# ------------------------------------------------- advisor benefit gate
+
+
+def test_advisor_benefit_gate(spark, tmp_path):
+    """Round-8 #4: before materializing, the advisor estimates the
+    rows-per-group reduction — a low-cardinality shape is created, a
+    high-cardinality shape (partials ~ anchor rows) is refused with a
+    reason surfaced in recommendations() (readme.md:381-389
+    'intelligently determines')."""
+    from pyspark.sql import functions as F
+
+    lake = Lakehouse(spark, str(tmp_path / "whg"))
+    df = spark.range(5000).select(
+        F.col("id").alias("uid"),
+        (F.col("id") % 4).cast("string").alias("kind"),
+        (F.col("id") % 3).cast("double").alias("val"),
+    )
+    lake.create_table_as("dremio.demo.evts", df)
+    r = ScriptRunner(lake)
+    _ = r.advisor
+    low = "SELECT kind, SUM(val) AS s FROM dremio.demo.evts GROUP BY kind"
+    high = "SELECT uid, SUM(val) AS s FROM dremio.demo.evts GROUP BY uid"
+    for _i in range(3):
+        r.run(low)
+        r.run(high)
+    created = r.accelerate()
+    assert any("kind" in n for n in created), created
+    assert not any("uid" in n for n in created), created
+    refused = {
+        rec["name"]: rec.get("refused_reason")
+        for rec in r.advisor.recommendations()
+    }
+    uid_recs = [v for k, v in refused.items() if "uid" in k]
+    assert uid_recs and "threshold" in uid_recs[0]
+    # refusals are sticky within the session: re-apply creates nothing new
+    assert r.accelerate() == []
+    # the low-cardinality reflection genuinely routes
+    r.use_reflection_routing = True
+    out = r.run(low)
+    assert _reads_reflection(out)
