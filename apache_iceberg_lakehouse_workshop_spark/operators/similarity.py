@@ -622,6 +622,74 @@ def _pq_encode_arrow(
     )
 
 
+def _round_half_up(x: float) -> int:
+    """Spark ``F.round(double)`` twin: BigDecimal(shortest-repr) HALF_UP —
+    Python's ``repr`` is the same shortest round-trip decimal, so
+    ``Decimal(repr(x))`` sees the identical digits."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(x))).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
+def _md5_str(i: int) -> str:
+    import hashlib
+
+    return hashlib.md5(str(int(i)).encode()).hexdigest()
+
+
+def _ivf_centroids_local(
+    train: DataFrame, n_cells: int, max_rows: int = 65536
+) -> DataFrame | None:
+    """Driver-numpy twin of the distributed one-step Lloyd in
+    :func:`ivf_centroids`, used when the training slice is collectible
+    (train_frac caps it at a few thousand vectors — FAISS trains on a
+    sample at ANY corpus size, so this path is the norm at scale too).
+    Bit-identical by construction: same md5-ordered seeds, the same
+    hoisted-norm cosine assignment on the same IEEE doubles (argmax
+    first-index == max-sim-then-min-cell_id, cells laid out ascending),
+    the same exact-int sums, one correctly-rounded double division, and
+    the same BigDecimal HALF_UP rounding. Replaces a ~6-stage training
+    DAG with one collect + microseconds of math. None = slice too big
+    (caller runs the distributed form)."""
+    import numpy as np
+
+    rows = train.take(max_rows + 1)
+    if len(rows) > max_rows or not rows:
+        return None
+    picked = sorted(rows, key=lambda r: (_md5_str(r["sid"]), r["sid"]))[:n_cells]
+    picked = sorted(picked, key=lambda r: r["sid"])  # cell_id = rank by sid
+    C = np.stack([np.asarray(r["v"], dtype=np.int64) for r in picked])
+    V = np.stack([np.asarray(r["v"], dtype=np.int64) for r in rows])
+    dot = (V @ C.T).astype(np.float64)
+    na = (V * V).sum(axis=1).astype(np.float64)
+    nb = (C * C).sum(axis=1).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.where(
+            (na[:, None] > 0) & (nb[None, :] > 0),
+            dot / np.sqrt(na[:, None] * nb[None, :]),
+            0.0,
+        )
+    pick = np.argmax(sim, axis=1)  # first max == smallest cell_id on ties
+    out = []
+    for c in range(len(picked)):
+        mask = pick == c
+        if not mask.any():
+            continue  # empty cell: the groupBy form emits no row either
+        sums = V[mask].sum(axis=0, dtype=np.int64)
+        cnt = int(mask.sum())
+        out.append(
+            (
+                c + 1,
+                [_round_half_up(float(s) / cnt) for s in sums.tolist()],
+            )
+        )
+    return train.sparkSession.createDataFrame(
+        out, "cell_id LONG, centroid ARRAY<BIGINT>"
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -646,6 +714,10 @@ def ivf_centroids(
         "sid",
         train_frac,
     )
+    if not _ann_sql_only():
+        local = _ivf_centroids_local(train, n_cells)
+        if local is not None:
+            return local
     seed_pick = train.orderBy(F.md5(F.col("sid").cast("string")), F.asc("sid")).limit(n_cells)
     seeds = seed_pick.select(
         F.row_number().over(Window.orderBy("sid")).cast("long").alias("cell_id"),
@@ -1053,6 +1125,52 @@ def pq_codebook(
     return _pq_codebook_q(v, m_sub, sub_dim, k_codes, train_frac=train_frac)
 
 
+def _pq_codebook_local(
+    v: DataFrame, m_sub: int, sub_dim: int, k_codes: int,
+    max_rows: int = 65536,
+) -> DataFrame | None:
+    """Driver-numpy twin of the distributed per-subspace Lloyd step below
+    — same md5-ordered seeds, exact-int64 L2 assignment (argmin
+    first-index == min-dist-then-min-code, codes ascending), exact-int
+    sums, one IEEE division, BigDecimal HALF_UP round. One collect + a
+    few matmuls instead of a multi-stage training DAG; None when the
+    training slice exceeds ``max_rows``."""
+    import numpy as np
+
+    rows = v.take(max_rows + 1)
+    if len(rows) > max_rows or not rows:
+        return None
+    picked = sorted(
+        rows, key=lambda r: (_md5_str(r["vec_id"]), r["vec_id"])
+    )[:k_codes]
+    picked = sorted(picked, key=lambda r: r["vec_id"])  # code = rank by id
+    B = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in picked])
+    V = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in rows])
+    out = []
+    for m in range(m_sub):
+        SV = V[:, m * sub_dim : (m + 1) * sub_dim]
+        SB = B[:, m * sub_dim : (m + 1) * sub_dim]
+        diff = SV[:, None, :] - SB[None, :, :]
+        d = (diff * diff).sum(axis=2)
+        pick = np.argmin(d, axis=1)  # first min == smallest code on ties
+        for c in range(len(picked)):
+            mask = pick == c
+            if not mask.any():
+                continue
+            sums = SV[mask].sum(axis=0, dtype=np.int64)
+            cnt = int(mask.sum())
+            out.append(
+                (
+                    m,
+                    c + 1,
+                    [_round_half_up(float(s) / cnt) for s in sums.tolist()],
+                )
+            )
+    return v.sparkSession.createDataFrame(
+        out, "m INT, code LONG, cv ARRAY<BIGINT>"
+    )
+
+
 def _pq_codebook_q(
     v: DataFrame,
     m_sub: int,
@@ -1064,6 +1182,10 @@ def _pq_codebook_q(
     the entry point residual encoding uses (qv = vector − its coarse
     centroid, still exact int64)."""
     v = _train_slice(v, "vec_id", train_frac)
+    if not _ann_sql_only():
+        local = _pq_codebook_local(v, m_sub, sub_dim, k_codes)
+        if local is not None:
+            return local
     seeds = (
         v.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
         .limit(k_codes)
@@ -1158,6 +1280,55 @@ def knn_pq(
             F.col("approx_dist").cast("long").alias("approx_dist"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def _residual_dtab_local(
+    qv: DataFrame,
+    q_cell: DataFrame,
+    cents: DataFrame,
+    book: DataFrame,
+    m_sub: int,
+    sub_dim: int,
+    max_pairs: int = 4096,
+) -> DataFrame | None:
+    """Driver-built per-(query, probed-cell) residual ADC distance tables:
+    (query_id, cell_id, m, code, d) with d = exact int64 squared-L2 of the
+    query's in-cell residual subvector against each codebook entry —
+    bit-identical to the distributed ``zip_with`` + ``_l2_int`` chain (pure
+    integer arithmetic both ways). Returns None when the surviving probe
+    set exceeds ``max_pairs`` (caller falls back to the distributed
+    chain). All four inputs are broadcast-small by construction; the
+    output is |pairs| x m_sub x k_codes rows, broadcast back out."""
+    import numpy as np
+
+    pairs = q_cell.take(max_pairs + 1)
+    if len(pairs) > max_pairs:
+        return None
+    qvs = {
+        int(r["query_id"]): np.asarray(r["qv"], dtype=np.int64)
+        for r in qv.collect()
+    }
+    cds = {
+        int(r["cell_id"]): np.asarray(r["centroid"], dtype=np.int64)
+        for r in cents.collect()
+    }
+    by_m: dict[int, list] = {}
+    for r in book.collect():
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["code"]), np.asarray(r["cv"], dtype=np.int64))
+        )
+    rows = []
+    for p in pairs:
+        qid, cell = int(p["query_id"]), int(p["cell_id"])
+        rq = qvs[qid] - cds[cell]
+        for m in range(m_sub):
+            sv = rq[m * sub_dim : (m + 1) * sub_dim]
+            for code, cv in by_m[m]:
+                diff = sv - cv
+                rows.append((qid, cell, m, code, int((diff * diff).sum())))
+    return qv.sparkSession.createDataFrame(
+        rows, "query_id LONG, cell_id LONG, m INT, code LONG, d LONG"
     )
 
 
@@ -1287,31 +1458,41 @@ def knn_ivfpq(
             codes = _ivfpq_encode_arrow(
                 v, cents, book, "cand_id", m_sub, sub_dim, residual=True
             )
-        # per (query, probed cell): the query's residual IN THAT CELL
-        qr = (
-            q_cell.join(qv, "query_id")
-            .join(F.broadcast(cents), "cell_id")
-            .select(
+        # per (query, probed cell): the query's residual IN THAT CELL.
+        # Every input to these tables is broadcast-small (surviving probe
+        # pairs, query vectors, centroids, codebook), so the default path
+        # builds them in ONE driver numpy pass — exact identical int64
+        # arithmetic, replacing a four-stage distributed join chain whose
+        # fixed cost dominated the s8 serve path at bench scale. The
+        # distributed chain remains as the SQL twin / big-probe fallback.
+        dtab = None
+        if not _ann_sql_only():
+            dtab = _residual_dtab_local(qv, q_cell, cents, book, m_sub, sub_dim)
+        if dtab is None:
+            qr = (
+                q_cell.join(qv, "query_id")
+                .join(F.broadcast(cents), "cell_id")
+                .select(
+                    "query_id",
+                    "cell_id",
+                    F.zip_with("qv", "centroid", lambda a, b: a - b).alias("rqv"),
+                )
+            )
+            qrsub = qr.select(
                 "query_id",
                 "cell_id",
-                F.zip_with("qv", "centroid", lambda a, b: a - b).alias("rqv"),
+                F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+                "rqv",
+            ).select(
+                "query_id",
+                "cell_id",
+                "m",
+                F.slice("rqv", F.col("m") * sub_dim + 1, sub_dim).alias("sv"),
             )
-        )
-        qrsub = qr.select(
-            "query_id",
-            "cell_id",
-            F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
-            "rqv",
-        ).select(
-            "query_id",
-            "cell_id",
-            "m",
-            F.slice("rqv", F.col("m") * sub_dim + 1, sub_dim).alias("sv"),
-        )
-        dtab = qrsub.join(F.broadcast(book), "m").select(
-            "query_id", "cell_id", "m", "code",
-            _l2_int(F.col("sv"), F.col("cv")).alias("d"),
-        )
+            dtab = qrsub.join(F.broadcast(book), "m").select(
+                "query_id", "cell_id", "m", "code",
+                _l2_int(F.col("sv"), F.col("cv")).alias("d"),
+            )
         # dtab carries only probed (query, cell) pairs, so the join both
         # restricts candidates to probed cells AND scores them
         scored = (

@@ -603,13 +603,21 @@ def boilerplate_ngram_scrub(
     distinct-doc count keyed by gram, one equi-join of gram instances
     against the (small) flagged set, one per-document window for coverage,
     one per-document aggregation to rebuild text — no all-pairs anywhere,
-    no Python; every shuffle is keyed by gram or doc_id."""
+    no Python; every shuffle is keyed by gram or doc_id. Grams shuffle as
+    int64 ``xxhash64`` values computed BEFORE the explode (the exploded
+    rows never carry the token array or multi-word strings) — several-fold
+    fewer shuffle bytes; a 64-bit collision (two distinct grams sharing a
+    hash, ~2^-64 per pair) could only merge their doc-frequency counts,
+    which the DuckDB twin's exact-string replay would catch."""
     tok = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), tokens(F.col(text_col)).alias("w")
     ).filter(F.size("w") > 0)
     starts = F.when(
         F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
     ).otherwise(F.array().cast("array<int>"))
+    # the two selects fuse into ONE whole-stage-codegen pipeline (Generate
+    # + Project): `w` never crosses a stage boundary, and only the int64
+    # hash reaches the shuffles
     grams = tok.select(
         "doc_id",
         F.explode(starts).alias("start"),
@@ -617,24 +625,44 @@ def boilerplate_ngram_scrub(
     ).select(
         "doc_id",
         "start",
-        F.array_join(F.slice("w", F.col("start") + 1, n), " ").alias("gram"),
+        F.xxhash64(
+            F.array_join(F.slice("w", F.col("start") + 1, n), " ")
+        ).alias("gh"),
     )
     flagged = (
-        grams.groupBy("gram")
+        grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= min_doc_freq)
-        .select("gram")
+        .select("gh")
     )
-    inst = grams.join(flagged, "gram").select(
-        "doc_id", F.col("start").alias("pos"), F.lit(1).alias("flag")
+    # the flagged set is small by construction (grams repeated in >=
+    # min_doc_freq DISTINCT docs — headers/banners, not prose): broadcast
+    # it so the gram instances are filtered map-side instead of shuffled
+    inst = grams.join(F.broadcast(flagged), "gh").select(
+        "doc_id", F.col("start").alias("pos")
     )
-    positions = tok.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    # collapse flagged starts to ONE array per doc, join at DOC granularity
+    # (doc-level rows shuffle, never token-level rows), and explode tokens
+    # MAP-SIDE after the join — the coverage window then only sorts within
+    # the doc_id partitioning the join already produced. Per-token flag is
+    # an array_contains over the doc's flagged starts (codegen; boilerplate
+    # starts are a small fraction of tokens by construction).
+    inst_set = inst.groupBy("doc_id").agg(F.collect_set("pos").alias("fp"))
     cover_w = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(n - 1), 0)
     )
     marked = (
-        positions.join(inst, ["doc_id", "pos"], "left")
-        .withColumn("cov", F.coalesce(F.max("flag").over(cover_w), F.lit(0)))
+        tok.join(inst_set, "doc_id", "left")
+        .select("doc_id", F.posexplode("w").alias("pos", "tok"), "fp")
+        .withColumn(
+            "flag",
+            F.when(
+                F.col("fp").isNotNull()
+                & F.array_contains("fp", F.col("pos")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("cov", F.max("flag").over(cover_w))
     )
     return marked.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens"),
