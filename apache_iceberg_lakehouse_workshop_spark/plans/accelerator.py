@@ -908,6 +908,7 @@ class AcceleratorRegistry:
         colmap: dict[str, str],
         view_body: str | None = None,
         dataset: str | None = None,
+        aggs: list[list[str]] | None = None,
     ) -> None:
         """Record that RAW reflection ``name`` stores the rows of a plain
         PROJECTION over an inner equi-join view — so a query spelling the
@@ -916,18 +917,31 @@ class AcceleratorRegistry:
         'accelerates any query it covers' (readme.md:331-355) the engine
         serves. ``colmap`` maps source refs ``'tbl.col'`` to the stored
         output column name; identity uses the same canonical join-subtree
-        form as :meth:`register_join_agg_shape`."""
+        form as :meth:`register_join_agg_shape`.
+
+        ``aggs`` marks the view as an AGGREGATE over the join (the
+        workshop's ``customer_spend``): [[AGG, src_ref|'*', stored_name],
+        …] with ``colmap`` then holding the GROUP BY dims. Such a shape
+        serves the explicitly spelled aggregate (exact-dims match) via
+        :meth:`route_raw_agg_join`, never a plain scan."""
         t, k = self._canonical_join(tables, join_keys)
-        canon_map = {}
-        for src, out in colmap.items():
+
+        def canon_src(src: str) -> str:
             tbl, _, col = src.rpartition(".")
-            canon_map[f"{self._resolve_dataset(tbl) or tbl}.{col}"] = out
+            return f"{self._resolve_dataset(tbl) or tbl}.{col}"
+
+        canon_map = {canon_src(s): out for s, out in colmap.items()}
         self._raw_join_shapes[name] = {
             "tables": list(t),
             "keys": list(k),
             "colmap": canon_map,
             "view_body": view_body,
             "dataset": dataset,
+            "aggs": [
+                [a.upper(), s if s == "*" else canon_src(s), out]
+                for a, s, out in (aggs or [])
+            ]
+            or None,
         }
         if name in self._sql_defs:
             self._save_registry()
@@ -1017,6 +1031,8 @@ class AcceleratorRegistry:
         for name, shape in self._raw_join_shapes.items():
             if name not in self._defs:
                 continue
+            if shape.get("aggs"):
+                continue  # aggregate view: stored rows are groups, not raw rows
             if (tuple(shape["tables"]), tuple(shape["keys"])) != want:
                 continue
             if self._view_drifted(shape):
@@ -1073,6 +1089,131 @@ class AcceleratorRegistry:
             routed = df.select(
                 *[F.col(st).alias(o) for st, o in sel_stored]
             )
+            if limit is not None:
+                routed = routed.limit(limit)
+            return routed
+        return None
+
+    @staticmethod
+    def _bare_hit_static(colmap: dict[str, str], ref: str) -> str | None:
+        hits = [v for s, v in colmap.items() if s.rpartition(".")[2] == ref]
+        return hits[0] if len(hits) == 1 else None
+
+    def route_raw_agg_join(
+        self,
+        tables: list[str],
+        join_keys: list[str],
+        dims: list[tuple[str, str]],
+        measures: list[tuple[str, str, str]],
+        where: str | None = None,
+        aliases: dict[str, str] | None = None,
+        order: list[tuple[str, bool]] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame | None:
+        """Serve an explicitly spelled ``SELECT dims, AGG(col) AS out FROM
+        a JOIN b ON … [WHERE dims-pred] GROUP BY dims`` from a FRESH RAW
+        reflection on the equivalent AGGREGATE join view — the workshop's
+        ``customer_spend_reflection USING RAW`` answering the view's own
+        query written against the base tables (readme.md:307-355).
+        Exact-dims matching only: the stored rows ARE the groups, so the
+        query's GROUP BY set must equal the view's (no rollup algebra —
+        that is the AGGREGATE reflection's job); each measure must appear
+        verbatim (same AGG over the same source column). ``dims`` is
+        [(src_ref, out_name)], ``measures`` [(AGG, src_ref|'*',
+        out_name)]. WHERE may reference dims only (groups filter
+        exactly)."""
+        want = self._canonical_join(tables, join_keys)
+        aliases = aliases or {}
+
+        def canon(ref: str) -> str:
+            tbl, _, col = ref.rpartition(".")
+            if not tbl:
+                return ref
+            tbl = aliases.get(tbl, tbl)
+            return f"{self._resolve_dataset(tbl) or tbl}.{col}"
+
+        for name, shape in self._raw_join_shapes.items():
+            if name not in self._defs or not shape.get("aggs"):
+                continue
+            if (tuple(shape["tables"]), tuple(shape["keys"])) != want:
+                continue
+            if self._view_drifted(shape):
+                continue
+            if not self.is_fresh(name):
+                continue
+            colmap = shape["colmap"]
+            agg_map = {(a, s): out for a, s, out in shape["aggs"]}
+
+            def dim_src(ref: str, colmap=colmap) -> str | None:
+                if "." in ref:
+                    src = canon(ref)
+                    return src if src in colmap else None
+                hits = [s for s in colmap if s.rpartition(".")[2] == ref]
+                return hits[0] if len(hits) == 1 else None
+
+            q_dims: dict[str, str] = {}
+            ok = True
+            for r, out in dims:
+                src = dim_src(r)
+                if src is None:
+                    ok = False
+                    break
+                q_dims[src] = out
+            if not ok or set(q_dims) != set(colmap):
+                continue  # stored groups only prove the EXACT dims set
+            sel: list[tuple[str, str]] = [
+                (colmap[src], out) for src, out in q_dims.items()
+            ]
+            for agg, ref, out in measures:
+                if ref == "*":
+                    src = "*"
+                elif "." in ref:
+                    src = canon(ref)
+                else:
+                    hits = {
+                        s for a, s in agg_map
+                        if a == agg.upper() and s != "*"
+                        and s.rpartition(".")[2] == ref
+                    }
+                    src = hits.pop() if len(hits) == 1 else None
+                stored = agg_map.get((agg.upper(), src)) if src else None
+                if stored is None:
+                    ok = False
+                    break
+                sel.append((stored, out))
+            if not ok:
+                continue
+            w = None
+            if where is not None:
+                w = self._rewrite_pred_to_stored(
+                    where,
+                    lambda ref: colmap.get(canon(ref))
+                    if "." in ref
+                    else self._bare_hit_static(colmap, ref),
+                )
+                if w is None:
+                    continue
+            if not self.is_fresh(name):
+                continue
+            df = self._storage(name).read(where=w)
+            if order is not None:
+                out_to_stored = {o: s for s, o in sel}
+                ord_exprs = []
+                for ref, desc in order:
+                    st = out_to_stored.get(ref) or (
+                        colmap.get(canon(ref)) if "." in ref
+                        else self._bare_hit_static(colmap, ref)
+                    )
+                    if st is None:
+                        ok = False
+                        break
+                    ord_exprs.append(
+                        F.col(st).desc() if desc else F.col(st).asc()
+                    )
+                if not ok:
+                    continue
+                df = df.orderBy(*ord_exprs)
+            routed = df.select(*[F.col(s).alias(o) for s, o in sel])
             if limit is not None:
                 routed = routed.limit(limit)
             return routed

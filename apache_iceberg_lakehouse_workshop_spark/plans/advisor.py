@@ -385,6 +385,36 @@ class WorkloadAdvisor:
         if tree is None:
             return None
         tables, join_keys, aliases = tree
+        # exact-shape route FIRST: a RAW reflection on the equivalent
+        # AGGREGATE join view (the workshop's customer_spend) serves the
+        # explicitly spelled aggregate directly from its stored groups
+        if jm.group("having") is None:
+            qp = self._parse_qualified_join_agg(
+                jm.group("select"), jm.group("group")
+            )
+            if qp is not None:
+                q_dims, q_measures = qp
+                order = None
+                if jm.group("order"):
+                    order = []
+                    for item in jm.group("order").split(","):
+                        om = _RE_ORDER_ITEM.match(item.strip())
+                        if om is None:
+                            order = None
+                            break
+                        order.append(
+                            (om.group(1), (om.group(2) or "").upper() == "DESC")
+                        )
+                if order is not None or not jm.group("order"):
+                    routed = self.accelerator.route_raw_agg_join(
+                        tables, join_keys, q_dims, q_measures,
+                        where=jm.group("where"), aliases=aliases,
+                        order=order,
+                        limit=int(jm.group("limit"))
+                        if jm.group("limit") else None,
+                    )
+                    if routed is not None:
+                        return routed
         parsed = self._parse_select_items(
             jm.group("select"), jm.group("group"), strip_qualifiers=True
         )
@@ -406,6 +436,58 @@ class WorkloadAdvisor:
             measures,
             bare=lambda c: c.rpartition(".")[2] if c != "*" else c,
         )
+
+    _RE_QJ_MEASURE = re.compile(
+        r"^(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(\*|[\w.]+)\s*\)\s+AS\s+(\w+)\s*$",
+        re.I,
+    )
+    _RE_QJ_DIM = re.compile(r"^([\w.]+)(?:\s+AS\s+(\w+))?$", re.I)
+
+    @classmethod
+    def _parse_qualified_join_agg(cls, select_txt: str, group_txt: str):
+        """(dims=[(ref, out)], measures=[(AGG, ref|'*', out)]) with refs
+        kept QUALIFIED (the raw-agg-join route resolves them through the
+        query's aliases and the shape's column map), or None when any item
+        has an unprovable form. A dim must appear in the GROUP BY (exact
+        ref text, or unambiguous bare-name match)."""
+        group_refs = [g.strip() for g in group_txt.split(",") if g.strip()]
+        bare_counts: dict[str, int] = {}
+        for g in group_refs:
+            b = g.rpartition(".")[2]
+            bare_counts[b] = bare_counts.get(b, 0) + 1
+
+        def in_group(ref: str) -> bool:
+            if ref in group_refs:
+                return True
+            b = ref.rpartition(".")[2]
+            # bare-vs-qualified spelling mismatch: accept only when the
+            # bare name is unique in the GROUP BY
+            return bare_counts.get(b, 0) == 1 and (
+                "." not in ref or b in group_refs
+            )
+
+        dims: list[tuple[str, str]] = []
+        measures: list[tuple[str, str, str]] = []
+        for item in select_txt.split(","):
+            item = item.strip()
+            mm = cls._RE_QJ_MEASURE.match(item)
+            if mm:
+                measures.append(
+                    (mm.group(1).upper(), mm.group(2), mm.group(3))
+                )
+                continue
+            dm = cls._RE_QJ_DIM.match(item)
+            if dm is None or not in_group(dm.group(1)):
+                return None
+            dims.append(
+                (dm.group(1), dm.group(2) or dm.group(1).rpartition(".")[2])
+            )
+        if not dims or not measures:
+            return None
+        # the route needs the FULL GROUP BY set selected (exact-dims match)
+        if len(dims) != len(group_refs):
+            return None
+        return dims, measures
 
     @staticmethod
     def _parse_raw_scan(sql: str):

@@ -1327,28 +1327,37 @@ class ScriptRunner:
             body = self.views[matches[0]] if len(matches) == 1 else None
         return body
 
+    _RE_AGG_ITEM = re.compile(
+        r"^(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*"
+        r"(\*|(?:\w+\.)?\w+)\s*\)\s+AS\s+(\w+)\s*$",
+        re.I,
+    )
+
     def _maybe_register_raw_join_shape(
         self, name: str, dataset: str, raw_cols: list[str] | None
     ) -> None:
         """If ``dataset`` is a view whose body is a plain PROJECTION over
-        an inner equi-join (qualified select items, no WHERE/agg/set-op),
-        register the join subtree + column map so a query that spells the
-        SAME join explicitly routes to this RAW reflection — the covered-
-        query spelling of readme.md:331-355 beyond the view-name route."""
+        an inner equi-join — or an AGGREGATE over one (``SELECT dims,
+        AGG(col) AS out … GROUP BY dims``, the workshop's literal
+        ``customer_spend`` shape, readme.md:307-329) — register the join
+        subtree + column maps so a query that spells the SAME join
+        explicitly routes to this RAW reflection: the covered-query
+        spelling of readme.md:331-355 beyond the view-name route."""
         from .advisor import parse_join_tree
 
         body = self._join_view_body(dataset)
         if body is None:
             return
         if re.search(
-            r"\b(WHERE|GROUP\s+BY|HAVING|QUALIFY|LIMIT|ORDER\s+BY|UNION|"
+            r"\b(WHERE|HAVING|QUALIFY|LIMIT|ORDER\s+BY|UNION|"
             r"INTERSECT|EXCEPT|DISTINCT)\b",
             body,
             re.I,
         ):
             return
         m = re.match(
-            r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<from>.*?)\s*;?\s*$",
+            r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<from>.*?)"
+            r"(?:\s+GROUP\s+BY\s+(?P<group>[\w.,\s]+?))?\s*;?\s*$",
             body,
             re.I | re.S,
         )
@@ -1358,21 +1367,61 @@ class ScriptRunner:
         if tree is None:
             return
         tables, keys, aliases = tree
+
+        def src_of(ref: str) -> str | None:
+            al, _, col = ref.partition(".")
+            if not col or al not in aliases:
+                return None
+            return f"{aliases[al]}.{col}"
+
+        group_txt = m.group("group")
         colmap: dict[str, str] = {}
-        for item in dialect.split_args_top_level(m.group("sel")):
-            pm = re.match(r"^(\w+)\.(\w+)(?:\s+AS\s+(\w+))?$", item.strip(), re.I)
-            if pm is None or pm.group(1) not in aliases:
-                # bare / starred / computed item: its source table cannot
-                # be proven — skip registration, view-name routing remains
+        aggs: list[list[str]] = []
+        if group_txt is not None:
+            group_refs = {
+                src_of(g.strip()) for g in group_txt.split(",") if g.strip()
+            }
+            if None in group_refs:
                 return
-            colmap[f"{aliases[pm.group(1)]}.{pm.group(2)}"] = (
-                pm.group(3) or pm.group(2)
-            )
+            for item in dialect.split_args_top_level(m.group("sel")):
+                item = item.strip()
+                am = self._RE_AGG_ITEM.match(item)
+                if am:
+                    src = "*" if am.group(2) == "*" else src_of(am.group(2))
+                    if src is None:
+                        return
+                    aggs.append([am.group(1).upper(), src, am.group(3)])
+                    continue
+                pm = re.match(r"^(\w+)\.(\w+)(?:\s+AS\s+(\w+))?$", item, re.I)
+                if pm is None:
+                    return
+                src = src_of(f"{pm.group(1)}.{pm.group(2)}")
+                if src is None or src not in group_refs:
+                    return
+                colmap[src] = pm.group(3) or pm.group(2)
+            # every GROUP BY ref must be projected, else stored rows can't
+            # prove exact-dims equality against a query
+            if set(colmap) != group_refs or not aggs:
+                return
+        else:
+            for item in dialect.split_args_top_level(m.group("sel")):
+                pm = re.match(r"^(\w+)\.(\w+)(?:\s+AS\s+(\w+))?$", item.strip(), re.I)
+                if pm is None or pm.group(1) not in aliases:
+                    # bare / starred / computed item: its source table
+                    # cannot be proven — skip, view-name routing remains
+                    return
+                colmap[f"{aliases[pm.group(1)]}.{pm.group(2)}"] = (
+                    pm.group(3) or pm.group(2)
+                )
         if raw_cols is not None:
             colmap = {s: o for s, o in colmap.items() if o in raw_cols}
+            aggs = [a for a in aggs if a[2] in raw_cols]
+            if group_txt is not None and set(colmap) != group_refs:
+                return  # a DISPLAY subset dropped a dim: exact-dims match impossible
         if colmap:
             self.accelerator.register_raw_join_shape(
-                name, tables, keys, colmap, view_body=body, dataset=dataset
+                name, tables, keys, colmap, view_body=body, dataset=dataset,
+                aggs=aggs or None,
             )
 
     # ------------------------------------------------------------- driver

@@ -991,3 +991,69 @@ def test_advisor_benefit_gate(spark, tmp_path):
     r.use_reflection_routing = True
     out = r.run(low)
     assert _reads_reflection(out)
+
+
+def test_raw_reflection_on_aggregate_join_view_serves_explicit_spelling(runner):
+    """The workshop's literal headline (readme.md:307-355): a RAW
+    reflection on customer_spend — an AGGREGATE over a join — must serve
+    the same aggregate SPELLED EXPLICITLY against the base tables
+    (different aliases, swapped key sides), by exact-dims matching on the
+    stored groups."""
+    runner.run(
+        """
+        CREATE TABLE dremio.demo.cust2 (id INT, name VARCHAR);
+        INSERT INTO dremio.demo.cust2 VALUES (1, 'ana'), (2, 'bo');
+        CREATE TABLE dremio.demo.ord2 (customer_id INT, amount DOUBLE);
+        INSERT INTO dremio.demo.ord2 VALUES (1, 5.0), (1, 7.0), (2, 9.0);
+        CREATE OR REPLACE VIEW dremio.demo.customer_spend AS
+          SELECT c.name, SUM(o.amount) AS total_spent
+          FROM dremio.demo.cust2 c
+          JOIN dremio.demo.ord2 o ON c.id = o.customer_id
+          GROUP BY c.name;
+        ALTER DATASET dremio.demo.customer_spend
+          CREATE RAW REFLECTION customer_spend_reflection USING RAW;
+        """
+    )
+    sql = (
+        "SELECT x.name, SUM(y.amount) AS total_spent "
+        "FROM dremio.demo.cust2 x "
+        "JOIN dremio.demo.ord2 y ON y.customer_id = x.id "
+        "GROUP BY x.name"
+    )
+    out = runner.run(sql)
+    assert _reads_reflection(out), "explicit aggregate must scan the reflection"
+    got = {r.name: r.total_spent for r in out.collect()}
+    runner.use_reflection_routing = False
+    want = {r.name: r.total_spent for r in runner.run(sql).collect()}
+    assert got == want == {"ana": 12.0, "bo": 9.0}
+
+    # a DIFFERENT dims set (subset/superset) must NOT be served by the
+    # RAW materialization (stored rows are groups of exactly c.name)
+    runner.use_reflection_routing = True
+    other = runner.run(
+        "SELECT x.id, SUM(y.amount) AS total_spent "
+        "FROM dremio.demo.cust2 x "
+        "JOIN dremio.demo.ord2 y ON y.customer_id = x.id GROUP BY x.id"
+    )
+    assert not _reads_reflection(other)
+    # a different AGG over the same dims must not match either
+    other2 = runner.run(
+        "SELECT x.name, AVG(y.amount) AS total_spent "
+        "FROM dremio.demo.cust2 x "
+        "JOIN dremio.demo.ord2 y ON y.customer_id = x.id GROUP BY x.name"
+    )
+    assert not _reads_reflection(other2)
+    # WHERE over the dim filters the stored groups exactly; view-name
+    # queries keep routing through the plain RAW shape
+    filt = runner.run(
+        "SELECT c.name, SUM(o.amount) AS total_spent "
+        "FROM dremio.demo.cust2 c JOIN dremio.demo.ord2 o "
+        "ON c.id = o.customer_id WHERE c.name = 'bo' GROUP BY c.name"
+    )
+    assert _reads_reflection(filt)
+    assert {r.name: r.total_spent for r in filt.collect()} == {"bo": 9.0}
+    # staleness falls back
+    runner.run("INSERT INTO dremio.demo.ord2 VALUES (2, 100.0)")
+    stale = runner.run(sql)
+    assert not _reads_reflection(stale)
+    assert {r.name: r.total_spent for r in stale.collect()}["bo"] == 109.0
