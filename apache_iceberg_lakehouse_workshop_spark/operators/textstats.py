@@ -843,23 +843,30 @@ def bm25_topk(
     oracle replays it bit-for-bit, and ties break on doc_id for a total
     order.
 
-    At 100 TB: one explode + partial-aggregated tf/df/dl counts (map-side
-    combine), the per-term df table and the (N, avgdl) scalars are
-    broadcast 1-to-few-row joins, the final top-n is
+    At 100 TB: doc lengths come from ``size(tokens(text))`` per doc — a
+    map-only projection, never a token-stream shuffle (the explode feeds
+    ONLY the term-filtered tf counts, which shrink to |matching tokens|
+    before their shuffle); the per-term df table and the (N, avgdl)
+    scalars are broadcast 1-to-few-row joins, the final top-n is
     TakeOrderedAndProject — no UDFs, no driver collect, no global sort."""
     from pyspark.sql import Window
 
-    tok = docs.select(
+    tok_arr = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("w"),
+        tokens(F.col(text_col)).alias("ws"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # explode emits no row for an empty array, so dl rows = docs with >= 1
+    # token — size() > 0 keeps n_docs/avgdl identical to the exploded form
+    dl = tok_arr.select("doc_id", F.size("ws").cast("long").alias("dl")).filter(
+        F.col("dl") > 0
+    )
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     tf = (
-        tok.where(F.col("w").isin([str(t) for t in terms]))
+        tok_arr.select("doc_id", F.explode("ws").alias("w"))
+        .where(F.col("w").isin([str(t) for t in terms]))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
     )
@@ -918,12 +925,15 @@ def dsir_topk(
     DuckDB oracle replays the selection bit-for-bit. Output: the selected
     top-``n`` as (rank, doc_id, n_tokens, weight_q6), ties on doc_id.
 
-    At 100 TB: explode + partial-aggregated bucket counts, a 256-row
-    log-ratio table broadcast back onto the token stream, partial-agg'd
-    per-doc sums, TakeOrderedAndProject top-n — no UDFs, no driver
-    collect, no global sort. (The int64 smoothing products are exact in
-    IEEE double below ~2^53 total tokens per side — beyond that the 1e-6
-    quantization dominates either way.)"""
+    At 100 TB: ONE explode + md5 pass partial-aggregates the token stream
+    into per-(doc, bucket) counts (≤ 256 rows per doc — the raw/target
+    bucket totals and the per-doc weights all derive from that one
+    compact frame, so the expensive per-token hash runs once, not once
+    per consumer); a 256-row log-ratio table broadcasts back onto it;
+    per-doc sums are count-weighted; TakeOrderedAndProject top-n — no
+    UDFs, no driver collect, no global sort. (The int64 smoothing
+    products are exact in IEEE double below ~2^53 total tokens per side —
+    beyond that the 1e-6 quantization dominates either way.)"""
     from pyspark.sql import Window
 
     B = 256
@@ -937,14 +947,15 @@ def dsir_topk(
             F.md5(F.concat_ws("|", F.lit(seed), F.col("w"))), 1, 2
         ).alias("b"),
     )
-    raw = tokb.groupBy("b").agg(F.count("*").alias("c_raw"))
+    db = tokb.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    raw = db.groupBy("b").agg(F.sum("c").alias("c_raw"))
     tgt_ids = docs.filter(target_where).select(
         F.col(id_col).cast("long").alias("doc_id")
     )
     tgt = (
-        tokb.join(tgt_ids, "doc_id")
+        db.join(tgt_ids, "doc_id")
         .groupBy("b")
-        .agg(F.count("*").alias("c_tgt"))
+        .agg(F.sum("c").alias("c_tgt"))
     )
     r = raw.join(tgt, "b", "left").na.fill({"c_tgt": 0})
     totals = r.agg(
@@ -959,11 +970,11 @@ def dsir_topk(
         .alias("lr_q6"),
     )
     scored = (
-        tokb.join(F.broadcast(lr), "b")
+        db.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("lr_q6").alias("weight_q6"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr_q6")).alias("weight_q6"),
         )
     )
     top = scored.orderBy(F.desc("weight_q6"), F.asc("doc_id")).limit(n)
