@@ -1283,6 +1283,73 @@ def knn_pq(
     )
 
 
+def knn_two_stage(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    recall_m: int = 20,
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    residual: bool = False,
+    probe_sim_gap: float | None = None,
+    train_frac: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval — the FAISS ``IndexRefineFlat`` serving shape
+    production ANN deployments actually run: stage 1 recalls the top
+    ``recall_m`` candidates per query ENTIRELY in the compressed domain
+    (:func:`knn_ivfpq` — PQ codes + broadcast distance tables,
+    O(nprobe·cell) per query); stage 2 re-ranks ONLY those m candidates
+    by exact cosine on the raw vectors and emits the top ``k``.
+
+    At 100 TB the raw-vector IO is |Q|·m id-keyed hash-join probes
+    instead of a corpus scan — brute-force-quality FINAL ordering at ANN
+    cost; the m/k ratio buys back stage-1 quantization error. Output
+    matches :func:`knn_bruteforce` (query_id, cand_id, cosine_sim, rank);
+    both stages are exact-int64 with correctly-rounded IEEE steps, so a
+    DuckDB oracle replays the composition bit-identically."""
+    cand = knn_ivfpq(
+        corpus, queries, k=recall_m, dim=dim, m_sub=m_sub, k_codes=k_codes,
+        n_cells=n_cells, nprobe=nprobe, residual=residual,
+        probe_sim_gap=probe_sim_gap, train_frac=train_frac,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "cand_id")
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("cand_id"),
+        quantized(F.col(vec_col)).alias("cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        quantized(F.col(vec_col)).alias("qvec"),
+    )
+    rescored = (
+        cand.join(c, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                cosine_quantized(F.col("qvec"), F.col("cvec")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("cand_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "cand_id", "cosine_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def _residual_dtab_local(
     qv: DataFrame,
     q_cell: DataFrame,

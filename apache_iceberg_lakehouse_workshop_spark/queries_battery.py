@@ -297,6 +297,8 @@ db_neardup_battery = _register_battery(
           "is_kept": "n2"}),
         ("s10_hybrid_rrf", "s10_hybrid_rrf",
          {"rank": "k1", "doc_id": "k2", "rrf_q6": "n1", "n_systems": "n2"}),
+        ("s11_two_stage_rerank", "s11_two_stage_rerank",
+         {"query_id": "k1", "cand_id": "k2", "cosine_sim": "v1", "rank": "n1"}),
     ],
 )
 
@@ -567,6 +569,7 @@ ABSORBED = {
     "s9_knn_pq_strain": "db_neardup_battery",
     "d6_semdedup": "db_neardup_battery",
     "s10_hybrid_rrf": "db_neardup_battery",
+    "s11_two_stage_rerank": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "t8_vocab_topk": "tb_sample_battery",

@@ -1100,6 +1100,56 @@ def s8_knn_ivfpq_res(spark, sf_dir):
     )
 
 
+def _two_stage_oracle(
+    recall_m: int = 20, k: int = 5, dim: int = 64, **ivfpq_kw
+) -> str:
+    """DuckDB twin of knn_two_stage: the full _ivfpq_oracle (k=recall_m)
+    as the candidate CTE, then exact-cosine re-rank of only those
+    candidates — the same int64 dots / IEEE sqrt+divide / round6 the
+    brute-force oracle uses."""
+    inner = _ivfpq_oracle(k=recall_m, dim=dim, **ivfpq_kw)
+    d1 = dim + 1
+    return f"""WITH cand AS ({inner}),
+       v2 AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+       n2 AS (SELECT vec_id, qv,
+                     (SELECT SUM(qv[t.i] * qv[t.i]) FROM range(1, {d1}) t(i)) AS nrm
+              FROM v2),
+       rs AS (SELECT cand.query_id, cand.cand_id,
+                     round(CASE WHEN a.nrm > 0 AND b.nrm > 0
+                           THEN CAST((SELECT SUM(a.qv[t.i] * b.qv[t.i])
+                                      FROM range(1, {d1}) t(i)) AS DOUBLE)
+                                / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE))
+                           ELSE 0.0 END, 6) AS cosine_sim
+              FROM cand
+              JOIN n2 a ON a.vec_id = cand.cand_id
+              JOIN n2 b ON b.vec_id = cand.query_id)
+       SELECT CAST(query_id AS BIGINT) AS query_id,
+              CAST(cand_id AS BIGINT) AS cand_id,
+              cosine_sim, CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_sim DESC, cand_id) AS rnk
+             FROM rs) t
+       WHERE rnk <= {k}"""
+
+
+@q(
+    "s11_two_stage_rerank",
+    _two_stage_oracle(),
+    "Two-stage retrieval — the FAISS IndexRefineFlat production serving "
+    "shape: IVFxPQ recalls top-m candidates per query in the compressed "
+    "domain (codes + broadcast distance tables, O(nprobe*cell)/query), "
+    "then ONLY those m candidates are re-ranked by exact cosine on the "
+    "raw vectors (|Q|*m id-keyed hash-join probes, never a corpus scan) "
+    "— brute-force-quality final ordering at ANN cost. The DuckDB oracle "
+    "replays stage-1 training/encoding/probing/ADC and the stage-2 exact "
+    "re-rank bit-identically.",
+)
+def s11_two_stage_rerank(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.knn_two_stage(emb, queries, k=5, recall_m=20)
+
+
 @q(
     "s7_knn_ivfpq",
     _ivfpq_oracle(),

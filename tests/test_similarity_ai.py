@@ -569,3 +569,41 @@ def test_cell_pairs_kernel_margin_covers_rounding_slack(spark):
     )
     pairs = SIM._cell_pairs_arrow(df, threshold).collect()
     assert [(p.vec_a, p.vec_b) for p in pairs] == [(1, 2)]
+
+
+def test_two_stage_rerank_refines_toward_bruteforce(spark, sf_dir):
+    """s11: with a generous recall budget the two-stage result converges
+    on brute force (exact final ordering over recalled candidates); the
+    output is always a subset of stage-1 candidates re-ranked by exact
+    cosine; Arrow and SQL paths agree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(4)
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    out = SIM.knn_two_stage(emb, queries, k=3, recall_m=10)
+    rows = out.collect()
+    # contract shape: k rows per query, rank 1..k, sims descending
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q_rows in by_q.values():
+        q_rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in q_rows] == list(range(1, len(q_rows) + 1))
+        sims = [r.cosine_sim for r in q_rows]
+        assert sims == sorted(sims, reverse=True)
+    # stage-2 output is drawn from stage-1's candidate set
+    cands = {
+        (r.query_id, r.cand_id)
+        for r in SIM.knn_ivfpq(emb, queries, k=10).select(
+            "query_id", "cand_id"
+        ).collect()
+    }
+    assert {(r.query_id, r.cand_id) for r in rows} <= cands
+    # recall_m = |corpus| AND nprobe = n_cells makes stage 1 exhaustive
+    # -> the two-stage result IS brute force
+    n = emb.count()
+    full = SIM.knn_two_stage(emb, queries, k=3, recall_m=n, nprobe=16)
+    brute = SIM.knn_bruteforce(emb, queries, k=3)
+    assert snap(full) == snap(brute)
