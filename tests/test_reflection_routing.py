@@ -1057,3 +1057,93 @@ def test_raw_reflection_on_aggregate_join_view_serves_explicit_spelling(runner):
     stale = runner.run(sql)
     assert not _reads_reflection(stale)
     assert {r.name: r.total_spent for r in stale.collect()}["bo"] == 109.0
+
+
+# ------------------------------------- property-based routing soundness
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def rt(spark, tmp_path_factory):
+    lake = Lakehouse(spark, str(tmp_path_factory.mktemp("whprop")))
+    r = ScriptRunner(lake)
+    r.run(
+        """
+        CREATE TABLE dremio.demo.pc (cid INT, seg VARCHAR, bal DOUBLE);
+        INSERT INTO dremio.demo.pc VALUES (1,'A',10.0),(2,'B',20.0),(3,'A',30.0);
+        CREATE TABLE dremio.demo.po (oid INT, cid INT, amt DOUBLE, status VARCHAR);
+        INSERT INTO dremio.demo.po VALUES
+          (10,1,5.0,'F'),(11,1,7.5,'O'),(12,2,9.0,'F'),(13,3,2.0,'O'),(14,3,8.0,'F');
+        CREATE OR REPLACE VIEW dremio.demo.pco AS
+          SELECT c.seg AS seg, c.bal, o.oid, o.amt, o.status
+          FROM dremio.demo.pc c JOIN dremio.demo.po o ON c.cid = o.cid;
+        ALTER DATASET dremio.demo.pco CREATE RAW REFLECTION pco_raw USING RAW;
+        """
+    )
+    r.use_reflection_routing = True
+    return r
+
+
+# (side, column, covered?) — cid is joined on but NOT projected by the view
+_RT_COLS = [
+    ("c", "seg", True), ("c", "bal", True),
+    ("o", "oid", True), ("o", "amt", True), ("o", "status", True),
+    ("c", "cid", False),
+]
+_RT_WHERES = [
+    None,
+    ("{o}.amt > 5", True),
+    ("{c}.seg = 'A'", True),
+    ("{o}.status = 'F' AND {o}.amt >= 5", True),
+    ("{c}.cid = 1", False),  # uncovered predicate column -> must fall back
+]
+
+
+@given(st.data())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_raw_join_routing_matches_plain_plan(rt, data):
+    """Round-8 property: for ANY aliasing, table order, key-side order,
+    column subset, and covered/uncovered WHERE over the explicitly
+    spelled join, the routed answer equals the plain plan — and routing
+    engages exactly when every referenced column is covered."""
+    ca, oa = data.draw(st.sampled_from(
+        [("c", "o"), ("x", "y"), ("l", "r"), ("po", "pc")]))
+    swap_tables = data.draw(st.booleans())
+    swap_key = data.draw(st.booleans())
+    cols = data.draw(st.lists(st.sampled_from(_RT_COLS), min_size=1,
+                              max_size=4, unique=True))
+    where_t = data.draw(st.sampled_from(_RT_WHERES))
+    with_order = data.draw(st.booleans())
+
+    sel = ", ".join(
+        f"{ca if side == 'c' else oa}.{col}" for side, col, _cov in cols
+    )
+    t1 = f"dremio.demo.pc {ca}"
+    t2 = f"dremio.demo.po {oa}"
+    frm = f"{t2} JOIN {t1}" if swap_tables else f"{t1} JOIN {t2}"
+    on = f"{oa}.cid = {ca}.cid" if swap_key else f"{ca}.cid = {oa}.cid"
+    sql = f"SELECT {sel} FROM {frm} ON {on}"
+    covered = all(cov for _s, _c, cov in cols)
+    if where_t is not None:
+        w, w_cov = where_t
+        sql += " WHERE " + w.format(c=ca, o=oa)
+        covered = covered and w_cov
+    if with_order:
+        sql += f" ORDER BY {oa}.oid"
+
+    rt.use_reflection_routing = True
+    routed_df = rt.run(sql)
+    routed_used = any("_reflections" in f for f in routed_df.inputFiles())
+    got = [tuple(r) for r in routed_df.collect()]
+    rt.use_reflection_routing = False
+    want = [tuple(r) for r in rt.run(sql).collect()]
+    rt.use_reflection_routing = True
+    if with_order:
+        assert got == want
+    else:
+        assert sorted(got, key=repr) == sorted(want, key=repr)
+    assert routed_used == covered, (sql, routed_used, covered)
