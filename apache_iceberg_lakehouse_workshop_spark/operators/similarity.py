@@ -858,7 +858,18 @@ def _hyperplane_buckets(
     (plane_idx, pos, w) weights table, sum per (id, plane), then sum
     sign-bits per (id, table). No wide 32-column aggregate (whose codegen
     compile alone cost seconds), no interpreted array lambdas, and the
-    bucket shuffle carries (id, table_id, bucket) longs only."""
+    bucket shuffle carries (id, table_id, bucket) longs only.
+
+    Default execution is the Arrow kernel (one exact-int64 ``V @ W.T``
+    matmul + sign-bit packing per batch) — the SQL form below inflates to
+    |vecs| x dim x planes narrow rows, which the kernel collapses to one
+    BLAS call with bit-identical results (same integer dots, same >= 0
+    signs, same bit weights); the SQL form remains the oracle twin
+    (``SPARK_GRAFT_ANN_SQL=1``)."""
+    if not _ann_sql_only():
+        return _hyperplane_buckets_arrow(
+            df, out_id, id_col, vec_col, dim, n_planes, n_tables
+        )
     spark = df.sparkSession
     plane_rows = []
     for t in range(n_tables):
@@ -890,6 +901,56 @@ def _hyperplane_buckets(
         .groupBy(out_id, "table_id")
         .agg(F.sum("bit").alias("bucket"))
     )
+
+
+def _hyperplane_buckets_arrow(
+    df: DataFrame,
+    out_id: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """Arrow twin of the SQL bucket assignment in
+    :func:`_hyperplane_buckets` — bit-identical: the same /1000-rational
+    plane weights as exact int64, one ``V @ W.T`` matmul per batch (every
+    dot an exact integer), the same ``>= 0`` sign rule and the same
+    ``1 << (plane_idx % n_planes)`` bit weights summed per table."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.zeros((n_tables * n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        planes = _fixed_planes(dim, n_planes * (t + 1))[-n_planes:]
+        for i, p in enumerate(planes):
+            for pos, x in enumerate(p):
+                W[t * n_planes + i, pos] = int(round(x * 1000))
+    mult = 1 << np.arange(n_planes, dtype=np.int64)
+    tids = np.arange(n_tables, dtype=np.int64)
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[out_id].to_numpy(dtype=np.int64)
+            V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"]])
+            dots = V @ W.T  # exact: |dot| <= dim * scale^2 << 2^53
+            bits = (dots >= 0).astype(np.int64)
+            buckets = bits.reshape(len(ids), n_tables, n_planes) @ mult
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, n_tables),
+                    "table_id": np.tile(tids, len(ids)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    v = df.select(
+        F.col(id_col).cast("long").alias(out_id),
+        quantized(F.col(vec_col)).alias("qv"),
+    )
+    return v.mapInPandas(kern, f"{out_id} long, table_id int, bucket long")
 
 
 def embedding_neardup_lsh(
