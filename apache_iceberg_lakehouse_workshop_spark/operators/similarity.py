@@ -1201,12 +1201,55 @@ def _pq_codebook_local(
     rows = v.take(max_rows + 1)
     if len(rows) > max_rows or not rows:
         return None
-    picked = sorted(
-        rows, key=lambda r: (_md5_str(r["vec_id"]), r["vec_id"])
-    )[:k_codes]
-    picked = sorted(picked, key=lambda r: r["vec_id"])  # code = rank by id
-    B = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in picked])
+    ids = [int(r["vec_id"]) for r in rows]
     V = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in rows])
+    return _pq_codebook_from_matrix(
+        ids, V, m_sub, sub_dim, k_codes, v.sparkSession
+    )
+
+
+def _residual_codebook_local(
+    v: DataFrame,
+    cents: DataFrame,
+    m_sub: int,
+    sub_dim: int,
+    k_codes: int,
+    train_frac: float | None,
+    max_rows: int = 65536,
+) -> DataFrame | None:
+    """Driver twin of the residual-codebook training chain
+    (``_residual_arrow(_train_slice(v)) → _pq_codebook_q``): collect the
+    training slice ONCE, compute the cell residuals and the per-subspace
+    Lloyd step in numpy — zero extra Spark jobs and bit-identical (same
+    :func:`_best_cells` tie rule, same seed/mean/round math). None =
+    slice too big; caller runs the distributed chain."""
+    import numpy as np
+
+    rows = _train_slice(v, "vec_id", train_frac).take(max_rows + 1)
+    if len(rows) > max_rows or not rows:
+        return None
+    C, _cells, nb = _collect_centroids(cents)
+    ids = [int(r["vec_id"]) for r in rows]
+    V = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in rows])
+    best = _best_cells(V, C, nb)
+    return _pq_codebook_from_matrix(
+        ids, V - C[best], m_sub, sub_dim, k_codes, v.sparkSession
+    )
+
+
+def _pq_codebook_from_matrix(
+    ids: list[int], V, m_sub: int, sub_dim: int, k_codes: int, spark
+) -> DataFrame:
+    """The shared numpy Lloyd core of the two driver-local codebook
+    trainers: md5-ordered seeds, exact-int64 L2 assignment, exact sums,
+    one IEEE division, HALF_UP round."""
+    import numpy as np
+
+    order = sorted(
+        range(len(ids)), key=lambda i: (_md5_str(ids[i]), ids[i])
+    )[:k_codes]
+    picked = sorted(order, key=lambda i: ids[i])  # code = rank by id
+    B = V[picked]
     out = []
     for m in range(m_sub):
         SV = V[:, m * sub_dim : (m + 1) * sub_dim]
@@ -1227,9 +1270,7 @@ def _pq_codebook_local(
                     [_round_half_up(float(s) / cnt) for s in sums.tolist()],
                 )
             )
-    return v.sparkSession.createDataFrame(
-        out, "m INT, code LONG, cv ARRAY<BIGINT>"
-    )
+    return spark.createDataFrame(out, "m INT, code LONG, cv ARRAY<BIGINT>")
 
 
 def _pq_codebook_q(
@@ -1563,15 +1604,29 @@ def knn_ivfpq(
                 )
             )
         else:
-            # training needs residuals only for the md5 slice; the fused
-            # encode kernel recomputes full-corpus residuals in its own pass
-            rv = _residual_arrow(_train_slice(v, "vec_id", train_frac), cents)
-        book = _pin_small(
-            _pq_codebook_q(
-                rv.select("vec_id", F.col("qv2").alias("qv")), m_sub, sub_dim, k_codes,
-                train_frac=train_frac if _ann_sql_only() else None,
+            # training needs residuals only for the md5 slice: collect it
+            # once and train fully driver-side (zero extra Spark jobs);
+            # the fused encode kernel recomputes full-corpus residuals in
+            # its own pass either way. Falls back to the distributed
+            # chain when the slice is too big to collect.
+            rv = None
+            local_book = _residual_codebook_local(
+                v, cents, m_sub, sub_dim, k_codes, train_frac
             )
-        )
+            if local_book is None:
+                rv = _residual_arrow(
+                    _train_slice(v, "vec_id", train_frac), cents
+                )
+        if _ann_sql_only() or rv is not None:
+            book = _pin_small(
+                _pq_codebook_q(
+                    rv.select("vec_id", F.col("qv2").alias("qv")),
+                    m_sub, sub_dim, k_codes,
+                    train_frac=train_frac if _ann_sql_only() else None,
+                )
+            )
+        else:
+            book = _pin_small(local_book)
         if _ann_sql_only():
             rsub = _pq_subvectors(
                 rv.select("vec_id", "cell_id", "qv2"),

@@ -146,6 +146,20 @@ PROBES: dict[str, list[str]] = {
     # pinned by test_sequence_packing_invariants' partitioning-
     # independence assertion
     "t13_sequence_packing": ["no_python_udf", "no_cartesian_blowup"],
+    # two-stage retrieval: stage 1 is the s7 IVFxPQ shape (broadcast
+    # tables + partial-agg ADC), stage 2 joins the m candidates back by
+    # id with the query block broadcast — no cross product anywhere
+    "s11_two_stage_rerank": ["broadcast_join", "partial_agg",
+                             "arrow_kernel", "no_cartesian_blowup"],
+    # routed RAW join reflection: the WHERE rides the reflection
+    # storage scan (pushed filter on the materialization's parquet)
+    "r3_routed_raw_join": ["pushed_filter", "take_ordered",
+                           "no_python_udf"],
+    # changelog over rewritten history: ONE count-weighted multiset-diff
+    # aggregation (partial+final), update pairing is a window — no join
+    # fabrication, no Python
+    "r4_changelog_rename": ["partial_agg", "no_python_udf",
+                            "no_cartesian_blowup"],
 }
 
 # Each check sees (tree, full): `tree` is the FINAL post-AQE operator tree
