@@ -3105,13 +3105,26 @@ class LakeTable:
 
     @_requires("SELECT")
     def snapshot_id_at(self, ts_ms: int) -> int | None:
-        """The snapshot that was current at ``ts_ms`` (the table's state
-        at that instant) — None when the table had no snapshot yet.
-        Resolves the timestamp bounds of ``TABLE(table_changes('t',
-        TIMESTAMP '…'))`` via snapshot history, like Iceberg's
-        timestamp-based changelog/time-travel resolution."""
+        """The MAIN-lineage snapshot that was current at ``ts_ms`` (the
+        table's state at that instant) — None when the table had no
+        snapshot yet. Resolves the timestamp bounds of
+        ``TABLE(table_changes('t', TIMESTAMP '…'))`` via snapshot
+        history, like Iceberg's timestamp-based changelog/time-travel
+        resolution. Branch commits are excluded: they advance a ref, not
+        main's state, even though they interleave in commit time —
+        main's lineage is the parent chain of the current snapshot."""
         meta = self._load_meta()
-        eligible = [s["id"] for s in meta["snapshots"] if s["ts_ms"] <= ts_ms]
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        main: set[int] = set()
+        cur = meta.get("current_snapshot_id")
+        while cur is not None and cur in by_id and cur not in main:
+            main.add(cur)
+            cur = by_id[cur].get("parent_id")
+        eligible = [
+            s["id"]
+            for s in meta["snapshots"]
+            if s["id"] in main and s["ts_ms"] <= ts_ms
+        ]
         return eligible[-1] if eligible else None
 
     def _changelog_key_cols(self) -> list[str] | None:

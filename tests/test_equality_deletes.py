@@ -804,3 +804,24 @@ def test_read_changes_matches_model_diff(spark, ops, data):
             assert got_del == want_del, (i, j, s_i, s_j)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_snapshot_id_at_ignores_branch_commits(lake, spark):
+    """Timestamp resolution walks MAIN's lineage: a branch commit made
+    between two main commits is never 'the state at that instant'."""
+    import time as _time
+
+    t = lake.create_table("c.br", "id BIGINT")
+    t.append(spark.createDataFrame([(1,)], "id BIGINT"))
+    s1 = t._load_meta()["current_snapshot_id"]
+    _time.sleep(0.05)
+    t.create_branch("wip")
+    t.append_to_branch("wip", spark.createDataFrame([(99,)], "id BIGINT"))
+    b_ts = max(r.committed_at_ms for r in t.snapshots().collect())
+    # at the branch commit's instant, MAIN is still at s1
+    assert t.snapshot_id_at(b_ts) == s1
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], "id BIGINT"))
+    s2 = t._load_meta()["current_snapshot_id"]
+    s2_ts = {r.snapshot_id: r.committed_at_ms for r in t.snapshots().collect()}[s2]
+    assert t.snapshot_id_at(s2_ts) == s2
