@@ -179,3 +179,62 @@ def cap_per_stratum(
         "mix_weight",
         F.col("stratum_total").cast("double") / kept_n.cast("double"),
     ).withColumn("sample_rank", F.col("sample_rank").cast("long"))
+
+
+def domain_mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-MIXTURE rebalancing — the data-mixing step of
+    pretraining recipes (The Pile / DoReMi-style mixture weights), the
+    proportional complement of :func:`cap_per_stratum`'s absolute caps:
+    given target mixture ``weights`` per source, keep exactly
+    ``floor(w_s * T)`` rows of each source where ``T = min_s(n_s / w_s)``
+    — the largest total the corpus supports WITHOUT upsampling (the
+    binding source keeps everything; every other source downsamples to
+    the target proportion). Selection within a source is the md5-rank
+    rule (engine-portable, reproducible, leakage-free — the
+    :func:`deterministic_sample` contract). Sources absent from
+    ``weights`` are dropped.
+
+    Output: kept rows as (doc_id, source). At 100 TB: per-source counts
+    partial-aggregate; the limits table is |sources| rows broadcast; the
+    md5 rank is one per-source window (variable per-source limits cannot
+    use a WindowGroupLimit heap — pre-filtering with an md5 THRESHOLD at
+    ~1.05x the target rate before the exact rank bounds the sort input
+    when a source is huge)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("ns"))
+    wdf = spark.createDataFrame(
+        [(s, float(x)) for s, x in weights.items()],
+        f"{source_col} STRING, w DOUBLE",
+    )
+    j = counts.join(F.broadcast(wdf), source_col)
+    tot = j.filter(F.col("w") > 0).agg(
+        F.min(F.col("ns").cast("double") / F.col("w")).alias("tot")
+    )
+    lim = (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(source_col).alias("source"),
+            F.floor(F.col("w") * F.col("tot")).cast("long").alias("keep_n"),
+        )
+    )
+    w_ = Window.partitionBy("source").orderBy(
+        F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(source_col).alias("source"),
+    ).withColumn("__rn", F.row_number().over(w_))
+    return (
+        ranked.join(F.broadcast(lim), "source")
+        .filter(F.col("__rn") <= F.col("keep_n"))
+        .select("doc_id", "source")
+    )

@@ -369,6 +369,8 @@ tb_sample_battery = _register_battery(
         ("t14_boilerplate_scrub", "t14_boilerplate_scrub",
          {"doc_id": "k1", "n_tokens": "n1", "n_removed": "n2",
           "scrubbed_md5": "s1"}),
+        ("t20_domain_mixture", "t20_domain_mixture",
+         {"doc_id": "k1", "source": "s1"}),
         ("t15_domain_cap", "t15_domain_cap",
          {"doc_id": "k1", "source": "s1", "stratum_total": "n1",
           "sample_rank": "n2", "mix_weight": "v1"}),
@@ -581,6 +583,7 @@ ABSORBED = {
     "mm3_frame_sample": "mmb_media_battery",
     "mm4_audio_features": "mmb_media_battery",
     "t15_domain_cap": "tb_sample_battery",
+    "t20_domain_mixture": "tb_sample_battery",
     "t16_lm_perplexity": "tb_sample_battery",
     "t13_sequence_packing": "tb_sample_battery",
     "t17_bm25_topk": "tb_sample_battery",

@@ -1558,6 +1558,42 @@ _T15_CAP_CASE = (
 
 
 @q(
+    "t20_domain_mixture",
+    """WITH n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+       w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+                                   ('src2', 0.15), ('src3', 0.10)) AS t(source, w)),
+       j AS (SELECT n.source, ns, w FROM n JOIN w USING (source)),
+       tt AS (SELECT MIN(CAST(ns AS DOUBLE) / w) AS tot FROM j WHERE w > 0),
+       lim AS (SELECT source, CAST(floor(w * tot) AS BIGINT) AS keep_n
+               FROM j CROSS JOIN tt),
+       r AS (SELECT doc_id, source,
+                    row_number() OVER (PARTITION BY source
+                        ORDER BY md5('mix' || '|' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS rn
+             FROM documents)
+       SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.source
+       FROM r JOIN lim USING (source) WHERE rn <= keep_n""",
+    "T20 domain-MIXTURE sampling (engine extension; the data-mixing step "
+    "of pretraining recipes — The Pile / DoReMi mixture weights, the "
+    "proportional complement of t15's absolute caps): target weights per "
+    "source resolve to exact keep counts floor(w_s * T) with T = "
+    "min(n_s/w_s) — the largest total the corpus supports WITHOUT "
+    "upsampling (the binding source keeps everything, the rest "
+    "downsample to proportion); rows selected by the md5-rank rule so "
+    "the kept SET is reproducible across engines, partitionings, and "
+    "re-runs. The oracle replays counts, the feasibility bound, the "
+    "floors, and the md5 ranks identically.",
+)
+def t20_domain_mixture(spark, sf_dir):
+    from .operators.sampling import domain_mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return domain_mixture_sample(
+        d, {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.10}
+    )
+
+
+@q(
     "t15_domain_cap",
     f"""WITH c AS (SELECT doc_id, source,
                   substring(md5('cap' || '|' || CAST(doc_id AS VARCHAR)), 1, 8) AS coord

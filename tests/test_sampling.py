@@ -103,3 +103,33 @@ def test_bad_rate_raises(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     with pytest.raises(ValueError, match="rate"):
         deterministic_sample(li, 1.5, ["l_orderkey"])
+
+
+def test_domain_mixture_sample_exact_proportions(spark):
+    """t20: the binding source keeps everything; every other source keeps
+    floor(w_s * T) rows; sources absent from the weights drop; the kept
+    SET is deterministic under re-runs and input partitioning."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.sampling import (
+        domain_mixture_sample,
+    )
+
+    rows = (
+        [(i, "a") for i in range(10)]
+        + [(100 + i, "b") for i in range(40)]
+        + [(200 + i, "c") for i in range(50)]
+        + [(300 + i, "drop_me") for i in range(7)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    # T = min(10/0.2, 40/0.3, 50/0.5) = 50 -> keeps (10, 15, 25)
+    weights = {"a": 0.2, "b": 0.3, "c": 0.5}
+    out = domain_mixture_sample(docs, weights)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.source, set()).add(r.doc_id)
+    assert {s: len(v) for s, v in got.items()} == {"a": 10, "b": 15, "c": 25}
+    assert "drop_me" not in got
+    assert got["a"] == set(range(10))  # binding source keeps everything
+    # determinism across re-runs and partitionings
+    again = domain_mixture_sample(docs.repartition(7), weights)
+    got2 = sorted((r.source, r.doc_id) for r in again.collect())
+    assert got2 == sorted((s, d) for s, v in got.items() for d in v)
