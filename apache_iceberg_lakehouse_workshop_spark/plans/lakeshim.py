@@ -3264,6 +3264,36 @@ class LakeTable:
             diff = self._pair_updates(diff, keys)
         return diff
 
+    @_requires("WRITE", "INSERT")
+    def apply_changes(self, changes: DataFrame, keys: list[str]) -> int:
+        """Apply a :meth:`read_changes`-style changelog to THIS table —
+        the consumer half of CDC replication (the producer half is
+        ``read_changes`` on the source): ``insert`` / ``update_postimage``
+        rows upsert by ``keys`` (O(batch) equality-delete writes, no
+        target scan); keys whose change is a pure ``delete`` (no
+        surviving insert in the same changelog) are deleted. Requires a
+        keyed source (at most one surviving row per key in the
+        changelog, which ``read_changes`` over a keyed table guarantees).
+        Returns the final snapshot id."""
+        cols = [c for c in changes.columns if c != "_change_type"]
+        ups = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*cols)
+        dels = (
+            changes.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            )
+            .select(*keys)
+            .join(ups.select(*keys), keys, "left_anti")
+            .dropDuplicates(keys)
+        )
+        sid = self._load_meta().get("current_snapshot_id")
+        if ups.head(1):
+            sid = self.upsert_equality(ups, keys)
+        if dels.head(1):
+            sid = self.delete_by_key(dels)
+        return sid
+
     @_requires("ALTER", "WRITE")
     def fold_deletes(self) -> int:
         """Consolidate EVERY outstanding merge-on-read delete file —
