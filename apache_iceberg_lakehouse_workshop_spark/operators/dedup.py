@@ -424,6 +424,11 @@ def simhash_neardup_pairs(
 # ------------------------------------------------------ cluster formation
 
 
+# driver union-find ceiling for duplicate_clusters (tests pin the
+# distributed path by patching this to -1)
+_CC_LOCAL_MAX_EDGES = 2_000_000
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -462,6 +467,34 @@ def duplicate_clusters(
         # generator upstream (LSH banding etc.) must not re-run per round
         .localCheckpoint(eager=True)
     )
+    # near-dup graphs are SPARSE (pairs already passed a similarity
+    # threshold): when the edge set is collectible, one driver union-find
+    # pass replaces several rounds of shuffle latency — components and
+    # their min-id reps are algorithm-independent, so results are
+    # identical; the distributed loop below remains for edge sets too
+    # big to collect (the true 100 TB path)
+    rows = edges.take(_CC_LOCAL_MAX_EDGES + 1)
+    if len(rows) <= _CC_LOCAL_MAX_EDGES:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for e in rows:
+            a, b = int(e["src"]), int(e["dst"])
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        verts = {int(e["src"]) for e in rows}
+        out = [(v, find(v)) for v in sorted(verts)]
+        return pairs.sparkSession.createDataFrame(
+            out, "doc_id LONG, cluster_rep LONG"
+        )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )

@@ -225,11 +225,20 @@ def test_duplicate_clusters_diameter_guard(spark):
 
     from apache_iceberg_lakehouse_workshop_spark.operators.dedup import duplicate_clusters
 
+    import apache_iceberg_lakehouse_workshop_spark.operators.dedup as dedup_mod
+
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(200, 210)], ["doc_a", "doc_b"]
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(pairs, max_iter=2)
+    # the driver union-find path always converges; the guard protects the
+    # DISTRIBUTED loop — pin it by disabling the local path
+    prev = dedup_mod._CC_LOCAL_MAX_EDGES
+    dedup_mod._CC_LOCAL_MAX_EDGES = -1
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_clusters(pairs, max_iter=2)
+    finally:
+        dedup_mod._CC_LOCAL_MAX_EDGES = prev
 
 
 def test_winnow_rows_match_column_form(spark, sf_dir):
