@@ -53,6 +53,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+class _Beginning:
+    """Sentinel for :meth:`LakeTable.read_changes` bounds: the addressable
+    pre-first-snapshot state (an EMPTY table). ``None`` keeps its
+    Delta-``table_changes``-compatible overloads ("since table creation"
+    as a *from* bound, "current" as a *to* bound) — which makes the empty
+    starting state unaddressable as a *to* bound without this sentinel.
+    A changelog consumer registered before the producer's first commit
+    passes ``BEGINNING`` and gets exact semantics either side."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return "BEGINNING"
+
+
+#: the singleton — ``read_changes(BEGINNING, sid)`` / ``(sid, BEGINNING)``
+BEGINNING = _Beginning()
+
 _TRANSFORM_RE = re.compile(r"^(days|months|years|hours)\((\w+)\)$")
 # Iceberg's parameterized transforms: bucket(N, col), truncate(W, col)
 _PARAM_TRANSFORM_RE = re.compile(r"^(bucket|truncate)\((\d+)\s*,\s*(\w+)\)$")
@@ -2720,6 +2738,10 @@ class LakeTable:
         whole); a later full ``compact()`` folds everything clean."""
         meta = self._load_meta()
         parent = meta.get("current_snapshot_id")
+        if self._current_snapshot(meta) is None:
+            # never-committed table: nothing to bin-pack — commit nothing
+            # (a maintenance no-op must not mint an addressable snapshot)
+            return parent
         scoped = where is not None
         current = self.read(where=where) if scoped else self.read()
         if n_files is None:
@@ -3169,8 +3191,8 @@ class LakeTable:
 
     def read_changes(
         self,
-        from_snapshot_id: int | None,
-        to_snapshot_id: int | None = None,
+        from_snapshot_id: int | None | _Beginning,
+        to_snapshot_id: int | None | _Beginning = None,
         key_cols: list[str] | None = None,
     ) -> DataFrame:
         """Row-level changelog between two snapshots — the CDC-OUT
@@ -3179,7 +3201,12 @@ class LakeTable:
         ``_change_type`` column ('insert' | 'delete'); an updated row
         appears as its delete + its insert. ``from_snapshot_id=None``
         means "since the empty table"; ``to_snapshot_id=None`` means
-        current.
+        current. ``None`` therefore cannot address the empty starting
+        state as a *to* bound — the module-level :data:`BEGINNING`
+        sentinel can, on either bound: ``read_changes(BEGINNING, s)``
+        is "empty → s" and ``read_changes(s, BEGINNING)`` is "s →
+        empty" (every live row a net delete); ``(BEGINNING, BEGINNING)``
+        is the empty diff.
 
         ``key_cols`` (or the ``changelog.key-columns`` table property)
         declares identifier columns: a key with exactly one delete and
@@ -3197,6 +3224,18 @@ class LakeTable:
         Float columns diff by IEEE equality (NaN groups as itself under
         GROUP BY, so NaN rows still pair up)."""
         keys = key_cols if key_cols is not None else self._changelog_key_cols()
+        if from_snapshot_id is BEGINNING:
+            from_snapshot_id = None  # "empty table" — same as None here
+        if to_snapshot_id is BEGINNING:
+            # the *to* state is the empty starting table: every row live
+            # at the from-bound is a net delete; pairing never applies
+            # (there is no insert side to pair with)
+            old = (
+                self.read(snapshot_id=from_snapshot_id)
+                if from_snapshot_id is not None
+                else self.read().limit(0)
+            )
+            return old.withColumn("_change_type", F.lit("delete"))
         try:
             delta = self.read_incremental(from_snapshot_id, to_snapshot_id)
             # append-only range: inserts only, nothing to pair

@@ -700,6 +700,7 @@ _cl_ops_st = st.lists(
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("rename"), st.none()),
         st.tuples(st.just("addcol"), st.none()),
+        st.tuples(st.just("rollback"), st.none()),
     ),
     min_size=2,
     max_size=6,
@@ -771,14 +772,34 @@ def test_read_changes_matches_model_diff(spark, ops, data):
             elif op == "addcol" and not has_w:
                 t.add_column("w", "BIGINT")
                 has_w = True
+            elif op == "rollback":
+                # roll back to the median committed snapshot (if any):
+                # resurrected-then-possibly-re-deleted rows exercise the
+                # rewritten-history fallback across a rollback boundary
+                committed = [(s, stt) for s, stt in states if s is not None]
+                if committed:
+                    tgt_sid, tgt_state = committed[len(committed) // 2]
+                    t.rollback_to(tgt_sid)
+                    model = list(tgt_state)
             sid = t._load_meta()["current_snapshot_id"]
-            states.append((sid, tuple(sorted(model, key=repr))))
+            # a no-op (fold/compact on nothing, rename/addcol re-draws,
+            # missed deletes) commits NOTHING — it must not mint a new
+            # addressable state (round-8 counterexample: the snapshot-less
+            # fold recorded (None, ()) and None-as-to means CURRENT)
+            if sid != states[-1][0]:
+                states.append((sid, tuple(sorted(model, key=repr))))
 
         def row_tuple(r):
             # a range ending BEFORE the rename/add-column reads under the
             # to-snapshot's epoch schema (old names, no w) — accept both
             d = r.asDict()
             return (d.get("ident", d.get("id")), d["v"], d.get("w"))
+
+        if len(states) == 1:
+            # every op was a no-op: nothing ever committed — the only
+            # addressable range is the empty one
+            assert t.read_changes(None, None).count() == 0
+            return
 
         # check (None -> current) plus two random pairs i < j
         pairs = [(0, len(states) - 1)]
@@ -804,6 +825,42 @@ def test_read_changes_matches_model_diff(spark, ops, data):
             assert got_del == want_del, (i, j, s_i, s_j)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_noop_maintenance_and_beginning_sentinel(lake, spark):
+    """Round-8 hypothesis counterexample, pinned deterministically:
+    ``fold_deletes()`` / ``compact()`` on a never-committed table are pure
+    no-ops (no snapshot minted), and the ``BEGINNING`` sentinel makes the
+    pre-first-snapshot EMPTY state addressable on either
+    ``read_changes`` bound — ``None`` keeps its Delta-compatible
+    overloads (since-creation / current)."""
+    from apache_iceberg_lakehouse_workshop_spark.plans.lakeshim import BEGINNING
+
+    t = lake.create_table("c.noop", "id BIGINT, v STRING")
+    assert t.fold_deletes() is None
+    assert t.compact(n_files=2) is None
+    assert t._load_meta()["current_snapshot_id"] is None
+    assert t.read_changes(None, None).count() == 0
+
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, v STRING")
+    )
+    sid = t._load_meta()["current_snapshot_id"]
+    # fold-on-empty -> append -> range reads: the append is the only diff
+    want = [(1, "insert"), (2, "insert")]
+    for frm in (BEGINNING, None):
+        got = sorted(
+            (r.id, r._change_type) for r in t.read_changes(frm, sid).collect()
+        )
+        assert got == want
+    # the empty starting state as a *to* bound: net deletes
+    dels = sorted(
+        (r.id, r._change_type)
+        for r in t.read_changes(sid, BEGINNING).collect()
+    )
+    assert dels == [(1, "delete"), (2, "delete")]
+    # empty -> empty: the empty diff (None-as-to would have meant CURRENT)
+    assert t.read_changes(BEGINNING, BEGINNING).count() == 0
 
 
 def test_snapshot_id_at_ignores_branch_commits(lake, spark):
