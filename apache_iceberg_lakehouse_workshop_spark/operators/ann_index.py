@@ -1,0 +1,182 @@
+"""Persisted ANN index: IVF×PQ quantizers + codes as lakehouse tables.
+
+:func:`similarity.knn_ivfpq` answers a query batch correctly and with the
+right per-query asymptotics (O(nprobe · cell) ADC over PQ codes), but it
+re-trains the quantizers and re-encodes the WHOLE corpus inside every
+call — at 100 TB the encode pass alone dwarfs the query. Production ANN
+serving builds the index once and maintains it incrementally (FAISS
+persists ``IndexIVFPQ`` to disk; vector stores keep codes next to the
+data). This module is that missing half, expressed in the engine's own
+storage idiom — the same *persisted acceleration* pattern as reflections
+(``/root/reference/readme.md:320-355``: build a materialization once,
+serve many queries from it, refresh on data change) and the streaming
+near-dup filter's signature-state table (``streaming/pipeline.py``).
+
+Three snapshot-versioned lakehouse tables per index ``name``:
+
+- ``{name}_centroids`` — ``(cell_id long, centroid array<long>)``
+- ``{name}_codebook``  — ``(m long, code long, cv array<long>)``
+- ``{name}_codes``     — ``(cand_id long, cell_id long, m long, code long)``
+
+plus the build parameters and the source table's snapshot id as table
+properties on the codes table. Every value is exact int64 (the engine's
+quantized-vector representation), so a parquet round-trip is bit-exact:
+``ann_query`` over a persisted index returns EXACTLY what the one-shot
+:func:`similarity.knn_ivfpq` returns for the same corpus — the driver row
+pins that equality against the s7 DuckDB oracle.
+
+Scale shape: build pays the one-time O(corpus) encode (map-only,
+broadcast quantizers, no shuffle); ``refresh_ann_index`` encodes ONLY
+rows appended since the recorded snapshot (``read_incremental`` delta —
+O(delta), falling back to a frozen-quantizer full re-encode when history
+was rewritten); ``ann_query`` reads three parquet tables and runs the
+probe + ADC joins — no training, no corpus pass.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import ivfpq_build, ivfpq_encode, ivfpq_serve, quantized
+
+_CODE_COLS = ["cand_id", "cell_id", "m", "code"]
+
+
+def _part(index_name: str, part: str) -> str:
+    return f"{index_name}_{part}"
+
+
+def build_ann_index(
+    lake,
+    source_table: str,
+    index_name: str,
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+    train_frac: float | None = None,
+) -> dict:
+    """Train quantizers on ``source_table`` at its CURRENT snapshot and
+    persist centroids / codebook / codes as the three index tables
+    (replacing any prior build under ``index_name``). Returns a summary
+    dict (source snapshot, row counts)."""
+    src = lake.table(source_table)
+    sid = src._load_meta()["current_snapshot_id"]
+    if sid is None:
+        raise ValueError(f"source table {source_table} has no snapshots")
+    corpus = src.read(snapshot_id=sid)
+    cents, book, codes = ivfpq_build(
+        corpus, dim=dim, m_sub=m_sub, k_codes=k_codes, n_cells=n_cells,
+        id_col=id_col, vec_col=vec_col, residual=residual,
+        train_frac=train_frac,
+    )
+    parts = {
+        "centroids": cents.select("cell_id", "centroid"),
+        "codebook": book.select("m", "code", "cv"),
+        "codes": codes.select(*_CODE_COLS),
+    }
+    for part, df in parts.items():
+        name = _part(index_name, part)
+        lake.drop_table(name, if_exists=True)
+        lake.create_table_as(name, df)
+    params = {
+        "dim": dim, "m_sub": m_sub, "k_codes": k_codes, "n_cells": n_cells,
+        "id_col": id_col, "vec_col": vec_col, "residual": residual,
+        "train_frac": train_frac,
+    }
+    lake.table(_part(index_name, "codes")).set_properties(
+        {
+            "ann.params": json.dumps(params),
+            "ann.source-table": source_table,
+            "ann.source-snapshot-id": str(sid),
+        }
+    )
+    return {
+        "index": index_name,
+        "source_snapshot_id": sid,
+        "n_codes": lake.table(_part(index_name, "codes")).read().count(),
+    }
+
+
+def _load(lake, index_name: str):
+    codes_t = lake.table(_part(index_name, "codes"))
+    props = codes_t.properties()
+    params = json.loads(props["ann.params"])
+    cents = lake.table(_part(index_name, "centroids")).read()
+    book = lake.table(_part(index_name, "codebook")).read()
+    return codes_t, props, params, cents, book
+
+
+def refresh_ann_index(lake, index_name: str) -> dict:
+    """Bring the index up to the source's current snapshot WITHOUT
+    retraining: quantizers are frozen (FAISS practice — retrain is a
+    deliberate rebuild, not maintenance), appended rows are encoded with
+    :func:`similarity.ivfpq_encode` and appended to the codes table.
+
+    Append-only source history → O(delta): only the new commit dirs are
+    read (``read_incremental``). Rewritten history (deletes / upserts /
+    compaction) → the codes table is overwritten from a full re-encode
+    against the SAME frozen quantizers — O(corpus) encode but still no
+    training pass, and exact (dropped rows leave the index)."""
+    codes_t, props, params, cents, book = _load(lake, index_name)
+    source = props["ann.source-table"]
+    last = int(props["ann.source-snapshot-id"])
+    src = lake.table(source)
+    cur = src._load_meta()["current_snapshot_id"]
+    if cur == last:
+        return {"index": index_name, "mode": "noop", "n_encoded": 0}
+    sub_dim = params["dim"] // params["m_sub"]
+
+    def encoded(df: DataFrame) -> DataFrame:
+        v = df.select(
+            F.col(params["id_col"]).cast("long").alias("vec_id"),
+            quantized(F.col(params["vec_col"])).alias("qv"),
+        )
+        return ivfpq_encode(
+            v, cents, book, params["m_sub"], sub_dim, params["residual"]
+        ).select(*_CODE_COLS)
+
+    try:
+        delta = src.read_incremental(last, cur)
+        new_codes = encoded(delta)
+        n = delta.count()
+        if n:
+            codes_t.append(new_codes)
+        mode = "incremental"
+    except ValueError:
+        # non-append history in the range: exact frozen-quantizer rebuild
+        full = src.read(snapshot_id=cur)
+        codes_t.overwrite(encoded(full))
+        n = full.count()
+        mode = "reencode"
+    codes_t.set_properties({"ann.source-snapshot-id": str(cur)})
+    return {"index": index_name, "mode": mode, "n_encoded": n}
+
+
+def ann_query(
+    lake,
+    index_name: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    probe_sim_gap: float | None = None,
+) -> DataFrame:
+    """Serve a query batch from the PERSISTED index: no training, no
+    corpus encode — three parquet reads (two of them broadcast-small)
+    plus the probe + ADC joins of :func:`similarity.ivfpq_serve`.
+    Output schema matches :func:`similarity.knn_ivfpq`:
+    (query_id, cand_id, approx_dist, rank)."""
+    codes_t, _props, params, cents, book = _load(lake, index_name)
+    return ivfpq_serve(
+        cents, book, codes_t.read().select(*_CODE_COLS), queries,
+        k=k, nprobe=nprobe, m_sub=params["m_sub"],
+        sub_dim=params["dim"] // params["m_sub"],
+        id_col=params["id_col"], vec_col=params["vec_col"],
+        residual=params["residual"], probe_sim_gap=probe_sim_gap,
+    )

@@ -1555,27 +1555,181 @@ def knn_ivfpq(
     operation is the partial-aggregated per-pair distance sum + top-k,
     over a candidate set already shrunk ~n_cells/nprobe-fold. Output:
     (query_id, cand_id, approx_dist, rank), ascending distance, ties
-    broken by cand_id."""
+    broken by cand_id.
+
+    Implemented as :func:`ivfpq_build` (quantizer training + corpus
+    encoding) composed with :func:`ivfpq_serve` (probe + ADC) — the same
+    halves ``operators.ann_index`` persists as lakehouse tables so the
+    build cost is paid once, not per query."""
+    sub_dim = dim // m_sub
+    cents, book, codes = ivfpq_build(
+        corpus, dim=dim, m_sub=m_sub, k_codes=k_codes, n_cells=n_cells,
+        id_col=id_col, vec_col=vec_col, residual=residual,
+        train_frac=train_frac,
+    )
+    return ivfpq_serve(
+        cents, book, codes, queries, k=k, nprobe=nprobe, m_sub=m_sub,
+        sub_dim=sub_dim, id_col=id_col, vec_col=vec_col, residual=residual,
+        probe_sim_gap=probe_sim_gap,
+    )
+
+
+def ivfpq_encode(
+    v: DataFrame,
+    cents: DataFrame,
+    book: DataFrame,
+    m_sub: int,
+    sub_dim: int,
+    residual: bool,
+) -> DataFrame:
+    """Encode a (vec_id, qv) frame against FROZEN quantizers → one
+    (cand_id, cell_id, m, code) row per vector per subspace. Map-side
+    only (broadcast centroids/codebook, no shuffle) — the primitive both
+    the initial build and the O(delta) incremental refresh
+    (:func:`ann_index.refresh_ann_index`) call, so appended rows encode
+    bit-identically to a from-scratch build with the same quantizers."""
+    if not _ann_sql_only():
+        return _ivfpq_encode_arrow(
+            v, cents, book, "cand_id", m_sub, sub_dim, residual=residual
+        )
+    c_cell = _assign_cells(
+        v.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("qv").alias("cand_id_vec"),
+        ),
+        cents,
+        "cand_id",
+        nprobe=1,
+    ).select("cand_id", "cell_id")
+    if residual:
+        rv = (
+            v.join(c_cell.withColumnRenamed("cand_id", "vec_id"), "vec_id")
+            .join(F.broadcast(cents), "cell_id")
+            .select(
+                "vec_id",
+                "cell_id",
+                F.zip_with("qv", "centroid", lambda a, b: a - b).alias("qv2"),
+            )
+        )
+        rsub = _pq_subvectors(
+            rv.select("vec_id", "cell_id", "qv2"),
+            "cand_id",
+            "vec_id",
+            F.col("qv2"),
+            m_sub,
+            sub_dim,
+        )
+        return _pq_nearest(rsub, book, "cand_id").join(c_cell, "cand_id")
+    sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
+    return _pq_nearest(sub, book, "cand_id").join(c_cell, "cand_id")
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+    train_frac: float | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Index-BUILD half of :func:`knn_ivfpq`: train the coarse quantizer
+    and PQ codebook, encode every corpus vector. Returns
+    ``(cents, book, codes)`` — schemas ``(cell_id, centroid
+    array<long>)``, ``(m, code, cv array<long>)``, ``(cand_id, cell_id,
+    m, code)``: every value exact int64, so the frames round-trip
+    through parquet bit-identically (what ``ann_index`` relies on)."""
     sub_dim = dim // m_sub
     corpus = _widen(corpus)
-    cents = _pin_small(ivf_centroids(corpus, n_cells, id_col, vec_col, train_frac=train_frac))
+    cents = _pin_small(
+        ivf_centroids(corpus, n_cells, id_col, vec_col, train_frac=train_frac)
+    )
     v = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
     )
-    # coarse: each corpus vector lives in exactly one cell. On the Arrow
-    # path the assignment is FUSED into the one-pass encode kernel
-    # (_ivfpq_encode_arrow) — no separate pass, no codes⋈cell shuffle
-    c_cell = None
-    if _ann_sql_only():
-        c_cell = _assign_cells(
-            corpus.select(
-                F.col(id_col).cast("long").alias("cand_id"),
-                quantized(F.col(vec_col)).alias("cand_id_vec"),
-            ),
-            cents,
-            "cand_id",
-            nprobe=1,
-        ).select("cand_id", "cell_id")
+    if residual:
+        # codebook trained on (vector − cell centroid) residuals; one
+        # codebook across cells (FAISS's shared-codebook IVFPQ)
+        if _ann_sql_only():
+            c_cell = _assign_cells(
+                v.select(
+                    F.col("vec_id").alias("cand_id"),
+                    F.col("qv").alias("cand_id_vec"),
+                ),
+                cents,
+                "cand_id",
+                nprobe=1,
+            ).select("cand_id", "cell_id")
+            rv = (
+                v.join(c_cell.withColumnRenamed("cand_id", "vec_id"), "vec_id")
+                .join(F.broadcast(cents), "cell_id")
+                .select(
+                    "vec_id",
+                    "cell_id",
+                    F.zip_with("qv", "centroid", lambda a, b: a - b).alias("qv2"),
+                )
+            )
+            book = _pin_small(
+                _pq_codebook_q(
+                    rv.select("vec_id", F.col("qv2").alias("qv")),
+                    m_sub, sub_dim, k_codes, train_frac=train_frac,
+                )
+            )
+        else:
+            # training needs residuals only for the md5 slice: collect it
+            # once and train fully driver-side (zero extra Spark jobs);
+            # the fused encode kernel recomputes full-corpus residuals in
+            # its own pass either way. Falls back to the distributed
+            # chain when the slice is too big to collect.
+            local_book = _residual_codebook_local(
+                v, cents, m_sub, sub_dim, k_codes, train_frac
+            )
+            if local_book is None:
+                rv = _residual_arrow(
+                    _train_slice(v, "vec_id", train_frac), cents
+                )
+                book = _pin_small(
+                    _pq_codebook_q(
+                        rv.select("vec_id", F.col("qv2").alias("qv")),
+                        m_sub, sub_dim, k_codes, train_frac=None,
+                    )
+                )
+            else:
+                book = _pin_small(local_book)
+    else:
+        # fine: PQ-encode the raw corpus (the only representation served)
+        book = _pin_small(
+            pq_codebook(
+                corpus, dim, m_sub, k_codes, id_col, vec_col,
+                train_frac=train_frac,
+            )
+        )
+    codes = ivfpq_encode(v, cents, book, m_sub, sub_dim, residual)
+    return cents, book, codes
+
+
+def ivfpq_serve(
+    cents: DataFrame,
+    book: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+    probe_sim_gap: float | None = None,
+) -> DataFrame:
+    """Serving half of :func:`knn_ivfpq`: probe ``nprobe`` cells per
+    query, build ADC distance tables, score ONLY the probed cells' codes.
+    ``cents``/``book``/``codes`` may come straight from
+    :func:`ivfpq_build` or be loaded back from the persisted index tables
+    (``ann_index.load``) — exact int64 end-to-end, so both sources serve
+    identical results."""
     q_cell = _assign_cells(
         queries.select(
             F.col(id_col).cast("long").alias("query_id"),
@@ -1591,56 +1745,6 @@ def knn_ivfpq(
     )
 
     if residual:
-        # encode (vector − cell centroid); one codebook across cells
-        # (FAISS's shared-codebook IVFPQ), trained on the residuals
-        if _ann_sql_only():
-            rv = (
-                v.join(c_cell.withColumnRenamed("cand_id", "vec_id"), "vec_id")
-                .join(F.broadcast(cents), "cell_id")
-                .select(
-                    "vec_id",
-                    "cell_id",
-                    F.zip_with("qv", "centroid", lambda a, b: a - b).alias("qv2"),
-                )
-            )
-        else:
-            # training needs residuals only for the md5 slice: collect it
-            # once and train fully driver-side (zero extra Spark jobs);
-            # the fused encode kernel recomputes full-corpus residuals in
-            # its own pass either way. Falls back to the distributed
-            # chain when the slice is too big to collect.
-            rv = None
-            local_book = _residual_codebook_local(
-                v, cents, m_sub, sub_dim, k_codes, train_frac
-            )
-            if local_book is None:
-                rv = _residual_arrow(
-                    _train_slice(v, "vec_id", train_frac), cents
-                )
-        if _ann_sql_only() or rv is not None:
-            book = _pin_small(
-                _pq_codebook_q(
-                    rv.select("vec_id", F.col("qv2").alias("qv")),
-                    m_sub, sub_dim, k_codes,
-                    train_frac=train_frac if _ann_sql_only() else None,
-                )
-            )
-        else:
-            book = _pin_small(local_book)
-        if _ann_sql_only():
-            rsub = _pq_subvectors(
-                rv.select("vec_id", "cell_id", "qv2"),
-                "cand_id",
-                "vec_id",
-                F.col("qv2"),
-                m_sub,
-                sub_dim,
-            )
-            codes = _pq_nearest(rsub, book, "cand_id").join(c_cell, "cand_id")
-        else:
-            codes = _ivfpq_encode_arrow(
-                v, cents, book, "cand_id", m_sub, sub_dim, residual=True
-            )
         # per (query, probed cell): the query's residual IN THAT CELL.
         # Every input to these tables is broadcast-small (surviving probe
         # pairs, query vectors, centroids, codebook), so the default path
@@ -1685,17 +1789,6 @@ def knn_ivfpq(
             .agg(F.sum("d").alias("approx_dist"))
         )
     else:
-        # fine: PQ-encode the raw corpus (the only representation served)
-        book = _pin_small(
-            pq_codebook(corpus, dim, m_sub, k_codes, id_col, vec_col, train_frac=train_frac)
-        )
-        if _ann_sql_only():
-            sub = _pq_subvectors(v, "cand_id", "vec_id", F.col("qv"), m_sub, sub_dim)
-            codes = _pq_nearest(sub, book, "cand_id").join(c_cell, "cand_id")
-        else:
-            codes = _ivfpq_encode_arrow(
-                v, cents, book, "cand_id", m_sub, sub_dim, residual=False
-            )
         qsub = _pq_subvectors(qv, "query_id", "query_id", F.col("qv"), m_sub, sub_dim)
         dtab = qsub.join(F.broadcast(book), "m").select(
             "query_id", "m", "code", _l2_int(F.col("sv"), F.col("cv")).alias("d")

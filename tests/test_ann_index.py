@@ -1,0 +1,129 @@
+"""Persisted ANN index (operators/ann_index.py): build-once / query-many
+IVF×PQ over lakehouse tables, with O(delta) incremental refresh — the
+production serving shape FAISS persists as IndexIVFPQ, expressed in the
+engine's snapshot-versioned storage (the reflections idiom,
+/root/reference/readme.md:320-355: persist the acceleration, refresh on
+data change)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.operators import ann_index as AX
+from apache_iceberg_lakehouse_workshop_spark.operators import similarity as SIM
+from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+KW = dict(dim=64, m_sub=4, k_codes=16, n_cells=16)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _emb(spark, sf_dir, n=None):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb if n is None else emb.orderBy("vec_id").limit(n)
+
+
+def _topk(df):
+    return sorted(
+        (r.query_id, r.cand_id, r.approx_dist, r.rank) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_persisted_query_equals_one_shot(spark, sf_dir, lake, residual):
+    """ann_query over the persisted index == the one-shot knn_ivfpq over
+    the same corpus snapshot, row-for-row: the index round-trips through
+    parquet bit-exactly (everything int64)."""
+    emb = _emb(spark, sf_dir, 400)
+    lake.create_table_as("ann.corpus", emb)
+    info = AX.build_ann_index(lake, "ann.corpus", "ann.idx",
+                              residual=residual, **KW)
+    assert info["n_codes"] == 400 * KW["m_sub"]
+    queries = emb.orderBy("vec_id").limit(6)
+    got = AX.ann_query(lake, "ann.idx", queries, k=5, nprobe=4)
+    want = SIM.knn_ivfpq(emb, queries, k=5, nprobe=4,
+                         residual=residual, **KW)
+    assert _topk(got) == _topk(want)
+
+
+def test_incremental_refresh_is_o_delta_and_exact(spark, sf_dir, lake):
+    """Append-only refresh encodes ONLY the delta (codes table grows by
+    m_sub rows per appended vector; quantizer tables untouched), and the
+    served result equals a frozen-quantizer re-encode of the full corpus."""
+    emb = _emb(spark, sf_dir, 400)
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    lake.create_table_as("ann.corpus", old)
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    cents_sid = lake.table("ann.idx_centroids")._load_meta()["current_snapshot_id"]
+    n_codes0 = lake.table("ann.idx_codes").read().count()
+
+    lake.table("ann.corpus").append(new)
+    out = AX.refresh_ann_index(lake, "ann.idx")
+    assert out["mode"] == "incremental"
+    assert out["n_encoded"] == new.count()
+    # O(delta): codes grew by exactly the delta; quantizers frozen
+    assert (
+        lake.table("ann.idx_codes").read().count()
+        == n_codes0 + new.count() * KW["m_sub"]
+    )
+    assert (
+        lake.table("ann.idx_centroids")._load_meta()["current_snapshot_id"]
+        == cents_sid
+    )
+    # a second refresh with no new data is a no-op
+    assert AX.refresh_ann_index(lake, "ann.idx")["mode"] == "noop"
+
+    # exactness: equals serving from a frozen-quantizer full re-encode
+    queries = emb.orderBy("vec_id").limit(6)
+    got = AX.ann_query(lake, "ann.idx", queries, k=5, nprobe=4)
+    cents = lake.table("ann.idx_centroids").read()
+    book = lake.table("ann.idx_codebook").read()
+    v = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        SIM.quantized(F.col("embedding")).alias("qv"),
+    )
+    codes = SIM.ivfpq_encode(v, cents, book, KW["m_sub"],
+                             KW["dim"] // KW["m_sub"], False)
+    want = SIM.ivfpq_serve(cents, book, codes, queries, k=5, nprobe=4,
+                           m_sub=KW["m_sub"],
+                           sub_dim=KW["dim"] // KW["m_sub"])
+    assert _topk(got) == _topk(want)
+
+
+def test_rewritten_history_falls_back_to_reencode(spark, sf_dir, lake):
+    """A delete on the source (non-append history) triggers the frozen-
+    quantizer full re-encode: deleted vectors leave the index, results
+    stay exact."""
+    emb = _emb(spark, sf_dir, 300)
+    lake.create_table_as("ann.corpus", emb)
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    lake.table("ann.corpus").delete_where("vec_id % 3 = 0")
+    out = AX.refresh_ann_index(lake, "ann.idx")
+    assert out["mode"] == "reencode"
+    survivors = {r.vec_id for r in lake.table("ann.corpus").read().collect()}
+    indexed = {
+        r.cand_id for r in lake.table("ann.idx_codes").read().collect()
+    }
+    assert indexed == survivors
+    queries = emb.filter(F.col("vec_id") % 3 != 0).orderBy("vec_id").limit(5)
+    got = AX.ann_query(lake, "ann.idx", queries, k=3, nprobe=4)
+    # no deleted vector is ever served
+    assert all(r.cand_id % 3 != 0 for r in got.collect())
+
+
+def test_rebuild_replaces_prior_index(spark, sf_dir, lake):
+    """build_ann_index on an existing name replaces all three tables and
+    re-records the source snapshot."""
+    emb = _emb(spark, sf_dir, 200)
+    lake.create_table_as("ann.corpus", emb)
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    lake.table("ann.corpus").append(
+        emb.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    )
+    info = AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    assert info["n_codes"] == 400 * KW["m_sub"]
+    assert AX.refresh_ann_index(lake, "ann.idx")["mode"] == "noop"
