@@ -299,6 +299,10 @@ db_neardup_battery = _register_battery(
          {"rank": "k1", "doc_id": "k2", "rrf_q6": "n1", "n_systems": "n2"}),
         ("s11_two_stage_rerank", "s11_two_stage_rerank",
          {"query_id": "k1", "cand_id": "k2", "cosine_sim": "v1", "rank": "n1"}),
+        ("d4_simhash_neardup", "d4_simhash_neardup",
+         {"doc_a": "k1", "doc_b": "k2", "hamming": "n1"}),
+        ("s12_knn_persisted", "s12_knn_persisted",
+         {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
     ],
 )
 
@@ -572,6 +576,8 @@ ABSORBED = {
     "d6_semdedup": "db_neardup_battery",
     "s10_hybrid_rrf": "db_neardup_battery",
     "s11_two_stage_rerank": "db_neardup_battery",
+    "d4_simhash_neardup": "db_neardup_battery",
+    "s12_knn_persisted": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "t8_vocab_topk": "tb_sample_battery",

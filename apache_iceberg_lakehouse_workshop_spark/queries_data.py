@@ -1168,6 +1168,38 @@ def s7_knn_ivfpq(spark, sf_dir):
     )
 
 
+@q(
+    "s12_knn_persisted",
+    _ivfpq_oracle(),
+    "Persisted ANN index (operators/ann_index.py): the IVF x PQ quantizers "
+    "and codes are BUILT ONCE into snapshot-versioned lakehouse tables "
+    "(centroids / codebook / codes — the reflections idiom applied to ANN "
+    "serving), then ann_query answers from the persisted tables with no "
+    "training and no corpus pass; refresh_ann_index encodes only the "
+    "read_incremental delta against frozen quantizers. Everything is "
+    "exact int64, so the parquet round-trip is bit-exact and this row "
+    "hash-equals the one-shot s7_knn_ivfpq oracle verbatim.",
+)
+def s12_knn_persisted(spark, sf_dir):
+    import tempfile
+
+    from .operators import ann_index as AX
+    from .plans import Lakehouse
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix="sg-annidx-"))
+    lake.create_table_as("ann.embeddings", emb.select("vec_id", "embedding"))
+    AX.build_ann_index(
+        lake, "ann.embeddings", "ann.idx",
+        dim=64, m_sub=4, k_codes=16, n_cells=16,
+    )
+    # up to date -> refresh is a metadata-only no-op (the O(delta) path
+    # itself is pinned by tests/test_ann_index.py)
+    assert AX.refresh_ann_index(lake, "ann.idx")["mode"] == "noop"
+    queries = emb.filter(F.col("vec_id") < 10)
+    return AX.ann_query(lake, "ann.idx", queries, k=5, nprobe=4)
+
+
 # =====================================================================
 # Multimodal columns
 # =====================================================================

@@ -47,8 +47,7 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
     "SK skew handling": ["sk1_salted_join", "sk2_two_phase_agg"],
     "T text analysis / curation": ["t1_token_stats", "t2_lang_quality",
                                    "tb_sample_battery", "c1_curation_pipeline"],
-    "D deduplication": ["d1_exact_dup_groups", "db_neardup_battery",
-                        "d4_simhash_neardup"],
+    "D deduplication": ["d1_exact_dup_groups", "db_neardup_battery"],
     "S similarity search": ["s1_knn_bruteforce", "s2_embedding_neardup",
                             "s3_knn_lsh", "s4_knn_ivf", "db_neardup_battery"],  # s5/s6 ride the battery
     "MM multimodal": ["mm1_binary_metadata", "mmb_media_battery"],

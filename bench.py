@@ -381,6 +381,56 @@ def _cdc_upsert_probe(spark) -> dict:
     return out
 
 
+def _ann_index_probe(spark) -> dict:
+    """Round-9 ANN persistence probe: the one-shot knn_ivfpq pays quantizer
+    training + full-corpus encoding inside EVERY call; the persisted index
+    (operators/ann_index.py) pays it once. Reports the one-time build wall,
+    the query-from-index wall (the serving number — must be well under the
+    one-shot wall), the one-shot wall for the same query batch, and the
+    refresh wall after appending ~1% new vectors (O(delta): encode only the
+    appended rows against frozen quantizers)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_lakehouse_workshop_spark.operators import ann_index as AX
+    from apache_iceberg_lakehouse_workshop_spark.operators import similarity as SIM
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10).localCheckpoint()
+    kw = dict(dim=64, m_sub=4, k_codes=16, n_cells=16)
+    out: dict = {"corpus_rows": emb.count()}
+    with tempfile.TemporaryDirectory() as wh:
+        lake = Lakehouse(spark, wh)
+        lake.create_table_as("bench.emb", emb)
+        t0 = time.time()
+        AX.build_ann_index(lake, "bench.emb", "bench.idx", **kw)
+        out["build_s"] = round(time.time() - t0, 4)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            AX.ann_query(lake, "bench.idx", queries, k=5, nprobe=4).collect()
+            runs.append(time.time() - t0)
+        out["query_from_index_s"] = round(statistics.median(runs), 4)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            SIM.knn_ivfpq(emb, queries, k=5, nprobe=4, **kw).collect()
+            runs.append(time.time() - t0)
+        out["one_shot_s"] = round(statistics.median(runs), 4)
+        delta = emb.where(F.col("vec_id") % 100 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        out["delta_rows"] = delta.count()
+        lake.table("bench.emb").append(delta)
+        t0 = time.time()
+        r = AX.refresh_ann_index(lake, "bench.idx")
+        out["refresh_delta_s"] = round(time.time() - t0, 4)
+        assert r["mode"] == "incremental", r
+    return out
+
+
 def _data_skipping_probe(spark) -> dict:
     """File-level min/max skipping (round-5 lakeshim manifests): lineitem
     into a sort-clustered lake table, then a selective ship-date range read
@@ -711,6 +761,7 @@ def main() -> None:
     routed_raw = _routed_raw_probe(spark)
     skipping = _data_skipping_probe(spark)
     cdc = _cdc_upsert_probe(spark)
+    ann = _ann_index_probe(spark)
     scaled = _scaled_section(spark)
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -728,6 +779,7 @@ def main() -> None:
         "routed_raw": routed_raw,
         "data_skipping": skipping,
         "cdc_upsert": cdc,
+        "ann_index": ann,
         "scaled": scaled,
     }
     # the driver parses the headline JSON from a ~2000-char stdout tail
