@@ -843,51 +843,91 @@ def bm25_topk(
     oracle replays it bit-for-bit, and ties break on doc_id for a total
     order.
 
-    At 100 TB: doc lengths come from ``size(tokens(text))`` per doc — a
-    map-only projection, never a token-stream shuffle (the explode feeds
-    ONLY the term-filtered tf counts, which shrink to |matching tokens|
-    before their shuffle); the per-term df table and the (N, avgdl)
-    scalars are broadcast 1-to-few-row joins, the final top-n is
-    TakeOrderedAndProject — no UDFs, no driver collect, no global sort."""
+    At 100 TB: ONE tokenize + explode pass computes doc length AND every
+    per-term tf in the same partial-aggregated groupBy (map-side combine
+    reduces each task to one row per doc before the shuffle — the token
+    stream itself never shuffles); the resulting per-doc frame is tiny
+    (one row per doc, |terms|+2 longs) and is materialized once (the
+    round-8 regression: tf, dl, and the dl join each re-tokenized the
+    corpus). Corpus stats (N, avgdl) and every per-term df reduce to ONE
+    O(|terms|) driver row — idf values become literals (IEEE doubles
+    either way, so the oracle replay is unchanged) — and the final score
+    is a single projection over the per-doc frame ending in
+    TakeOrderedAndProject: three small jobs total, no token-stream
+    shuffle, no joins, no UDFs, no global sort."""
     from pyspark.sql import Window
 
-    tok_arr = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        tokens(F.col(text_col)).alias("ws"),
+    terms_l = [str(t) for t in terms]
+    # one pass: dl and per-term tfs in the same partial agg (one row per
+    # doc reaches the shuffle); docs with zero tokens emit no explode
+    # rows, so they are absent — identical to the old dl > 0 filter.
+    # split-then-explode with a codegen'd empty-string filter: same
+    # tokens as tokens(), minus its interpreted F.filter lambda
+    # (higher-order functions never enter codegen).
+    # split lower(text) on non-letter RUNS: identical tokens to
+    # tokens()'s normalize-then-split recipe (a maximal [^a-z]+ run is
+    # exactly one separator; leading/trailing runs yield empties, dropped
+    # below) — one regex pass over the text instead of three
+    per_doc = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("dl"),
+            *[
+                F.sum((F.col("w") == t).cast("int")).cast("long").alias(f"__tf{i}")
+                for i, t in enumerate(terms_l)
+            ],
+        )
+        .localCheckpoint()
     )
-    # explode emits no row for an empty array, so dl rows = docs with >= 1
-    # token — size() > 0 keeps n_docs/avgdl identical to the exploded form
-    dl = tok_arr.select("doc_id", F.size("ws").cast("long").alias("dl")).filter(
-        F.col("dl") > 0
-    )
-    stats = dl.agg(
+    # N, avgdl, df_t: one O(|terms|)-wide row — the _collect_centroids
+    # pattern (bounded driver data, scale-independent)
+    srow = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
-    )
-    tf = (
-        tok_arr.select("doc_id", F.explode("ws").alias("w"))
-        .where(F.col("w").isin([str(t) for t in terms]))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("double").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_t), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tfc = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-    )
-    per_term = F.round(idf * tfc * F.lit(1000000.0), 0).cast("long")
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("int")).cast("double").alias(f"__df{i}")
+            for i in range(len(terms_l))
+        ],
+    ).collect()[0]
+    import math
+
+    n_docs, avgdl = srow.n_docs, srow.avgdl
+    score_terms = []
+    for i in range(len(terms_l)):
+        df = srow[f"__df{i}"]
+        if not df:
+            continue  # term absent from the corpus: contributes nothing
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tf_c = F.col(f"__tf{i}")
+        tfc = (tf_c * F.lit(k1 + 1.0)) / (
+            tf_c
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+        score_terms.append(
+            F.when(
+                tf_c > 0,
+                F.round(F.lit(idf) * tfc * F.lit(1000000.0), 0).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    matched = F.lit(False)
+    for i in range(len(terms_l)):
+        if srow[f"__df{i}"]:
+            matched = matched | (F.col(f"__tf{i}") > 0)
+    if not score_terms:
+        score_terms = [F.lit(0).cast("long")]
+    total = score_terms[0]
+    for s in score_terms[1:]:
+        total = total + s
+    # only docs containing >= 1 query term are ranked (the exploded-tf
+    # form never emitted a row for the rest)
     top = (
-        scored.groupBy("doc_id")
-        .agg(F.sum(per_term).alias("score_q6"))
+        per_doc.where(matched)
+        .select("doc_id", total.alias("score_q6"))
         .orderBy(F.desc("score_q6"), F.asc("doc_id"))
         .limit(n)
     )
