@@ -608,10 +608,25 @@ def boilerplate_ngram_scrub(
     rows never carry the token array or multi-word strings) — several-fold
     fewer shuffle bytes; a 64-bit collision (two distinct grams sharing a
     hash, ~2^-64 per pair) could only merge their doc-frequency counts,
-    which the DuckDB twin's exact-string replay would catch."""
-    tok = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), tokens(F.col(text_col)).alias("w")
-    ).filter(F.size("w") > 0)
+    which the DuckDB twin's exact-string replay would catch. The token
+    frame is materialized ONCE (localCheckpoint): its three consumers
+    (doc-frequency count, flagged-instance join, coverage rebuild) read
+    the checkpoint instead of re-running the tokenize scan and whatever
+    upstream plan produced ``docs``."""
+    # split lower(text) on non-letter RUNS + drop empties: identical
+    # arrays to tokens()'s normalize-then-split recipe, with one regex
+    # pass instead of three and a codegen'd array_remove instead of the
+    # interpreted F.filter lambda
+    tok = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.array_remove(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"), ""
+            ).alias("w"),
+        )
+        .filter(F.size("w") > 0)
+        .localCheckpoint()
+    )
     starts = F.when(
         F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
     ).otherwise(F.array().cast("array<int>"))
