@@ -3304,7 +3304,12 @@ class LakeTable:
         return diff
 
     @_requires("WRITE", "INSERT")
-    def apply_changes(self, changes: DataFrame, keys: list[str]) -> int:
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        keys: list[str],
+        snapshot_props: dict | None = None,
+    ) -> int:
         """Apply a :meth:`read_changes`-style changelog to THIS table —
         the consumer half of CDC replication (the producer half is
         ``read_changes`` on the source): ``insert`` / ``update_postimage``
@@ -3313,7 +3318,13 @@ class LakeTable:
         surviving insert in the same changelog) are deleted. Requires a
         keyed source (at most one surviving row per key in the
         changelog, which ``read_changes`` over a keyed table guarantees).
-        Returns the final snapshot id."""
+        Returns the final snapshot id.
+
+        ``snapshot_props`` rides every commit this call makes, and the
+        FINAL commit additionally carries ``cdc_complete: true`` — the
+        marker the streaming sink's replay check keys on (a crash between
+        the upsert and delete halves must re-apply the batch, which is
+        state-idempotent: same upserts, same deletes)."""
         cols = [c for c in changes.columns if c != "_change_type"]
         ups = changes.filter(
             F.col("_change_type").isin("insert", "update_postimage")
@@ -3326,12 +3337,53 @@ class LakeTable:
             .join(ups.select(*keys), keys, "left_anti")
             .dropDuplicates(keys)
         )
+        have_ups = bool(ups.head(1))
+        have_dels = bool(dels.head(1))
+
+        def props(final: bool) -> dict | None:
+            if snapshot_props is None:
+                return None
+            return (
+                {**snapshot_props, "cdc_complete": True}
+                if final
+                else dict(snapshot_props)
+            )
+
         sid = self._load_meta().get("current_snapshot_id")
-        if ups.head(1):
-            sid = self.upsert_equality(ups, keys)
-        if dels.head(1):
-            sid = self.delete_by_key(dels)
+        if have_ups:
+            sid = self.upsert_equality(ups, keys, snapshot_props=props(not have_dels))
+        if have_dels:
+            sid = self.delete_by_key(dels, snapshot_props=props(True))
         return sid
+
+    @_requires("WRITE", "INSERT")
+    def sync_from(self, source: "LakeTable", keys: list[str] | None = None) -> dict:
+        """One incremental CDC replication step: read the source's NET
+        changes since the last synced snapshot (``read_changes`` — the
+        producer half) and apply them here (``apply_changes`` — the
+        consumer half), deletes included. The watermark is the source
+        snapshot id recorded in THIS table's ``cdc.synced-snapshot-id``
+        property, so calling this in a loop (or per trigger) is the
+        micro-batch replication pipeline — each step costs O(changes in
+        the range), never O(table). ``keys`` defaults to the source's
+        declared ``changelog.key-columns``."""
+        keys = keys or source._changelog_key_cols()
+        if not keys:
+            raise ValueError(
+                "sync_from needs key columns: pass keys= or declare "
+                "changelog.key-columns on the source"
+            )
+        last = self.properties().get("cdc.synced-snapshot-id")
+        last_sid = int(last) if last else None
+        cur = source._load_meta().get("current_snapshot_id")
+        if cur == last_sid or cur is None:
+            return {"mode": "noop", "n_changes": 0, "synced_snapshot_id": cur}
+        changes = source.read_changes(last_sid, cur, key_cols=keys)
+        n = changes.count()
+        if n:
+            self.apply_changes(changes, keys)
+        self.set_properties({"cdc.synced-snapshot-id": str(cur)})
+        return {"mode": "applied", "n_changes": n, "synced_snapshot_id": cur}
 
     @_requires("ALTER", "WRITE")
     def fold_deletes(self) -> int:

@@ -81,6 +81,14 @@ _RE_WHEN_NOT_MATCHED_BY_SOURCE = re.compile(
 _RE_INSERT_COLS_VALUES = re.compile(
     r"^\((.*?)\)\s*VALUES\s*\((.*)\)\s*$", re.I | re.S
 )
+# APPLY CHANGES INTO t FROM <changelog query> KEYS (k1[, ...]) — the
+# statement spelling of LakeTable.apply_changes (the Delta Live Tables
+# APPLY CHANGES INTO shape): the source is any query producing
+# _change_type rows, typically TABLE(table_changes('src', from[, to]))
+_RE_APPLY_CHANGES = re.compile(
+    r"^APPLY\s+CHANGES\s+INTO\s+([\w.]+)\s+FROM\s+(.+?)\s+KEYS\s*\(([^)]*)\)\s*$",
+    re.I | re.S,
+)
 _RE_DROP = re.compile(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I)
 _RE_OPTIMIZE = re.compile(r"^OPTIMIZE\s+TABLE\s+([\w.]+)\s*$", re.I)
 # OPTIMIZE TABLE t REWRITE DELETES — consolidate merge-on-read delete
@@ -310,6 +318,10 @@ _DML_SUPPORTED_FORMS = {
     "UPDATE": "UPDATE t SET col = expr[, ...] [WHERE cond]",
     "DELETE": "DELETE FROM t [WHERE cond]",
     "COPY": "COPY INTO t FROM 'path' [REGEX '...'] [FILE_FORMAT 'fmt'] [(opts)]",
+    "APPLY": (
+        "APPLY CHANGES INTO t FROM <changelog query producing _change_type "
+        "rows, e.g. TABLE(table_changes('src', from[, to]))> KEYS (k1[, ...])"
+    ),
     "GRANT": "GRANT p1[, p2] ON PROJECT|FOLDER|TABLE|VIEW obj TO USER|ROLE who",
     "REVOKE": "REVOKE p1[, p2] ON PROJECT|FOLDER|TABLE|VIEW obj FROM USER|ROLE who",
     "OPTIMIZE": (
@@ -945,6 +957,33 @@ class ScriptRunner:
             file_format=(fmt or "csv").lower(),
             **kwargs,
         )
+
+    def _apply_changes(self, m: re.Match, st: str) -> None:
+        """APPLY CHANGES INTO t FROM <changelog query> KEYS (k, ...) —
+        the statement form of :meth:`LakeTable.apply_changes` (the DLT
+        ``APPLY CHANGES INTO`` shape): inserts / update_postimage rows
+        upsert by the keys (O(batch) equality-delete writes), keys whose
+        net change is a pure delete are deleted. The source is any query
+        producing ``_change_type`` rows — a TABLE(table_changes(...))
+        TVF, a view, or a parenthesized SELECT."""
+        target, source_q, keys_txt = m.groups()
+        keys = [k.strip().strip('"') for k in keys_txt.split(",") if k.strip()]
+        if not keys:
+            raise UnsupportedStatementError(
+                "APPLY", st, _DML_SUPPORTED_FORMS["APPLY"]
+            )
+        src = source_q.strip()
+        if src.startswith("(") and src.endswith(")"):
+            src = src[1:-1].strip()
+        if not re.match(r"^(SELECT|WITH)\b", src, re.I):
+            # bare table/view name or a TABLE(...) TVF
+            src = f"SELECT * FROM {src}"
+        df = self._query(src)
+        if "_change_type" not in df.columns:
+            raise UnsupportedStatementError(
+                "APPLY", st, _DML_SUPPORTED_FORMS["APPLY"]
+            )
+        self.lake.table(target).apply_changes(df, keys)
 
     # --------------------------------------------------------- reflections
 
@@ -1696,6 +1735,10 @@ class ScriptRunner:
             m = _RE_COPY_INTO.match(st)
             if m:
                 self._copy_into(m)
+                continue
+            m = _RE_APPLY_CHANGES.match(st)
+            if m:
+                self._apply_changes(m, st)
                 continue
             m = _RE_CREATE_REFLECTION.match(st)
             if m:

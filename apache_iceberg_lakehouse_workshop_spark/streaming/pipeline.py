@@ -488,6 +488,72 @@ def stream_upsert_to_table(
     return writer.start()
 
 
+def apply_changes_stream_batch(
+    lake_table,
+    checkpoint_dir: str,
+    keys: list[str],
+    batch_df: DataFrame,
+    batch_id: int,
+) -> bool:
+    """Idempotently apply ONE changelog micro-batch — inserts, update
+    pairs, AND deletes (`_change_type` rows straight from
+    :meth:`LakeTable.read_changes`) — via :meth:`LakeTable.apply_changes`.
+    Exactly-once: the batch id rides the snapshot summary and the replay
+    check keys on the ``cdc_complete`` marker apply_changes stamps on its
+    FINAL commit, so a crash between the upsert and delete halves
+    re-applies the whole batch (state-idempotent: same upserts, same
+    key deletes) instead of losing the deletes. Returns False on replay
+    or empty batch."""
+    for snap in lake_table._load_meta()["snapshots"]:
+        props = snap.get("props") or {}
+        if (
+            props.get("checkpoint") == checkpoint_dir
+            and props.get("batch_id") is not None
+            and int(props["batch_id"]) >= batch_id
+            and props.get("cdc_complete")
+        ):
+            return False
+    if batch_df.isEmpty():
+        return False
+    lake_table.apply_changes(
+        batch_df, keys,
+        snapshot_props={"checkpoint": checkpoint_dir, "batch_id": batch_id},
+    )
+    return True
+
+
+def stream_apply_changes(
+    changes_stream: DataFrame,
+    lake_table,
+    keys: list[str],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Sink a CHANGELOG stream (rows with ``_change_type``: insert /
+    delete / update_preimage / update_postimage) into a lakehouse table —
+    the streaming form of :meth:`LakeTable.apply_changes` and the missing
+    half of the CDC roundtrip: ``read_changes`` on the source produces
+    exactly this shape, so source DML history (deletes included)
+    replicates table-to-table through a stream. Per micro-batch cost is
+    O(batch): upserts land as equality-delete writes (no target scan),
+    pure deletes as one equality-delete file. Each batch must hold at
+    most one surviving row per key (one changelog RANGE per batch — what
+    a per-snapshot feed gives); exactly-once per
+    :func:`apply_changes_stream_batch`."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes_stream_batch(
+            lake_table, checkpoint_dir, keys, batch_df, batch_id
+        )
+
+    writer = changes_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

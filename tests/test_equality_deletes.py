@@ -884,6 +884,111 @@ def test_snapshot_id_at_ignores_branch_commits(lake, spark):
     assert t.snapshot_id_at(s2_ts) == s2
 
 
+def test_apply_changes_into_statement(lake, spark):
+    """APPLY CHANGES INTO t FROM TABLE(table_changes(...)) KEYS (k) — the
+    statement spelling of apply_changes (round-9 task #5): replaying each
+    source range through the SQL surface reproduces the source, deletes
+    included."""
+    a = lake.create_table("c.src", "k BIGINT, v STRING")
+    a.set_properties({"changelog.key-columns": "k"})
+    lake.create_table("c.rep", "k BIGINT, v STRING")
+    a.append(spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING"))
+    a.upsert_equality(
+        spark.createDataFrame([(2, "B2"), (3, "c")], "k BIGINT, v STRING"), "k"
+    )
+    a.delete_by_key(spark.createDataFrame([(1,)], "k BIGINT"))
+    sids = [None] + sorted(r.snapshot_id for r in a.snapshots().collect())
+    for i in range(len(sids) - 1):
+        frm = "NULL" if sids[i] is None else str(sids[i])
+        lake.run_script(
+            f"APPLY CHANGES INTO c.rep "
+            f"FROM TABLE(table_changes('c.src', {frm}, {sids[i + 1]})) "
+            f"KEYS (k);"
+        )
+        got = sorted((r.k, r.v) for r in lake.table("c.rep").read().collect())
+        want = sorted(
+            (r.k, r.v) for r in a.read(snapshot_id=sids[i + 1]).collect()
+        )
+        assert got == want, f"divergence after range {i}"
+    # malformed: no keys / not a changelog query -> dialect contract error
+    import pytest as _pytest
+
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import UnsupportedStatementError
+
+    with _pytest.raises(UnsupportedStatementError):
+        lake.run_script("APPLY CHANGES INTO c.rep FROM c.src KEYS (k);")
+
+
+def test_sync_from_incremental_replication(lake, spark):
+    """sync_from: the composed read_changes -> apply_changes step with a
+    persisted watermark — each call applies only the new ranges; a no-op
+    when the source hasn't moved."""
+    a = lake.create_table("c.src", "k BIGINT, v STRING")
+    a.set_properties({"changelog.key-columns": "k"})
+    b = lake.create_table("c.dst", "k BIGINT, v STRING")
+    a.append(spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING"))
+    out = b.sync_from(a)
+    assert out["mode"] == "applied" and out["n_changes"] == 2
+    assert b.sync_from(a)["mode"] == "noop"
+    a.upsert_equality(
+        spark.createDataFrame([(1, "A2"), (3, "c")], "k BIGINT, v STRING"), "k"
+    )
+    a.delete_by_key(spark.createDataFrame([(2,)], "k BIGINT"))
+    out = b.sync_from(a)
+    assert out["mode"] == "applied"
+    assert sorted((r.k, r.v) for r in b.read().collect()) == sorted(
+        (r.k, r.v) for r in a.read().collect()
+    )
+
+
+def test_stream_apply_changes_roundtrip_with_deletes(lake, spark, tmp_path):
+    """Round-9 task #5 drained-stream roundtrip: source DML history
+    (upserts AND deletes) -> read_changes per range -> STREAMED apply into
+    a replica (file-source micro-batches through the real foreachBatch
+    sink, one range per file, restarts between drops) -> replica equals
+    the source at every snapshot; a replayed run applies nothing twice."""
+    import json as _json
+
+    from apache_iceberg_lakehouse_workshop_spark.streaming.pipeline import (
+        stream_apply_changes,
+    )
+
+    a = lake.create_table("c.src", "k BIGINT, v STRING")
+    a.set_properties({"changelog.key-columns": "k"})
+    b = lake.create_table("c.dst", "k BIGINT, v STRING")
+    a.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"))
+    a.upsert_equality(
+        spark.createDataFrame([(2, "B2"), (4, "d")], "k BIGINT, v STRING"), "k"
+    )
+    a.delete_by_key(spark.createDataFrame([(1,), (4,)], "k BIGINT"))
+    a.upsert_equality(spark.createDataFrame([(1, "A4")], "k BIGINT, v STRING"), "k")
+
+    feed = tmp_path / "cdc_feed"
+    feed.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k LONG, v STRING, _change_type STRING"
+    sids = [None] + sorted(r.snapshot_id for r in a.snapshots().collect())
+    for i in range(len(sids) - 1):
+        rows = [r.asDict() for r in a.read_changes(sids[i], sids[i + 1]).collect()]
+        (feed / f"range_{i:03d}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        stream = spark.readStream.schema(schema).json(str(feed))
+        q = stream_apply_changes(stream, b, ["k"], ckpt)
+        q.awaitTermination(120)
+        got = sorted((r.k, r.v) for r in b.read().collect())
+        want = sorted(
+            (r.k, r.v) for r in a.read(snapshot_id=sids[i + 1]).collect()
+        )
+        assert got == want, f"divergence after streamed range {i}"
+    # replay the whole feed against the same checkpoint: nothing reapplies
+    n_snaps = len(b.snapshots().collect())
+    stream = spark.readStream.schema(schema).json(str(feed))
+    q = stream_apply_changes(stream, b, ["k"], ckpt)
+    q.awaitTermination(120)
+    assert len(b.snapshots().collect()) == n_snaps
+
+
 def test_apply_changes_replicates_table_including_deletes(lake, spark):
     """CDC replication end-to-end WITH deletes: replaying read_changes
     range-by-range through apply_changes reproduces the source at every
