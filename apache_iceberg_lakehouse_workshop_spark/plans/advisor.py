@@ -367,15 +367,24 @@ class WorkloadAdvisor:
             if parsed is None:
                 return None
             dims, measures, order = parsed
-            return self._finish_routed(
-                m,
-                order,
-                lambda ms: self.accelerator.route_aggregate(
-                    m.group("table"), dims, ms, where=m.group("where")
-                ),
-                measures,
-                bare=lambda c: c,
-            )
+
+            def call(ms, _m=m, _dims=dims):
+                routed = self.accelerator.route_aggregate(
+                    _m.group("table"), _dims, ms, where=_m.group("where")
+                )
+                if routed is not None:
+                    return routed
+                # no servable AGGREGATE partials: serve the aggregate's
+                # SCAN from a covering RAW reflection instead (Dremio's
+                # raw reflections accelerate any query they cover,
+                # readme.md:331-355) — re-aggregating the raw rows is
+                # exact (one stored row per dataset row), and the narrow
+                # pre-projected storage replaces the wide fact scan
+                return self._agg_over_raw(
+                    _m.group("table"), _dims, ms, _m.group("where")
+                )
+
+            return self._finish_routed(m, order, call, measures, bare=lambda c: c)
         # join shape: same conservative gate, dims/measure columns stripped
         # of their alias qualifier (the reflection stores bare output names)
         jm = _RE_ROUTABLE_JOIN.match(sql)
@@ -742,6 +751,57 @@ class WorkloadAdvisor:
             out.append(rec)
         return out
 
+    def _agg_over_raw(
+        self,
+        table: str,
+        dims: list[str],
+        measures: list[tuple[str, str, str]],
+        where: str | None,
+    ):
+        """Serve a single-table GROUP BY aggregate by re-aggregating a
+        FRESH covering RAW reflection's rows (``route_raw`` handles
+        coverage/freshness/WHERE pushdown): exact — the reflection stores
+        one row per dataset row — and at 100 TB the narrow pre-projected
+        storage replaces the wide fact scan even when no AGGREGATE
+        reflection's partials can serve the shape (e.g. the benefit gate
+        refused one). Returns None when no covering raw exists."""
+        from pyspark.sql import functions as F
+
+        needed = set(dims)
+        for _agg, col, _alias in measures:
+            if col != "*":
+                needed.add(col)
+        base = self.accelerator.route_raw(table, sorted(needed), where=where)
+        if base is None:
+            return None
+        aggs = []
+        for agg, col, alias in measures:
+            agg = agg.upper()
+            if agg == "COUNT" and col == "*":
+                aggs.append(F.count(F.lit(1)).alias(alias))
+            else:
+                aggs.append(F.expr(f"{agg}({col})").alias(alias))
+        return base.groupBy(*dims).agg(*aggs)
+
+    def _offer_raw_fallback(self, rec: dict) -> None:
+        """The connect between the benefit gate's two halves (round-9 #7):
+        an AGG shape refused for low rows-per-group reduction still scans
+        the same narrow projection on every execution — those executions
+        ARE scan observations, so seed the equivalent RAW shape
+        (dims + measure columns) with the refused shape's count. The next
+        :meth:`recommendations`/:meth:`apply` cycle then offers and
+        materializes ``auto_raw_*``, and :meth:`_agg_over_raw` serves the
+        original aggregate from the column-pruned storage."""
+        cols = sorted(
+            {c for c, _a in rec.get("measures", []) if c != "*"}
+            | set(rec.get("dimensions", []))
+        )
+        if not cols:
+            return
+        key = ("raw", rec["dataset"], tuple(cols))
+        entry = self._shapes.setdefault(key, {"count": 0, "cols": list(cols)})
+        entry["count"] = max(entry["count"], rec.get("hits", 0))
+
     def _benefit_gate(
         self, name: str, from_txt: str, dims: list[str], prepare_sql
     ) -> bool:
@@ -869,6 +929,10 @@ class WorkloadAdvisor:
             if not self._benefit_gate(
                 rec["name"], rec["dataset"], list(rec["dimensions"]), prepare_sql
             ):
+                # refused as AGG (partials ~ anchor rows) -> offer the
+                # projection itself as a RAW reflection; picked up by the
+                # next recommendations()/apply() cycle
+                self._offer_raw_fallback(rec)
                 continue
             body = (
                 f"SELECT {', '.join(list(rec['dimensions']) + cols)} "

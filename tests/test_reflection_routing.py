@@ -985,12 +985,23 @@ def test_advisor_benefit_gate(spark, tmp_path):
     }
     uid_recs = [v for k, v in refused.items() if "uid" in k]
     assert uid_recs and "threshold" in uid_recs[0]
-    # refusals are sticky within the session: re-apply creates nothing new
+    # round-9 #7: the refusal seeds the RAW alternative — re-apply
+    # materializes auto_raw_* on the refused shape's projected columns
+    # (uid + val), and nothing else; the AGG refusal itself stays sticky
+    second = r.accelerate()
+    assert second and all(n.startswith("auto_raw_") for n in second), second
     assert r.accelerate() == []
     # the low-cardinality reflection genuinely routes
     r.use_reflection_routing = True
     out = r.run(low)
     assert _reads_reflection(out)
+    # the refused-as-AGG query now routes through the RAW fallback: the
+    # aggregate re-computes over the column-pruned raw storage
+    out2 = r.run(high)
+    assert _reads_reflection(out2)
+    assert sorted((x.uid, x.s) for x in out2.collect()) == sorted(
+        (i, float(i % 3) * 1) for i in range(5000)
+    )
 
 
 def test_raw_reflection_on_aggregate_join_view_serves_explicit_spelling(runner):
