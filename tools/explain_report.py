@@ -114,6 +114,12 @@ PROBES: dict[str, list[str]] = {
                      "no_cartesian_blowup"],
     "s8_knn_ivfpq_res": ["broadcast_join", "partial_agg", "arrow_kernel",
                          "no_cartesian_blowup"],
+    # persisted ANN index (round 9): serving from the prebuilt lakehouse
+    # tables keeps the s7 serve shape — broadcast probe set + distance
+    # tables against the codes scan, one partial-aggregated ADC sum —
+    # with NO training or corpus-encode stage in the plan at all
+    "s12_knn_persisted": ["broadcast_join", "partial_agg",
+                          "no_cartesian_blowup", "no_python_udf"],
     # boilerplate scrub: gram df-count partial-aggregates, flagged set
     # joins back by gram (hash join), coverage is a per-doc window — no
     # cross product, no Python
@@ -125,12 +131,16 @@ PROBES: dict[str, list[str]] = {
     # BM25: tf/df/dl are partial-aggregated counts, the per-term df table
     # and (N, avgdl) scalars broadcast, top-k is TakeOrderedAndProject —
     # no Python, no cross-product-sized candidate set
-    "t17_bm25_topk": ["partial_agg", "broadcast_join", "take_ordered",
-                      "no_python_udf", "no_cartesian_blowup"],
+    # BM25 (round-9 rewrite): the tokenize + per-doc partial agg runs in
+    # the checkpointed token pass (one job, invisible to this final-plan
+    # explain); stats/df collapse to one O(|terms|) driver row, so the
+    # served plan is projection + TakeOrderedAndProject with NO joins
+    "t17_bm25_topk": ["take_ordered", "no_python_udf",
+                      "no_cartesian_blowup"],
     # hybrid RRF: fusion of already-top-m lists — union + partial-agg'd
-    # groupBy + top-k; the semantic side broadcasts its 1-vector query
-    "s10_hybrid_rrf": ["partial_agg", "broadcast_join", "take_ordered",
-                       "no_python_udf"],
+    # groupBy + top-k (the lexical side's joins vanished with the round-9
+    # BM25 rewrite)
+    "s10_hybrid_rrf": ["partial_agg", "take_ordered", "no_python_udf"],
     # token-id encoding: counts partial-agg, top-V heap broadcast back,
     # per-doc array_sort rebuild — no global sort over tokens, no Python
     "t19_token_ids": ["partial_agg", "broadcast_join", "no_python_udf",
