@@ -1,0 +1,223 @@
+"""Persisted full-text (BM25) index: inverted postings as lakehouse tables.
+
+:func:`textstats.bm25_topk` is exact and one-pass, but it re-tokenizes the
+corpus inside every call — at 100 TB the tokenize/count pass dwarfs any
+single query. The classical fix is the inverted index: persist per-term
+postings once, then a query touches only its own terms' postings. This is
+the lexical twin of ``operators/ann_index.py`` (and the same persisted-
+acceleration idiom as reflections, ``/root/reference/readme.md:320-355``).
+
+Two snapshot-versioned lakehouse tables per index ``name``:
+
+- ``{name}_postings`` — ``(w string, doc_id long, tf long)``, written
+  range-clustered + sorted on ``w`` so every parquet file owns a tight
+  term range: a query's ``w IN (...)`` predicate prunes files via the
+  engine's min/max data skipping before Spark ever lists them.
+- ``{name}_doclen``  — ``(doc_id long, dl long)``, one row per document
+  with ≥ 1 token (the corpus-stats side: N, avgdl).
+
+Query cost: O(postings of the query's terms) for tf/df (file-pruned scan)
+plus one O(docs)-row aggregate over the narrow doclen table for (N,
+avgdl) — never a corpus tokenize. Scores are IDENTICAL to
+:func:`textstats.bm25_topk` (same tokens, same counts, same driver-literal
+idf doubles, same int64 1e-6 quantization), so the persisted path serves
+the t17 oracle verbatim. Refresh is O(delta) for append-only source
+history (tokenize only the new docs; postings/doclen append), with a
+frozen-shape full re-tokenize fallback when history was rewritten.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_POSTING_COLS = ["w", "doc_id", "tf"]
+
+
+def _part(index_name: str, part: str) -> str:
+    return f"{index_name}_{part}"
+
+
+def _postings_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ONE tokenize pass → (w, doc_id, tf): split lower(text) on
+    non-letter runs (identical tokens to textstats.bm25_topk's recipe),
+    explode, partial-aggregated count per (doc, term)."""
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def _write_index_tables(lake, index_name: str, postings: DataFrame) -> None:
+    post = postings.select(*_POSTING_COLS)
+    # range-cluster + sort on the term so each parquet file owns a tight
+    # [min(w), max(w)] — read(where="w IN (...)") prunes files
+    n_parts = max(post.sparkSession.sparkContext.defaultParallelism, 1)
+    post = post.repartitionByRange(n_parts, "w").sortWithinPartitions("w")
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    for part, df in (("postings", post), ("doclen", doclen)):
+        name = _part(index_name, part)
+        lake.drop_table(name, if_exists=True)
+        lake.create_table_as(name, df)
+
+
+def build_text_index(
+    lake,
+    source_table: str,
+    index_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Tokenize ``source_table`` at its CURRENT snapshot into the
+    persisted postings + doclen tables (replacing any prior build)."""
+    import json
+
+    src = lake.table(source_table)
+    sid = src._load_meta()["current_snapshot_id"]
+    if sid is None:
+        raise ValueError(f"source table {source_table} has no snapshots")
+    postings = _postings_of(src.read(snapshot_id=sid), id_col, text_col)
+    _write_index_tables(lake, index_name, postings)
+    lake.table(_part(index_name, "postings")).set_properties(
+        {
+            "text.params": json.dumps(
+                {"id_col": id_col, "text_col": text_col}
+            ),
+            "text.source-table": source_table,
+            "text.source-snapshot-id": str(sid),
+        }
+    )
+    return {
+        "index": index_name,
+        "source_snapshot_id": sid,
+        "n_postings": lake.table(_part(index_name, "postings")).read().count(),
+    }
+
+
+def refresh_text_index(lake, index_name: str) -> dict:
+    """Bring the index to the source's current snapshot: append-only
+    history tokenizes ONLY the delta (new docs' postings/doclens append —
+    correct because a document lives wholly in one append, so no (w,
+    doc_id) key spans old and new postings); rewritten history falls back
+    to a full re-tokenize rebuild of both tables."""
+    import json
+
+    post_t = lake.table(_part(index_name, "postings"))
+    props = post_t.properties()
+    params = json.loads(props["text.params"])
+    source = props["text.source-table"]
+    last = int(props["text.source-snapshot-id"])
+    src = lake.table(source)
+    cur = src._load_meta().get("current_snapshot_id")
+    if cur == last or cur is None:
+        return {"index": index_name, "mode": "noop", "n_docs": 0}
+    try:
+        delta = src.read_incremental(last, cur)
+        postings = _postings_of(delta, params["id_col"], params["text_col"])
+        n = delta.count()
+        if n:
+            post_t.append(postings.select(*_POSTING_COLS))
+            lake.table(_part(index_name, "doclen")).append(
+                postings.groupBy("doc_id").agg(
+                    F.sum("tf").cast("long").alias("dl")
+                )
+            )
+        mode = "incremental"
+    except ValueError:
+        full = src.read(snapshot_id=cur)
+        _write_index_tables(
+            lake, index_name,
+            _postings_of(full, params["id_col"], params["text_col"]),
+        )
+        # rewrite drops properties? set_properties below re-records; the
+        # params/source props must survive the rebuild
+        lake.table(_part(index_name, "postings")).set_properties(
+            {
+                "text.params": json.dumps(params),
+                "text.source-table": source,
+            }
+        )
+        n = full.count()
+        mode = "retokenize"
+    lake.table(_part(index_name, "postings")).set_properties(
+        {"text.source-snapshot-id": str(cur)}
+    )
+    return {"index": index_name, "mode": mode, "n_docs": n}
+
+
+def bm25_query(
+    lake,
+    index_name: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    n: int = 20,
+) -> DataFrame:
+    """Okapi BM25 top-``n`` served from the PERSISTED index — scores
+    bit-identical to :func:`textstats.bm25_topk` over the same corpus
+    (same tokens/counts, same driver-literal idf IEEE doubles, same
+    HALF_UP 1e-6 int64 quantization, same doc_id tie-break). Work per
+    query: a file-pruned postings scan of the query's terms (tf and df),
+    one O(docs)-narrow-row aggregate for (N, avgdl), one projection +
+    TakeOrderedAndProject — the corpus text is never touched."""
+    terms_l = sorted({str(t) for t in terms})
+    if not terms_l:
+        raise ValueError("bm25_query needs at least one term")
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms_l)
+    # file-level min/max skipping on the sorted term column prunes the
+    # postings files before Spark lists them
+    post = lake.table(_part(index_name, "postings")).read(
+        where=f"w IN ({in_list})"
+    )
+    doclen = lake.table(_part(index_name, "doclen")).read()
+    srow = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = srow.n_docs, srow.avgdl
+    dfrow = {
+        r.w: r.df
+        for r in post.groupBy("w").agg(F.count("*").cast("double").alias("df")).collect()
+    }
+    idf = F.lit(0.0)
+    cases = None
+    for t in terms_l:
+        df_t = dfrow.get(t)
+        if not df_t:
+            continue
+        v = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        c = F.when(F.col("w") == t, F.lit(v))
+        cases = c if cases is None else cases.when(F.col("w") == t, F.lit(v))
+    if cases is None:
+        # no query term occurs in the corpus: empty ranking
+        return post.select(
+            F.lit(0).cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(0).cast("long").alias("score_q6"),
+        ).limit(0)
+    idf = cases.otherwise(F.lit(0.0))
+    scored = post.join(doclen, "doc_id")
+    tfc = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    per_term = F.round(idf * tfc * F.lit(1000000.0), 0).cast("long")
+    top = (
+        scored.groupBy("doc_id")
+        .agg(F.sum(per_term).alias("score_q6"))
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(n)
+    )
+    w = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.col("score_q6").cast("long").alias("score_q6"),
+    )

@@ -383,6 +383,8 @@ tb_sample_battery = _register_battery(
           "bucket": "s1"}),
         ("t17_bm25_topk", "t17_bm25_topk",
          {"rank": "k1", "doc_id": "k2", "score_q6": "n1"}),
+        ("s13_bm25_persisted", "s13_bm25_persisted",
+         {"rank": "k1", "doc_id": "k2", "score_q6": "n1"}),
         ("t18_dsir_select", "t18_dsir_select",
          {"rank": "k1", "doc_id": "k2", "n_tokens": "n1", "weight_q6": "n2"}),
         ("t19_token_ids", "t19_token_ids",
@@ -593,6 +595,7 @@ ABSORBED = {
     "t16_lm_perplexity": "tb_sample_battery",
     "t13_sequence_packing": "tb_sample_battery",
     "t17_bm25_topk": "tb_sample_battery",
+    "s13_bm25_persisted": "tb_sample_battery",
     "t18_dsir_select": "tb_sample_battery",
     "t19_token_ids": "tb_sample_battery",
     "e1_daily_event_rollup": "eb_event_battery",

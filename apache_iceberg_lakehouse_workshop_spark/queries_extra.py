@@ -1086,6 +1086,34 @@ def t17_bm25_topk(spark, sf_dir):
 
 
 @q(
+    "s13_bm25_persisted",
+    _bm25_ranked_sql(20),
+    "Persisted BM25 inverted index (operators/text_index.py, the lexical "
+    "twin of s12's ANN index): postings (w, doc_id, tf) range-clustered + "
+    "sorted on the term so file-level min/max stats prune a query's "
+    "postings scan to its own terms, plus a (doc_id, dl) doclen table. "
+    "bm25_query recomputes (N, avgdl, df) from the persisted tables and "
+    "serves scores bit-identical to the one-shot t17 oracle — the corpus "
+    "text is never touched at query time; refresh_text_index tokenizes "
+    "only read_incremental deltas (O(delta)).",
+)
+def s13_bm25_persisted(spark, sf_dir):
+    import tempfile
+
+    from .operators import text_index as TX
+    from .plans import Lakehouse
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix="sg-txtidx-"))
+    lake.create_table_as("tx.documents", d)
+    TX.build_text_index(lake, "tx.documents", "tx.idx")
+    assert TX.refresh_text_index(lake, "tx.idx")["mode"] == "noop"
+    return TX.bm25_query(
+        lake, "tx.idx", list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, n=20
+    )
+
+
+@q(
     "t18_dsir_select",
     f"""WITH tok AS (SELECT doc_id, unnest({_TOKS_DOC}) AS w FROM documents),
        tb AS (SELECT doc_id, substr(md5('dsir|' || w), 1, 2) AS b FROM tok),

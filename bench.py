@@ -431,6 +431,58 @@ def _ann_index_probe(spark) -> dict:
     return out
 
 
+def _text_index_probe(spark) -> dict:
+    """Round-9 lexical-index probe (the BM25 twin of _ann_index_probe):
+    build the inverted postings index once, then compare query-from-index
+    wall (term-pruned postings scan, no corpus tokenize) against the
+    one-shot bm25_topk wall; plus the O(delta) refresh wall after a ~10%
+    append and the postings file-pruning ratio for one term."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_lakehouse_workshop_spark.operators import text_index as TX
+    from apache_iceberg_lakehouse_workshop_spark.operators import textstats as TSS
+    from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    terms = ["spark", "vector", "stream"]
+    out: dict = {"corpus_rows": docs.count()}
+    with tempfile.TemporaryDirectory() as wh:
+        lake = Lakehouse(spark, wh)
+        lake.create_table_as("bench.docs", docs)
+        t0 = time.time()
+        TX.build_text_index(lake, "bench.docs", "bench.idx")
+        out["build_s"] = round(time.time() - t0, 4)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            TX.bm25_query(lake, "bench.idx", terms, n=20).collect()
+            runs.append(time.time() - t0)
+        out["query_from_index_s"] = round(statistics.median(runs), 4)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            TSS.bm25_topk(docs, terms, n=20).collect()
+            runs.append(time.time() - t0)
+        out["one_shot_s"] = round(statistics.median(runs), 4)
+        t = lake.table("bench.idx_postings")
+        out["postings_files_total"] = len(t.read().inputFiles())
+        out["postings_files_one_term"] = len(
+            t.read(where="w IN ('spark')").inputFiles()
+        )
+        delta = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        out["delta_rows"] = delta.count()
+        lake.table("bench.docs").append(delta)
+        t0 = time.time()
+        r = TX.refresh_text_index(lake, "bench.idx")
+        out["refresh_delta_s"] = round(time.time() - t0, 4)
+        assert r["mode"] == "incremental", r
+    return out
+
+
 def _data_skipping_probe(spark) -> dict:
     """File-level min/max skipping (round-5 lakeshim manifests): lineitem
     into a sort-clustered lake table, then a selective ship-date range read
@@ -762,6 +814,7 @@ def main() -> None:
     skipping = _data_skipping_probe(spark)
     cdc = _cdc_upsert_probe(spark)
     ann = _ann_index_probe(spark)
+    text_idx = _text_index_probe(spark)
     scaled = _scaled_section(spark)
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -780,6 +833,7 @@ def main() -> None:
         "data_skipping": skipping,
         "cdc_upsert": cdc,
         "ann_index": ann,
+        "text_index": text_idx,
         "scaled": scaled,
     }
     # the driver parses the headline JSON from a ~2000-char stdout tail

@@ -1,0 +1,92 @@
+"""Persisted BM25 inverted index (operators/text_index.py): postings +
+doclen as lakehouse tables, term-pruned query path, O(delta) refresh —
+the lexical twin of the persisted ANN index."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_lakehouse_workshop_spark.operators import text_index as TX
+from apache_iceberg_lakehouse_workshop_spark.operators import textstats as TS
+from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
+from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+TERMS = ["spark", "vector", "stream"]
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _ranked(df):
+    return [(r.rank, r.doc_id, r.score_q6) for r in df.collect()]
+
+
+def test_persisted_query_equals_one_shot(spark, sf_dir, lake):
+    """bm25_query over the persisted index == bm25_topk over the same
+    corpus, row-for-row (same tokens, counts, idf doubles, quantization,
+    tie-breaks)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs)
+    info = TX.build_text_index(lake, "tx.docs", "tx.idx")
+    assert info["n_postings"] > 0
+    got = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
+    want = TS.bm25_topk(docs, TERMS, n=20)
+    assert _ranked(got) == _ranked(want)
+    # unknown-only terms: empty ranking, no error
+    assert TX.bm25_query(lake, "tx.idx", ["zzzzqqqq"], n=5).count() == 0
+
+
+def test_incremental_refresh_appends_only_the_delta(spark, sf_dir, lake):
+    """Append-only refresh tokenizes only the new docs; the served
+    ranking equals a from-scratch one-shot over the grown corpus (BM25
+    stats are recomputed per query from the persisted tables, so
+    corpus-stats drift is impossible)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    lake.create_table_as("tx.docs", old)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    n_post0 = lake.table("tx.idx_postings").read().count()
+    lake.table("tx.docs").append(new)
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "incremental" and out["n_docs"] == new.count()
+    delta_postings = (
+        lake.table("tx.idx_postings").read().count() - n_post0
+    )
+    assert delta_postings > 0
+    assert TX.refresh_text_index(lake, "tx.idx")["mode"] == "noop"
+    got = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
+    want = TS.bm25_topk(docs, TERMS, n=20)
+    assert _ranked(got) == _ranked(want)
+
+
+def test_rewritten_history_retokenizes(spark, sf_dir, lake):
+    """A delete on the source triggers the full re-tokenize rebuild:
+    deleted docs leave the index and the ranking matches a one-shot over
+    the surviving corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    lake.table("tx.docs").delete_where("doc_id % 2 = 0")
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "retokenize"
+    survivors = docs.filter(F.col("doc_id") % 2 != 0)
+    got = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
+    want = TS.bm25_topk(survivors, TERMS, n=20)
+    assert _ranked(got) == _ranked(want)
+    assert TX.refresh_text_index(lake, "tx.idx")["mode"] == "noop"
+
+
+def test_postings_scan_is_file_pruned(spark, sf_dir, lake):
+    """The term predicate prunes postings files via min/max stats on the
+    range-clustered sorted term column — the query never plans the whole
+    postings table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    t = lake.table("tx.idx_postings")
+    total = len(t.read().inputFiles())
+    pruned = len(t.read(where="w IN ('spark')").inputFiles())
+    assert total > 1, "need a multi-file postings table to prove pruning"
+    assert pruned < total, (pruned, total)
