@@ -159,6 +159,26 @@ def refresh_ann_index(lake, index_name: str) -> dict:
     return {"index": index_name, "mode": mode, "n_encoded": n}
 
 
+def ann_index_status(lake, index_name: str) -> dict:
+    """Freshness surface (the reflections `status()` idiom): the source
+    snapshot the codes were encoded at vs the source's current snapshot.
+    ``ann_query`` intentionally serves a stale index (ANN results are
+    approximate; the maintenance loop owns freshness) — this is how the
+    loop, or a strict caller, decides to refresh first."""
+    _codes_t, props, params, _c, _b = _load(lake, index_name)
+    src = lake.table(props["ann.source-table"])
+    indexed = int(props["ann.source-snapshot-id"])
+    cur = src._load_meta().get("current_snapshot_id")
+    return {
+        "index": index_name,
+        "source_table": props["ann.source-table"],
+        "indexed_snapshot_id": indexed,
+        "source_snapshot_id": cur,
+        "fresh": cur == indexed,
+        "params": params,
+    }
+
+
 def ann_query(
     lake,
     index_name: str,

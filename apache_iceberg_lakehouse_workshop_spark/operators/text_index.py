@@ -152,6 +152,27 @@ def refresh_text_index(lake, index_name: str) -> dict:
     return {"index": index_name, "mode": mode, "n_docs": n}
 
 
+def text_index_status(lake, index_name: str) -> dict:
+    """Freshness surface (the reflections `status()` idiom): the source
+    snapshot the postings were tokenized at vs the source's current
+    snapshot — what a maintenance loop (or strict caller) checks before
+    serving."""
+    import json
+
+    props = lake.table(_part(index_name, "postings")).properties()
+    src = lake.table(props["text.source-table"])
+    indexed = int(props["text.source-snapshot-id"])
+    cur = src._load_meta().get("current_snapshot_id")
+    return {
+        "index": index_name,
+        "source_table": props["text.source-table"],
+        "indexed_snapshot_id": indexed,
+        "source_snapshot_id": cur,
+        "fresh": cur == indexed,
+        "params": json.loads(props["text.params"]),
+    }
+
+
 def bm25_query(
     lake,
     index_name: str,

@@ -266,6 +266,45 @@ def stream_maintain_reflection(
     return writer.start()
 
 
+def stream_maintain_index(
+    stream_df: DataFrame,
+    lake,
+    lake_table,
+    index_name: str,
+    checkpoint_dir: str,
+    kind: str = "ann",
+    trigger_available_now: bool = True,
+):
+    """Continuously-fresh persisted indexes — the
+    :func:`stream_maintain_reflection` pattern applied to the ANN
+    (``operators.ann_index``) or BM25 (``operators.text_index``) index:
+    each micro-batch (a) idempotently appends to the source lake table
+    (exactly-once via :func:`append_stream_batch`) and (b) refreshes the
+    index — O(batch) per trigger on append-only history (encode/tokenize
+    only the delta against the frozen quantizers / postings layout).
+    Crash-safe: the refresh is watermark-driven (the index records its
+    synced source snapshot), so a failure between append and refresh is
+    repaired by the next trigger, and a replayed batch's deduped append
+    leaves the watermark check a no-op."""
+    if kind == "ann":
+        from ..operators.ann_index import refresh_ann_index as _refresh
+    elif kind == "text":
+        from ..operators.text_index import refresh_text_index as _refresh
+    else:
+        raise ValueError(f"unknown index kind: {kind!r} (want 'ann' or 'text')")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_stream_batch(lake_table, checkpoint_dir, batch_df, batch_id)
+        _refresh(lake, index_name)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_asof_enrich(
     stream_df: DataFrame,
     dim_df: DataFrame,

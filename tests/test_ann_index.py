@@ -115,6 +115,49 @@ def test_rewritten_history_falls_back_to_reencode(spark, sf_dir, lake):
     assert all(r.cand_id % 3 != 0 for r in got.collect())
 
 
+def test_status_and_stream_maintenance(spark, sf_dir, lake, tmp_path):
+    """ann_index_status reports freshness vs the source snapshot;
+    stream_maintain_index keeps the index continuously fresh — each
+    micro-batch appends to the source (exactly-once) and refreshes
+    O(delta); served results equal a frozen-quantizer re-encode."""
+    import json
+
+    from apache_iceberg_lakehouse_workshop_spark.streaming.pipeline import (
+        stream_maintain_index,
+    )
+
+    emb = _emb(spark, sf_dir, 300)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    lake.create_table_as("ann.corpus", base)
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    assert AX.ann_index_status(lake, "ann.idx")["fresh"]
+
+    # stream the odd half in as json micro-batches
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    rows = [
+        {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+        for r in emb.filter(F.col("vec_id") % 2 == 1).collect()
+    ]
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        (feed / f"b{i}.json").write_text(
+            "\n".join(json.dumps(x) for x in chunk)
+        )
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).option("maxFilesPerTrigger", 1).json(str(feed))
+    q = stream_maintain_index(
+        stream, lake, lake.table("ann.corpus"), "ann.idx", str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    st = AX.ann_index_status(lake, "ann.idx")
+    assert st["fresh"], st
+    assert lake.table("ann.corpus").read().count() == 300
+    indexed = {r.cand_id for r in lake.table("ann.idx_codes").read().collect()}
+    assert indexed == {r.vec_id for r in emb.collect()}
+
+
 def test_rebuild_replaces_prior_index(spark, sf_dir, lake):
     """build_ann_index on an existing name replaces all three tables and
     re-records the source snapshot."""

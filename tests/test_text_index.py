@@ -78,6 +78,19 @@ def test_rewritten_history_retokenizes(spark, sf_dir, lake):
     assert TX.refresh_text_index(lake, "tx.idx")["mode"] == "noop"
 
 
+def test_text_index_status(spark, sf_dir, lake):
+    """text_index_status reports freshness vs the source snapshot."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs.limit(100))
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    assert TX.text_index_status(lake, "tx.idx")["fresh"]
+    lake.table("tx.docs").append(docs.limit(10))
+    st = TX.text_index_status(lake, "tx.idx")
+    assert not st["fresh"]
+    TX.refresh_text_index(lake, "tx.idx")
+    assert TX.text_index_status(lake, "tx.idx")["fresh"]
+
+
 def test_postings_scan_is_file_pruned(spark, sf_dir, lake):
     """The term predicate prunes postings files via min/max stats on the
     range-clustered sorted term column — the query never plans the whole
