@@ -91,6 +91,80 @@ def test_text_index_status(spark, sf_dir, lake):
     assert TX.text_index_status(lake, "tx.idx")["fresh"]
 
 
+def test_index_matches_one_shot_under_random_dml(spark, tmp_path):
+    """Model-based invariant (the CDC suite's idiom applied to the text
+    index): for ANY interleaving of appends / deletes / upserts / refresh
+    calls, a final refresh_text_index leaves bm25_query EXACTLY equal to
+    the one-shot bm25_topk over the source's current rows — the index can
+    lag mid-sequence but never diverges (stats are recomputed per query
+    from the persisted tables, so there is no drift channel)."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    docvals = st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 4)),
+        min_size=1, max_size=4,
+    )
+    ops_st = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), docvals),
+            st.tuples(st.just("delete"), st.integers(0, 9)),
+            st.tuples(st.just("upsert"), docvals),
+            st.tuples(st.just("refresh"), st.none()),
+        ),
+        min_size=1, max_size=5,
+    )
+    words = ["spark", "vector", "stream", "delta", "row"]
+
+    def text_of(x):
+        return " ".join(words[: x + 1] * (x + 1))
+
+    @given(ops_st)
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def run(ops):
+        wh = tempfile.mkdtemp(prefix="txprop-")
+        try:
+            lk = Lakehouse(spark, wh)
+            src = lk.create_table("p.docs", "doc_id BIGINT, text STRING")
+            src.append(
+                spark.createDataFrame(
+                    [(i, text_of(i % 5)) for i in range(6)],
+                    "doc_id BIGINT, text STRING",
+                )
+            )
+            TX.build_text_index(lk, "p.docs", "p.idx")
+            next_id = 100
+            for op, arg in ops:
+                if op == "append":
+                    rows = [(next_id + j, text_of(x)) for j, (_k, x) in enumerate(arg)]
+                    next_id += len(arg)
+                    src.append(
+                        spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+                    )
+                elif op == "delete":
+                    src.delete_where(f"doc_id % 10 = {arg}")
+                elif op == "upsert":
+                    rows = [(k, text_of(x)) for k, x in dict(arg).items()]
+                    src.upsert_equality(
+                        spark.createDataFrame(rows, "doc_id BIGINT, text STRING"),
+                        "doc_id",
+                    )
+                else:
+                    TX.refresh_text_index(lk, "p.idx")
+            TX.refresh_text_index(lk, "p.idx")
+            got = _ranked(TX.bm25_query(lk, "p.idx", ["spark", "delta"], n=10))
+            want = _ranked(TS.bm25_topk(src.read(), ["spark", "delta"], n=10))
+            assert got == want, ops
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    run()
+
+
 def test_postings_scan_is_file_pruned(spark, sf_dir, lake):
     """The term predicate prunes postings files via min/max stats on the
     range-clustered sorted term column — the query never plans the whole

@@ -120,6 +120,11 @@ PROBES: dict[str, list[str]] = {
     # with NO training or corpus-encode stage in the plan at all
     "s12_knn_persisted": ["broadcast_join", "partial_agg",
                           "no_cartesian_blowup", "no_python_udf"],
+    # persisted BM25 (round 9): term-pruned postings scan joined to the
+    # narrow doclen table, one partial-agg'd per-doc sum, top-k heap —
+    # the corpus text is never in the plan
+    "s13_bm25_persisted": ["partial_agg", "take_ordered", "no_python_udf",
+                           "no_cartesian_blowup"],
     # boilerplate scrub: gram df-count partial-aggregates, flagged set
     # joins back by gram (hash join), coverage is a per-doc window — no
     # cross product, no Python
