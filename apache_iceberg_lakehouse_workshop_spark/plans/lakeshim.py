@@ -3325,6 +3325,12 @@ class LakeTable:
         marker the streaming sink's replay check keys on (a crash between
         the upsert and delete halves must re-apply the batch, which is
         state-idempotent: same upserts, same deletes)."""
+        # the changelog is consumed ~5 times below (emptiness probes, the
+        # pure-delete anti-join, both writes); materialize it once so a
+        # read_changes-fed call never re-runs the snapshot multiset diff
+        # per consumer — the frame is O(net changes), batch-sized in any
+        # streaming/sync use
+        changes = changes.localCheckpoint()
         cols = [c for c in changes.columns if c != "_change_type"]
         ups = changes.filter(
             F.col("_change_type").isin("insert", "update_postimage")
