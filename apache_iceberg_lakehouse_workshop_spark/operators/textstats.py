@@ -872,7 +872,9 @@ def bm25_topk(
     shuffle, no joins, no UDFs, no global sort."""
     from pyspark.sql import Window
 
-    terms_l = [str(t) for t in terms]
+    # dedupe, order-preserving: the exploded-tf form scored each DISTINCT
+    # term once however often it appeared in the query list
+    terms_l = list(dict.fromkeys(str(t) for t in terms))
     # one pass: dl and per-term tfs in the same partial agg (one row per
     # doc reaches the shuffle); docs with zero tokens emit no explode
     # rows, so they are absent — identical to the old dl > 0 filter.

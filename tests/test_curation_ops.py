@@ -381,6 +381,12 @@ def test_bm25_ranks_term_dense_short_docs_first(spark):
     assert ranked.index(1) < ranked.index(3) < ranked.index(2)
     assert [r.rank for r in out] == [1, 2, 3, 4]
     assert all(r.score_q6 > 0 for r in out)
+    # a duplicated query term scores once, not twice (the exploded-tf
+    # form deduped via groupBy; the wide-row form must match)
+    dup = bm25_topk(df, ["spark", "vector", "stream", "spark"], n=5).collect()
+    assert [(r.rank, r.doc_id, r.score_q6) for r in dup] == [
+        (r.rank, r.doc_id, r.score_q6) for r in out
+    ]
 
 
 def test_dsir_selects_target_like_documents(spark):

@@ -165,6 +165,45 @@ def test_index_matches_one_shot_under_random_dml(spark, tmp_path):
     run()
 
 
+def test_stream_maintain_text_index(spark, sf_dir, lake, tmp_path):
+    """stream_maintain_index(kind='text'): each micro-batch appends docs
+    to the source and re-tokenizes only the delta; the served ranking
+    equals a one-shot over the full corpus afterwards."""
+    import json
+
+    from apache_iceberg_lakehouse_workshop_spark.streaming.pipeline import (
+        stream_maintain_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0).limit(100)
+    rest_rows = [
+        {"doc_id": r.doc_id, "text": r.text}
+        for r in docs.filter(F.col("doc_id") % 2 == 1).limit(40).collect()
+    ]
+    lake.create_table_as("tx.docs", base)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    half = len(rest_rows) // 2
+    for i, chunk in enumerate((rest_rows[:half], rest_rows[half:])):
+        (feed / f"b{i}.json").write_text(
+            "\n".join(json.dumps(x) for x in chunk)
+        )
+    stream = spark.readStream.schema("doc_id LONG, text STRING").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(feed))
+    q = stream_maintain_index(
+        stream, lake, lake.table("tx.docs"), "tx.idx",
+        str(tmp_path / "ck"), kind="text",
+    )
+    q.awaitTermination(120)
+    assert TX.text_index_status(lake, "tx.idx")["fresh"]
+    got = _ranked(TX.bm25_query(lake, "tx.idx", TERMS, n=10))
+    want = _ranked(TS.bm25_topk(lake.table("tx.docs").read(), TERMS, n=10))
+    assert got == want
+
+
 def test_postings_scan_is_file_pruned(spark, sf_dir, lake):
     """The term predicate prunes postings files via min/max stats on the
     range-clustered sorted term column — the query never plans the whole
