@@ -101,12 +101,20 @@ def build_text_index(
     }
 
 
-def refresh_text_index(lake, index_name: str) -> dict:
+def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
     """Bring the index to the source's current snapshot: append-only
     history tokenizes ONLY the delta (new docs' postings/doclens append —
     correct because a document lives wholly in one append, so no (w,
     doc_id) key spans old and new postings); rewritten history falls back
-    to a full re-tokenize rebuild of both tables."""
+    to a full re-tokenize rebuild of both tables.
+
+    Each appended delta writes postings files spanning the FULL term
+    range (the delta wasn't term-clustered), so term pruning degrades as
+    incremental refreshes accumulate — after ``recluster_after`` append
+    snapshots the postings table is re-clustered in place
+    (``compact(sort_by=["w"])``: a rewrite, no re-tokenize), restoring
+    tight per-file term ranges. The maintenance half of the index, same
+    role compaction plays for CDC delete files."""
     import json
 
     post_t = lake.table(_part(index_name, "postings"))
@@ -129,6 +137,11 @@ def refresh_text_index(lake, index_name: str) -> dict:
                     F.sum("tf").cast("long").alias("dl")
                 )
             )
+            appends = 0  # appends since the last full rewrite
+            for s in post_t._load_meta()["snapshots"]:
+                appends = appends + 1 if s["operation"] == "append" else 0
+            if recluster_after and appends > recluster_after:
+                post_t.compact(sort_by=["w"])
         mode = "incremental"
     except ValueError:
         full = src.read(snapshot_id=cur)

@@ -78,6 +78,32 @@ def test_rewritten_history_retokenizes(spark, sf_dir, lake):
     assert TX.refresh_text_index(lake, "tx.idx")["mode"] == "noop"
 
 
+def test_recluster_after_incremental_appends(spark, sf_dir, lake):
+    """Accumulated delta postings (un-clustered, full-term-range files)
+    re-cluster after recluster_after appends: the compact(sort_by=w)
+    restores tight per-file term ranges and the ranking is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs.filter(F.col("doc_id") < 50))
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    for i in range(3):
+        lake.table("tx.docs").append(
+            docs.filter(
+                (F.col("doc_id") >= 50 + i * 20)
+                & (F.col("doc_id") < 50 + (i + 1) * 20)
+            )
+        )
+        out = TX.refresh_text_index(lake, "tx.idx", recluster_after=2)
+        assert out["mode"] == "incremental"
+    post_t = lake.table("tx.idx_postings")
+    ops = [s["operation"] for s in post_t._load_meta()["snapshots"]]
+    assert "compact" in ops, ops
+    got = _ranked(TX.bm25_query(lake, "tx.idx", TERMS, n=10))
+    want = _ranked(
+        TS.bm25_topk(docs.filter(F.col("doc_id") < 110), TERMS, n=10)
+    )
+    assert got == want
+
+
 def test_text_index_status(spark, sf_dir, lake):
     """text_index_status reports freshness vs the source snapshot."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
