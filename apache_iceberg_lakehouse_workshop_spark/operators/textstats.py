@@ -37,8 +37,16 @@ def normalized_text(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of the normalized text (array<string>)."""
-    return F.filter(F.split(normalized_text(col), " "), lambda x: x != F.lit(""))
+    """Whitespace tokens of the normalized text (array<string>).
+
+    Computed as split-on-non-letter-RUNS + array_remove of empties:
+    identical arrays to normalize-then-split-then-filter (a maximal
+    ``[^a-z]+`` run is exactly one separator; leading/trailing runs yield
+    the empties array_remove drops), with ONE regex pass over the text
+    instead of three and no interpreted higher-order lambda —
+    ``F.filter``'s per-element interpreted eval never enters whole-stage
+    codegen, ``array_remove`` does."""
+    return F.array_remove(F.split(F.lower(col), "[^a-z]+"), "")
 
 
 def token_count(col: Column) -> Column:
