@@ -81,6 +81,34 @@ _RE_WHEN_NOT_MATCHED_BY_SOURCE = re.compile(
 _RE_INSERT_COLS_VALUES = re.compile(
     r"^\((.*?)\)\s*VALUES\s*\((.*)\)\s*$", re.I | re.S
 )
+# Persisted index DDL (round 9): CREATE ANN|TEXT INDEX idx ON t (col)
+# [KEY (id_col)] [OPTIONS (dim 64, m_sub 4, ...)] -> operators.ann_index /
+# operators.text_index build; REFRESH INDEX idx -> O(delta) refresh;
+# DROP INDEX idx. Query spellings are the TVFs below.
+_RE_CREATE_INDEX = re.compile(
+    r"^CREATE\s+(ANN|TEXT)\s+INDEX\s+([\w.]+)\s+ON\s+([\w.]+)\s*"
+    r"\(\s*(\w+)\s*\)"
+    r"(?:\s+KEY\s*\(\s*(\w+)\s*\))?"
+    r"(?:\s+OPTIONS\s*\((.*?)\))?\s*$",
+    re.I | re.S,
+)
+_RE_REFRESH_INDEX = re.compile(r"^REFRESH\s+INDEX\s+([\w.]+)\s*$", re.I)
+_RE_DROP_INDEX = re.compile(r"^DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I)
+# TABLE(ann_search('idx', 'queries_table', k[, nprobe])) /
+# TABLE(bm25_search('idx', 'term1 term2', n)) — TVF query spellings over
+# the persisted indexes (JIT-registered as temp views, same pattern as
+# table_changes)
+_RE_ANN_TVF = re.compile(
+    r"TABLE\s*\(\s*ann_search\s*\(\s*'([\w.]+)'\s*,\s*'([\w.]+)'\s*,\s*"
+    r"(\d+)(?:\s*,\s*(\d+))?\s*\)\s*\)",
+    re.I,
+)
+_RE_BM25_TVF = re.compile(
+    r"TABLE\s*\(\s*bm25_search\s*\(\s*'([\w.]+)'\s*,\s*'([^']+)'\s*,\s*"
+    r"(\d+)\s*\)\s*\)",
+    re.I,
+)
+
 # APPLY CHANGES INTO t FROM <changelog query> KEYS (k1[, ...]) — the
 # statement spelling of LakeTable.apply_changes (the Delta Live Tables
 # APPLY CHANGES INTO shape): the source is any query producing
@@ -340,9 +368,11 @@ _DML_SUPPORTED_FORMS = {
     "CREATE": (
         "CREATE FOLDER|NAMESPACE ns | CREATE TABLE t (cols) [PARTITION BY (...)] "
         "| CREATE TABLE t [PARTITION BY (...)] [DISTRIBUTE BY (...)] AS SELECT "
-        "| CREATE [OR REPLACE] VIEW v AS ..."
+        "| CREATE [OR REPLACE] VIEW v AS ... "
+        "| CREATE ANN|TEXT INDEX idx ON t (col) [KEY (id)] [OPTIONS (...)]"
     ),
-    "DROP": "DROP TABLE [IF EXISTS] t",
+    "DROP": "DROP TABLE [IF EXISTS] t | DROP INDEX [IF EXISTS] idx",
+    "REFRESH": "REFRESH INDEX idx",
     "ALTER": (
         "ALTER TABLE t ADD COLUMN name type | ALTER TABLE t RENAME COLUMN a TO b "
         "| ALTER TABLE t DROP COLUMN name "
@@ -685,6 +715,7 @@ class ScriptRunner:
                 )
         self._register_file_meta_views(sql)
         sql = self._register_changes_views(sql)
+        sql = self._register_index_views(sql)
         sql = self._rewrite_time_travel(sql)
         if re.search(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", sql, re.I):
             return self._asof_query(sql)
@@ -984,6 +1015,96 @@ class ScriptRunner:
                 "APPLY", st, _DML_SUPPORTED_FORMS["APPLY"]
             )
         self.lake.table(target).apply_changes(df, keys)
+
+    def _create_index(self, m: re.Match) -> None:
+        """CREATE ANN|TEXT INDEX idx ON t (col) [KEY (id_col)]
+        [OPTIONS (dim 64, m_sub 4, k_codes 16, n_cells 16, residual true,
+        train_frac 0.5)] — the statement spelling of
+        ``operators.ann_index.build_ann_index`` /
+        ``operators.text_index.build_text_index`` (quantizers/postings
+        persisted once, O(delta) REFRESH INDEX, TVF query spellings)."""
+        kind, idx, table, col, key, opts_txt = m.groups()
+        opts: dict = {}
+        for k2, quoted, bare in _RE_COPY_OPT.findall(opts_txt or ""):
+            opts[k2.lower()] = quoted if quoted else bare
+        if kind.upper() == "ANN":
+            from ..operators.ann_index import build_ann_index
+
+            kw = dict(vec_col=col)
+            if key:
+                kw["id_col"] = key
+            for name, cast in (
+                ("dim", int), ("m_sub", int), ("k_codes", int),
+                ("n_cells", int), ("train_frac", float),
+            ):
+                if name in opts:
+                    kw[name] = cast(opts[name])
+            if "residual" in opts:
+                kw["residual"] = opts["residual"].lower() in ("true", "1")
+            build_ann_index(self.lake, table, idx, **kw)
+        else:
+            from ..operators.text_index import build_text_index
+
+            kw = dict(text_col=col)
+            if key:
+                kw["id_col"] = key
+            build_text_index(self.lake, table, idx, **kw)
+
+    def _index_kind_call(self, idx: str, action: str):
+        """Dispatch REFRESH/DROP INDEX by probing which index kind owns
+        the name (ann -> `{idx}_codes`, text -> `{idx}_postings`)."""
+        if self.lake.table_exists(f"{idx}_codes"):
+            if action == "refresh":
+                from ..operators.ann_index import refresh_ann_index
+
+                return refresh_ann_index(self.lake, idx)
+            for part in ("codes", "centroids", "codebook"):
+                self.lake.drop_table(f"{idx}_{part}", if_exists=True)
+            return None
+        if self.lake.table_exists(f"{idx}_postings"):
+            if action == "refresh":
+                from ..operators.text_index import refresh_text_index
+
+                return refresh_text_index(self.lake, idx)
+            for part in ("postings", "doclen"):
+                self.lake.drop_table(f"{idx}_{part}", if_exists=True)
+            return None
+        raise ValueError(f"no such index: {idx}")
+
+    def _register_index_views(self, sql: str) -> str:
+        """JIT-register the persisted-index TVF query spellings as temp
+        views and substitute the view name (the table_changes pattern):
+        ``TABLE(ann_search('idx', 'queries', k[, nprobe]))`` — 'queries'
+        is a lake table or registered view of (id, vector) rows — and
+        ``TABLE(bm25_search('idx', 'space separated terms', n))``."""
+
+        def ann_repl(m: re.Match) -> str:
+            from ..operators.ann_index import ann_query
+
+            idx, qname, k, nprobe = m.groups()
+            qdf = (
+                self.lake.table(qname).read()
+                if self.lake.table_exists(qname)
+                else self.spark.table(qname)
+            )
+            view = f"__ann_{idx.split('.')[-1]}_{k}_{nprobe or 4}"
+            ann_query(
+                self.lake, idx, qdf, k=int(k), nprobe=int(nprobe or 4)
+            ).createOrReplaceTempView(view)
+            return view
+
+        def bm25_repl(m: re.Match) -> str:
+            from ..operators.text_index import bm25_query
+
+            idx, terms, n = m.groups()
+            view = f"__bm25_{idx.split('.')[-1]}_{n}"
+            bm25_query(
+                self.lake, idx, terms.split(), n=int(n)
+            ).createOrReplaceTempView(view)
+            return view
+
+        sql = _RE_ANN_TVF.sub(ann_repl, sql)
+        return _RE_BM25_TVF.sub(bm25_repl, sql)
 
     # --------------------------------------------------------- reflections
 
@@ -1739,6 +1860,22 @@ class ScriptRunner:
             m = _RE_APPLY_CHANGES.match(st)
             if m:
                 self._apply_changes(m, st)
+                continue
+            m = _RE_CREATE_INDEX.match(st)
+            if m:
+                self._create_index(m)
+                continue
+            m = _RE_REFRESH_INDEX.match(st)
+            if m:
+                self._index_kind_call(m.group(1), "refresh")
+                continue
+            m = _RE_DROP_INDEX.match(st)
+            if m:
+                try:
+                    self._index_kind_call(m.group(2), "drop")
+                except ValueError:
+                    if not m.group(1):
+                        raise
                 continue
             m = _RE_CREATE_REFLECTION.match(st)
             if m:

@@ -158,6 +158,62 @@ def test_status_and_stream_maintenance(spark, sf_dir, lake, tmp_path):
     assert indexed == {r.vec_id for r in emb.collect()}
 
 
+def test_index_sql_surface(spark, sf_dir, lake):
+    """Statement spellings: CREATE ANN|TEXT INDEX / REFRESH INDEX / DROP
+    INDEX, plus the TVF query forms TABLE(ann_search(...)) and
+    TABLE(bm25_search(...)) — results equal the API calls."""
+    from apache_iceberg_lakehouse_workshop_spark.operators import text_index as TX
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table as _lt
+
+    emb = _emb(spark, sf_dir, 300)
+    lake.create_table_as("ix.emb", emb)
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    lake.create_table_as("ix.docs", docs)
+
+    lake.run_script(
+        "CREATE ANN INDEX ix.emb_idx ON ix.emb (embedding) KEY (vec_id) "
+        "OPTIONS (dim 64, m_sub 4, k_codes 16, n_cells 16);"
+    )
+    lake.run_script("CREATE TEXT INDEX ix.doc_idx ON ix.docs (text) KEY (doc_id);")
+
+    lake.create_table_as("ix.q", emb.orderBy("vec_id").limit(5))
+    out = lake.run_script(
+        "SELECT query_id, cand_id, approx_dist, rank "
+        "FROM TABLE(ann_search('ix.emb_idx', 'ix.q', 3, 4)) "
+        "ORDER BY query_id, rank"
+    )
+    want = AX.ann_query(
+        lake, "ix.emb_idx", lake.table("ix.q").read(), k=3, nprobe=4
+    )
+    assert _topk(out) == _topk(want)
+
+    out2 = lake.run_script(
+        "SELECT rank, doc_id, score_q6 "
+        "FROM TABLE(bm25_search('ix.doc_idx', 'spark vector stream', 10)) "
+        "ORDER BY rank"
+    )
+    want2 = TX.bm25_query(lake, "ix.doc_idx", ["spark", "vector", "stream"], n=10)
+    assert [tuple(r) for r in out2.collect()] == [
+        tuple(r) for r in want2.collect()
+    ]
+
+    # refresh: append to the ANN source -> incremental; text -> noop
+    lake.table("ix.emb").append(
+        emb.select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding").limit(10)
+    )
+    assert lake.run_script("REFRESH INDEX ix.emb_idx;") is None
+    assert AX.ann_index_status(lake, "ix.emb_idx")["fresh"]
+    lake.run_script("REFRESH INDEX ix.doc_idx;")
+
+    lake.run_script("DROP INDEX ix.emb_idx;")
+    assert not lake.table_exists("ix.emb_idx_codes")
+    lake.run_script("DROP INDEX IF EXISTS ix.emb_idx;")  # idempotent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lake.run_script("DROP INDEX ix.emb_idx;")
+
+
 def test_rebuild_replaces_prior_index(spark, sf_dir, lake):
     """build_ann_index on an existing name replaces all three tables and
     re-records the source snapshot."""
