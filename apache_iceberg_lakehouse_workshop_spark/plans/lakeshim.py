@@ -600,11 +600,23 @@ class LakeTable:
                             cols[cpath] = [mn.isoformat(), mx.isoformat(), "d"]
                 # identity-partition values live in the dir name, not the
                 # footer: record them as degenerate [v, v] ranges so
-                # partition predicates prune files too (hidden-transform
-                # dirs are skipped — user predicates never name them)
+                # partition predicates prune files too. Hidden-transform
+                # dirs are skipped (user predicates never name them) —
+                # EXCEPT bucket dirs: a bucket-partitioned column's footer
+                # min/max spans ~the full range per file (hash layout), so
+                # equality pruning needs the bucket value itself; the read
+                # side derives the matching _p_bucket conjunct from the
+                # user's equality predicate (Iceberg bucket-transform
+                # partition pruning).
                 for seg in rel.split(os.sep)[:-1]:
                     k, eq, v = seg.partition("=")
-                    if not eq or k.startswith(_HP_PREFIX):
+                    if not eq:
+                        continue
+                    if k.startswith(_HP_PREFIX):
+                        if k.startswith(f"{_HP_PREFIX}bucket") and re.fullmatch(
+                            r"\d+", v
+                        ):
+                            cols[k] = [int(v), int(v)]
                         continue
                     if v == "__HIVE_DEFAULT_PARTITION__":
                         cols[k] = [None, None]
@@ -1227,6 +1239,74 @@ class LakeTable:
             return True
         return rng_op(mn, mx, val)
 
+    def _bucket_conjuncts(
+        self, conjs: list[tuple[str, str, object]]
+    ) -> list[tuple[str, str, object]]:
+        """Iceberg bucket-transform partition pruning: an equality / IN
+        conjunct on a ``bucket(N, col)``-partitioned source column implies
+        the row's bucket, so derive the hidden ``_p_bucketN_col``
+        conjunct and let the stats pass drop every other bucket's files
+        (~1/N of the table at any size — the key-lookup shape footer
+        min/max can never prune under a hash layout). The literal is
+        hashed BY SPARK in one 1-row local job, cast to the column's
+        declared type first, so the bucket matches the write side's
+        ``pmod(hash(col), N)`` exactly by construction; any evaluation
+        hiccup returns no conjuncts (pruning is only ever an
+        optimization)."""
+        meta = self._load_meta()
+        specs = []
+        for spec in meta.get("partition_by") or []:
+            pm = _PARAM_TRANSFORM_RE.match(spec)
+            if pm and pm.group(1) == "bucket":
+                specs.append(
+                    (
+                        pm.group(3),
+                        int(pm.group(2)),
+                        f"{_HP_PREFIX}bucket{pm.group(2)}_{pm.group(3)}",
+                    )
+                )
+        if not specs:
+            return []
+        types: dict[str, str] = {}
+        for f in (meta.get("schema") or {}).get("fields", []):
+            if isinstance(f.get("type"), str):
+                types[f["name"]] = f["type"]
+        wanted = []
+        for col, n, phys in specs:
+            for c in conjs:
+                if c[0] != col or c[1] not in ("=", "in"):
+                    continue
+                vals = list(c[2]) if c[1] == "in" else [c[2]]
+                if any(v is None or not isinstance(v, (int, float, str)) for v in vals):
+                    continue
+                wanted.append((phys, n, types.get(col), vals))
+        if not wanted:
+            return []
+        exprs = []
+        for i, (_phys, n, dtype, vals) in enumerate(wanted):
+            for j, v in enumerate(vals):
+                lit = F.lit(v)
+                if dtype:
+                    lit = lit.cast(dtype)
+                exprs.append(F.pmod(F.hash(lit), F.lit(n)).alias(f"b_{i}_{j}"))
+        try:
+            row = self.spark.range(1).select(*exprs).collect()[0]
+        except Exception:
+            return []
+        out: list[tuple[str, str, object]] = []
+        for i, (phys, _n, _dtype, vals) in enumerate(wanted):
+            buckets = sorted(
+                {row[f"b_{i}_{j}"] for j in range(len(vals))} - {None}
+            )
+            if not buckets:
+                continue
+            out.append(
+                (phys, "=", buckets[0])
+                if len(buckets) == 1
+                else (phys, "in", buckets)
+            )
+        return out
+
     def _prune_file_lists(
         self,
         dirs: list[str],
@@ -1280,6 +1360,7 @@ class LakeTable:
             conjs = [c for c in conjs if _tsless(c)]
             if not conjs:
                 return None
+        conjs = conjs + self._bucket_conjuncts(conjs)
         out: list[list[str] | None] = []
         for d in dirs:
             sp = os.path.join(d, "_stats.json")

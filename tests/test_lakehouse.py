@@ -1120,6 +1120,40 @@ def test_publish_cannot_override_intervening_rollback(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [1]
 
 
+def test_bucket_partition_equality_pruning(lake, spark):
+    """Round-9: Iceberg bucket-transform partition pruning. Under a hash
+    layout every file's footer min/max spans ~the whole key range, so
+    equality predicates can never prune via stats — the read side instead
+    derives the hidden _p_bucket conjunct from the predicate (literal
+    hashed BY SPARK with the column's declared type, matching the write
+    side exactly) and drops every other bucket's files (~1/N)."""
+    t = lake.create_table(
+        "db.buck", "k BIGINT, v STRING", partition_by=["bucket(8, k)"]
+    )
+    t.append(spark.range(0, 4000).selectExpr("id AS k", "concat('v', id) AS v"))
+    full = set(t.read().inputFiles())
+    assert len(full) >= 8
+
+    got = t.read(where="k = 1234")
+    assert len(set(got.inputFiles())) <= len(full) // 4  # ~1/8 kept
+    assert [(r.k, r.v) for r in got.collect()] == [(1234, "v1234")]
+
+    # IN derives the union of the members' buckets
+    got2 = t.read(where="k IN (7, 1234, 3999)")
+    assert len(set(got2.inputFiles())) < len(full)
+    assert sorted(r.k for r in got2.collect()) == [7, 1234, 3999]
+
+    # a string literal still prunes soundly: it is cast to the column's
+    # declared type BEFORE hashing (matching Spark's row-side promotion)
+    got3 = t.read(where="k = '1234'")
+    assert len(set(got3.inputFiles())) <= len(full) // 4
+    assert [r.k for r in got3.collect()] == [1234]
+
+    # non-equality shapes derive nothing and stay exact
+    assert t.read(where="k >= 0").count() == 4000
+    assert t.read(where="k = 99999").count() == 0
+
+
 def test_data_skipping_in_and_between(lake, spark):
     """Round-6 task #4: ``col IN (...)`` prunes files when EVERY list
     member is outside [min,max]; ``col BETWEEN a AND b`` prunes when the
