@@ -536,7 +536,25 @@ def _data_skipping_probe(spark) -> dict:
         ts_rows = ts_df.count()
         ts_files = len(set(ts_df.inputFiles()))
         assert ts_rows == t.read().filter(ts_pred).count()
+
+        # bucket tier (round 9): an equality key lookup over a
+        # bucket(16, k)-partitioned layout — footer min/max can never
+        # prune a hash layout, the derived _p_bucket conjunct plans ~1/16
+        tb = lake.create_table(
+            "bench.li_bucketed",
+            "l_orderkey BIGINT, l_quantity DOUBLE",
+            partition_by=["bucket(16, l_orderkey)"],
+        )
+        tb.append(li.select("l_orderkey", "l_quantity"))
+        bk_total = len(set(tb.read().inputFiles()))
+        bk_df = tb.read(where="l_orderkey = 1")
+        bk_rows = bk_df.count()
+        bk_files = len(set(bk_df.inputFiles()))
+        assert bk_rows == tb.read().filter("l_orderkey = 1").count()
     return {
+        "bucket_files_total": bk_total,
+        "bucket_files_planned": bk_files,
+        "bucket_rows": bk_rows,
         "predicate": pred,
         "files_total": full_files,
         "files_planned": pruned_files,
