@@ -158,6 +158,101 @@ def test_status_and_stream_maintenance(spark, sf_dir, lake, tmp_path):
     assert indexed == {r.vec_id for r in emb.collect()}
 
 
+def test_index_matches_frozen_encode_under_random_dml(spark):
+    """Model-based invariant (the text index's idiom for the ANN side):
+    for ANY interleaving of appends / deletes / upserts / refresh calls,
+    a final refresh leaves the codes table EXACTLY equal to a
+    frozen-quantizer encode of the source's current rows — the index can
+    lag mid-sequence but never diverges or resurrects deleted vectors."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    DIM, KWS = 8, dict(dim=8, m_sub=2, k_codes=4, n_cells=2)
+
+    def vec(seed):
+        return [float((seed * 7 + i * 3) % 11 - 5) for i in range(DIM)]
+
+    rows_st = st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 6)),
+        min_size=1, max_size=3,
+    )
+    ops_st = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), rows_st),
+            st.tuples(st.just("delete"), st.integers(0, 9)),
+            st.tuples(st.just("upsert"), rows_st),
+            st.tuples(st.just("refresh"), st.none()),
+        ),
+        min_size=1, max_size=4,
+    )
+
+    @given(ops_st)
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def run(ops):
+        wh = tempfile.mkdtemp(prefix="annprop-")
+        try:
+            lk = Lakehouse(spark, wh)
+            src = lk.create_table("p.v", "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+            src.append(
+                spark.createDataFrame(
+                    [(i, vec(i)) for i in range(8)],
+                    "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+                )
+            )
+            AX.build_ann_index(lk, "p.v", "p.idx", **KWS)
+            nxt = 100
+            for op, arg in ops:
+                if op == "append":
+                    src.append(
+                        spark.createDataFrame(
+                            [(nxt + j, vec(s)) for j, (_k, s) in enumerate(arg)],
+                            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+                        )
+                    )
+                    nxt += len(arg)
+                elif op == "delete":
+                    src.delete_where(f"vec_id % 10 = {arg}")
+                elif op == "upsert":
+                    src.upsert_equality(
+                        spark.createDataFrame(
+                            [(k, vec(s)) for k, s in dict(arg).items()],
+                            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+                        ),
+                        "vec_id",
+                    )
+                else:
+                    AX.refresh_ann_index(lk, "p.idx")
+            AX.refresh_ann_index(lk, "p.idx")
+            cents = lk.table("p.idx_centroids").read()
+            book = lk.table("p.idx_codebook").read()
+            v = src.read().select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                SIM.quantized(F.col("embedding")).alias("qv"),
+            )
+            want = sorted(
+                tuple(r)
+                for r in SIM.ivfpq_encode(v, cents, book, 2, 4, False)
+                .select("cand_id", "cell_id", "m", "code")
+                .collect()
+            )
+            got = sorted(
+                tuple(r)
+                for r in lk.table("p.idx_codes")
+                .read()
+                .select("cand_id", "cell_id", "m", "code")
+                .collect()
+            )
+            assert got == want, ops
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    run()
+
+
 def test_index_sql_surface(spark, sf_dir, lake):
     """Statement spellings: CREATE ANN|TEXT INDEX / REFRESH INDEX / DROP
     INDEX, plus the TVF query forms TABLE(ann_search(...)) and
