@@ -123,15 +123,22 @@ def refresh_ann_index(lake, index_name: str) -> dict:
     read (``read_incremental``). Rewritten history (deletes / upserts /
     compaction) → the codes table is overwritten from a full re-encode
     against the SAME frozen quantizers — O(corpus) encode but still no
-    training pass, and exact (dropped rows leave the index)."""
+    training pass, and exact (dropped rows leave the index).
+
+    Crash atomicity: the source-snapshot watermark rides the SAME atomic
+    commit as the codes append/overwrite (``table_props=``) — a crash can
+    never separate the data from the watermark, so a retried refresh
+    re-reads exactly the un-applied delta (no duplicate codes rows, no
+    silently doubled ADC distances)."""
     codes_t, props, params, cents, book = _load(lake, index_name)
     source = props["ann.source-table"]
     last = int(props["ann.source-snapshot-id"])
     src = lake.table(source)
-    cur = src._load_meta()["current_snapshot_id"]
-    if cur == last:
+    cur = src._load_meta().get("current_snapshot_id")
+    if cur == last or cur is None:
         return {"index": index_name, "mode": "noop", "n_encoded": 0}
     sub_dim = params["dim"] // params["m_sub"]
+    wm = {"ann.source-snapshot-id": str(cur)}
 
     def encoded(df: DataFrame) -> DataFrame:
         v = df.select(
@@ -147,15 +154,16 @@ def refresh_ann_index(lake, index_name: str) -> dict:
         new_codes = encoded(delta)
         n = delta.count()
         if n:
-            codes_t.append(new_codes)
+            codes_t.append(new_codes, table_props=wm)
+        else:
+            codes_t.set_properties(wm)
         mode = "incremental"
     except ValueError:
         # non-append history in the range: exact frozen-quantizer rebuild
         full = src.read(snapshot_id=cur)
-        codes_t.overwrite(encoded(full))
+        codes_t.overwrite(encoded(full), table_props=wm)
         n = full.count()
         mode = "reencode"
-    codes_t.set_properties({"ann.source-snapshot-id": str(cur)})
     return {"index": index_name, "mode": mode, "n_encoded": n}
 
 

@@ -23,11 +23,14 @@ avgdl) — never a corpus tokenize. Scores are IDENTICAL to
 idf doubles, same int64 1e-6 quantization), so the persisted path serves
 the t17 oracle verbatim. Refresh is O(delta) for append-only source
 history (tokenize only the new docs; postings/doclen append), with a
-frozen-shape full re-tokenize fallback when history was rewritten.
+frozen-shape full re-tokenize fallback when history was rewritten OR when
+an append re-used an already-indexed doc_id (split postings rows would
+silently diverge — BM25 tf saturation is nonlinear).
 """
 
 from __future__ import annotations
 
+import json
 import math
 
 from pyspark.sql import DataFrame, Window
@@ -55,14 +58,25 @@ def _postings_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _write_index_tables(lake, index_name: str, postings: DataFrame) -> None:
-    post = postings.select(*_POSTING_COLS)
+def _clustered(post: DataFrame) -> DataFrame:
     # range-cluster + sort on the term so each parquet file owns a tight
     # [min(w), max(w)] — read(where="w IN (...)") prunes files
+    post = post.select(*_POSTING_COLS)
     n_parts = max(post.sparkSession.sparkContext.defaultParallelism, 1)
-    post = post.repartitionByRange(n_parts, "w").sortWithinPartitions("w")
-    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    for part, df in (("postings", post), ("doclen", doclen)):
+    return post.repartitionByRange(n_parts, "w").sortWithinPartitions("w")
+
+
+def _doclen_of(postings: DataFrame) -> DataFrame:
+    return postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+
+
+def _write_index_tables(lake, index_name: str, postings: DataFrame) -> None:
+    for part, df in (
+        ("postings", _clustered(postings)),
+        ("doclen", _doclen_of(postings)),
+    ):
         name = _part(index_name, part)
         lake.drop_table(name, if_exists=True)
         lake.create_table_as(name, df)
@@ -77,8 +91,6 @@ def build_text_index(
 ) -> dict:
     """Tokenize ``source_table`` at its CURRENT snapshot into the
     persisted postings + doclen tables (replacing any prior build)."""
-    import json
-
     src = lake.table(source_table)
     sid = src._load_meta()["current_snapshot_id"]
     if sid is None:
@@ -103,10 +115,28 @@ def build_text_index(
 
 def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
     """Bring the index to the source's current snapshot: append-only
-    history tokenizes ONLY the delta (new docs' postings/doclens append —
-    correct because a document lives wholly in one append, so no (w,
-    doc_id) key spans old and new postings); rewritten history falls back
-    to a full re-tokenize rebuild of both tables.
+    history tokenizes ONLY the delta; rewritten history falls back to a
+    full re-tokenize rebuild of both tables.
+
+    The incremental path is only sound when no (w, doc_id) key spans old
+    and new postings — BM25's tf saturation is nonlinear, so two postings
+    rows for one (term, doc) are NOT equivalent to their merged row, and
+    a doubled doclen row double-counts N. Appends don't enforce doc_id
+    uniqueness, so the delta's doc_ids are anti-checked against the
+    persisted doclen table first; ANY intersection (a re-appended doc_id,
+    or a half-applied refresh a crash left behind) routes to the full
+    re-tokenize, whose one-pass groupBy merges duplicates exactly like
+    the one-shot :func:`textstats.bm25_topk`.
+
+    Crash atomicity: the doclen delta commits FIRST, then the postings
+    delta commits WITH the source-snapshot watermark riding the same
+    atomic metadata swap (``append(table_props=...)``). A crash between
+    the two leaves the delta's ids visible in doclen with the watermark
+    un-advanced — exactly what the collision check detects on retry, so
+    the recovery path is the same full rebuild and no duplicate postings
+    can survive. (The full-rebuild ``overwrite`` commits doclen first
+    too, for the same reason; ``overwrite`` preserves table properties,
+    and the watermark rides the postings overwrite.)
 
     Each appended delta writes postings files spanning the FULL term
     range (the delta wasn't term-clustered), so term pruning degrades as
@@ -115,9 +145,8 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
     (``compact(sort_by=["w"])``: a rewrite, no re-tokenize), restoring
     tight per-file term ranges. The maintenance half of the index, same
     role compaction plays for CDC delete files."""
-    import json
-
     post_t = lake.table(_part(index_name, "postings"))
+    doclen_t = lake.table(_part(index_name, "doclen"))
     props = post_t.properties()
     params = json.loads(props["text.params"])
     source = props["text.source-table"]
@@ -126,43 +155,46 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
     cur = src._load_meta().get("current_snapshot_id")
     if cur == last or cur is None:
         return {"index": index_name, "mode": "noop", "n_docs": 0}
+    wm = {"text.source-snapshot-id": str(cur)}
+
+    def retokenize() -> int:
+        full = src.read(snapshot_id=cur)
+        postings = _postings_of(full, params["id_col"], params["text_col"])
+        doclen_t.overwrite(_doclen_of(postings))
+        post_t.overwrite(_clustered(postings), table_props=wm)
+        return full.count()
+
     try:
         delta = src.read_incremental(last, cur)
-        postings = _postings_of(delta, params["id_col"], params["text_col"])
-        n = delta.count()
-        if n:
-            post_t.append(postings.select(*_POSTING_COLS))
-            lake.table(_part(index_name, "doclen")).append(
-                postings.groupBy("doc_id").agg(
-                    F.sum("tf").cast("long").alias("dl")
-                )
-            )
-            appends = 0  # appends since the last full rewrite
-            for s in post_t._load_meta()["snapshots"]:
-                appends = appends + 1 if s["operation"] == "append" else 0
-            if recluster_after and appends > recluster_after:
-                post_t.compact(sort_by=["w"])
-        mode = "incremental"
     except ValueError:
-        full = src.read(snapshot_id=cur)
-        _write_index_tables(
-            lake, index_name,
-            _postings_of(full, params["id_col"], params["text_col"]),
-        )
-        # rewrite drops properties? set_properties below re-records; the
-        # params/source props must survive the rebuild
-        lake.table(_part(index_name, "postings")).set_properties(
-            {
-                "text.params": json.dumps(params),
-                "text.source-table": source,
-            }
-        )
-        n = full.count()
-        mode = "retokenize"
-    lake.table(_part(index_name, "postings")).set_properties(
-        {"text.source-snapshot-id": str(cur)}
+        return {
+            "index": index_name, "mode": "retokenize", "n_docs": retokenize(),
+        }
+    postings = _postings_of(delta, params["id_col"], params["text_col"])
+    n = delta.count()
+    if not n:
+        post_t.set_properties(wm)
+        return {"index": index_name, "mode": "incremental", "n_docs": 0}
+    delta_ids = postings.select("doc_id").distinct()
+    collides = (
+        doclen_t.read()
+        .join(F.broadcast(delta_ids), "doc_id", "left_semi")
+        .limit(1)
+        .count()
+        > 0
     )
-    return {"index": index_name, "mode": mode, "n_docs": n}
+    if collides:
+        return {
+            "index": index_name, "mode": "retokenize", "n_docs": retokenize(),
+        }
+    doclen_t.append(_doclen_of(postings))
+    post_t.append(postings.select(*_POSTING_COLS), table_props=wm)
+    appends = 0  # appends since the last full rewrite
+    for s in post_t._load_meta()["snapshots"]:
+        appends = appends + 1 if s["operation"] == "append" else 0
+    if recluster_after and appends > recluster_after:
+        post_t.compact(sort_by=["w"])
+    return {"index": index_name, "mode": "incremental", "n_docs": n}
 
 
 def text_index_status(lake, index_name: str) -> dict:
@@ -170,8 +202,6 @@ def text_index_status(lake, index_name: str) -> dict:
     snapshot the postings were tokenized at vs the source's current
     snapshot — what a maintenance loop (or strict caller) checks before
     serving."""
-    import json
-
     props = lake.table(_part(index_name, "postings")).properties()
     src = lake.table(props["text.source-table"])
     indexed = int(props["text.source-snapshot-id"])
@@ -220,7 +250,6 @@ def bm25_query(
         r.w: r.df
         for r in post.groupBy("w").agg(F.count("*").cast("double").alias("df")).collect()
     }
-    idf = F.lit(0.0)
     cases = None
     for t in terms_l:
         df_t = dfrow.get(t)

@@ -381,11 +381,17 @@ class LakeTable:
         commit_filters: dict[str, str] | None = None,
         delete_dirs: list[str] | None = None,
         eq_deletes: list[dict] | None = None,
+        table_props: dict | None = None,
     ) -> dict:
         """Verify-and-swap for rewrite-style commits: the new file set was
         derived from the snapshot that was current at ``base_parent``; if
         another writer moved the table since, committing would silently drop
-        their rows — abort instead (caller redoes the op)."""
+        their rows — abort instead (caller redoes the op).
+
+        ``table_props`` updates table properties IN the same atomic metadata
+        swap as the snapshot (Iceberg: one metadata.json commit can carry
+        both) — maintenance watermarks ride the data commit, never a
+        separate property-only write a crash could separate."""
         with self._commit_lock():
             meta = self._load_meta()
             if meta.get("current_snapshot_id") != base_parent:
@@ -399,6 +405,10 @@ class LakeTable:
                 meta, operation, commit_dirs, props, commit_filters, delete_dirs,
                 eq_deletes,
             )
+            if table_props:
+                meta.setdefault("properties", {}).update(
+                    {str(k): str(v) for k, v in table_props.items()}
+                )
             self._commit(meta)
         return snap
 
@@ -657,10 +667,17 @@ class LakeTable:
         os.replace(tmp, os.path.join(commit_path, "_stats.json"))
 
     @_requires("INSERT", "WRITE")
-    def append(self, df: DataFrame, snapshot_props: dict | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        snapshot_props: dict | None = None,
+        table_props: dict | None = None,
+    ) -> int:
         """Append rows; returns new snapshot id. (DataFrameWriterV2.append
         analogue — /root/reference/spark.py:88-89.) ``snapshot_props`` ride
-        the same atomic commit (Iceberg snapshot summary)."""
+        the same atomic commit (Iceberg snapshot summary); ``table_props``
+        update table properties in that same commit (maintenance watermarks
+        must move WITH the data they describe — crash-atomic)."""
         meta = self._load_meta()
         commit = self._write_commit_dir(df, meta)
         # Appends rebase: reload under the commit lock and stack the new
@@ -684,17 +701,23 @@ class LakeTable:
                 list(cur.get("delete_dirs", [])) if cur else None,
                 list(cur.get("eq_deletes", [])) if cur else None,
             )
+            if table_props:
+                meta.setdefault("properties", {}).update(
+                    {str(k): str(v) for k, v in table_props.items()}
+                )
             self._commit(meta)
         return snap["id"]
 
     @_requires("INSERT", "WRITE")
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, table_props: dict | None = None) -> int:
         """Replace table contents (INSERT OVERWRITE / CTAS-rebuild —
-        industry-examples/retail.sql:88-100 DROP+CTAS idiom)."""
+        industry-examples/retail.sql:88-100 DROP+CTAS idiom).
+        ``table_props`` ride the same atomic commit (see :meth:`append`)."""
         meta = self._load_meta()
         commit = self._write_commit_dir(df, meta)
         return self._commit_rewrite(
-            meta.get("current_snapshot_id"), "overwrite", [commit]
+            meta.get("current_snapshot_id"), "overwrite", [commit],
+            table_props=table_props,
         )["id"]
 
     @_requires("DELETE", "WRITE")

@@ -182,6 +182,13 @@ def test_index_matches_frozen_encode_under_random_dml(spark):
     ops_st = st.lists(
         st.one_of(
             st.tuples(st.just("append"), rows_st),
+            # append that REUSES an initial id (0..9): duplicate vec_ids
+            # must behave exactly like a frozen full re-encode (which
+            # yields the same duplicate codes rows)
+            st.tuples(
+                st.just("append_dup"),
+                st.tuples(st.integers(0, 9), st.integers(0, 6)),
+            ),
             st.tuples(st.just("delete"), st.integers(0, 9)),
             st.tuples(st.just("upsert"), rows_st),
             st.tuples(st.just("refresh"), st.none()),
@@ -214,6 +221,14 @@ def test_index_matches_frozen_encode_under_random_dml(spark):
                         )
                     )
                     nxt += len(arg)
+                elif op == "append_dup":
+                    k, s = arg
+                    src.append(
+                        spark.createDataFrame(
+                            [(k, vec(s))],
+                            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+                        )
+                    )
                 elif op == "delete":
                     src.delete_where(f"vec_id % 10 = {arg}")
                 elif op == "upsert":

@@ -117,6 +117,96 @@ def test_text_index_status(spark, sf_dir, lake):
     assert TX.text_index_status(lake, "tx.idx")["fresh"]
 
 
+def test_duplicate_doc_id_append_retokenizes(spark, lake):
+    """A re-appended doc_id routes refresh to the full re-tokenize: the
+    one-shot groupBy merges the split (w, doc_id) postings (BM25's tf
+    saturation is nonlinear, so two postings rows for one key are NOT the
+    merged row) and doclen keeps one row per doc. Pins the r9 verdict's
+    sequence: append(doc 3) → refresh → append(doc 3 again) → refresh →
+    index == one-shot."""
+    words = ["spark", "vector", "stream", "delta", "row"]
+    rows = [(i, " ".join(words[: i % 5 + 1])) for i in range(6)]
+    src = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    lake.create_table_as("tx.docs", src)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    t = lake.table("tx.docs")
+    for extra_text in ("spark spark delta", "vector row"):
+        t.append(
+            spark.createDataFrame(
+                [(3, extra_text)], "doc_id BIGINT, text STRING"
+            )
+        )
+        out = TX.refresh_text_index(lake, "tx.idx")
+        assert out["mode"] == "retokenize", out
+        got = _ranked(TX.bm25_query(lake, "tx.idx", ["spark", "delta"], n=10))
+        want = _ranked(TS.bm25_topk(t.read(), ["spark", "delta"], n=10))
+        assert got == want
+    # merged, never split: one doclen row per doc_id, one postings row
+    # per (w, doc_id)
+    doclen = lake.table("tx.idx_doclen").read()
+    assert doclen.count() == doclen.select("doc_id").distinct().count()
+    post = lake.table("tx.idx_postings").read()
+    assert post.count() == post.select("w", "doc_id").distinct().count()
+
+
+def test_crashed_half_refresh_recovers(spark, lake):
+    """Crash-window recovery: refresh commits the doclen delta first and
+    the postings delta second (watermark riding the postings commit). A
+    crash between the two leaves the delta's ids in doclen with a stale
+    watermark — the retried refresh must detect the collision and take
+    the full rebuild, leaving zero duplicate rows."""
+    words = ["spark", "vector", "stream", "delta", "row"]
+    rows = [(i, " ".join(words[: i % 5 + 1])) for i in range(6)]
+    lake.create_table_as(
+        "tx.docs", spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    )
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    t = lake.table("tx.docs")
+    delta = spark.createDataFrame(
+        [(100, "spark delta delta"), (101, "row stream")],
+        "doc_id BIGINT, text STRING",
+    )
+    t.append(delta)
+    # simulate the crash: apply ONLY the first half of the refresh (the
+    # doclen append); the watermark property stays at the build snapshot
+    half = TX._doclen_of(TX._postings_of(delta, "doc_id", "text"))
+    lake.table("tx.idx_doclen").append(half)
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "retokenize", out
+    got = _ranked(TX.bm25_query(lake, "tx.idx", ["spark", "delta"], n=10))
+    want = _ranked(TS.bm25_topk(t.read(), ["spark", "delta"], n=10))
+    assert got == want
+    doclen = lake.table("tx.idx_doclen").read()
+    assert doclen.count() == doclen.select("doc_id").distinct().count()
+    assert TX.refresh_text_index(lake, "tx.idx")["mode"] == "noop"
+
+
+def test_refresh_watermark_rides_the_postings_commit(spark, lake):
+    """The source-snapshot watermark lands in the SAME atomic commit as
+    the postings append — no property-only write a crash could separate
+    (advisor r9: non-atomic refresh duplicated tf/df on retry)."""
+    words = ["spark", "vector", "stream"]
+    rows = [(i, words[i % 3]) for i in range(4)]
+    lake.create_table_as(
+        "tx.docs", spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    )
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    t = lake.table("tx.docs")
+    t.append(
+        spark.createDataFrame([(50, "vector spark")], "doc_id BIGINT, text STRING")
+    )
+    post_t = lake.table("tx.idx_postings")
+    before = post_t._load_meta()
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "incremental"
+    after = post_t._load_meta()
+    # exactly one new snapshot on postings, and the watermark moved in it
+    assert len(after["snapshots"]) == len(before["snapshots"]) + 1
+    assert after["properties"]["text.source-snapshot-id"] == str(
+        t._load_meta()["current_snapshot_id"]
+    )
+
+
 def test_index_matches_one_shot_under_random_dml(spark, tmp_path):
     """Model-based invariant (the CDC suite's idiom applied to the text
     index): for ANY interleaving of appends / deletes / upserts / refresh
@@ -137,6 +227,13 @@ def test_index_matches_one_shot_under_random_dml(spark, tmp_path):
     ops_st = st.lists(
         st.one_of(
             st.tuples(st.just("append"), docvals),
+            # append that REUSES an initial id (0..9): split (w, doc_id)
+            # postings would silently diverge (BM25 tf saturation is
+            # nonlinear) — the collision check must route to retokenize
+            st.tuples(
+                st.just("append_dup"),
+                st.tuples(st.integers(0, 9), st.integers(0, 4)),
+            ),
             st.tuples(st.just("delete"), st.integers(0, 9)),
             st.tuples(st.just("upsert"), docvals),
             st.tuples(st.just("refresh"), st.none()),
@@ -170,6 +267,13 @@ def test_index_matches_one_shot_under_random_dml(spark, tmp_path):
                     next_id += len(arg)
                     src.append(
                         spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+                    )
+                elif op == "append_dup":
+                    k, x = arg
+                    src.append(
+                        spark.createDataFrame(
+                            [(k, text_of(x))], "doc_id BIGINT, text STRING"
+                        )
                     )
                 elif op == "delete":
                     src.delete_where(f"doc_id % 10 = {arg}")
