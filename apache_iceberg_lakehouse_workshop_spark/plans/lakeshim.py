@@ -962,6 +962,11 @@ class LakeTable:
     )
     _PRED_NOTNULL_RE = re.compile(r"^`?(\w+)`?\s+is\s+not\s+null$", re.I)
     _PRED_ISNULL_RE = re.compile(r"^`?(\w+)`?\s+is\s+null$", re.I)
+    # col LIKE 'prefix%' with a WILDCARD-FREE prefix (no %, _, or quote
+    # escapes): the one LIKE shape whose match set is a contiguous string
+    # range, so file min/max can prune it. Any other LIKE stays a pure
+    # row filter.
+    _PRED_LIKE_RE = re.compile(r"^`?(\w+)`?\s+like\s+'([^'%_]+)%'$", re.I)
 
     @staticmethod
     def _parse_literal(lit: str) -> object | None:
@@ -1098,6 +1103,14 @@ class LakeTable:
                 # key) — min/max alone could never prove null-absence
                 conjs.append((m.group(1), "isnull", None))
                 continue
+            m = LakeTable._PRED_LIKE_RE.match(part)
+            if m:
+                # prefix search: the signature query on a truncate(W, col)
+                # string layout (Iceberg hidden partitioning,
+                # readme.md:199-224) — each file owns a tight prefix range,
+                # so LIKE 'p%' prunes to ~1/N files
+                conjs.append((m.group(1), "prefix", m.group(2)))
+                continue
         return conjs
 
     @staticmethod
@@ -1166,6 +1179,16 @@ class LakeTable:
             return not (mn is None and mx is None)
         if mn is None:
             return False  # file is all-NULL in col: col op literal never TRUE
+        if op == "prefix":
+            # col LIKE 'p%': Spark evaluates LIKE on the STRING form of the
+            # column, so only genuine string stats order the same way the
+            # row filter compares — numeric/temporal stats keep the file.
+            if marker is not None or not isinstance(mn, str) or not isinstance(val, str):
+                return True
+            # every match is >= p and its first len(p) chars equal p, so
+            # [mn, mx] intersects the match set iff mx >= p and
+            # mn's prefix <= p
+            return mx >= val and mn[: len(val)] <= val
         def rng_op(mn, mx, val) -> bool:
             if op == "=":
                 return mn <= val <= mx
@@ -1302,7 +1325,23 @@ class LakeTable:
                 vals = list(c[2]) if c[1] == "in" else [c[2]]
                 if any(v is None or not isinstance(v, (int, float, str)) for v in vals):
                     continue
-                wanted.append((phys, n, types.get(col), vals))
+                dtype = types.get(col)
+                # A numeric literal against a DECLARED-string column is a
+                # cross-type compare: Spark's row filter casts the COLUMN
+                # to numeric (row '05' matches 5), but the derived bucket
+                # would be hash('5') ≠ hash('05') — files holding '05'
+                # would be wrongly pruned. Pruning must stay a pure
+                # optimization, so skip derivation for that shape (the
+                # numeric-declared column with a string literal is safe:
+                # the cast below normalizes the literal to the stored
+                # value before hashing).
+                if (
+                    dtype
+                    and dtype.lower() in ("string", "varchar", "char")
+                    and any(not isinstance(v, str) for v in vals)
+                ):
+                    continue
+                wanted.append((phys, n, dtype, vals))
         if not wanted:
             return []
         exprs = []

@@ -30,6 +30,7 @@ JSON read per table, not a data scan.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import uuid
 
@@ -1087,7 +1088,13 @@ class ScriptRunner:
                 if self.lake.table_exists(qname)
                 else self.spark.table(qname)
             )
-            view = f"__ann_{idx.split('.')[-1]}_{k}_{nprobe or 4}"
+            # the view name must distinguish EVERY input — two ann_search
+            # calls in one statement differing only in the queries table
+            # must not collapse to one view (advisor r9)
+            sig = hashlib.sha1(
+                f"{qname}|{k}|{nprobe or 4}".encode()
+            ).hexdigest()[:8]
+            view = f"__ann_{idx.split('.')[-1]}_{sig}"
             ann_query(
                 self.lake, idx, qdf, k=int(k), nprobe=int(nprobe or 4)
             ).createOrReplaceTempView(view)
@@ -1097,7 +1104,8 @@ class ScriptRunner:
             from ..operators.text_index import bm25_query
 
             idx, terms, n = m.groups()
-            view = f"__bm25_{idx.split('.')[-1]}_{n}"
+            sig = hashlib.sha1(f"{terms}|{n}".encode()).hexdigest()[:8]
+            view = f"__bm25_{idx.split('.')[-1]}_{sig}"
             bm25_query(
                 self.lake, idx, terms.split(), n=int(n)
             ).createOrReplaceTempView(view)

@@ -551,7 +551,28 @@ def _data_skipping_probe(spark) -> dict:
         bk_rows = bk_df.count()
         bk_files = len(set(bk_df.inputFiles()))
         assert bk_rows == tb.read().filter("l_orderkey = 1").count()
+
+        # truncate tier (round 10): prefix search over a truncate(4, s)
+        # string layout — each file owns a tight prefix range, and the
+        # LIKE-'p%'-derived prefix conjunct plans ~1/N files (equality/
+        # range/IN on truncate layouts already prune via footer min/max;
+        # the prefix shape was the missing one)
+        tt = lake.create_table(
+            "bench.part_trunc",
+            "p_name STRING, p_partkey BIGINT",
+            partition_by=["truncate(4, p_name)"],
+        )
+        tt.append(load_table(spark, SF_DIR, "part").select("p_name", "p_partkey"))
+        tr_total = len(set(tt.read().inputFiles()))
+        tr_pred = "p_name LIKE 'red%'"
+        tr_df = tt.read(where=tr_pred)
+        tr_rows = tr_df.count()
+        tr_files = len(set(tr_df.inputFiles()))
+        assert tr_rows == tt.read().filter(tr_pred).count()
     return {
+        "truncate_files_total": tr_total,
+        "truncate_files_planned": tr_files,
+        "truncate_rows": tr_rows,
         "bucket_files_total": bk_total,
         "bucket_files_planned": bk_files,
         "bucket_rows": bk_rows,

@@ -307,6 +307,22 @@ def test_index_sql_surface(spark, sf_dir, lake):
         tuple(r) for r in want2.collect()
     ]
 
+    # two TVF calls in ONE statement differing only in the queries table
+    # must not collapse to one view (advisor r9: view name now hashes the
+    # query-table name)
+    lake.create_table_as("ix.q2", emb.orderBy(F.desc("vec_id")).limit(5))
+    both = lake.run_script(
+        "SELECT 'a' AS side, query_id, cand_id, rank "
+        "FROM TABLE(ann_search('ix.emb_idx', 'ix.q', 3, 4)) "
+        "UNION ALL "
+        "SELECT 'b' AS side, query_id, cand_id, rank "
+        "FROM TABLE(ann_search('ix.emb_idx', 'ix.q2', 3, 4))"
+    )
+    a_ids = {r.query_id for r in both.collect() if r.side == "a"}
+    b_ids = {r.query_id for r in both.collect() if r.side == "b"}
+    assert a_ids == {r.vec_id for r in lake.table("ix.q").read().collect()}
+    assert b_ids == {r.vec_id for r in lake.table("ix.q2").read().collect()}
+
     # refresh: append to the ANN source -> incremental; text -> noop
     lake.table("ix.emb").append(
         emb.select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding").limit(10)
