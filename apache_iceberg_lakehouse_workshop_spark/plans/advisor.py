@@ -240,6 +240,8 @@ class WorkloadAdvisor:
         """Record one execution of an aggregate shape. ``measures`` is a
         list of (column, AGG) pairs; AVG expands to SUM+COUNT (the partials
         an aggregation reflection stores — finalize is a cheap division)."""
+        if dataset.split(".")[-1].startswith("__"):
+            return  # internal JIT temp view (TVF/changes rewrite), not a dataset
         key = (dataset, tuple(sorted(d.strip() for d in dims if d.strip())))
         entry = self._shapes.setdefault(key, {"count": 0, "measures": set()})
         entry["count"] += 1
@@ -254,6 +256,29 @@ class WorkloadAdvisor:
                 entry["measures"].add((col, "NDV"))
             else:
                 entry["measures"].add((col, agg))
+
+    def observe_search(
+        self,
+        kind: str,
+        dataset: str,
+        column: str | None = None,
+        id_col: str | None = None,
+    ) -> None:
+        """Record one execution of a one-shot search shape — a
+        ``knn_*``/``bm25_topk`` call, or an ``ann_search``/``bm25_search``
+        TVF spelled against the BASE table instead of an index. Repeated
+        shapes become ``CREATE ANN|TEXT INDEX`` recommendations: the
+        index twin of the reflection lifecycle (readme.md:381-389 —
+        reflections persist aggregate work, indexes persist encode/
+        tokenize work; both are build-once serve-many)."""
+        kind = kind.lower()
+        if kind not in ("ann", "text"):
+            raise ValueError(f"observe_search kind must be ann|text: {kind}")
+        column = column or ("embedding" if kind == "ann" else "text")
+        id_col = id_col or ("vec_id" if kind == "ann" else "doc_id")
+        key = ("search", kind, dataset, column, id_col)
+        entry = self._shapes.setdefault(key, {"count": 0, "measures": set()})
+        entry["count"] += 1
 
     def observe_sql(self, sql: str) -> bool:
         """Fingerprint a statement; returns True if it was an aggregate
@@ -305,6 +330,8 @@ class WorkloadAdvisor:
         columns may be alias-qualified; the fingerprint uses bare names
         (what the materialized reflection stores), while the first-seen
         qualified spellings are kept for building the definition SQL."""
+        if any(t.split(".")[-1].startswith("__") for t in tables):
+            return  # internal JIT temp views are not datasets
         dims_bare = tuple(sorted(d.rpartition(".")[2] for d in dims_qualified))
         key = ("join", tuple(sorted(tables)), tuple(sorted(join_keys)), dims_bare)
         entry = self._shapes.setdefault(
@@ -582,7 +609,7 @@ class WorkloadAdvisor:
         if parsed is None:
             return False
         table, cols, where, _order, _limit = parsed
-        if cols is None:
+        if cols is None or table.split(".")[-1].startswith("__"):
             return False
         pred_cols: set[str] = set()
         if where is not None:
@@ -719,6 +746,23 @@ class WorkloadAdvisor:
                     }
                 )
                 continue
+            if key[0] == "search":
+                _, kind, dataset, column, id_col = key
+                name = self._index_name(kind, dataset, column)
+                part = "_codes" if kind == "ann" else "_postings"
+                if self.accelerator.lake.table_exists(name + part):
+                    continue
+                out.append(
+                    {
+                        "name": name,
+                        "kind": kind,
+                        "dataset": dataset,
+                        "column": column,
+                        "id_col": id_col,
+                        "hits": entry["count"],
+                    }
+                )
+                continue
             if key[0] == "join":
                 _, tables_sorted, _keys, dims = key
                 name = self._reflection_name("_".join(t.split(".")[-1] for t in tables_sorted), dims)
@@ -842,6 +886,17 @@ class WorkloadAdvisor:
         )
 
     @staticmethod
+    def _index_name(kind: str, dataset: str, column: str) -> str:
+        """Auto-index name, placed in the SOURCE table's namespace so the
+        backing tables land next to the data they index."""
+        ns, _, tail = dataset.rpartition(".")
+        base = (
+            f"auto_{kind}idx_{re.sub(r'[^A-Za-z0-9_]', '_', tail)}"
+            f"_{re.sub(r'[^A-Za-z0-9_]', '_', column)}"
+        )
+        return f"{ns}.{base}" if ns else base
+
+    @staticmethod
     def _raw_reflection_name(dataset: str, cols: tuple) -> str:
         tail = "_".join(re.sub(r"\W", "_", c) for c in cols)
         if len(tail) > 48:
@@ -864,6 +919,28 @@ class WorkloadAdvisor:
         detect view drift."""
         created = []
         for rec in self.recommendations():
+            kind = rec.get("kind")
+            if kind in ("ann", "text"):
+                # persisted-index materialization: one O(corpus) build,
+                # then TVFs spelled against the base table serve from it
+                # (REFRESH INDEX / stream_maintain_index keep it fresh)
+                lake = self.accelerator.lake
+                if kind == "ann":
+                    from ..operators.ann_index import build_ann_index
+
+                    build_ann_index(
+                        lake, rec["dataset"], rec["name"],
+                        vec_col=rec["column"], id_col=rec["id_col"],
+                    )
+                else:
+                    from ..operators.text_index import build_text_index
+
+                    build_text_index(
+                        lake, rec["dataset"], rec["name"],
+                        text_col=rec["column"], id_col=rec["id_col"],
+                    )
+                created.append(rec["name"])
+                continue
             raw_cols = rec.get("raw_cols")
             if raw_cols is not None:
                 body = f"SELECT {', '.join(raw_cols)} FROM {rec['dataset']}"
@@ -980,4 +1057,30 @@ class WorkloadAdvisor:
             if name not in hot:
                 self.accelerator.drop_reflection(name)
                 dropped.append(name)
+        # auto-index twin: drop persisted indexes whose search shape went
+        # cold (all backing tables removed)
+        hot_idx = {
+            self._index_name(k[1], k[2], k[3])
+            for k, e in self._shapes.items()
+            if k[0] == "search" and e["count"] >= self.min_count
+        }
+        lake = self.accelerator.lake
+        for part, siblings in (
+            ("_codes", ("_codes", "_centroids", "_codebook")),
+            ("_postings", ("_postings", "_doclen")),
+        ):
+            for t in list(lake._walk_tables()):
+                if not t.endswith(part):
+                    continue
+                idx = t[: -len(part)]
+                tail = idx.split(".")[-1]
+                if not tail.startswith(("auto_annidx_", "auto_textidx_")):
+                    continue
+                if names is not None and idx not in names:
+                    continue
+                if idx in hot_idx:
+                    continue
+                for s in siblings:
+                    lake.drop_table(idx + s, if_exists=True)
+                dropped.append(idx)
         return dropped

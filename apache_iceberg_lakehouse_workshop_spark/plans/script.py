@@ -1095,9 +1095,20 @@ class ScriptRunner:
                 f"{qname}|{k}|{nprobe or 4}".encode()
             ).hexdigest()[:8]
             view = f"__ann_{idx.split('.')[-1]}_{sig}"
-            ann_query(
-                self.lake, idx, qdf, k=int(k), nprobe=int(nprobe or 4)
-            ).createOrReplaceTempView(view)
+            df = None
+            if not self.lake.table_exists(f"{idx}_codes") and self.lake.table_exists(idx):
+                # TVF spelled against the BASE table: the autonomous-index
+                # twin of reflection routing (r9 'What's missing #2').
+                # Observed shapes become CREATE ANN INDEX recommendations;
+                # once accelerate() materialized the auto index, the same
+                # spelling serves from it (refreshed O(delta) first) with
+                # results identical to the one-shot.
+                df = self._serve_search("ann", idx, qdf, int(k), int(nprobe or 4))
+            if df is None:
+                df = ann_query(
+                    self.lake, idx, qdf, k=int(k), nprobe=int(nprobe or 4)
+                )
+            df.createOrReplaceTempView(view)
             return view
 
         def bm25_repl(m: re.Match) -> str:
@@ -1106,13 +1117,46 @@ class ScriptRunner:
             idx, terms, n = m.groups()
             sig = hashlib.sha1(f"{terms}|{n}".encode()).hexdigest()[:8]
             view = f"__bm25_{idx.split('.')[-1]}_{sig}"
-            bm25_query(
-                self.lake, idx, terms.split(), n=int(n)
-            ).createOrReplaceTempView(view)
+            df = None
+            if not self.lake.table_exists(f"{idx}_postings") and self.lake.table_exists(idx):
+                df = self._serve_search("text", idx, terms.split(), int(n), None)
+            if df is None:
+                df = bm25_query(self.lake, idx, terms.split(), n=int(n))
+            df.createOrReplaceTempView(view)
             return view
 
         sql = _RE_ANN_TVF.sub(ann_repl, sql)
         return _RE_BM25_TVF.sub(bm25_repl, sql)
+
+    def _serve_search(self, kind: str, table: str, q, a, b):
+        """Serve an ann_search/bm25_search TVF spelled against a BASE
+        table. Counts the shape for the advisor (if observation is on),
+        then: auto index exists → O(delta) refresh + serve from it; no
+        index yet → exact one-shot over the table (the observation is
+        what eventually removes this path via ``accelerate()``)."""
+        from .advisor import WorkloadAdvisor
+
+        column = "embedding" if kind == "ann" else "text"
+        if hasattr(self, "_advisor"):
+            self._advisor.observe_search(kind, table)
+        auto = WorkloadAdvisor._index_name(kind, table, column)
+        if kind == "ann":
+            if self.lake.table_exists(f"{auto}_codes"):
+                from ..operators.ann_index import ann_query, refresh_ann_index
+
+                refresh_ann_index(self.lake, auto)
+                return ann_query(self.lake, auto, q, k=a, nprobe=b)
+            from ..operators.similarity import knn_ivfpq
+
+            return knn_ivfpq(self.lake.table(table).read(), q, k=a, nprobe=b)
+        if self.lake.table_exists(f"{auto}_postings"):
+            from ..operators.text_index import bm25_query, refresh_text_index
+
+            refresh_text_index(self.lake, auto)
+            return bm25_query(self.lake, auto, q, n=a)
+        from ..operators.textstats import bm25_topk
+
+        return bm25_topk(self.lake.table(table).read(), q, n=a)
 
     # --------------------------------------------------------- reflections
 

@@ -340,6 +340,84 @@ def test_index_sql_surface(spark, sf_dir, lake):
         lake.run_script("DROP INDEX ix.emb_idx;")
 
 
+def test_advisor_autonomous_index_lifecycle(spark, sf_dir, lake):
+    """Round-10 (r9 'next' #4, the index twin of test_advisor_benefit_gate):
+    ann_search/bm25_search TVFs spelled against the BASE table serve
+    one-shot while counting the shape; after min_count the advisor
+    recommends CREATE ANN|TEXT INDEX, accelerate() materializes it via
+    the existing builders, the SAME spelling then serves from the
+    persisted index (O(delta)-refreshed first) with identical results,
+    and retire_cold() drops the index once the shape goes cold."""
+    from apache_iceberg_lakehouse_workshop_spark.operators import text_index as TX
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table as _lt
+
+    emb = _emb(spark, sf_dir, 300)
+    lake.create_table_as("ax.emb", emb)
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    lake.create_table_as("ax.docs", docs)
+    lake.create_table_as("ax.q", emb.orderBy("vec_id").limit(5))
+
+    ann_sql = (
+        "SELECT query_id, cand_id, approx_dist, rank "
+        "FROM TABLE(ann_search('ax.emb', 'ax.q', 3, 4)) ORDER BY query_id, rank"
+    )
+    txt_sql = (
+        "SELECT rank, doc_id, score_q6 "
+        "FROM TABLE(bm25_search('ax.docs', 'spark vector stream', 10)) "
+        "ORDER BY rank"
+    )
+    r = lake._script_runner if hasattr(lake, "_script_runner") else None
+    lake.run_script("SELECT 1 AS one")  # materialize the runner
+    r = lake._script_runner
+    _ = r.advisor  # turn observation on
+    one_shot_ann = _topk(lake.run_script(ann_sql))
+    one_shot_txt = [tuple(x) for x in lake.run_script(txt_sql).collect()]
+    for _i in range(2):
+        lake.run_script(ann_sql)
+        lake.run_script(txt_sql)
+    recs = {rec["name"]: rec for rec in r.advisor.recommendations()}
+    assert "ax.auto_annidx_emb_embedding" in recs
+    assert "ax.auto_textidx_docs_text" in recs
+    assert recs["ax.auto_annidx_emb_embedding"]["kind"] == "ann"
+    created = r.accelerate()
+    assert "ax.auto_annidx_emb_embedding" in created
+    assert "ax.auto_textidx_docs_text" in created
+    assert lake.table_exists("ax.auto_annidx_emb_embedding_codes")
+    assert lake.table_exists("ax.auto_textidx_docs_text_postings")
+    # a satisfied recommendation disappears; re-apply is a no-op
+    assert r.accelerate() == []
+    # the SAME spellings now serve from the persisted indexes, identically
+    assert _topk(lake.run_script(ann_sql)) == one_shot_ann
+    assert [tuple(x) for x in lake.run_script(txt_sql).collect()] == one_shot_txt
+    # freshness: an append is picked up by the pre-serve O(delta) refresh
+    lake.table("ax.docs").append(
+        spark.createDataFrame(
+            [(900001, "spark spark vector stream stream")],
+            "doc_id BIGINT, text STRING",
+        )
+    )
+    got = [tuple(x) for x in lake.run_script(txt_sql).collect()]
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import bm25_topk
+
+    want = [
+        tuple(x)
+        for x in bm25_topk(
+            lake.table("ax.docs").read(), ["spark", "vector", "stream"], n=10
+        ).collect()
+    ]
+    assert got == want
+    assert TX.text_index_status(lake, "ax.auto_textidx_docs_text")["fresh"]
+    # cold shape -> retire: a fresh advisor that never saw the shape
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+
+    r2 = ScriptRunner(lake)
+    dropped = r2.advisor.retire_cold()
+    assert "ax.auto_annidx_emb_embedding" in dropped
+    assert "ax.auto_textidx_docs_text" in dropped
+    assert not lake.table_exists("ax.auto_annidx_emb_embedding_codes")
+    assert not lake.table_exists("ax.auto_textidx_docs_text_doclen")
+
+
 def test_rebuild_replaces_prior_index(spark, sf_dir, lake):
     """build_ann_index on an existing name replaces all three tables and
     re-records the source snapshot."""
