@@ -303,6 +303,8 @@ db_neardup_battery = _register_battery(
          {"doc_a": "k1", "doc_b": "k2", "hamming": "n1"}),
         ("s12_knn_persisted", "s12_knn_persisted",
          {"query_id": "k1", "cand_id": "k2", "approx_dist": "n1", "rank": "n2"}),
+        ("s14_hybrid_persisted", "s14_hybrid_persisted",
+         {"rank": "k1", "doc_id": "k2", "rrf_q6": "n1", "n_systems": "n2"}),
     ],
 )
 
@@ -580,6 +582,7 @@ ABSORBED = {
     "s11_two_stage_rerank": "db_neardup_battery",
     "d4_simhash_neardup": "db_neardup_battery",
     "s12_knn_persisted": "db_neardup_battery",
+    "s14_hybrid_persisted": "db_neardup_battery",
     "t5_stratified_sample": "tb_sample_battery",
     "t6_train_val_test": "tb_sample_battery",
     "t8_vocab_topk": "tb_sample_battery",

@@ -1262,6 +1262,76 @@ def s10_hybrid_rrf(spark, sf_dir):
     )
 
 
+def _hybrid_persisted_oracle() -> str:
+    """DuckDB twin of s14: the t17-style BM25 replay at depth 50 fused
+    (RRF) with the s7-style IVF×PQ replay's query-0 list at depth 50 —
+    the persisted-index serving path is bit-exact vs the one-shots, so
+    the oracle fuses the ONE-SHOT replays."""
+    from .queries_data import _ivfpq_oracle
+
+    return f"""WITH lex AS ({_bm25_ranked_sql(_RRF_DEPTH)}),
+       semall AS ({_ivfpq_oracle(k=_RRF_DEPTH)}),
+       sem AS (SELECT CAST(cand_id AS BIGINT) AS doc_id, rank
+               FROM semall WHERE query_id = 0),
+       pts AS (SELECT doc_id,
+                      CAST(round(1000000.0 / ({_RRF_K} + rank)) AS BIGINT) AS pt
+               FROM lex
+               UNION ALL
+               SELECT doc_id,
+                      CAST(round(1000000.0 / ({_RRF_K} + rank)) AS BIGINT) AS pt
+               FROM sem),
+       agg AS (SELECT doc_id, SUM(pt) AS rrf_q6,
+                      CAST(COUNT(*) AS BIGINT) AS n_systems
+               FROM pts GROUP BY doc_id)
+       SELECT CAST(row_number() OVER (ORDER BY rrf_q6 DESC, doc_id ASC)
+                   AS BIGINT) AS rank,
+              CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(rrf_q6 AS BIGINT) AS rrf_q6, n_systems
+       FROM agg ORDER BY rrf_q6 DESC, doc_id ASC LIMIT 20"""
+
+
+@q(
+    "s14_hybrid_persisted",
+    _hybrid_persisted_oracle(),
+    "S14 hybrid retrieval served END-TO-END from persisted indexes (r9 "
+    "'next' #5): the BM25 inverted index's top-50 for the shared terms "
+    "fused (reciprocal-rank fusion, k=60) with the persisted IVF×PQ ANN "
+    "index's top-50 for query document 0 — the corpus text/vectors are "
+    "never touched at query time (postings file-pruned to the query's "
+    "terms; ADC over persisted codes with broadcast codebooks). Both "
+    "index paths are bit-exact vs their one-shots (s12/s13 contracts), "
+    "so the oracle fuses the one-shot DuckDB replays; fusion itself is "
+    "O(list lengths): union + partial-agg + TakeOrderedAndProject.",
+)
+def s14_hybrid_persisted(spark, sf_dir):
+    import tempfile
+
+    from .operators import ann_index as AX
+    from .operators import similarity as SIM
+    from .operators import text_index as TX
+    from .plans import Lakehouse
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix="sg-hybrid-"))
+    lake.create_table_as("hy.documents", d)
+    lake.create_table_as("hy.embeddings", emb)
+    TX.build_text_index(lake, "hy.documents", "hy.tidx")
+    AX.build_ann_index(
+        lake, "hy.embeddings", "hy.aidx",
+        dim=64, m_sub=4, k_codes=16, n_cells=16,
+    )
+    lex = TX.bm25_query(
+        lake, "hy.tidx", list(_BM25_TERMS),
+        k1=_BM25_K1, b=_BM25_B, n=_RRF_DEPTH,
+    ).select("doc_id", "rank")
+    sem = AX.ann_query(
+        lake, "hy.aidx", emb.filter(F.col("vec_id") == 0),
+        k=_RRF_DEPTH, nprobe=4,
+    ).select(F.col("cand_id").alias("doc_id"), "rank")
+    return SIM.rrf_fuse([lex, sem], k=_RRF_K, n=20)
+
+
 @q(
     "j14_asof_forward",
     """WITH j AS (
