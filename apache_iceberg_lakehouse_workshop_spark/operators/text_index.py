@@ -67,9 +67,15 @@ def _clustered(post: DataFrame) -> DataFrame:
 
 
 def _doclen_of(postings: DataFrame) -> DataFrame:
-    return postings.groupBy("doc_id").agg(
+    # few, doc_id-clustered files: every serve fully scans this narrow
+    # table for (N, avgdl), so its cost is file-count floor — and the
+    # refresh collision check prunes it by doc_id range. dl is an exact
+    # int64, so layout never changes any aggregate over it.
+    doclen = postings.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("dl")
     )
+    n = max(doclen.sparkSession.sparkContext.defaultParallelism // 8, 1)
+    return doclen.repartitionByRange(n, "doc_id").sortWithinPartitions("doc_id")
 
 
 def _write_index_tables(lake, index_name: str, postings: DataFrame) -> None:
@@ -241,15 +247,33 @@ def bm25_query(
         where=f"w IN ({in_list})"
     )
     doclen = lake.table(_part(index_name, "doclen")).read()
-    srow = doclen.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    ).collect()[0]
-    n_docs, avgdl = srow.n_docs, srow.avgdl
-    dfrow = {
-        r.w: r.df
-        for r in post.groupBy("w").agg(F.count("*").cast("double").alias("df")).collect()
-    }
+    # ONE Spark job for every serve-time stat: the per-term df rows
+    # unioned with a (NULL, N, avgdl) corpus row — each collect costs a
+    # ~0.1-0.2s job floor and the serve path is floor-dominated, so two
+    # stats jobs were half the serve wall. All inputs are exact int64
+    # (count / long-sum division), so values are layout- and
+    # order-invariant.
+    stats_rows = (
+        post.groupBy("w")
+        .agg(
+            F.count("*").cast("double").alias("a"),
+            F.lit(None).cast("double").alias("b"),
+        )
+        .unionByName(
+            doclen.agg(
+                F.count("*").cast("double").alias("a"),
+                F.avg("dl").alias("b"),
+            ).select(F.lit(None).cast("string").alias("w"), "a", "b")
+        )
+        .collect()
+    )
+    n_docs = avgdl = 0.0
+    dfrow: dict[str, float] = {}
+    for r in stats_rows:
+        if r.w is None:
+            n_docs, avgdl = r.a, r.b
+        else:
+            dfrow[r.w] = r.a
     cases = None
     for t in terms_l:
         df_t = dfrow.get(t)

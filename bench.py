@@ -435,8 +435,18 @@ def _text_index_probe(spark) -> dict:
     """Round-9 lexical-index probe (the BM25 twin of _ann_index_probe):
     build the inverted postings index once, then compare query-from-index
     wall (term-pruned postings scan, no corpus tokenize) against the
-    one-shot bm25_topk wall; plus the O(delta) refresh wall after a ~10%
-    append and the postings file-pruning ratio for one term."""
+    one-shot bm25_topk wall; plus the O(delta) refresh wall after a
+    small append, the postings file-pruning ratio for one term, and the
+    pruned-vs-total postings BYTES (the scale-invariant quantity).
+
+    The corpus is a 32x self-union of documents (~160k docs at sf0.1,
+    the scaled-tier size): at
+    the raw 5k the serve path's fixed per-job floor exceeds the tokenize
+    it avoids and the probe can't demonstrate its own win (r9 'what's
+    wrong' #3) — the index's asymptotics need a corpus whose tokenize
+    pass clears the job-launch floor, exactly like the reflection probe's
+    16x union. Serve cost is corpus-size-invariant (pruned postings +
+    narrow doclen), which the bytes ratio also evidences."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -445,7 +455,16 @@ def _text_index_probe(spark) -> dict:
     from apache_iceberg_lakehouse_workshop_spark.operators import textstats as TSS
     from apache_iceberg_lakehouse_workshop_spark.plans import Lakehouse
 
-    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs = base
+    for i in range(5):  # 32x; doubling offsets keep every replica id distinct
+        docs = docs.unionAll(
+            docs.select(
+                (F.col("doc_id") + F.lit(10_000_000 * (2 ** i))).alias("doc_id"),
+                "text",
+            )
+        )
+    docs = docs.localCheckpoint()  # freeze: both paths read the same rows
     terms = ["spark", "vector", "stream"]
     out: dict = {"corpus_rows": docs.count()}
     with tempfile.TemporaryDirectory() as wh:
@@ -467,12 +486,20 @@ def _text_index_probe(spark) -> dict:
             runs.append(time.time() - t0)
         out["one_shot_s"] = round(statistics.median(runs), 4)
         t = lake.table("bench.idx_postings")
-        out["postings_files_total"] = len(t.read().inputFiles())
-        out["postings_files_one_term"] = len(
-            t.read(where="w IN ('spark')").inputFiles()
-        )
+
+        def _bytes(files):
+            from urllib.parse import urlparse
+
+            return sum(os.path.getsize(urlparse(f).path) for f in files)
+
+        all_files = t.read().inputFiles()
+        one_term = t.read(where="w IN ('spark')").inputFiles()
+        out["postings_files_total"] = len(all_files)
+        out["postings_files_one_term"] = len(one_term)
+        out["postings_bytes_total"] = _bytes(all_files)
+        out["postings_bytes_one_term"] = _bytes(one_term)
         delta = docs.where(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
         )
         out["delta_rows"] = delta.count()
         lake.table("bench.docs").append(delta)
@@ -826,6 +853,25 @@ def _scaled_section(spark) -> dict:
     return out
 
 
+def _calibration(spark) -> dict:
+    """Box-contention fingerprint (r9 'next' #7): a fixed O(100ms)
+    CPU-bound probe — median of 3 of spark.range(50M).sum() — plus the
+    1-minute loadavg. Drift in `probe_s` between two BENCH captures means
+    the BOX changed, not the engine: the r9 driver capture inflated every
+    headline query uniformly ~+55% and needed a judge re-run to
+    adjudicate; this row makes that call a one-line diff."""
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("sum(id)").collect()
+        runs.append(time.time() - t0)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {"probe_s": round(statistics.median(runs), 4), "loadavg_1m": load1}
+
+
 def main() -> None:
     spark = get_spark("bench")
     # full registry: bench probes target specific plan shapes, including
@@ -833,6 +879,7 @@ def main() -> None:
     reg = full_registry()
     # warm the session (JIT, codegen caches) on an unrelated trivial job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    calib_start = _calibration(spark)
 
     timings: dict[str, float] = {}
     n_rows = load_table(spark, SF_DIR, "lineitem").count()
@@ -855,6 +902,7 @@ def main() -> None:
     ann = _ann_index_probe(spark)
     text_idx = _text_index_probe(spark)
     scaled = _scaled_section(spark)
+    calib_end = _calibration(spark)
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -874,6 +922,10 @@ def main() -> None:
         "ann_index": ann,
         "text_index": text_idx,
         "scaled": scaled,
+        # compare `calibration.*.probe_s` across BENCH captures before
+        # reading any other number: the probe is code-invariant, so drift
+        # == box contention (see README)
+        "calibration": {"start": calib_start, "end": calib_end},
     }
     # the driver parses the headline JSON from a ~2000-char stdout tail
     # that clipped the full line twice (BENCH_r06/r07 "parsed": null) —
