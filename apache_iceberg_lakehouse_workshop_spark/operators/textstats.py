@@ -991,38 +991,43 @@ def dsir_topk(
     top-``n`` as (rank, doc_id, n_tokens, weight_q6), ties on doc_id.
 
     At 100 TB: ONE explode + md5 pass partial-aggregates the token stream
-    into per-(doc, bucket) counts (≤ 256 rows per doc — the raw/target
-    bucket totals and the per-doc weights all derive from that one
-    compact frame, so the expensive per-token hash runs once, not once
-    per consumer); a 256-row log-ratio table broadcasts back onto it;
-    per-doc sums are count-weighted; TakeOrderedAndProject top-n — no
-    UDFs, no driver collect, no global sort. (The int64 smoothing
-    products are exact in IEEE double below ~2^53 total tokens per side —
-    beyond that the 1e-6 quantization dominates either way.)"""
+    into per-(doc, bucket) counts (≤ 256 rows per doc) with the doc's
+    target-membership riding along as a grouping flag, so the raw AND
+    target bucket totals are one re-aggregation of that compact frame —
+    no second corpus scan, no doc_id-keyed join of the token stream
+    against the target ids (r9's slowest scaled op: that join shuffled
+    the whole per-doc frame). A 256-row log-ratio table broadcasts back
+    onto it; per-doc sums are count-weighted; TakeOrderedAndProject
+    top-n — no UDFs, no driver collect, no global sort. (The int64
+    smoothing products are exact in IEEE double below ~2^53 total tokens
+    per side — beyond that the 1e-6 quantization dominates either way.)"""
     from pyspark.sql import Window
 
     B = 256
     tok = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
+        # NULL predicate result counts as non-target, like filter() would
+        F.coalesce(F.expr(target_where).cast("boolean"), F.lit(False)).alias(
+            "is_tgt"
+        ),
         F.explode(tokens(F.col(text_col))).alias("w"),
     )
     tokb = tok.select(
         "doc_id",
+        "is_tgt",
         F.substring(
             F.md5(F.concat_ws("|", F.lit(seed), F.col("w"))), 1, 2
         ).alias("b"),
     )
-    db = tokb.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
-    raw = db.groupBy("b").agg(F.sum("c").alias("c_raw"))
-    tgt_ids = docs.filter(target_where).select(
-        F.col(id_col).cast("long").alias("doc_id")
+    # is_tgt is constant per doc, so adding it to the key changes nothing
+    # but lets the bucket totals split raw/target WITHOUT a join
+    db = tokb.groupBy("doc_id", "is_tgt", "b").agg(F.count("*").alias("c"))
+    r = db.groupBy("b").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(F.lit(0))).alias(
+            "c_tgt"
+        ),
     )
-    tgt = (
-        db.join(tgt_ids, "doc_id")
-        .groupBy("b")
-        .agg(F.sum("c").alias("c_tgt"))
-    )
-    r = raw.join(tgt, "b", "left").na.fill({"c_tgt": 0})
     totals = r.agg(
         F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
     )
