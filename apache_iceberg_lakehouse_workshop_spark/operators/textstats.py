@@ -609,9 +609,11 @@ def boilerplate_ngram_scrub(
 
     Scale shape: one gram explode (map-side), one partial-aggregated
     distinct-doc count keyed by gram, one equi-join of gram instances
-    against the (small) flagged set, one per-document window for coverage,
-    one per-document aggregation to rebuild text — no all-pairs anywhere,
-    no Python; every shuffle is keyed by gram or doc_id. Grams shuffle as
+    against the (small) flagged set, then a doc-granularity join and a
+    single MAP stage that resolves coverage and rebuilds the text with
+    array ops (no token-level shuffle, window sort, or regroup) — no
+    all-pairs anywhere, no Python; every shuffle is keyed by gram or
+    doc_id. Grams shuffle as
     int64 ``xxhash64`` values computed BEFORE the explode (the exploded
     rows never carry the token array or multi-word strings) — several-fold
     fewer shuffle bytes; a 64-bit collision (two distinct grams sharing a
@@ -665,41 +667,40 @@ def boilerplate_ngram_scrub(
         "doc_id", F.col("start").alias("pos")
     )
     # collapse flagged starts to ONE array per doc, join at DOC granularity
-    # (doc-level rows shuffle, never token-level rows), and explode tokens
-    # MAP-SIDE after the join — the coverage window then only sorts within
-    # the doc_id partitioning the join already produced. Per-token flag is
-    # an array_contains over the doc's flagged starts (codegen; boilerplate
-    # starts are a small fraction of tokens by construction).
+    # (doc-level rows shuffle, never token-level rows), then resolve the
+    # coverage ENTIRELY map-side with array ops: expand each flagged start
+    # to its covered positions, and keep the tokens whose position is not
+    # covered. No posexplode, no per-doc window sort, no collect_list
+    # regroup — the r9 shape paid a ~10s whole-stage-codegen compile on
+    # first execution (window + struct-regroup plan) and a token-level
+    # shuffle; this one is a single map stage after the join, and its
+    # cold and warm walls are within ~15% (the bench tiers run each shape
+    # once, so cold-robustness is what the throughput target measures).
+    # The interpreted-HOF cost stays bounded: fp and cov are tiny per doc
+    # (flagged starts are headers/banners, not prose).
     inst_set = inst.groupBy("doc_id").agg(F.collect_set("pos").alias("fp"))
-    cover_w = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(n - 1), 0)
+    j = tok.join(inst_set, "doc_id", "left").withColumn(
+        "fp", F.coalesce("fp", F.array().cast("array<int>"))
     )
-    marked = (
-        tok.join(inst_set, "doc_id", "left")
-        .select("doc_id", F.posexplode("w").alias("pos", "tok"), "fp")
-        .withColumn(
-            "flag",
-            F.when(
-                F.col("fp").isNotNull()
-                & F.array_contains("fp", F.col("pos")),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform("fp", lambda s: F.sequence(s, s + F.lit(n - 1)))
         )
-        .withColumn("cov", F.max("flag").over(cover_w))
     )
-    return marked.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.sum("cov").cast("long").alias("n_removed"),
+    j = j.withColumn("cov", covered)
+    zipped = F.arrays_zip(
+        F.sequence(F.lit(0), F.size("w") - 1).alias("pos"),
+        F.col("w").alias("tok"),
+    )
+    keep = F.filter(
+        zipped, lambda z: ~F.array_contains(F.col("cov"), z["pos"])
+    )
+    return j.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        (F.size("w") - F.size(keep)).cast("long").alias("n_removed"),
         F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("cov") == 0, F.struct("pos", "tok"))
-                    )
-                ),
-                lambda s: s["tok"],
-            ),
-            " ",
+            F.transform(keep, lambda z: z["tok"]), " "
         ).alias("scrubbed_text"),
     )
 
