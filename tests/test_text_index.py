@@ -237,6 +237,10 @@ def test_index_matches_one_shot_under_random_dml(spark, tmp_path):
             st.tuples(st.just("delete"), st.integers(0, 9)),
             st.tuples(st.just("upsert"), docvals),
             st.tuples(st.just("refresh"), st.none()),
+            # a refresh that crashed after its FIRST commit (doclen delta
+            # landed, postings + watermark did not) — the retried refresh
+            # must detect the half-applied state and recover exactly
+            st.tuples(st.just("crash_refresh"), st.none()),
         ),
         min_size=1, max_size=5,
     )
@@ -283,6 +287,20 @@ def test_index_matches_one_shot_under_random_dml(spark, tmp_path):
                         spark.createDataFrame(rows, "doc_id BIGINT, text STRING"),
                         "doc_id",
                     )
+                elif op == "crash_refresh":
+                    # replay refresh's first half only: the doclen delta
+                    # commit (refresh orders doclen first by design)
+                    props = lk.table("p.idx_postings").properties()
+                    last = int(props["text.source-snapshot-id"])
+                    cur = src._load_meta().get("current_snapshot_id")
+                    if cur is not None and cur != last:
+                        try:
+                            delta = src.read_incremental(last, cur)
+                        except ValueError:
+                            delta = None
+                        if delta is not None and delta.count():
+                            p = TX._postings_of(delta, "doc_id", "text")
+                            lk.table("p.idx_doclen").append(TX._doclen_of(p))
                 else:
                     TX.refresh_text_index(lk, "p.idx")
             TX.refresh_text_index(lk, "p.idx")
