@@ -364,7 +364,7 @@ _DML_SUPPORTED_FORMS = {
     "ROLLBACK": "ROLLBACK TABLE t TO SNAPSHOT 'id' | TO TIMESTAMP 'ts'",
     "SHOW": (
         "SHOW TABLES [IN ns] | SHOW FOLDERS|SCHEMAS [IN ns] "
-        "| SHOW TBLPROPERTIES t"
+        "| SHOW TBLPROPERTIES t | SHOW RECOMMENDATIONS"
     ),
     "CREATE": (
         "CREATE FOLDER|NAMESPACE ns | CREATE TABLE t (cols) [PARTITION BY (...)] "
@@ -1844,6 +1844,35 @@ class ScriptRunner:
                 result = self.spark.createDataFrame(
                     [(n,) for n in self.lake.list_namespaces(m.group(1))],
                     "folder_name STRING",
+                )
+                continue
+            if re.fullmatch(r"SHOW\s+RECOMMENDATIONS", st, re.I):
+                # the advisor's pending shapes (reflections AND persisted
+                # indexes) as a relation — the SQL window into the
+                # autonomous lifecycle (readme.md:381-389); accessing it
+                # turns observation on for subsequent statements
+                rows = [
+                    (
+                        r["name"],
+                        r.get("kind", "raw" if "raw_cols" in r else "agg"),
+                        r.get("dataset")
+                        or ",".join(r.get("join", {}).get("tables", [])),
+                        r["hits"],
+                        r.get("refused_reason"),
+                    )
+                    for r in self.advisor.recommendations()
+                ]
+                result = self.spark.createDataFrame(
+                    rows,
+                    "name STRING, kind STRING, dataset STRING, "
+                    "hits BIGINT, refused_reason STRING",
+                )
+                continue
+            if re.fullmatch(r"ACCELERATE", st, re.I):
+                # materialize every pending recommendation (reflections
+                # via the registry, indexes via the builders)
+                result = self.spark.createDataFrame(
+                    [(n,) for n in self.accelerate()], "created STRING"
                 )
                 continue
             m = _RE_DESCRIBE.match(st)

@@ -954,6 +954,34 @@ def test_raw_join_shape_different_join_never_matches(runner):
 # ------------------------------------------------- advisor benefit gate
 
 
+def test_show_recommendations_and_accelerate_sql(spark, tmp_path):
+    """Round-10: the autonomous lifecycle's SQL window — SHOW
+    RECOMMENDATIONS lists the advisor's pending shapes as a relation and
+    ACCELERATE materializes them; a satisfied recommendation disappears."""
+    from pyspark.sql import functions as F
+
+    lake = Lakehouse(spark, str(tmp_path / "whsr"))
+    df = spark.range(3000).select(
+        (F.col("id") % 4).cast("string").alias("kind"),
+        (F.col("id") % 3).cast("double").alias("val"),
+    )
+    lake.create_table_as("dremio.demo.ev2", df)
+    r = ScriptRunner(lake)
+    _ = r.advisor
+    low = "SELECT kind, SUM(val) AS s FROM dremio.demo.ev2 GROUP BY kind"
+    for _ in range(3):
+        r.run(low)
+    recs = r.run("SHOW RECOMMENDATIONS")
+    assert recs.columns == [
+        "name", "kind", "dataset", "hits", "refused_reason"
+    ]
+    names = [x.name for x in recs.collect()]
+    assert any("kind" in n for n in names), names
+    created = sorted(x.created for x in r.run("ACCELERATE").collect())
+    assert created == sorted(names)
+    assert r.run("SHOW RECOMMENDATIONS").count() == 0
+
+
 def test_advisor_benefit_gate(spark, tmp_path):
     """Round-8 #4: before materializing, the advisor estimates the
     rows-per-group reduction — a low-cardinality shape is created, a
