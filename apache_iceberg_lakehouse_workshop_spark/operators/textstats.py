@@ -627,6 +627,14 @@ def boilerplate_ngram_scrub(
     # arrays to tokens()'s normalize-then-split recipe, with one regex
     # pass instead of three and a codegen'd array_remove instead of the
     # interpreted F.filter lambda
+    # explicit doc_id hash partitioning BEFORE the checkpoint: the input
+    # may arrive as a handful of partitions (one parquet file, a broadcast
+    # fan-out), and AQE's size-based coalescing can't see CPU cost — the
+    # expensive rebuild stage downstream would run near-serially. An
+    # explicit numPartitions is exempt from AQE coalescing, the checkpoint
+    # blocks spread across executors, and the doc_id-keyed join below
+    # reuses the partitioning.
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
     tok = (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -635,6 +643,7 @@ def boilerplate_ngram_scrub(
             ).alias("w"),
         )
         .filter(F.size("w") > 0)
+        .repartition(n_parts, "doc_id")
         .localCheckpoint()
     )
     starts = F.when(
