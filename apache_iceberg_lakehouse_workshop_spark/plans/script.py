@@ -364,7 +364,7 @@ _DML_SUPPORTED_FORMS = {
     "ROLLBACK": "ROLLBACK TABLE t TO SNAPSHOT 'id' | TO TIMESTAMP 'ts'",
     "SHOW": (
         "SHOW TABLES [IN ns] | SHOW FOLDERS|SCHEMAS [IN ns] "
-        "| SHOW TBLPROPERTIES t | SHOW RECOMMENDATIONS"
+        "| SHOW TBLPROPERTIES t | SHOW INDEXES | SHOW RECOMMENDATIONS"
     ),
     "CREATE": (
         "CREATE FOLDER|NAMESPACE ns | CREATE TABLE t (cols) [PARTITION BY (...)] "
@@ -1844,6 +1844,45 @@ class ScriptRunner:
                 result = self.spark.createDataFrame(
                     [(n,) for n in self.lake.list_namespaces(m.group(1))],
                     "folder_name STRING",
+                )
+                continue
+            if re.fullmatch(r"SHOW\s+INDEXES", st, re.I):
+                # every persisted search index in the lake: kind, source,
+                # freshness — the index twin of reflections' status()
+                rows = []
+                for t in sorted(self.lake._walk_tables()):
+                    if t.endswith("_codes"):
+                        kind, idx, mod = "ann", t[: -len("_codes")], "ann_index"
+                    elif t.endswith("_postings"):
+                        kind, idx, mod = "text", t[: -len("_postings")], "text_index"
+                    else:
+                        continue
+                    try:
+                        if kind == "ann":
+                            from ..operators.ann_index import ann_index_status
+
+                            info = ann_index_status(self.lake, idx)
+                        else:
+                            from ..operators.text_index import text_index_status
+
+                            info = text_index_status(self.lake, idx)
+                    except Exception:
+                        continue  # a *_codes/_postings table that isn't an index
+                    rows.append(
+                        (
+                            idx,
+                            kind,
+                            info["source_table"],
+                            info["indexed_snapshot_id"],
+                            info["source_snapshot_id"],
+                            bool(info["fresh"]),
+                        )
+                    )
+                result = self.spark.createDataFrame(
+                    rows,
+                    "name STRING, kind STRING, source_table STRING, "
+                    "indexed_snapshot_id BIGINT, source_snapshot_id BIGINT, "
+                    "fresh BOOLEAN",
                 )
                 continue
             if re.fullmatch(r"SHOW\s+RECOMMENDATIONS", st, re.I):

@@ -323,10 +323,19 @@ def test_index_sql_surface(spark, sf_dir, lake):
     assert a_ids == {r.vec_id for r in lake.table("ix.q").read().collect()}
     assert b_ids == {r.vec_id for r in lake.table("ix.q2").read().collect()}
 
+    # SHOW INDEXES lists both persisted indexes with freshness
+    idxs = {r.name: r for r in lake.run_script("SHOW INDEXES").collect()}
+    assert idxs["ix.emb_idx"].kind == "ann" and idxs["ix.emb_idx"].fresh
+    assert idxs["ix.doc_idx"].kind == "text"
+    assert idxs["ix.doc_idx"].source_table == "ix.docs"
+
     # refresh: append to the ANN source -> incremental; text -> noop
     lake.table("ix.emb").append(
         emb.select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding").limit(10)
     )
+    assert not {
+        r.name: r for r in lake.run_script("SHOW INDEXES").collect()
+    }["ix.emb_idx"].fresh
     assert lake.run_script("REFRESH INDEX ix.emb_idx;") is None
     assert AX.ann_index_status(lake, "ix.emb_idx")["fresh"]
     lake.run_script("REFRESH INDEX ix.doc_idx;")
