@@ -962,11 +962,13 @@ class LakeTable:
     )
     _PRED_NOTNULL_RE = re.compile(r"^`?(\w+)`?\s+is\s+not\s+null$", re.I)
     _PRED_ISNULL_RE = re.compile(r"^`?(\w+)`?\s+is\s+null$", re.I)
-    # col LIKE 'prefix%' with a WILDCARD-FREE prefix (no %, _, or quote
-    # escapes): the one LIKE shape whose match set is a contiguous string
-    # range, so file min/max can prune it. Any other LIKE stays a pure
-    # row filter.
-    _PRED_LIKE_RE = re.compile(r"^`?(\w+)`?\s+like\s+'([^'%_]+)%'$", re.I)
+    # col LIKE 'prefix%' with a WILDCARD-FREE prefix (no %, _, quote, or
+    # backslash — Spark's LIKE treats \ as its escape char, so a pattern
+    # containing one matches a DIFFERENT literal prefix than the raw
+    # characters pruning would compare): the one LIKE shape whose match
+    # set is a contiguous string range, so file min/max can prune it.
+    # Any other LIKE stays a pure row filter.
+    _PRED_LIKE_RE = re.compile(r"^`?(\w+)`?\s+like\s+'([^'%_\\]+)%'$", re.I)
 
     @staticmethod
     def _parse_literal(lit: str) -> object | None:

@@ -1221,6 +1221,16 @@ def test_truncate_partition_pruning(lake, spark):
     # LIKE on a numeric column (string-cast semantics): never pruned,
     # always exact
     assert t.read(where="k LIKE '39%'").count() == 111
+    # backslash in the pattern: Spark's LIKE treats \ as its escape char
+    # (the literal prefix differs from the raw pattern characters), so no
+    # prefix conjunct may be derived — rows must stay exact, files intact
+    tbs = lake.create_table("db.truncbs", "s STRING, v BIGINT",
+                            partition_by=["truncate(2, s)"])
+    tbs.append(spark.createDataFrame(
+        [("a_tail", 1), (r"a\tail", 2), ("axtail", 3)], "s STRING, v BIGINT"))
+    esc = tbs.read(where=r"s LIKE 'a\_%'")  # \_ = literal underscore
+    assert len(set(esc.inputFiles())) == len(set(tbs.read().inputFiles()))
+    assert [r.v for r in esc.collect()] == [1]
 
 
 def test_data_skipping_in_and_between(lake, spark):
