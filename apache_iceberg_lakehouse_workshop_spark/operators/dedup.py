@@ -13,9 +13,10 @@ generalizes that to the dedup families a training-data pipeline needs:
   i.e. a shuffle whose width is O(docs x bands), never O(docs^2).
 - SimHash: 64-bit bit-majority signature, hamming-distance buckets.
 
-Determinism note: minhashes are built from md5 hex strings (lexicographic
-min), not JVM hash seeds, so signatures are stable across engines/runs and
-can be checked against a SQL oracle.
+Determinism note: minhashes are built from md5 digests (one per gram; the
+k permutations derive from its two halves, Kirsch-Mitzenmacher style), not
+JVM hash seeds, so signatures are stable across engines/runs and can be
+checked against a SQL oracle.
 """
 
 from __future__ import annotations
@@ -83,13 +84,31 @@ def jaccard(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------- minhash-LSH
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
-    """k minhashes: min over md5('seed:i' || shingle) hex strings.
+_MH_PRIME = 2147483647  # 2^31 - 1: (a + 8b) stays far under int64
 
-    md5-as-permutation is the standard trick; using the lexicographic min of
-    hex strings keeps it engine-portable and seed-stable."""
+
+def _km_hashes(g: Column, num_hashes: int) -> list[Column]:
+    """k per-gram hash values from ONE md5 digest (Kirsch-Mitzenmacher,
+    "Less Hashing, Same Performance"): h_i = (a + (i+1)*b) mod p, with a/b
+    the digest's two 60-bit halves. One digest per gram replaces k of them
+    in the map-side hot loop — the dominant minhash cost at corpus scale
+    (k=8 over trigram streams is ~8x the hash work of everything else) —
+    and int mins partial-aggregate cheaper than 32-char hex mins.
+    Engine-portable: DuckDB replays each half as
+    ``CAST('0x' || substring(md5(g), ..) AS BIGINT)``."""
+    h = F.md5(g)
+    a = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _MH_PRIME
+    b = F.conv(F.substring(h, 17, 15), 16, 10).cast("long") % _MH_PRIME
+    return [(a + (i + 1) * b) % _MH_PRIME for i in range(num_hashes)]
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
+    """k minhashes of a shingle array: array_min over the KM hash family.
+
+    md5-as-permutation keeps signatures engine-portable and seed-stable;
+    the k permutations derive from one digest per shingle (:func:`_km_hashes`)."""
     return [
-        F.array_min(F.transform(shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"mh{i}:"), s))))
+        F.array_min(F.transform(shingle_col, lambda s, i=i: _km_hashes(s, i + 1)[i]))
         for i in range(num_hashes)
     ]
 
@@ -117,14 +136,13 @@ def _token_grams(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> D
 def _banded(grams: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
     """(id, band_id, band_sig) banded MinHash signatures from a gram set.
     Minhashes via groupBy(min): duplicate grams cannot change a MIN, so no
-    distinct needed; the k mins are partial-aggregated map-side and the
-    banded shuffle carries only hex strings."""
+    distinct needed; the k mins derive from ONE md5 per gram
+    (:func:`_km_hashes`), partial-aggregate map-side as ints, and the
+    banded shuffle carries short "int|int" strings."""
     n_bands = num_hashes // band_size
+    hs = _km_hashes(F.col("g"), num_hashes)
     mh = grams.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("g")))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(hs[i]).alias(f"h{i}") for i in range(num_hashes)]
     )
     return mh.select(
         "id",
@@ -133,7 +151,10 @@ def _banded(grams: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
                 *[
                     F.concat_ws(
                         "|",
-                        *[F.col(f"h{j}") for j in range(b * band_size, (b + 1) * band_size)],
+                        *[
+                            F.col(f"h{j}").cast("string")
+                            for j in range(b * band_size, (b + 1) * band_size)
+                        ],
                     )
                     for b in range(n_bands)
                 ]
