@@ -49,6 +49,20 @@ def _part(index_name: str, part: str) -> str:
     return f"{index_name}_{part}"
 
 
+def infer_ann_params(df: DataFrame, vec_col: str = "embedding") -> dict:
+    """``{"dim", "m_sub"}`` read from the DATA: dim = the first vector's
+    length, m_sub = the largest of (4, 2, 1) dividing it. The advisor's
+    autonomous build and the TVF one-shot path both use this instead of
+    the 64-dim API default — an auto-index over a 32-dim corpus trained
+    with dim=64 would silently slice garbage sub-vectors, and the two
+    paths must agree for index-serve == one-shot equality to hold."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    dim = int(row["d"])
+    return {"dim": dim, "m_sub": 4 if dim % 4 == 0 else (2 if dim % 2 == 0 else 1)}
+
+
 def build_ann_index(
     lake,
     source_table: str,

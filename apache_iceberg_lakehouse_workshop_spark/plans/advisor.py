@@ -926,11 +926,16 @@ class WorkloadAdvisor:
                 # (REFRESH INDEX / stream_maintain_index keep it fresh)
                 lake = self.accelerator.lake
                 if kind == "ann":
-                    from ..operators.ann_index import build_ann_index
+                    from ..operators.ann_index import build_ann_index, infer_ann_params
 
                     build_ann_index(
                         lake, rec["dataset"], rec["name"],
                         vec_col=rec["column"], id_col=rec["id_col"],
+                        # dim/m_sub from the DATA, not the 64-dim API
+                        # default — the auto build must fit any corpus
+                        **infer_ann_params(
+                            lake.table(rec["dataset"]).read(), rec["column"]
+                        ),
                     )
                 else:
                     from ..operators.text_index import build_text_index

@@ -1146,9 +1146,16 @@ class ScriptRunner:
 
                 refresh_ann_index(self.lake, auto)
                 return ann_query(self.lake, auto, q, k=a, nprobe=b)
+            from ..operators.ann_index import infer_ann_params
             from ..operators.similarity import knn_ivfpq
 
-            return knn_ivfpq(self.lake.table(table).read(), q, k=a, nprobe=b)
+            # dim/m_sub inferred from the data with the SAME rule the
+            # advisor's auto build uses, so index-serve == one-shot holds
+            # for any corpus width, not just the 64-dim default
+            corpus = self.lake.table(table).read()
+            return knn_ivfpq(
+                corpus, q, k=a, nprobe=b, **infer_ann_params(corpus)
+            )
         if self.lake.table_exists(f"{auto}_postings"):
             from ..operators.text_index import bm25_query, refresh_text_index
 

@@ -427,6 +427,38 @@ def test_advisor_autonomous_index_lifecycle(spark, sf_dir, lake):
     assert not lake.table_exists("ax.auto_textidx_docs_text_doclen")
 
 
+def test_autonomous_index_infers_corpus_dim(spark, sf_dir, lake):
+    """The advisor's auto build and the TVF one-shot path read dim/m_sub
+    from the DATA (infer_ann_params), not the 64-dim API default — a
+    non-64-dim corpus must serve identically pre- and post-accelerate
+    instead of silently slicing garbage sub-vectors."""
+    emb8 = (
+        _emb(spark, sf_dir, 120)
+        .select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    )
+    lake.create_table_as("ax8.emb", emb8)
+    lake.create_table_as("ax8.q", emb8.orderBy("vec_id").limit(3))
+    sql = (
+        "SELECT query_id, cand_id, approx_dist, rank "
+        "FROM TABLE(ann_search('ax8.emb', 'ax8.q', 3, 4)) ORDER BY query_id, rank"
+    )
+    lake.run_script("SELECT 1 AS one")
+    r = lake._script_runner
+    _ = r.advisor
+    one_shot = _topk(lake.run_script(sql))
+    assert one_shot  # a dim-64 slice over 8-dim vectors would break this
+    for _i in range(2):
+        lake.run_script(sql)
+    created = r.accelerate()
+    assert "ax8.auto_annidx_emb_embedding" in created
+    codes = lake.table("ax8.auto_annidx_emb_embedding_codes")
+    import json as _json
+
+    params = _json.loads(codes.properties()["ann.params"])
+    assert (params["dim"], params["m_sub"]) == (8, 4)
+    assert _topk(lake.run_script(sql)) == one_shot
+
+
 def test_rebuild_replaces_prior_index(spark, sf_dir, lake):
     """build_ann_index on an existing name replaces all three tables and
     re-records the source snapshot."""
