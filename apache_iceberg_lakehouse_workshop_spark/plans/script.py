@@ -109,6 +109,14 @@ _RE_BM25_TVF = re.compile(
     r"(\d+)\s*\)\s*\)",
     re.I,
 )
+# TABLE(hybrid_search('ann_idx', 'text_idx', 'queries', 'terms', n[, depth]))
+# — RRF-fused hybrid retrieval served END-TO-END from the two persisted
+# indexes (the s14 shape): corpus text/vectors never touched at query time
+_RE_HYBRID_TVF = re.compile(
+    r"TABLE\s*\(\s*hybrid_search\s*\(\s*'([\w.]+)'\s*,\s*'([\w.]+)'\s*,\s*"
+    r"'([\w.]+)'\s*,\s*'([^']+)'\s*,\s*(\d+)(?:\s*,\s*(\d+))?\s*\)\s*\)",
+    re.I,
+)
 
 # APPLY CHANGES INTO t FROM <changelog query> KEYS (k1[, ...]) — the
 # statement spelling of LakeTable.apply_changes (the Delta Live Tables
@@ -1125,6 +1133,41 @@ class ScriptRunner:
             df.createOrReplaceTempView(view)
             return view
 
+        def hybrid_repl(m: re.Match) -> str:
+            from ..operators.ann_index import ann_query
+            from ..operators.similarity import rrf_fuse
+            from ..operators.text_index import bm25_query
+
+            aidx, tidx, qname, terms, n, depth = m.groups()
+            depth = int(depth or 50)
+            qdf = (
+                self.lake.table(qname).read()
+                if self.lake.table_exists(qname)
+                else self.spark.table(qname)
+            )
+            if qdf.count() != 1:
+                # rrf_fuse folds ranks across the whole ANN list — with
+                # several query vectors the fusion would silently mix
+                # their neighborhoods into one meaningless ranking
+                raise ValueError(
+                    "hybrid_search expects a single-row queries table "
+                    "(one query vector)"
+                )
+            lex = bm25_query(self.lake, tidx, terms.split(), n=depth).select(
+                "doc_id", "rank"
+            )
+            sem = ann_query(self.lake, aidx, qdf, k=depth, nprobe=4).select(
+                F.col("cand_id").alias("doc_id"), "rank"
+            )
+            df = rrf_fuse([lex, sem], n=int(n))
+            sig = hashlib.sha1(
+                f"{tidx}|{qname}|{terms}|{n}|{depth}".encode()
+            ).hexdigest()[:8]
+            view = f"__hy_{aidx.split('.')[-1]}_{sig}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        sql = _RE_HYBRID_TVF.sub(hybrid_repl, sql)
         sql = _RE_ANN_TVF.sub(ann_repl, sql)
         return _RE_BM25_TVF.sub(bm25_repl, sql)
 

@@ -419,6 +419,15 @@ def _ann_index_probe(spark) -> dict:
             SIM.knn_ivfpq(emb, queries, k=5, nprobe=4, **kw).collect()
             runs.append(time.time() - t0)
         out["one_shot_s"] = round(statistics.median(runs), 4)
+        # quality, not just speed: recall@5 of the compressed-domain serve
+        # vs exact brute-force cosine over the same corpus — the number a
+        # user tunes nprobe/m_sub against (approximate results that are
+        # fast but wrong would pass every wall-clock row)
+        ann = AX.ann_query(lake, "bench.idx", queries, k=5, nprobe=4).collect()
+        exact = SIM.knn_bruteforce(emb, queries, k=5).collect()
+        got = {(r.query_id, r.cand_id) for r in ann}
+        want = {(r.query_id, r.cand_id) for r in exact}
+        out["recall_at_5"] = round(len(got & want) / max(len(want), 1), 4)
         delta = emb.where(F.col("vec_id") % 100 == 0).select(
             (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
         )
@@ -819,25 +828,33 @@ def _scaled_section(spark) -> dict:
         "t18_dsir_select": (t18, 4, 32),
         "j13_asof_join": (j13, 8, 64),
     }
+    def run_once(fn, times):
+        t0 = time.time()
+        df, rows = fn(times)
+        # count() alone would let Catalyst prune unused expressions
+        # (e.g. an as-of window whose match column nobody reads), and
+        # count(xxhash64(...)) rewrites to count(*) because the hash is
+        # non-nullable — SUMMING the hash is what forces every output
+        # column to actually compute.
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
+        ).collect()[0]
+        return rows, time.time() - t0, row["n"]
+
     out = {}
     for name, (fn, small, large) in tiers.items():
-        obs = {}
-        for times in (small, large):
-            t0 = time.time()
-            df, rows = fn(times)
-            # count() alone would let Catalyst prune unused expressions
-            # (e.g. an as-of window whose match column nobody reads), and
-            # count(xxhash64(...)) rewrites to count(*) because the hash is
-            # non-nullable — SUMMING the hash is what forces every output
-            # column to actually compute.
-            row = df.agg(
-                F.count("*").alias("n"),
-                F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
-            ).collect()[0]
-            n_out = row["n"]
-            obs[times] = (rows, time.time() - t0, n_out)
-        rows_l, sec_l, n_out = obs[large]
-        rows_s, sec_s, _ = obs[small]
+        rows_s, sec_s, _ = run_once(fn, small)
+        # the large tier runs TWICE and reports the min: single-shot walls
+        # late in a long-lived session swing ±30% with JVM/GC state (r10
+        # captures spanned 9.9-13.9s on the same t18 code), which made
+        # round-over-round comparisons uninterpretable; min-of-2 clips the
+        # state noise while `sec_cold` keeps the first-execution cost
+        # (codegen compile + uncached input) visible
+        rows_l, sec_c, n_out = run_once(fn, large)
+        _, sec_w, n_out2 = run_once(fn, large)
+        assert n_out2 == n_out, f"{name}: nondeterministic output count"
+        sec_l = min(sec_c, sec_w)
         # marginal rate subtracts the fixed per-job cost that dominates the
         # small tier; `scaling` >= ~1 is healthy (fixed cost amortizing),
         # << 1 flags super-linear work growth
@@ -845,6 +862,7 @@ def _scaled_section(spark) -> dict:
         out[name] = {
             "rows": rows_l,
             "sec": round(sec_l, 3),
+            "sec_cold": round(sec_c, 3),
             "rows_per_sec": round(rows_l / sec_l, 1),
             "marginal_rows_per_sec": round(marginal, 1),
             "out_rows": n_out,

@@ -340,10 +340,39 @@ def test_index_sql_surface(spark, sf_dir, lake):
     assert AX.ann_index_status(lake, "ix.emb_idx")["fresh"]
     lake.run_script("REFRESH INDEX ix.doc_idx;")
 
+    # hybrid_search TVF: RRF fusion of both persisted indexes, equal to
+    # composing the API calls (the s14 shape, spelled in SQL)
+    from apache_iceberg_lakehouse_workshop_spark.operators.similarity import rrf_fuse
+
+    lake.create_table_as("ix.q1", emb.filter(F.col("vec_id") == 0))
+    hy = lake.run_script(
+        "SELECT rank, doc_id, rrf_q6, n_systems "
+        "FROM TABLE(hybrid_search('ix.emb_idx', 'ix.doc_idx', 'ix.q1', "
+        "'spark vector stream', 10, 25)) ORDER BY rank"
+    )
+    lex = TX.bm25_query(
+        lake, "ix.doc_idx", ["spark", "vector", "stream"], n=25
+    ).select("doc_id", "rank")
+    sem = AX.ann_query(
+        lake, "ix.emb_idx", lake.table("ix.q1").read(), k=25, nprobe=4
+    ).select(F.col("cand_id").alias("doc_id"), "rank")
+    want_hy = rrf_fuse([lex, sem], n=10)
+    assert [tuple(r) for r in hy.collect()] == [
+        tuple(r) for r in want_hy.collect()
+    ]
+    import pytest as _pytest
+
+    # multi-row queries table: refuse rather than silently mixing the
+    # query vectors' neighborhoods into one fused ranking
+    with _pytest.raises(ValueError, match="single-row"):
+        lake.run_script(
+            "SELECT * FROM TABLE(hybrid_search('ix.emb_idx', 'ix.doc_idx', "
+            "'ix.q', 'spark vector', 10))"
+        )
+
     lake.run_script("DROP INDEX ix.emb_idx;")
     assert not lake.table_exists("ix.emb_idx_codes")
     lake.run_script("DROP INDEX IF EXISTS ix.emb_idx;")  # idempotent
-    import pytest as _pytest
 
     with _pytest.raises(ValueError):
         lake.run_script("DROP INDEX ix.emb_idx;")
