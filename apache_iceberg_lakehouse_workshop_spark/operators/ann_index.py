@@ -63,6 +63,20 @@ def infer_ann_params(df: DataFrame, vec_col: str = "embedding") -> dict:
     return {"dim": dim, "m_sub": 4 if dim % 4 == 0 else (2 if dim % 2 == 0 else 1)}
 
 
+def _cell_clustered(codes: DataFrame) -> DataFrame:
+    """Range-cluster + sort the codes on (cell_id, m) so each parquet file
+    owns a tight cell_id range — the text index's term-clustered-postings
+    treatment applied to ANN: a query batch probes nprobe of n_cells, and
+    the probed cells are known BEFORE the codes scan, so
+    ``read(where="cell_id IN (...)")`` file-prunes the serve to ~nprobe /
+    n_cells of the table instead of scanning every code."""
+    codes = codes.select(*_CODE_COLS)
+    n = max(codes.sparkSession.sparkContext.defaultParallelism // 2, 1)
+    return codes.repartitionByRange(n, "cell_id", "m").sortWithinPartitions(
+        "cell_id", "m"
+    )
+
+
 def build_ann_index(
     lake,
     source_table: str,
@@ -93,7 +107,7 @@ def build_ann_index(
     parts = {
         "centroids": cents.select("cell_id", "centroid"),
         "codebook": book.select("m", "code", "cv"),
-        "codes": codes.select(*_CODE_COLS),
+        "codes": _cell_clustered(codes),
     }
     for part, df in parts.items():
         name = _part(index_name, part)
@@ -172,10 +186,18 @@ def refresh_ann_index(lake, index_name: str) -> dict:
         else:
             codes_t.set_properties(wm)
         mode = "incremental"
+        # un-clustered delta appends accumulate files with wide cell_id
+        # ranges, eroding the probed-cell pruning — re-cluster in place
+        # after a few appends (the text index's recluster_after idiom)
+        appends = 0
+        for s in codes_t._load_meta()["snapshots"]:
+            appends = appends + 1 if s["operation"] == "append" else 0
+        if appends > 8:
+            codes_t.compact(sort_by=["cell_id", "m"])
     except ValueError:
         # non-append history in the range: exact frozen-quantizer rebuild
         full = src.read(snapshot_id=cur)
-        codes_t.overwrite(encoded(full), table_props=wm)
+        codes_t.overwrite(_cell_clustered(encoded(full)), table_props=wm)
         n = full.count()
         mode = "reencode"
     return {"index": index_name, "mode": mode, "n_encoded": n}
@@ -213,10 +235,35 @@ def ann_query(
     corpus encode — three parquet reads (two of them broadcast-small)
     plus the probe + ADC joins of :func:`similarity.ivfpq_serve`.
     Output schema matches :func:`similarity.knn_ivfpq`:
-    (query_id, cand_id, approx_dist, rank)."""
+    (query_id, cand_id, approx_dist, rank).
+
+    The codes scan is FILE-PRUNED to the query batch's probed cells: the
+    probe assignment (|Q| x n_cells, broadcast-small) runs first, its
+    distinct cell_ids become a ``cell_id IN (...)`` read predicate, and
+    the cell-clustered codes layout (:func:`_cell_clustered`) turns that
+    into ~nprobe/n_cells of the files — at corpus scale the serve reads
+    the probed slices, never the whole index. Results are unchanged:
+    ivfpq_serve's distance-table join restricts to probed (cell, m,
+    code) anyway; pruning only removes rows that join would drop
+    (probe without sim_gap = a superset of the gap-filtered cells)."""
+    from .similarity import _assign_cells
+
     codes_t, _props, params, cents, book = _load(lake, index_name)
+    q_cell = _assign_cells(
+        queries.select(
+            F.col(params["id_col"]).cast("long").alias("query_id"),
+            quantized(F.col(params["vec_col"])).alias("query_id_vec"),
+        ),
+        cents,
+        "query_id",
+        nprobe=nprobe,
+    )
+    cells = sorted(
+        r["cell_id"] for r in q_cell.select("cell_id").distinct().collect()
+    )
+    where = f"cell_id IN ({', '.join(str(c) for c in cells)})" if cells else None
     return ivfpq_serve(
-        cents, book, codes_t.read().select(*_CODE_COLS), queries,
+        cents, book, codes_t.read(where=where).select(*_CODE_COLS), queries,
         k=k, nprobe=nprobe, m_sub=params["m_sub"],
         sub_dim=params["dim"] // params["m_sub"],
         id_col=params["id_col"], vec_col=params["vec_col"],

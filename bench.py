@@ -399,6 +399,20 @@ def _ann_index_probe(spark) -> dict:
 
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 10).localCheckpoint()
+    # plant 5 jittered near-copies of every query (0.2%-steps scaling):
+    # uniform-random vectors have no meaningful neighbors (distance
+    # concentration — recall vs exact would measure the DATA), so the
+    # planted copies are the ground-truth top-5 the recall rows score
+    planted = None
+    for j in range(1, 6):
+        p = queries.select(
+            (F.col("vec_id") + 1_000_000 * j).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, j=j: x * F.lit(1.0 + 0.002 * j)
+            ).cast("array<float>").alias("embedding"),
+        )
+        planted = p if planted is None else planted.unionAll(p)
+    emb = emb.unionAll(planted)
     kw = dict(dim=64, m_sub=4, k_codes=16, n_cells=16)
     out: dict = {"corpus_rows": emb.count()}
     with tempfile.TemporaryDirectory() as wh:
@@ -420,14 +434,65 @@ def _ann_index_probe(spark) -> dict:
             runs.append(time.time() - t0)
         out["one_shot_s"] = round(statistics.median(runs), 4)
         # quality, not just speed: recall@5 of the compressed-domain serve
-        # vs exact brute-force cosine over the same corpus — the number a
-        # user tunes nprobe/m_sub against (approximate results that are
-        # fast but wrong would pass every wall-clock row)
-        ann = AX.ann_query(lake, "bench.idx", queries, k=5, nprobe=4).collect()
-        exact = SIM.knn_bruteforce(emb, queries, k=5).collect()
-        got = {(r.query_id, r.cand_id) for r in ann}
-        want = {(r.query_id, r.cand_id) for r in exact}
+        # vs EXACT top-5 under the same metric (squared L2 over the same
+        # quantized vectors — cosine brute force would conflate metric
+        # mismatch with quantization loss). Two rows separate the two
+        # approximation sources: nprobe=4 (IVF probe loss + PQ loss) and
+        # nprobe=n_cells (PQ quantization loss alone).
+        from pyspark.sql import Window as _W
+
+        from apache_iceberg_lakehouse_workshop_spark.operators.similarity import (
+            _l2_int,
+            quantized,
+        )
+
+        cq = emb.select(
+            F.col("vec_id").alias("cand_id"), quantized(F.col("embedding")).alias("cv")
+        )
+        qq = queries.select(
+            F.col("vec_id").alias("query_id"), quantized(F.col("embedding")).alias("qv")
+        )
+        exact = (
+            cq.join(F.broadcast(qq), F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id", "cand_id", _l2_int(F.col("qv"), F.col("cv")).alias("d")
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    _W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+                ),
+            )
+            .filter(F.col("rank") <= 5)
+        )
+        want = {(r.query_id, r.cand_id) for r in exact.collect()}
+        served = AX.ann_query(lake, "bench.idx", queries, k=5, nprobe=4)
+        got = {(r.query_id, r.cand_id) for r in served.collect()}
         out["recall_at_5"] = round(len(got & want) / max(len(want), 1), 4)
+        full = {
+            (r.query_id, r.cand_id)
+            for r in AX.ann_query(
+                lake, "bench.idx", queries, k=5, nprobe=kw["n_cells"]
+            ).collect()
+        }
+        out["recall_at_5_fullprobe"] = round(
+            len(full & want) / max(len(want), 1), 4
+        )
+        # probed-cell file pruning: the serve reads only the query batch's
+        # probed cell slices of the cell-clustered codes table
+        codes_files = set(lake.table("bench.idx_codes").read().inputFiles())
+        out["codes_files_total"] = len(codes_files)
+        out["codes_files_probed"] = len(
+            {f for f in served.inputFiles() if f in codes_files}
+        )
+        # a 10-query batch's probed-cell union covers most cells; the
+        # single-query row shows the per-query asymptotics (~nprobe/n_cells)
+        one = AX.ann_query(
+            lake, "bench.idx", emb.filter(F.col("vec_id") == 0), k=5, nprobe=4
+        )
+        out["codes_files_one_query"] = len(
+            {f for f in one.inputFiles() if f in codes_files}
+        )
         delta = emb.where(F.col("vec_id") % 100 == 0).select(
             (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
         )

@@ -49,6 +49,25 @@ def test_persisted_query_equals_one_shot(spark, sf_dir, lake, residual):
     assert _topk(got) == _topk(want)
 
 
+def test_serve_prunes_codes_files_to_probed_cells(spark, sf_dir, lake):
+    """The codes table is cell-clustered at build and the serve derives a
+    cell_id IN (probed cells) read predicate BEFORE the codes scan — the
+    text index's term-pruned-postings treatment applied to ANN: one query
+    probing nprobe=2 of 16 cells must read a strict subset of the codes
+    files, with results identical to an unpruned serve."""
+    emb = _emb(spark, sf_dir, 400)
+    lake.create_table_as("ann.corpus", emb)
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    codes_files = set(lake.table("ann.idx_codes").read().inputFiles())
+    assert len(codes_files) >= 4  # clustered layout: several tight-range files
+    q1 = emb.filter(F.col("vec_id") == 0)
+    got = AX.ann_query(lake, "ann.idx", q1, k=5, nprobe=2)
+    scanned = {f for f in got.inputFiles() if f in codes_files}
+    assert 0 < len(scanned) < len(codes_files)
+    want = SIM.knn_ivfpq(emb, q1, k=5, nprobe=2, **KW)
+    assert _topk(got) == _topk(want)
+
+
 def test_incremental_refresh_is_o_delta_and_exact(spark, sf_dir, lake):
     """Append-only refresh encodes ONLY the delta (codes table grows by
     m_sub rows per appended vector; quantizer tables untouched), and the
