@@ -1153,12 +1153,21 @@ class ScriptRunner:
                     "hybrid_search expects a single-row queries table "
                     "(one query vector)"
                 )
-            lex = bm25_query(self.lake, tidx, terms.split(), n=depth).select(
-                "doc_id", "rank"
-            )
-            sem = ann_query(self.lake, aidx, qdf, k=depth, nprobe=4).select(
-                F.col("cand_id").alias("doc_id"), "rank"
-            )
+            # each side gets the ann_search/bm25_search treatment: a name
+            # that is a BASE table (no persisted index yet) serves one-shot
+            # while counting the shape for the advisor — once accelerate()
+            # materialized the auto indexes, the same spelling serves from
+            # them with identical results
+            if not self.lake.table_exists(f"{tidx}_postings") and self.lake.table_exists(tidx):
+                lex = self._serve_search("text", tidx, terms.split(), depth, None)
+            else:
+                lex = bm25_query(self.lake, tidx, terms.split(), n=depth)
+            lex = lex.select("doc_id", "rank")
+            if not self.lake.table_exists(f"{aidx}_codes") and self.lake.table_exists(aidx):
+                sem = self._serve_search("ann", aidx, qdf, depth, 4)
+            else:
+                sem = ann_query(self.lake, aidx, qdf, k=depth, nprobe=4)
+            sem = sem.select(F.col("cand_id").alias("doc_id"), "rank")
             df = rrf_fuse([lex, sem], n=int(n))
             sig = hashlib.sha1(
                 f"{tidx}|{qname}|{terms}|{n}|{depth}".encode()

@@ -397,6 +397,43 @@ def test_index_sql_surface(spark, sf_dir, lake):
         lake.run_script("DROP INDEX ix.emb_idx;")
 
 
+def test_hybrid_tvf_base_table_fallback(spark, sf_dir, lake):
+    """hybrid_search spelled against BASE tables (no persisted indexes)
+    gets the ann_search/bm25_search treatment: each side serves one-shot
+    (counting the shape for the advisor) instead of erroring, equal to
+    composing the one-shot operators directly."""
+    from apache_iceberg_lakehouse_workshop_spark.operators.ann_index import (
+        infer_ann_params,
+    )
+    from apache_iceberg_lakehouse_workshop_spark.operators.similarity import (
+        knn_ivfpq,
+        rrf_fuse,
+    )
+    from apache_iceberg_lakehouse_workshop_spark.operators.textstats import bm25_topk
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table as _lt
+
+    emb = _emb(spark, sf_dir, 200)
+    lake.create_table_as("hb.emb", emb)
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text").limit(150)
+    lake.create_table_as("hb.docs", docs)
+    lake.create_table_as("hb.q", emb.filter(F.col("vec_id") == 0))
+    got = lake.run_script(
+        "SELECT rank, doc_id, rrf_q6, n_systems "
+        "FROM TABLE(hybrid_search('hb.emb', 'hb.docs', 'hb.q', "
+        "'spark vector', 5, 20)) ORDER BY rank"
+    )
+    corpus = lake.table("hb.emb").read()
+    lex = bm25_topk(lake.table("hb.docs").read(), ["spark", "vector"], n=20).select(
+        "doc_id", "rank"
+    )
+    sem = knn_ivfpq(
+        corpus, lake.table("hb.q").read(), k=20, nprobe=4,
+        **infer_ann_params(corpus),
+    ).select(F.col("cand_id").alias("doc_id"), "rank")
+    want = rrf_fuse([lex, sem], n=5)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
 def test_advisor_autonomous_index_lifecycle(spark, sf_dir, lake):
     """Round-10 (r9 'next' #4, the index twin of test_advisor_benefit_gate):
     ann_search/bm25_search TVFs spelled against the BASE table serve
