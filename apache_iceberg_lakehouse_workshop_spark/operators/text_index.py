@@ -78,6 +78,17 @@ def _doclen_of(postings: DataFrame) -> DataFrame:
     return doclen.repartitionByRange(n, "doc_id").sortWithinPartitions("doc_id")
 
 
+def _doclen_stats(doclen: DataFrame) -> tuple[int, int]:
+    """(n_docs, sum of dl) as EXACT int64 — the corpus stats every serve
+    needs. Persisted as table properties and maintained additively on
+    incremental refresh, so ``bm25_query`` never aggregates doclen."""
+    row = doclen.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"])
+
+
 def _write_index_tables(lake, index_name: str, postings: DataFrame) -> None:
     for part, df in (
         ("postings", _clustered(postings)),
@@ -103,6 +114,10 @@ def build_text_index(
         raise ValueError(f"source table {source_table} has no snapshots")
     postings = _postings_of(src.read(snapshot_id=sid), id_col, text_col)
     _write_index_tables(lake, index_name, postings)
+    # corpus stats (N, sum of doc lengths) persist as table properties and
+    # are maintained exactly on refresh: the serve's only remaining stats
+    # job is the term-pruned postings scan — no per-query doclen aggregate
+    nd, sdl = _doclen_stats(lake.table(_part(index_name, "doclen")).read())
     lake.table(_part(index_name, "postings")).set_properties(
         {
             "text.params": json.dumps(
@@ -110,6 +125,8 @@ def build_text_index(
             ),
             "text.source-table": source_table,
             "text.source-snapshot-id": str(sid),
+            "text.n-docs": str(nd),
+            "text.sum-dl": str(sdl),
         }
     )
     return {
@@ -167,6 +184,10 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         full = src.read(snapshot_id=cur)
         postings = _postings_of(full, params["id_col"], params["text_col"])
         doclen_t.overwrite(_doclen_of(postings))
+        # corpus-stat props rebuild from the WRITTEN doclen (small files;
+        # aggregating the frame again would re-run the full tokenize)
+        nd, sdl = _doclen_stats(doclen_t.read())
+        wm.update({"text.n-docs": str(nd), "text.sum-dl": str(sdl)})
         post_t.overwrite(_clustered(postings), table_props=wm)
         return full.count()
 
@@ -193,7 +214,18 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         return {
             "index": index_name, "mode": "retokenize", "n_docs": retokenize(),
         }
-    doclen_t.append(_doclen_of(postings))
+    delta_doclen = _doclen_of(postings).localCheckpoint(eager=True)
+    doclen_t.append(delta_doclen)
+    # additive EXACT stat maintenance, riding the same crash-atomic commit
+    # as the postings delta + watermark (a crash before this commit leaves
+    # the props un-advanced and the collision check routes to retokenize,
+    # which rebuilds them)
+    nd, sdl = _doclen_stats(delta_doclen)
+    if "text.n-docs" in props:
+        nd, sdl = int(props["text.n-docs"]) + nd, int(props["text.sum-dl"]) + sdl
+    else:  # pre-stats index: rebuild totals from the appended doclen
+        nd, sdl = _doclen_stats(doclen_t.read())
+    wm.update({"text.n-docs": str(nd), "text.sum-dl": str(sdl)})
     post_t.append(postings.select(*_POSTING_COLS), table_props=wm)
     appends = 0  # appends since the last full rewrite
     for s in post_t._load_meta()["snapshots"]:
@@ -243,37 +275,51 @@ def bm25_query(
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms_l)
     # file-level min/max skipping on the sorted term column prunes the
     # postings files before Spark lists them
-    post = lake.table(_part(index_name, "postings")).read(
-        where=f"w IN ({in_list})"
-    )
+    post_t = lake.table(_part(index_name, "postings"))
+    post = post_t.read(where=f"w IN ({in_list})")
     doclen = lake.table(_part(index_name, "doclen")).read()
-    # ONE Spark job for every serve-time stat: the per-term df rows
-    # unioned with a (NULL, N, avgdl) corpus row — each collect costs a
-    # ~0.1-0.2s job floor and the serve path is floor-dominated, so two
-    # stats jobs were half the serve wall. All inputs are exact int64
-    # (count / long-sum division), so values are layout- and
-    # order-invariant.
-    stats_rows = (
-        post.groupBy("w")
-        .agg(
-            F.count("*").cast("double").alias("a"),
-            F.lit(None).cast("double").alias("b"),
-        )
-        .unionByName(
-            doclen.agg(
-                F.count("*").cast("double").alias("a"),
-                F.avg("dl").alias("b"),
-            ).select(F.lit(None).cast("string").alias("w"), "a", "b")
-        )
-        .collect()
-    )
+    # ONE Spark job for every serve-time stat, and it scans ONLY the
+    # term-pruned postings files: (N, sum dl) come from the table
+    # properties maintained exactly at build/refresh, so avgdl is the
+    # same IEEE double(sum)/double(count) the doclen aggregate produced
+    # (integer-valued double sums below 2^53 are order-exact). Each
+    # collect costs a ~0.1-0.2s job floor and the serve is
+    # floor-dominated — per-query work must not grow with the corpus.
+    props = post_t.properties()
     n_docs = avgdl = 0.0
     dfrow: dict[str, float] = {}
-    for r in stats_rows:
-        if r.w is None:
-            n_docs, avgdl = r.a, r.b
-        else:
+    if "text.n-docs" in props:
+        nd = int(props["text.n-docs"])
+        if nd:
+            n_docs = float(nd)
+            avgdl = float(int(props["text.sum-dl"])) / n_docs
+        stats_rows = (
+            post.groupBy("w").agg(F.count("*").cast("double").alias("a")).collect()
+        )
+        for r in stats_rows:
             dfrow[r.w] = r.a
+    else:
+        # pre-stats index: the per-term df rows unioned with a
+        # (NULL, N, avgdl) corpus row — still one job
+        stats_rows = (
+            post.groupBy("w")
+            .agg(
+                F.count("*").cast("double").alias("a"),
+                F.lit(None).cast("double").alias("b"),
+            )
+            .unionByName(
+                doclen.agg(
+                    F.count("*").cast("double").alias("a"),
+                    F.avg("dl").alias("b"),
+                ).select(F.lit(None).cast("string").alias("w"), "a", "b")
+            )
+            .collect()
+        )
+        for r in stats_rows:
+            if r.w is None:
+                n_docs, avgdl = r.a, r.b
+            else:
+                dfrow[r.w] = r.a
     cases = None
     for t in terms_l:
         df_t = dfrow.get(t)
