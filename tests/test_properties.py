@@ -193,6 +193,31 @@ def test_file_may_match_between_sound(vals, lo, hi, partition_style):
             assert not (_spark_pred(v, ">=", lo) and _spark_pred(v, "<=", hi))
 
 
+_str_vals = st.lists(st.text(max_size=8), min_size=1, max_size=5)
+
+
+@given(
+    vals=_str_vals,
+    p=st.text(min_size=1, max_size=6),
+    partition_style=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_file_may_match_prefix_sound(vals, p, partition_style):
+    """r10 prefix-LIKE conjunct: if the evaluator prunes a file, no row in
+    it may satisfy LIKE 'p%' (startswith on the string form). UTF-8 byte
+    order equals code-point order, so Python's string comparison models
+    Spark's; keeping a file is always allowed, pruning must be sound."""
+    if partition_style:
+        vals = vals[:1]
+    cols = {"c": _stats_for(vals, partition_style)}
+    if not LakeTable._file_may_match(cols, ("c", "prefix", p)):
+        for v in vals:
+            assert not str(v).startswith(p), (
+                f"pruned a file containing LIKE-matching row {v!r} "
+                f"(stats={cols['c']!r}, prefix={p!r})"
+            )
+
+
 import datetime as _dt
 
 
