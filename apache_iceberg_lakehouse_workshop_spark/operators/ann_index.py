@@ -141,7 +141,7 @@ def _load(lake, index_name: str):
     return codes_t, props, params, cents, book
 
 
-def refresh_ann_index(lake, index_name: str) -> dict:
+def refresh_ann_index(lake, index_name: str, recluster_after: int = 8) -> dict:
     """Bring the index up to the source's current snapshot WITHOUT
     retraining: quantizers are frozen (FAISS practice — retrain is a
     deliberate rebuild, not maintenance), appended rows are encoded with
@@ -192,7 +192,7 @@ def refresh_ann_index(lake, index_name: str) -> dict:
         appends = 0
         for s in codes_t._load_meta()["snapshots"]:
             appends = appends + 1 if s["operation"] == "append" else 0
-        if appends > 8:
+        if recluster_after and appends > recluster_after:
             codes_t.compact(sort_by=["cell_id", "m"])
     except ValueError:
         # non-append history in the range: exact frozen-quantizer rebuild

@@ -512,6 +512,45 @@ def test_advisor_autonomous_index_lifecycle(spark, sf_dir, lake):
     assert not lake.table_exists("ax.auto_textidx_docs_text_doclen")
 
 
+def test_codes_recluster_after_incremental_appends(spark, sf_dir, lake):
+    """Accumulated delta codes (un-clustered, wide cell_id-range files)
+    re-cluster after recluster_after append snapshots: the
+    compact(sort_by=[cell_id, m]) restores tight per-file cell ranges,
+    PRESERVES the index properties (params + source-snapshot watermark),
+    and the served ranking still equals the one-shot."""
+    emb = _emb(spark, sf_dir, 400)
+    lake.create_table_as("ann.corpus", emb.filter(F.col("vec_id") % 4 != 0))
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    for i in range(3):
+        lake.table("ann.corpus").append(
+            emb.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 3 == i))
+        )
+        out = AX.refresh_ann_index(lake, "ann.idx", recluster_after=2)
+        assert out["mode"] == "incremental"
+    codes_t = lake.table("ann.idx_codes")
+    ops = [s["operation"] for s in codes_t._load_meta()["snapshots"]]
+    assert "compact" in ops, ops
+    props = codes_t.properties()
+    assert "ann.params" in props and "ann.source-snapshot-id" in props
+    assert AX.ann_index_status(lake, "ann.idx")["fresh"]
+    q1 = emb.filter(F.col("vec_id") == 1)
+    got = AX.ann_query(lake, "ann.idx", q1, k=5, nprobe=4)
+    # equality target: frozen-quantizer full re-encode of the final corpus
+    # (refresh never retrains — a one-shot over the grown corpus would)
+    cents = lake.table("ann.idx_centroids").read()
+    book = lake.table("ann.idx_codebook").read()
+    v = lake.table("ann.corpus").read().select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        SIM.quantized(F.col("embedding")).alias("qv"),
+    )
+    codes = SIM.ivfpq_encode(v, cents, book, KW["m_sub"],
+                             KW["dim"] // KW["m_sub"], False)
+    want = SIM.ivfpq_serve(cents, book, codes, q1, k=5, nprobe=4,
+                           m_sub=KW["m_sub"],
+                           sub_dim=KW["dim"] // KW["m_sub"])
+    assert _topk(got) == _topk(want)
+
+
 def test_autonomous_index_infers_corpus_dim(spark, sf_dir, lake):
     """The advisor's auto build and the TVF one-shot path read dim/m_sub
     from the DATA (infer_ann_params), not the 64-dim API default — a
