@@ -53,6 +53,24 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Explode-amplification guard. A tokenize pass amplifies each doc row
+    into ~10²–10³ token rows, so a doc frame that arrives in fewer
+    partitions than the session has cores (one small parquet file, a
+    broadcast crossJoin preserving its single input split) runs the whole
+    tokenize+hash map stage on those few cores — the r10 t18 wall: an
+    8.6M-token md5 stage planned as ONE task. Hash-rebalance the DOC rows
+    (cheap — pre-explode, so only the raw text bytes move once) up to the
+    default parallelism, keyed on ``cols`` so each doc's tokens stay
+    co-partitioned for map-side combine. Inputs already at least that
+    wide pass through untouched — at 100 TB the scan is already thousands
+    of tasks and this never fires."""
+    p = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, *[F.col(c) for c in cols]) if cols else df.repartition(p)
+
+
 #: GPT-2-style pre-tokenization regex (contraction suffixes, letter runs,
 #: digit runs, punctuation runs, whitespace runs) — the standard BPE
 #: pre-split shape. Kept to constructs RE2 and Java regex share, so the
@@ -904,7 +922,8 @@ def bm25_topk(
     # exactly one separator; leading/trailing runs yield empties, dropped
     # below) — one regex pass over the text instead of three
     per_doc = (
-        docs.select(
+        _fan_out(docs, id_col)
+        .select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
         )
@@ -1014,7 +1033,7 @@ def dsir_topk(
     from pyspark.sql import Window
 
     B = 256
-    tok = docs.select(
+    tok = _fan_out(docs, id_col).select(
         F.col(id_col).cast("long").alias("doc_id"),
         # NULL predicate result counts as non-target, like filter() would
         F.coalesce(F.expr(target_where).cast("boolean"), F.lit(False)).alias(
@@ -1030,13 +1049,28 @@ def dsir_topk(
         ).alias("b"),
     )
     # is_tgt is constant per doc, so adding it to the key changes nothing
-    # but lets the bucket totals split raw/target WITHOUT a join
-    db = tokb.groupBy("doc_id", "is_tgt", "b").agg(F.count("*").alias("c"))
-    r = db.groupBy("b").agg(
-        F.sum("c").alias("c_raw"),
-        F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(F.lit(0))).alias(
-            "c_tgt"
-        ),
+    # but lets the bucket totals split raw/target WITHOUT a join.
+    # localCheckpoint: db feeds THREE consumers (bucket totals, the
+    # log-ratio broadcast build, and the per-doc scoring pass) — without
+    # it each broadcast build replays the whole tokenize+md5 corpus
+    # lineage (the r10 10.4s wall: ~3 corpus passes for one answer);
+    # checkpointed, the corpus is read once and the reuses scan the
+    # compact ≤256-rows-per-doc frame
+    db = (
+        tokb.groupBy("doc_id", "is_tgt", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    r = (
+        db.groupBy("b")
+        .agg(
+            F.sum("c").alias("c_raw"),
+            F.sum(
+                F.when(F.col("is_tgt"), F.col("c")).otherwise(F.lit(0))
+            ).alias("c_tgt"),
+        )
+        # 256 rows; pinning them keeps totals + lr from re-scanning db
+        .localCheckpoint()
     )
     totals = r.agg(
         F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")

@@ -1075,7 +1075,7 @@ class ScriptRunner:
                 from ..operators.text_index import refresh_text_index
 
                 return refresh_text_index(self.lake, idx)
-            for part in ("postings", "doclen"):
+            for part in ("postings", "doclen", "stats"):
                 self.lake.drop_table(f"{idx}_{part}", if_exists=True)
             return None
         raise ValueError(f"no such index: {idx}")

@@ -1333,6 +1333,46 @@ def s14_hybrid_persisted(spark, sf_dir):
 
 
 @q(
+    "s15_auto_index_serve",
+    _bm25_ranked_sql(20),
+    "S15 autonomous index lifecycle end-to-end under the driver gate "
+    "(r10 judge 'next' #5): the bm25_search TVF spelled against the BASE "
+    "documents table serves one-shot while the advisor fingerprints the "
+    "repeated shape; after min_count repeats accelerate() materializes "
+    "the recommended text index via the standard builder, and the SAME "
+    "spelling then serves from the persisted postings (term-pruned, "
+    "driver-side term stats). The returned frame is the INDEX-SERVED "
+    "ranking; the oracle is the one-shot BM25 replay — the s13 "
+    "bit-exactness contract is what makes the whole observe→recommend→"
+    "accelerate→serve loop externally verifiable.",
+)
+def s15_auto_index_serve(spark, sf_dir):
+    import tempfile
+
+    from .plans import Lakehouse
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix="sg-autoidx-"))
+    lake.create_table_as("ai.documents", d)
+    sql = (
+        "SELECT rank, doc_id, score_q6 "
+        "FROM TABLE(bm25_search('ai.documents', 'spark vector stream', 20))"
+    )
+    lake.run_script("SELECT 1 AS one")  # materialize the script runner
+    runner = lake._script_runner
+    _ = runner.advisor  # turn shape observation on
+    for _i in range(3):  # min_count repeats of the same search shape
+        lake.run_script(sql).collect()
+    created = runner.accelerate()
+    if not any("auto_textidx" in c for c in created):
+        raise AssertionError(f"advisor did not build the text index: {created}")
+    served = lake.run_script(sql)
+    if not lake.table_exists("ai.auto_textidx_documents_text_postings"):
+        raise AssertionError("served result did not come from a persisted index")
+    return served
+
+
+@q(
     "j14_asof_forward",
     """WITH j AS (
          SELECT p.event_id AS purchase_id,

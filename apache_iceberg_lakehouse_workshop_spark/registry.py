@@ -57,7 +57,9 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
     # (RAW/DISPLAY routing), and r3_routed_raw_join (explicitly spelled
     # join served by a RAW reflection on the equivalent join view), all
     # absorbed into ab_shapes_battery
-    "R acceleration": ["ab_shapes_battery"],
+    # s15 carries the autonomous index lifecycle (observe -> recommend ->
+    # accelerate -> serve) under the driver hash
+    "R acceleration": ["ab_shapes_battery", "s15_auto_index_serve"],
 }
 
 # Driver window size: the exposed registry must never exceed it.

@@ -595,3 +595,90 @@ def test_rebuild_replaces_prior_index(spark, sf_dir, lake):
     info = AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
     assert info["n_codes"] == 400 * KW["m_sub"]
     assert AX.refresh_ann_index(lake, "ann.idx")["mode"] == "noop"
+
+
+def test_batched_serve_cell_groups_identical_and_pruned(spark, sf_dir, lake):
+    """r11 batch-aware pruning: a query batch saturating the probed-cell
+    union is served in contiguous cell groups — every group's codes scan
+    plans a strict subset of the files — and the re-ranked union is
+    row-identical to the single-scan serve (each candidate scores once,
+    in its own cell's group; global top-k survives per-group top-k)."""
+    emb = _emb(spark, sf_dir, 400)
+    lake.create_table_as("ann.corpus", emb)
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    queries = emb.orderBy("vec_id").limit(12)
+    single = AX.ann_query(lake, "ann.idx", queries, k=5, nprobe=4)
+    grouped = AX.ann_query(
+        lake, "ann.idx", queries, k=5, nprobe=4, max_cells_per_scan=4
+    )
+    assert _topk(grouped) == _topk(single)
+    # each group's scan is pruned: reproduce the group predicates
+    from apache_iceberg_lakehouse_workshop_spark.operators.similarity import (
+        _assign_cells,
+        quantized,
+    )
+
+    codes_t, _props, params, cents, _book = AX._load(lake, "ann.idx")
+    q_cell = _assign_cells(
+        queries.select(
+            F.col("vec_id").cast("long").alias("query_id"),
+            quantized(F.col("embedding")).alias("query_id_vec"),
+        ),
+        cents,
+        "query_id",
+        nprobe=4,
+    )
+    cells = sorted(
+        r["cell_id"] for r in q_cell.select("cell_id").distinct().collect()
+    )
+    groups = AX.probed_cell_groups(cells, 4)
+    assert len(groups) > 1
+    total = len(set(codes_t.read().inputFiles()))
+    per_group = [
+        len(
+            set(
+                codes_t.read(
+                    where=f"cell_id IN ({', '.join(str(c) for c in g)})"
+                ).inputFiles()
+            )
+        )
+        for g in groups
+    ]
+    assert max(per_group) < total, (per_group, total)
+
+
+def test_index_benefit_gate_refuses_tiny_corpus(spark, sf_dir, lake):
+    """r11 index benefit gate (reflections parity): a repeated search
+    shape over a corpus below the row floor is REFUSED with a reason on
+    the recommendation — the one-shot scan undercuts index serve's fixed
+    per-query cost — and no index tables appear; the same shape over a
+    large-enough corpus still builds."""
+    from apache_iceberg_lakehouse_workshop_spark.plans.script import ScriptRunner
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("bg.tiny", docs.limit(20))
+    lake.create_table_as("bg.big", docs)
+    runner = ScriptRunner(lake)
+    _ = runner.advisor
+    sql_tiny = (
+        "SELECT rank, doc_id, score_q6 "
+        "FROM TABLE(bm25_search('bg.tiny', 'spark vector', 5))"
+    )
+    sql_big = (
+        "SELECT rank, doc_id, score_q6 "
+        "FROM TABLE(bm25_search('bg.big', 'spark vector', 5))"
+    )
+    for _i in range(3):
+        runner.run(sql_tiny)
+        runner.run(sql_big)
+    created = runner.accelerate()
+    assert not any("tiny" in c for c in created), created
+    assert any("big" in c for c in created), created
+    assert not lake.table_exists("bg.auto_textidx_tiny_text_postings")
+    assert lake.table_exists("bg.auto_textidx_big_text_postings")
+    refused = [
+        r for r in runner.advisor.recommendations()
+        if "tiny" in r.get("name", "")
+    ]
+    assert refused and "row floor" in refused[0]["refused_reason"]

@@ -364,3 +364,92 @@ def test_postings_scan_is_file_pruned(spark, sf_dir, lake):
     pruned = len(t.read(where="w IN ('spark')").inputFiles())
     assert total > 1, "need a multi-file postings table to prove pruning"
     assert pruned < total, (pruned, total)
+
+
+def test_term_stats_served_driver_side(spark, sf_dir, lake):
+    """r11 one-job serve: the stats table exists, is snapshot-stamped to
+    the postings watermark, and _driver_term_stats returns exactly the
+    per-term df the postings would aggregate — including summed partial
+    rows after an incremental refresh."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    lake.create_table_as("tx.docs", old)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    lake.table("tx.docs").append(new)
+    assert TX.refresh_text_index(lake, "tx.idx")["mode"] == "incremental"
+    post_t = lake.table("tx.idx_postings")
+    props = post_t.properties()
+    terms = sorted(TERMS)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    got = TX._driver_term_stats(lake, "tx.idx", terms, props, in_list)
+    assert got is not None, "stats table should be fresh after refresh"
+    want = {
+        r.w: float(r.c)
+        for r in post_t.read(where=f"w IN ({in_list})")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == want
+    # partial rows really exist (build row + delta row per hot term)
+    st = lake.table("tx.idx_stats").read()
+    assert st.filter(F.col("w") == terms[0]).count() >= 2
+
+
+def test_stale_stats_falls_back_and_repairs(spark, sf_dir, lake):
+    """A crash between the postings commit and the stats rewrite leaves
+    the stats stamp behind the watermark: serve must route around it
+    (identical ranking via the in-query df job) and the next refresh
+    heals the stats table without touching the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    # simulate the crash window: stats stamp no longer matches
+    lake.table("tx.idx_stats").set_properties(
+        {"text.stats-source-snapshot-id": "-999"}
+    )
+    terms = sorted(TERMS)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    assert (
+        TX._driver_term_stats(
+            lake, "tx.idx", terms, lake.table("tx.idx_postings").properties(),
+            in_list,
+        )
+        is None
+    )
+    got = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
+    want = TS.bm25_topk(docs, TERMS, n=20)
+    assert _ranked(got) == _ranked(want)
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "stats_repair"
+    assert (
+        TX._driver_term_stats(
+            lake, "tx.idx", terms, lake.table("tx.idx_postings").properties(),
+            in_list,
+        )
+        is not None
+    )
+    assert TX.refresh_text_index(lake, "tx.idx")["mode"] == "noop"
+
+
+def test_postings_carry_dl_and_serve_skips_doclen_join(spark, sf_dir, lake):
+    """r11 layout: every posting row carries its doc's dl (constant per
+    doc_id and equal to the doclen table), and the serve plan contains no
+    join — the scoring job is the pruned scan alone."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    post = lake.table("tx.idx_postings").read()
+    assert "dl" in post.columns
+    mismatch = (
+        post.join(
+            lake.table("tx.idx_doclen").read().withColumnRenamed("dl", "dl2"),
+            "doc_id",
+        )
+        .filter(F.col("dl") != F.col("dl2"))
+        .count()
+    )
+    assert mismatch == 0
+    plan = TX.bm25_query(lake, "tx.idx", TERMS, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
