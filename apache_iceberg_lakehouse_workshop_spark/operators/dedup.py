@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import fingerprint, tokens
+from .textstats import _fan_out, fingerprint, tokens
 
 # ---------------------------------------------------------------- exact
 
@@ -118,8 +118,12 @@ def _token_grams(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> D
     array-lambda shingles() column: per-token codegen'd string ops replace
     an interpreted transform(sequence, concat_ws(element_at...)) per doc
     (~6x at sf0.1). One shuffle on id positions the window; every
-    downstream per-doc aggregate reuses that exchange."""
-    tok = df.select(
+    downstream per-doc aggregate reuses that exchange. The fan-out guard
+    keeps the tokenize+posexplode map stage off a single core when the
+    doc frame arrives as one split (textstats._fan_out — the r11 t18
+    finding); repartitioning BY the window key means the guard's exchange
+    replaces, not precedes, the window's own."""
+    tok = _fan_out(df, id_col).select(
         F.col(id_col).cast("long").alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
     )

@@ -64,9 +64,21 @@ def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
     default parallelism, keyed on ``cols`` so each doc's tokens stay
     co-partitioned for map-side combine. Inputs already at least that
     wide pass through untouched — at 100 TB the scan is already thousands
-    of tasks and this never fires."""
+    of tasks and this never fires.
+
+    Width is probed via ``inputFiles()`` (plan metadata), NOT
+    ``rdd.getNumPartitions()`` — converting to RDD finalizes the physical
+    plan and under AQE can eagerly execute a DERIVED input's upstream
+    stages (similarity._widened learned this first). A derived frame
+    (inputFiles()=[]) gets the rebalance unconditionally: a narrow
+    doc-row shuffle is cheap insurance against the tokenize stage
+    collapsing to one task."""
     p = max(2, df.sparkSession.sparkContext.defaultParallelism)
-    if df.rdd.getNumPartitions() >= p:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_files >= max(2, p // 2):
         return df
     return df.repartition(p, *[F.col(c) for c in cols]) if cols else df.repartition(p)
 
