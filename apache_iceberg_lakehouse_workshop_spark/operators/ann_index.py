@@ -313,6 +313,47 @@ def ann_query(
     )
 
 
+def ann_query_rerank(
+    lake,
+    index_name: str,
+    queries: DataFrame,
+    k: int = 5,
+    recall_m: int = 20,
+    nprobe: int = 4,
+    probe_sim_gap: float | None = None,
+    max_cells_per_scan: int | None = None,
+) -> DataFrame:
+    """Two-stage serving from the PERSISTED index — the FAISS
+    ``IndexRefineFlat`` production shape (`similarity.knn_two_stage`'s
+    one-shot twin, reference semantic_example.sql's retrieval tier):
+    stage 1 recalls the top ``recall_m`` per query entirely in the
+    compressed domain (:func:`ann_query` — file-pruned codes scan,
+    broadcast ADC tables, no training, no corpus pass); stage 2 re-ranks
+    ONLY those |Q|·m candidates by exact cosine against the SOURCE
+    table's raw vectors pinned at the INDEXED snapshot (|Q|·m id-keyed
+    join probes — never a corpus scan; the snapshot pin keeps both
+    stages consistent when the source has advanced past the index, the
+    same staleness semantics every index serve has). Results are
+    row-identical to ``knn_two_stage`` over the same corpus snapshot
+    (deterministic quantizer training + the shared
+    :func:`similarity.exact_rerank` stage)."""
+    from .similarity import exact_rerank
+
+    codes_t = lake.table(_part(index_name, "codes"))
+    props = codes_t.properties()
+    params = json.loads(props["ann.params"])
+    cand = ann_query(
+        lake, index_name, queries, k=recall_m, nprobe=nprobe,
+        probe_sim_gap=probe_sim_gap, max_cells_per_scan=max_cells_per_scan,
+    ).select("query_id", "cand_id")
+    src = lake.table(props["ann.source-table"])
+    corpus = src.read(snapshot_id=int(props["ann.source-snapshot-id"]))
+    return exact_rerank(
+        cand, corpus, queries, k,
+        id_col=params["id_col"], vec_col=params["vec_col"],
+    )
+
+
 def probed_cell_groups(
     cells: list[int], max_cells_per_scan: int | None
 ) -> list[list[int]]:

@@ -1420,6 +1420,23 @@ def knn_two_stage(
         probe_sim_gap=probe_sim_gap, train_frac=train_frac,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "cand_id")
+    return exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+
+
+def exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage 2 of two-stage retrieval, shared by :func:`knn_two_stage`
+    and the persisted ``ann_index.ann_query_rerank``: re-rank an already
+    recalled (query_id, cand_id) set by exact cosine on the raw vectors —
+    |cand| id-keyed join probes against the corpus, never a corpus scan;
+    the broadcast side is the query batch. Output matches
+    :func:`knn_bruteforce`: (query_id, cand_id, cosine_sim, rank)."""
     c = corpus.select(
         F.col(id_col).cast("long").alias("cand_id"),
         quantized(F.col(vec_col)).alias("cvec"),

@@ -109,6 +109,15 @@ _RE_BM25_TVF = re.compile(
     r"(\d+)\s*\)\s*\)",
     re.I,
 )
+# TABLE(ann_rerank('idx', 'queries', k[, recall_m[, nprobe]])) — two-stage
+# serving from the persisted index (FAISS IndexRefineFlat): compressed-
+# domain recall of recall_m candidates, exact-cosine re-rank to top-k
+# against the source's raw vectors at the indexed snapshot
+_RE_RERANK_TVF = re.compile(
+    r"TABLE\s*\(\s*ann_rerank\s*\(\s*'([\w.]+)'\s*,\s*'([\w.]+)'\s*,\s*"
+    r"(\d+)(?:\s*,\s*(\d+))?(?:\s*,\s*(\d+))?\s*\)\s*\)",
+    re.I,
+)
 # TABLE(hybrid_search('ann_idx', 'text_idx', 'queries', 'terms', n[, depth]))
 # — RRF-fused hybrid retrieval served END-TO-END from the two persisted
 # indexes (the s14 shape): corpus text/vectors never touched at query time
@@ -1176,7 +1185,27 @@ class ScriptRunner:
             df.createOrReplaceTempView(view)
             return view
 
+        def rerank_repl(m: re.Match) -> str:
+            from ..operators.ann_index import ann_query_rerank
+
+            idx, qname, k, recall_m, nprobe = m.groups()
+            qdf = (
+                self.lake.table(qname).read()
+                if self.lake.table_exists(qname)
+                else self.spark.table(qname)
+            )
+            sig = hashlib.sha1(
+                f"{qname}|{k}|{recall_m or 20}|{nprobe or 4}".encode()
+            ).hexdigest()[:8]
+            view = f"__rr_{idx.split('.')[-1]}_{sig}"
+            ann_query_rerank(
+                self.lake, idx, qdf, k=int(k),
+                recall_m=int(recall_m or 20), nprobe=int(nprobe or 4),
+            ).createOrReplaceTempView(view)
+            return view
+
         sql = _RE_HYBRID_TVF.sub(hybrid_repl, sql)
+        sql = _RE_RERANK_TVF.sub(rerank_repl, sql)
         sql = _RE_ANN_TVF.sub(ann_repl, sql)
         return _RE_BM25_TVF.sub(bm25_repl, sql)
 

@@ -1332,6 +1332,42 @@ def s14_hybrid_persisted(spark, sf_dir):
     return SIM.rrf_fuse([lex, sem], k=_RRF_K, n=20)
 
 
+def _rerank_persisted_oracle() -> str:
+    from .queries_data import _two_stage_oracle
+
+    return _two_stage_oracle()
+
+
+@q(
+    "s16_rerank_persisted",
+    _rerank_persisted_oracle(),
+    "S16 two-stage retrieval served from the PERSISTED index (FAISS "
+    "IndexRefineFlat as a serving path): stage 1 recalls top-20 per "
+    "query from the persisted IVF×PQ codes (file-pruned, broadcast ADC, "
+    "no training at query time), stage 2 re-ranks only those candidates "
+    "by exact cosine against the source table's raw vectors at the "
+    "indexed snapshot — |Q|·m id-keyed probes, never a corpus scan. "
+    "Deterministic quantizer training makes the persisted path "
+    "row-identical to the s11 one-shot, so the oracle is the same "
+    "two-stage DuckDB replay.",
+)
+def s16_rerank_persisted(spark, sf_dir):
+    import tempfile
+
+    from .operators import ann_index as AX
+    from .plans import Lakehouse
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix="sg-rerank-"))
+    lake.create_table_as("rr.embeddings", emb)
+    AX.build_ann_index(
+        lake, "rr.embeddings", "rr.aidx",
+        dim=64, m_sub=4, k_codes=16, n_cells=16,
+    )
+    return AX.ann_query_rerank(lake, "rr.aidx", queries, k=5, recall_m=20)
+
+
 @q(
     "s15_auto_index_serve",
     _bm25_ranked_sql(20),

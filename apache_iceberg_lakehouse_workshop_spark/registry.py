@@ -49,7 +49,8 @@ FAMILY_COVERAGE: dict[str, list[str]] = {
                                    "tb_sample_battery", "c1_curation_pipeline"],
     "D deduplication": ["d1_exact_dup_groups", "db_neardup_battery"],
     "S similarity search": ["s1_knn_bruteforce", "s2_embedding_neardup",
-                            "s3_knn_lsh", "s4_knn_ivf", "db_neardup_battery"],  # s5/s6 ride the battery
+                            "s3_knn_lsh", "s4_knn_ivf", "db_neardup_battery",
+                            "s16_rerank_persisted"],  # s5/s6 ride the battery
     "MM multimodal": ["mm1_binary_metadata", "mmb_media_battery"],
     "AI functions": ["aib_ai_battery"],
     # Covered-query reflection substitution rides the driver hash via

@@ -1031,11 +1031,16 @@ def main() -> None:
     # clean-box verdict (r10 judge 'next' #7): a capture taken while the
     # box is loaded (r10 driver capture: loadavg 8.26, probe +40%) is not
     # comparable round-over-round; flag it IN the artifact so nobody has
-    # to cross-read the calibration rows. Committed BENCH.json should
-    # have clean == true — re-run if not.
-    clean = all(
-        c["loadavg_1m"] is not None and c["loadavg_1m"] < 1.0
-        for c in (calib_start, calib_end)
+    # to cross-read the calibration rows. Clean = idle at START (loadavg
+    # < 1) and the probe did not drift UP by the end (end loadavg always
+    # reflects the bench's own just-finished 32-thread stages, so it
+    # can't gate; a probe that got SLOWER while we ran means something
+    # else was competing). Committed BENCH.json should have clean ==
+    # true — re-run if not.
+    clean = (
+        calib_start["loadavg_1m"] is not None
+        and calib_start["loadavg_1m"] < 1.0
+        and calib_end["probe_s"] <= calib_start["probe_s"] * 1.3
     )
     if not clean:
         print(

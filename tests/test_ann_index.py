@@ -682,3 +682,48 @@ def test_index_benefit_gate_refuses_tiny_corpus(spark, sf_dir, lake):
         if "tiny" in r.get("name", "")
     ]
     assert refused and "row floor" in refused[0]["refused_reason"]
+
+
+def test_persisted_rerank_equals_one_shot_and_pins_snapshot(spark, sf_dir, lake):
+    """r11 ann_query_rerank: the persisted two-stage serve is
+    row-identical to knn_two_stage over the same corpus (deterministic
+    training + shared exact_rerank), and after the SOURCE advances the
+    serve still reranks against the INDEXED snapshot — both stages see
+    one consistent corpus until REFRESH INDEX."""
+    emb = _emb(spark, sf_dir, 400)
+    lake.create_table_as("ann.corpus", emb)
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    queries = emb.orderBy("vec_id").limit(6)
+    got = AX.ann_query_rerank(lake, "ann.idx", queries, k=5, recall_m=20)
+    want = SIM.knn_two_stage(emb, queries, k=5, recall_m=20, **KW)
+    rows = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.cand_id, r.cosine_sim, r.rank) for r in df.collect()
+    )
+    assert rows(got) == rows(want)
+    # advance the source WITHOUT refreshing: serve must not see the delta
+    lake.table("ann.corpus").append(
+        emb.select((F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding")
+    )
+    still = AX.ann_query_rerank(lake, "ann.idx", queries, k=5, recall_m=20)
+    assert rows(still) == rows(want)
+
+
+def test_ann_rerank_tvf(spark, sf_dir, lake):
+    """SQL spelling of the persisted two-stage serve:
+    TABLE(ann_rerank('idx','queries',k[,recall_m[,nprobe]])) matches the
+    one-shot knn_two_stage row-for-row."""
+    emb = _emb(spark, sf_dir, 300)
+    lake.create_table_as("rr.emb", emb)
+    queries = emb.orderBy("vec_id").limit(4)
+    lake.create_table_as("rr.q", queries)
+    AX.build_ann_index(lake, "rr.emb", "rr.idx", **KW)
+    got = lake.run_script(
+        "SELECT query_id, cand_id, cosine_sim, rank "
+        "FROM TABLE(ann_rerank('rr.idx', 'rr.q', 3, 20)) "
+        "ORDER BY query_id, rank"
+    )
+    want = SIM.knn_two_stage(emb, queries, k=3, recall_m=20, **KW)
+    rows = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.cand_id, r.cosine_sim, r.rank) for r in df.collect()
+    )
+    assert rows(got) == rows(want)
