@@ -82,13 +82,18 @@ def _reflection_probe(spark) -> dict[str, float]:
     reference uses to bypass its result cache). Materializes a per-returnflag
     aggregation accelerator (SURVEY §4 R7) and serves the AVGs from it.
 
-    The cold side scans a 16x self-union of lineitem (~9.6M rows at sf0.1):
-    at plain sf0.1 both paths sit on the ~0.2s job-launch floor and the
-    ratio measures noise, not acceleration. Scaling the *same source* up
-    lets the scan-cardinality advantage (~10M rows -> 3 rows) show in wall
-    time, which is the scale-invariant quantity the reference's 338M-row
-    demo exhibits. Both paths run REPS times; medians reported; build time
-    reported separately (Dremio also excludes materialization from serve
+    The cold side scans a 32x self-union of lineitem (~19.2M rows at
+    sf0.1; 16x through r10): at plain sf0.1 both paths sit on the ~0.2s
+    job-launch floor and the ratio measures noise, not acceleration.
+    Scaling the *same source* up lets the scan-cardinality advantage
+    (~19M rows -> 3 rows) show in wall time, which is the scale-invariant
+    quantity the reference's 338M-row demo exhibits — and the r11 bump
+    from 16x follows the same logic: at 9.6M rows the scan was still
+    ~40% job-floor (measured 18-21M rows/s at 16x vs 26-28M at 32x on
+    the same box, same code), so the smaller tier under-reported
+    steady-state scan throughput, the quantity BASELINE.md publishes.
+    Both paths run REPS times; medians reported; build time reported
+    separately (Dremio also excludes materialization from serve
     latency)."""
     import tempfile
 
@@ -98,7 +103,7 @@ def _reflection_probe(spark) -> dict[str, float]:
 
     li = load_table(spark, SF_DIR, "lineitem")
     big = li
-    for _ in range(4):  # 16x
+    for _ in range(5):  # 32x
         big = big.unionAll(big)
 
     def agg_def():
@@ -1000,8 +1005,20 @@ def main() -> None:
     # full registry: bench probes target specific plan shapes, including
     # singletons that the exposed registry has folded into batteries
     reg = full_registry()
-    # warm the session (JIT, codegen caches) on an unrelated trivial job
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the session so the headline section measures the ENGINE at
+    # steady state: a ~20s sustained all-core burn plus one untimed
+    # parquet scan. Short warm-ups (1M rows; even 3x 50M sums) left the
+    # start probe at 0.17-0.37s vs 0.10 at capture END on the same code —
+    # not JIT but CPU-frequency ramp: the fixed probe runs ~3x slower in
+    # the first seconds of a cold-started session, so everything the
+    # headline section timed first paid a governor tax that the scaled
+    # tiers (run last) never saw. The burn ramps the clocks BEFORE
+    # calibration, which also makes the calibration fingerprint a pure
+    # box-contention signal — its whole job.
+    spark.range(8_000_000_000).selectExpr("sum(id * id)").collect()
+    load_table(spark, SF_DIR, "lineitem").selectExpr(
+        "avg(l_extendedprice)"
+    ).collect()
     calib_start = _calibration(spark)
 
     timings: dict[str, float] = {}
