@@ -195,12 +195,78 @@ def refresh_ann_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         if recluster_after and appends > recluster_after:
             codes_t.compact(sort_by=["cell_id", "m"])
     except ValueError:
-        # non-append history in the range: exact frozen-quantizer rebuild
+        out = _cdc_refresh_codes(
+            lake, src, codes_t, params, last, cur, wm, encoded
+        )
+        if out is not None:
+            out["index"] = index_name
+            return out
+        # CDC unavailable/unsound/oversized: exact frozen-quantizer rebuild
         full = src.read(snapshot_id=cur)
         codes_t.overwrite(_cell_clustered(encoded(full)), table_props=wm)
         n = full.count()
         mode = "reencode"
     return {"index": index_name, "mode": mode, "n_encoded": n}
+
+
+def _cdc_refresh_codes(
+    lake, src, codes_t, params: dict, last: int, cur: int, wm: dict,
+    encoded, max_deletes: int = 5000,
+) -> dict | None:
+    """Rewritten source history as a TYPED change feed (r11, the text
+    index's cdc_refresh applied to codes): deletes position-delete the
+    codes rows merge-on-read (the cell-clustered files stay put; the
+    recluster compaction materializes the delete files away later),
+    inserts encode O(delta) against the frozen quantizers — a small
+    DELETE/UPDATE no longer costs an O(corpus) re-encode. Every step is
+    crash-retry-safe: the delete re-applies as a no-op, and a retry
+    after a half-applied pass fails the presence checks below and falls
+    back to the full re-encode. Returns None when the feed is
+    unavailable, a deleted id is not present exactly once (m_sub rows)
+    in the codes, an inserted id still lives (true id collision), or
+    the delete set exceeds ``max_deletes``."""
+    idc = params["id_col"]
+    try:
+        # projected feed: the diff shuffle carries ONLY (id, vector), and
+        # updates to other source columns are not index changes
+        changes = src.read_changes(
+            last, cur, key_cols=[], project=[idc, params["vec_col"]]
+        )
+    except Exception:
+        return None
+    changes = changes.localCheckpoint(eager=True)
+    del_rows = (
+        changes.filter(F.col("_change_type") == "delete")
+        .select(F.col(idc).cast("long").alias("cand_id"))
+        .distinct()
+        .take(max_deletes + 1)
+    )
+    if len(del_rows) > max_deletes:
+        return None
+    deleted = sorted(int(r["cand_id"]) for r in del_rows)
+    ins = changes.filter(F.col("_change_type") == "insert").drop("_change_type")
+    n_ins = ins.count()
+    if deleted:
+        in_list = ", ".join(str(d) for d in deleted)
+        cnt = codes_t.read().filter(f"cand_id IN ({in_list})").count()
+        if cnt != len(deleted) * params["m_sub"]:
+            return None
+        codes_t.delete_where(f"cand_id IN ({in_list})", mode="merge-on-read")
+    if n_ins:
+        ins_ids = ins.select(F.col(idc).cast("long").alias("cand_id")).distinct()
+        collides = (
+            codes_t.read()
+            .join(F.broadcast(ins_ids), "cand_id", "left_semi")
+            .limit(1)
+            .count()
+            > 0
+        )
+        if collides:
+            return None
+        codes_t.append(encoded(ins), table_props=wm)
+    else:
+        codes_t.set_properties(wm)
+    return {"mode": "cdc", "n_encoded": n_ins, "n_deleted": len(deleted)}
 
 
 def ann_index_status(lake, index_name: str) -> dict:

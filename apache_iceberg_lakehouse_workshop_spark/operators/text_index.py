@@ -270,9 +270,107 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         _write_stats_table(lake, index_name, cur)
         return full.count()
 
+    def cdc_refresh(max_deletes: int = 5000) -> dict | None:
+        """Rewritten history as a TYPED change feed instead of a full
+        re-tokenize (r11): ``read_changes(last, cur)`` yields net
+        insert/delete rows, so a DELETE/UPDATE touching d docs costs
+        O(diff) + a tokenize of the INSERTED docs only — on a 100 TB
+        corpus the difference between a position-delete commit and an
+        O(corpus) rebuild. Deletes apply merge-on-read to the postings
+        (term-clustered files untouched; the recluster compaction
+        materializes the delete files away later) and copy-on-write to
+        the narrow doc_id-clustered doclen (affected-files-only). Stats:
+        (N, Σdl) adjust exactly from the deleted ids' doclen rows (read
+        BEFORE the delete); the per-term stats table rebuilds from the
+        written postings at the end (columnar scan, no tokenize) because
+        negative partial rows would not be idempotent under crash-retry,
+        and every step here must be: postings/doclen deletes re-apply as
+        no-ops, the insert-collision check (run AFTER the deletes)
+        detects a half-applied insert exactly like the append path, and
+        a crash before the stats rebuild leaves a stamp mismatch the
+        repair path heals. Returns None — caller re-tokenizes — when the
+        feed is unavailable, a deleted id is not singly present in the
+        index, an inserted id still lives (true id collision), or the
+        delete set exceeds ``max_deletes`` (an IN-list that large
+        approaches a rewrite anyway)."""
+        idc, textc = params["id_col"], params["text_col"]
+        try:
+            # projected feed: the diff shuffle carries ONLY (id, text),
+            # and updates to other source columns are not index changes
+            changes = src.read_changes(
+                last, cur, key_cols=[], project=[idc, textc]
+            )
+        except Exception:
+            return None
+        changes = changes.localCheckpoint(eager=True)
+        del_rows = (
+            changes.filter(F.col("_change_type") == "delete")
+            .select(F.col(idc).cast("long").alias("doc_id"))
+            .distinct()
+            .take(max_deletes + 1)
+        )
+        if len(del_rows) > max_deletes:
+            return None
+        deleted = sorted(int(r["doc_id"]) for r in del_rows)
+        ins = changes.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        n_ins = ins.count()
+        rn = rs = 0
+        if deleted:
+            in_list = ", ".join(str(d) for d in deleted)
+            removed = doclen_t.read(where=f"doc_id IN ({in_list})")
+            rn, rs = _doclen_stats(removed)
+            if rn != len(deleted):
+                return None  # a deleted id the index doesn't hold exactly once
+            post_t.delete_where(
+                f"doc_id IN ({in_list})", mode="merge-on-read"
+            )
+            doclen_t.delete_where(f"doc_id IN ({in_list})")
+        if n_ins:
+            ins_post = _postings_of(ins, idc, textc).localCheckpoint(eager=True)
+            ins_ids = ins_post.select("doc_id").distinct()
+            collides = (
+                doclen_t.read()
+                .join(F.broadcast(ins_ids), "doc_id", "left_semi")
+                .limit(1)
+                .count()
+                > 0
+            )
+            if collides:
+                return None  # live id collision (or a crashed retry) — rebuild
+            ins_doclen = _doclen_of(ins_post).localCheckpoint(eager=True)
+            doclen_t.append(ins_doclen)
+            an, asd = _doclen_stats(ins_doclen)
+        else:
+            an = asd = 0
+        if "text.n-docs" in props:
+            nd = int(props["text.n-docs"]) - rn + an
+            sdl = int(props["text.sum-dl"]) - rs + asd
+        else:
+            nd, sdl = _doclen_stats(doclen_t.read())
+        wm.update({"text.n-docs": str(nd), "text.sum-dl": str(sdl)})
+        if n_ins:
+            out = ins_post
+            if "dl" in post_t.read().columns:
+                out = ins_post.join(ins_doclen, "doc_id").select(*_POSTING_COLS)
+            else:
+                out = ins_post.select(*_POSTING_COLS_LEGACY)
+            post_t.append(out, table_props=wm)
+        else:
+            post_t.set_properties(wm)
+        _write_stats_table(lake, index_name, cur)
+        return {
+            "index": index_name, "mode": "cdc",
+            "n_docs": n_ins, "n_deleted": len(deleted),
+        }
+
     try:
         delta = src.read_incremental(last, cur)
     except ValueError:
+        out = cdc_refresh()
+        if out is not None:
+            return out
         return {
             "index": index_name, "mode": "retokenize", "n_docs": retokenize(),
         }

@@ -3339,6 +3339,7 @@ class LakeTable:
         from_snapshot_id: int | None | _Beginning,
         to_snapshot_id: int | None | _Beginning = None,
         key_cols: list[str] | None = None,
+        project: list[str] | None = None,
     ) -> DataFrame:
         """Row-level changelog between two snapshots — the CDC-OUT
         complement of the upsert sinks (Iceberg ``create_changelog_view`` /
@@ -3367,7 +3368,16 @@ class LakeTable:
         deltas replicate out — one shuffle, no collect, O(both snapshots)
         worst case (what any engine pays to diff rewritten history).
         Float columns diff by IEEE equality (NaN groups as itself under
-        GROUP BY, so NaN rows still pair up)."""
+        GROUP BY, so NaN rows still pair up).
+
+        ``project`` restricts the changelog to a column SUBSET (r11): the
+        diff runs over the projection, so (a) the shuffle carries only
+        those columns (both snapshot scans prune to them — at 100 TB the
+        difference between diffing two text columns and diffing whole
+        rows), and (b) an update touching only non-projected columns is
+        NOT a change. The consumer contract for derived artifacts (a
+        text/ANN index maintains itself from (id, payload) net changes —
+        other columns are noise to it)."""
         keys = key_cols if key_cols is not None else self._changelog_key_cols()
         if from_snapshot_id is BEGINNING:
             from_snapshot_id = None  # "empty table" — same as None here
@@ -3380,9 +3390,13 @@ class LakeTable:
                 if from_snapshot_id is not None
                 else self.read().limit(0)
             )
+            if project:
+                old = old.select(*project)
             return old.withColumn("_change_type", F.lit("delete"))
         try:
             delta = self.read_incremental(from_snapshot_id, to_snapshot_id)
+            if project:
+                delta = delta.select(*project)
             # append-only range: inserts only, nothing to pair
             return delta.withColumn("_change_type", F.lit("insert"))
         except ValueError:
@@ -3394,6 +3408,8 @@ class LakeTable:
         )
         new = self.read(snapshot_id=to_snapshot_id) if to_snapshot_id \
             else self.read()
+        if project:
+            new = new.select(*project)
         cols = new.columns
         unmappable = [c for c, t in new.dtypes if t.startswith("map<")]
         if unmappable:

@@ -547,6 +547,14 @@ def _ann_index_probe(spark) -> dict:
         r = AX.refresh_ann_index(lake, "bench.idx")
         out["refresh_delta_s"] = round(time.time() - t0, 4)
         assert r["mode"] == "incremental", r
+        # r11 CDC refresh: a small DELETE position-deletes its codes rows
+        # instead of re-encoding the corpus
+        lake.table("bench.emb").delete_where("vec_id % 499 = 0")
+        t0 = time.time()
+        r = AX.refresh_ann_index(lake, "bench.idx")
+        out["refresh_cdc_delete_s"] = round(time.time() - t0, 4)
+        out["cdc_deleted_rows"] = r.get("n_deleted", 0)
+        assert r["mode"] == "cdc", r
     return out
 
 
@@ -626,6 +634,17 @@ def _text_index_probe(spark) -> dict:
         r = TX.refresh_text_index(lake, "bench.idx")
         out["refresh_delta_s"] = round(time.time() - t0, 4)
         assert r["mode"] == "incremental", r
+        # r11 CDC refresh: a small DELETE consumes as a typed change feed
+        # (projected (id, text) snapshot diff + position deletes + stats
+        # rebuild), never an O(corpus) re-tokenize. At this toy scale the
+        # wall is diff-dominated and lands under build_s; at corpus scale
+        # the avoided tokenize pass is the dominant term.
+        lake.table("bench.docs").delete_where("doc_id % 997 = 0")
+        t0 = time.time()
+        r = TX.refresh_text_index(lake, "bench.idx")
+        out["refresh_cdc_delete_s"] = round(time.time() - t0, 4)
+        out["cdc_deleted_rows"] = r.get("n_deleted", 0)
+        assert r["mode"] == "cdc", r
     return out
 
 

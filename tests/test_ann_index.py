@@ -114,15 +114,16 @@ def test_incremental_refresh_is_o_delta_and_exact(spark, sf_dir, lake):
 
 
 def test_rewritten_history_falls_back_to_reencode(spark, sf_dir, lake):
-    """A delete on the source (non-append history) triggers the frozen-
-    quantizer full re-encode: deleted vectors leave the index, results
-    stay exact."""
+    """r11: a delete on the source is consumed as a typed change feed
+    (position deletes on the codes, NO re-encode): deleted vectors leave
+    the index, results stay exact. The frozen-quantizer full re-encode
+    remains the fallback when the CDC path declines."""
     emb = _emb(spark, sf_dir, 300)
     lake.create_table_as("ann.corpus", emb)
     AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
     lake.table("ann.corpus").delete_where("vec_id % 3 = 0")
     out = AX.refresh_ann_index(lake, "ann.idx")
-    assert out["mode"] == "reencode"
+    assert out["mode"] == "cdc" and out["n_deleted"] > 0
     survivors = {r.vec_id for r in lake.table("ann.corpus").read().collect()}
     indexed = {
         r.cand_id for r in lake.table("ann.idx_codes").read().collect()

