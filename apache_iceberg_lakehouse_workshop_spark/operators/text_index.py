@@ -377,6 +377,20 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
     postings = _postings_of(delta, params["id_col"], params["text_col"])
     n = delta.count()
     if not n:
+        # an empty delta moves no rows, so the per-term stats stay exact —
+        # restamp the stats table (when it was in sync with the OLD
+        # watermark) so advancing the postings watermark doesn't silently
+        # drop every serve to the two-job fallback until the next refresh.
+        # A previously-stale stats table stays stale for the repair path.
+        # Stamp stats FIRST: a crash between the two commits then leaves
+        # stats AHEAD, which the serve's equality check treats exactly
+        # like behind (fallback), and the retried refresh lands here
+        # again and converges.
+        fresh_before = not stats_stale()
+        if fresh_before:
+            lake.table(stats_name).set_properties(
+                {"text.stats-source-snapshot-id": str(cur)}
+            )
         post_t.set_properties(wm)
         return {"index": index_name, "mode": "incremental", "n_docs": 0}
     delta_ids = postings.select("doc_id").distinct()
@@ -483,22 +497,28 @@ def _driver_term_stats(
 
     import pyarrow.dataset as ds
 
-    files = [
-        urlparse(f).path
-        for f in st.read(where=f"w IN ({in_list})").inputFiles()
-    ]
-    out: dict[str, float] = {}
-    if not files:
+    # the pyarrow path only understands local posix files — a non-posix
+    # URI (s3://, hdfs://, percent-encoded) or any listing/read failure
+    # must degrade to the always-correct in-query df job, never error
+    try:
+        files = [
+            urlparse(f).path
+            for f in st.read(where=f"w IN ({in_list})").inputFiles()
+        ]
+        out: dict[str, float] = {}
+        if not files:
+            return out
+        tbl = ds.dataset(files, format="parquet").to_table(
+            columns=["w", "df"], filter=ds.field("w").isin(terms_l)
+        )
+        # partial rows (one per refresh delta touching the term) sum exactly
+        for w, d in zip(
+            tbl.column("w").to_pylist(), tbl.column("df").to_pylist()
+        ):
+            out[w] = out.get(w, 0.0) + float(d)
         return out
-    tbl = ds.dataset(files, format="parquet").to_table(
-        columns=["w", "df"], filter=ds.field("w").isin(terms_l)
-    )
-    # partial rows (one per refresh delta touching the term) sum exactly
-    for w, d in zip(
-        tbl.column("w").to_pylist(), tbl.column("df").to_pylist()
-    ):
-        out[w] = out.get(w, 0.0) + float(d)
-    return out
+    except Exception:
+        return None
 
 
 def bm25_query(

@@ -2784,6 +2784,28 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.createDataFrame(rows, schema)
 
+    def row_count_estimate(self) -> int:
+        """Live-row count from parquet footers — driver-side metadata
+        reads only, NO Spark job (the number Iceberg keeps in its
+        snapshot summary as ``total-records``). An upper bound while
+        merge-on-read delete files are outstanding (they subtract at
+        read time, not here), which is exactly what cost estimators
+        (the advisor's index benefit gate) want: a scan-cost bound."""
+        import pyarrow.parquet as pq
+
+        meta = self._load_meta()
+        snap = self._current_snapshot(meta)
+        total = 0
+        for d in snap["commit_dirs"] if snap else []:
+            base = os.path.join(self.path, "data", d)
+            for root, _dirs, names in os.walk(base):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, n)
+                        ).metadata.num_rows
+        return total
+
     # ------------------------------------------------------- maintenance
 
     def _zorder_column(self, df: DataFrame, cols: list[str]):

@@ -1076,7 +1076,7 @@ class ScriptRunner:
                 from ..operators.ann_index import refresh_ann_index
 
                 return refresh_ann_index(self.lake, idx)
-            for part in ("codes", "centroids", "codebook"):
+            for part in ("codes", "centroids", "codebook", "ids"):
                 self.lake.drop_table(f"{idx}_{part}", if_exists=True)
             return None
         if self.lake.table_exists(f"{idx}_postings"):
@@ -1108,8 +1108,11 @@ class ScriptRunner:
             # the view name must distinguish EVERY input — two ann_search
             # calls in one statement differing only in the queries table
             # must not collapse to one view (advisor r9)
+            # the sig hashes the FULL index name too: a.idx and b.idx
+            # share the tail, and identical (queries, k, nprobe) against
+            # both in one script must not clobber each other's views
             sig = hashlib.sha1(
-                f"{qname}|{k}|{nprobe or 4}".encode()
+                f"{idx}|{qname}|{k}|{nprobe or 4}".encode()
             ).hexdigest()[:8]
             view = f"__ann_{idx.split('.')[-1]}_{sig}"
             df = None
@@ -1132,7 +1135,7 @@ class ScriptRunner:
             from ..operators.text_index import bm25_query
 
             idx, terms, n = m.groups()
-            sig = hashlib.sha1(f"{terms}|{n}".encode()).hexdigest()[:8]
+            sig = hashlib.sha1(f"{idx}|{terms}|{n}".encode()).hexdigest()[:8]
             view = f"__bm25_{idx.split('.')[-1]}_{sig}"
             df = None
             if not self.lake.table_exists(f"{idx}_postings") and self.lake.table_exists(idx):
@@ -1179,7 +1182,7 @@ class ScriptRunner:
             sem = sem.select(F.col("cand_id").alias("doc_id"), "rank")
             df = rrf_fuse([lex, sem], n=int(n))
             sig = hashlib.sha1(
-                f"{tidx}|{qname}|{terms}|{n}|{depth}".encode()
+                f"{aidx}|{tidx}|{qname}|{terms}|{n}|{depth}".encode()
             ).hexdigest()[:8]
             view = f"__hy_{aidx.split('.')[-1]}_{sig}"
             df.createOrReplaceTempView(view)
@@ -1195,7 +1198,7 @@ class ScriptRunner:
                 else self.spark.table(qname)
             )
             sig = hashlib.sha1(
-                f"{qname}|{k}|{recall_m or 20}|{nprobe or 4}".encode()
+                f"{idx}|{qname}|{k}|{recall_m or 20}|{nprobe or 4}".encode()
             ).hexdigest()[:8]
             view = f"__rr_{idx.split('.')[-1]}_{sig}"
             ann_query_rerank(

@@ -1397,6 +1397,11 @@ def s15_auto_index_serve(spark, sf_dir):
     lake.run_script("SELECT 1 AS one")  # materialize the script runner
     runner = lake._script_runner
     _ = runner.advisor  # turn shape observation on
+    # the driver fixture is 500 docs — scale the benefit gate's serve
+    # floor to it so the cost arithmetic (hits x (rows - floor) >= one
+    # build pass) still decides the build; the production default ~20k
+    # reflects the measured serve floor / one-shot scan rate
+    runner.advisor.index_serve_floor_rows = 50
     for _i in range(3):  # min_count repeats of the same search shape
         lake.run_script(sql).collect()
     created = runner.accelerate()

@@ -363,10 +363,13 @@ def test_workload_advisor_lifecycle(lake):
     # already-covered shape is not re-recommended
     assert advisor.recommendations() == []
 
-    # retire: a fresh advisor that never saw the shape drops the auto- one
+    # retire: a fresh advisor that never saw the shape drops the auto-
+    # one — but only after retire_patience consecutive cold windows
+    # (hysteresis: one quiet window must not thrash the materialization)
     from apache_iceberg_lakehouse_workshop_spark.plans.advisor import WorkloadAdvisor
 
     cold_watch = WorkloadAdvisor(acc)
+    assert cold_watch.retire_cold() == []  # first cold window: kept
     assert cold_watch.retire_cold() == [rec["name"]]
     assert [e["name"] for e in acc.status()] == []
 

@@ -485,3 +485,66 @@ def test_postings_carry_dl_and_serve_skips_doclen_join(spark, sf_dir, lake):
     assert mismatch == 0
     plan = TX.bm25_query(lake, "tx.idx", TERMS, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_empty_delta_restamps_stats_one_job_serve_stays(spark, sf_dir, lake):
+    """r12 (ADVICE): an EMPTY incremental delta (snapshot advanced, zero
+    rows — e.g. an empty append) advances the postings watermark AND
+    restamps the stats table, so the one-job serve stays engaged instead
+    of silently dropping to the two-job fallback until the next refresh;
+    a stats table that was ALREADY stale stays stale for the repair
+    path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs.limit(50))
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    t = lake.table("tx.docs")
+    t.append(docs.limit(0))  # snapshot advances, delta is empty
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "incremental" and out["n_docs"] == 0
+    props = lake.table("tx.idx_postings").properties()
+    assert (
+        lake.table("tx.idx_stats").properties()["text.stats-source-snapshot-id"]
+        == props["text.source-snapshot-id"]
+    )
+    terms = sorted(TERMS)
+    in_list = ", ".join(f"'{x}'" for x in terms)
+    assert TX._driver_term_stats(lake, "tx.idx", terms, props, in_list) is not None
+
+    # already-stale stats are NOT blessed by an empty delta
+    lake.table("tx.idx_stats").set_properties(
+        {"text.stats-source-snapshot-id": "-999"}
+    )
+    t.append(docs.limit(0))
+    assert TX.refresh_text_index(lake, "tx.idx")["n_docs"] == 0
+    assert (
+        lake.table("tx.idx_stats").properties()["text.stats-source-snapshot-id"]
+        == "-999"
+    )
+    # ...and the NEXT refresh's repair path heals them
+    assert TX.refresh_text_index(lake, "tx.idx")["mode"] == "stats_repair"
+    props = lake.table("tx.idx_postings").properties()
+    assert TX._driver_term_stats(lake, "tx.idx", terms, props, in_list) is not None
+
+
+def test_driver_term_stats_degrades_on_unreadable_files(spark, sf_dir, lake, monkeypatch):
+    """r12 (ADVICE): a stats read the driver-side pyarrow path cannot
+    handle (non-posix URI, decode failure) returns None — serve falls
+    back to the always-correct in-query df job — instead of raising."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs.limit(50))
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    props = lake.table("tx.idx_postings").properties()
+    terms = sorted(TERMS)
+    in_list = ", ".join(f"'{x}'" for x in terms)
+
+    import pyarrow.dataset as ds
+
+    def boom(*a, **k):
+        raise OSError("s3://bucket/path is not a local file")
+
+    monkeypatch.setattr(ds, "dataset", boom)
+    assert TX._driver_term_stats(lake, "tx.idx", terms, props, in_list) is None
+    # end to end: bm25_query still answers (two-job fallback)
+    got = TX.bm25_query(lake, "tx.idx", TERMS, n=10)
+    want = TS.bm25_topk(docs.limit(50), TERMS, n=10)
+    assert _ranked(got) == _ranked(want)
