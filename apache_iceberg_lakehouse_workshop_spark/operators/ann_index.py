@@ -234,6 +234,11 @@ def refresh_ann_index(lake, index_name: str, recluster_after: int = 8) -> dict:
             appends = appends + 1 if s["operation"] == "append" else 0
         if recluster_after and appends > recluster_after:
             codes_t.compact(sort_by=["cell_id", "m"])
+            if ids_t is not None:
+                # the sidecar accumulates one small file per refresh;
+                # restore tight cand_id ranges on the same cadence so the
+                # CDC membership reads keep pruning
+                ids_t.compact(sort_by=["cand_id"])
     except ValueError:
         out = _cdc_refresh_codes(
             lake, src, codes_t, params, last, cur, wm, encoded, ids_t=ids_t
