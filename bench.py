@@ -1132,10 +1132,23 @@ def main() -> None:
     # box-contention signal — its whole job.
     # double math: id*id as int64 overflows past ~3e9 ids (silent wrap
     # today, ArithmeticException under spark.sql.ansi.enabled) — the burn
-    # only needs cycles, not a meaningful sum
-    spark.range(8_000_000_000).selectExpr(
-        "sum(cast(id as double) * cast(id as double))"
-    ).collect()
+    # only needs cycles, not a meaningful sum. TIME-bounded, not
+    # row-bounded (r12): the box reaches its fast state only after ~60s
+    # of sustained all-core load (measured: probe 0.24 -> 0.10 across
+    # four 2B-row chunks), and a fixed row count finishes in wall time
+    # that depends on the very ramp it exists to burn off.
+    t_burn = time.time()
+    while time.time() - t_burn < 75:
+        spark.range(2_000_000_000).selectExpr(
+            "sum(cast(id as double) * cast(id as double))"
+        ).collect()
+    # JIT-warm the calibration probe's OWN plan shape before measuring:
+    # the first ~10 executions of a fresh session measure C2 compilation,
+    # not the box (r12: start probes read 0.19-0.24 while the same probe
+    # settled at ~0.10 later in every session) — warmed, the probe is a
+    # pure box-contention signal, which is its whole job
+    for _ in range(8):
+        spark.range(50_000_000).selectExpr("sum(id)").collect()
     load_table(spark, SF_DIR, "lineitem").selectExpr(
         "avg(l_extendedprice)"
     ).collect()
@@ -1175,10 +1188,21 @@ def main() -> None:
     # can't gate; a probe that got SLOWER while we ran means something
     # else was competing). Committed BENCH.json should have clean ==
     # true — re-run if not.
-    clean = (
-        calib_start["loadavg_1m"] is not None
-        and calib_start["loadavg_1m"] < 1.0
-        and calib_end["probe_s"] <= calib_start["probe_s"] * 1.3
+    # r12 refinement: the code-invariant PROBE is the contention signal;
+    # loadavg is circumstantial. A capture is clean iff the probe is
+    # STEADY across the run in both directions — an upward drift means
+    # something started competing, a downward drift means the session
+    # STARTED slow (CPU ramp/throttle phase) and every early query paid
+    # it (the r12 21.6s-vs-16.9s adjudication: the slow-start capture had
+    # loadavg 0.6 but probe 0.226→0.105; the good capture had loadavg 13
+    # from the PREVIOUS bench's own just-dead process but a steady
+    # probe). loadavg < 1 is still required UNLESS the steady probe
+    # proves the load number stale.
+    p0, p1 = calib_start["probe_s"], calib_end["probe_s"]
+    probe_steady = p1 <= p0 * 1.3 and p0 <= p1 * 1.3
+    clean = probe_steady and (
+        (calib_start["loadavg_1m"] is not None and calib_start["loadavg_1m"] < 1.0)
+        or p0 <= p1 * 1.15
     )
     if not clean:
         print(
@@ -1244,6 +1268,13 @@ def main() -> None:
                     "override",
                     file=sys.stderr,
                 )
+                # keep the rejected capture for forensics (calibration
+                # rows adjudicate box phases across attempts)
+                try:
+                    with open(bench_path + ".rejected", "w") as f:
+                        f.write(json.dumps(out) + "\n")
+                except OSError:
+                    pass
         except (OSError, ValueError):
             pass
     if write:
