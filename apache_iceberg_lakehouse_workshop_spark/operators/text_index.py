@@ -121,11 +121,15 @@ def _write_stats_table(lake, index_name: str, source_snapshot_id) -> None:
     repair path; incremental refresh appends deltas instead."""
     stats = _stats_of(lake.table(_part(index_name, "postings")).read())
     name = _part(index_name, "stats")
-    lake.drop_table(name, if_exists=True)
-    lake.create_table_as(name, stats)
-    lake.table(name).set_properties(
-        {"text.stats-source-snapshot-id": str(source_snapshot_id)}
-    )
+    stamp = {"text.stats-source-snapshot-id": str(source_snapshot_id)}
+    if lake.table_exists(name):
+        # ONE atomic commit (data + stamp) instead of drop/CTAS/props —
+        # this runs inside every CDC refresh, so its commit count is on
+        # the steady-state ingest path (streaming upkeep: per trigger)
+        lake.table(name).overwrite(stats, table_props=stamp)
+    else:
+        lake.create_table_as(name, stats)
+        lake.table(name).set_properties(stamp)
 
 
 def _write_index_tables(lake, index_name: str, postings: DataFrame) -> None:
