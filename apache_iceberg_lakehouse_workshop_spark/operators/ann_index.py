@@ -292,12 +292,14 @@ def _cdc_refresh_codes(
     except Exception:
         return None
     changes = changes.localCheckpoint(eager=True)
-    del_rows = (
+    dels = (
         changes.filter(F.col("_change_type") == "delete")
-        .select(F.col(idc).cast("long").alias("cand_id"))
-        .distinct()
-        .take(max_deletes + 1)
+        .drop("_change_type")
+        .dropDuplicates([idc])
     )
+    del_rows = dels.select(
+        F.col(idc).cast("long").alias("cand_id")
+    ).take(max_deletes + 1)
     if len(del_rows) > max_deletes:
         return None
     deleted = sorted(int(r["cand_id"]) for r in del_rows)
@@ -326,10 +328,42 @@ def _cdc_refresh_codes(
             cnt = codes_t.read().filter(f"cand_id IN ({in_list})").count()
             if cnt != len(deleted) * params["m_sub"]:
                 return None
+        # file-pruned position delete (r12): the codes are cell-clustered,
+        # so a cand_id predicate alone scans every file — but each deleted
+        # id's cell is a pure function of its vector under the FROZEN
+        # quantizers, and the feed's delete pre-image carries that vector
+        # (the row at the indexed snapshot). Re-encoding the d pre-images
+        # through the exact build path yields each id's cell, and
+        # conjoining `cell_id IN (...)` prunes the coordinate scan to the
+        # affected cells' files while `cand_id IN` still bounds the rows —
+        # row-identical to the unpruned delete. Shape-guarded: every
+        # deleted id must re-encode to exactly one cell, else fall back to
+        # the plain scan (correct at any layout).
+        del_pred = f"cand_id IN ({in_list})"
+        try:
+            dcell = (
+                encoded(dels)
+                .select("cand_id", "cell_id")
+                .distinct()
+                .groupBy()
+                .agg(
+                    F.count("*").alias("pairs"),
+                    F.countDistinct("cand_id").alias("n"),
+                    F.collect_set("cell_id").alias("cells"),
+                )
+                .collect()[0]
+            )
+            if int(dcell["n"]) == len(deleted) and int(
+                dcell["pairs"]
+            ) == len(deleted):
+                cl = ", ".join(str(c) for c in sorted(dcell["cells"]))
+                del_pred = f"cell_id IN ({cl}) AND {del_pred}"
+        except Exception:
+            pass  # un-encodable pre-image (null/short vector): plain scan
         # codes first, sidecar second: a crash between them leaves the
         # watermark behind and the ids rows still present, so the retry
         # re-verifies cleanly and the codes delete re-applies as a no-op
-        codes_t.delete_where(f"cand_id IN ({in_list})", mode="merge-on-read")
+        codes_t.delete_where(del_pred, mode="merge-on-read")
         if ids_t is not None:
             ids_t.delete_where(f"cand_id IN ({in_list})")
     if n_ins:
@@ -502,9 +536,23 @@ def ann_query_rerank(
     cand = ann_query(
         lake, index_name, queries, k=recall_m, nprobe=nprobe,
         probe_sim_gap=probe_sim_gap, max_cells_per_scan=max_cells_per_scan,
-    ).select("query_id", "cand_id")
+    ).select("query_id", "cand_id").localCheckpoint(eager=True)
     src = lake.table(props["ann.source-table"])
-    corpus = src.read(snapshot_id=int(props["ann.source-snapshot-id"]))
+    sid = int(props["ann.source-snapshot-id"])
+    # file-prune stage 2 to the recalled ids (r12): the |Q|·m candidate
+    # set is known driver-side after stage 1, so an `id IN (...)` read
+    # predicate lets an id-clustered source serve the re-rank from the
+    # candidates' files instead of a full-corpus scan — at 100 TB the
+    # difference between touching ~|Q|·m rows' files and every file. The
+    # row filter is exact (the join keeps only cand ids anyway); skipped
+    # when the id set is too large for a sane IN literal.
+    ids = sorted(
+        r["cand_id"] for r in cand.select("cand_id").distinct().collect()
+    )
+    where = None
+    if 0 < len(ids) <= 100_000:
+        where = f"{params['id_col']} IN ({', '.join(str(i) for i in ids)})"
+    corpus = src.read(snapshot_id=sid, where=where)
     return exact_rerank(
         cand, corpus, queries, k,
         id_col=params["id_col"], vec_col=params["vec_col"],

@@ -21,10 +21,13 @@ Three snapshot-versioned lakehouse tables per index ``name``:
   property rebuild, and the legacy serve fallback.
 - ``{name}_stats``   — ``(w string, df long)`` per-term document
   frequency, term-clustered like the postings; refresh APPENDS the
-  delta's partial rows and readers sum per term. Serve reads the query
-  terms' slice DRIVER-side (pyarrow over the same min/max-pruned file
-  list) — term stats are planning metadata, the Lucene term-dictionary
-  role — so idf literals cost no Spark job.
+  delta's partial rows (positive for inserted docs, negative for
+  CDC-deleted docs — tokenized from the feed's pre-images under an
+  exact per-doc guard) and readers sum per term, so maintenance is
+  O(delta vocab) on EVERY path. Serve reads the query terms' slice
+  DRIVER-side (pyarrow over the same min/max-pruned file list) — term
+  stats are planning metadata, the Lucene term-dictionary role — so
+  idf literals cost no Spark job.
 
 Query cost: ONE Spark job — the file-pruned postings scan of the query's
 terms, scored and TakeOrderedAndProject'ed — never a corpus tokenize,
@@ -90,6 +93,20 @@ def _doclen_of(postings: DataFrame) -> DataFrame:
     return doclen.repartitionByRange(n, "doc_id").sortWithinPartitions("doc_id")
 
 
+def _doclen_slice(doclen_t, ids: DataFrame) -> DataFrame:
+    """The doclen rows that COULD collide with the given delta ids — a
+    min/max `BETWEEN`-pruned read of the doc_id-clustered table (the ANN
+    refresh's collision-probe idea): any colliding live id necessarily
+    lies inside the delta's id range, so files outside it are skipped.
+    Falls back to the full read when the bounds aren't computable."""
+    b = ids.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    if b["mn"] is None or b["mx"] is None:
+        return doclen_t.read()
+    return doclen_t.read(where=f"doc_id BETWEEN {b['mn']} AND {b['mx']}")
+
+
 def _doclen_stats(doclen: DataFrame) -> tuple[int, int]:
     """(n_docs, sum of dl) as EXACT int64 — the corpus stats every serve
     needs. Persisted as table properties and maintained additively on
@@ -101,24 +118,33 @@ def _doclen_stats(doclen: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["s"])
 
 
+def _cluster_w(st: DataFrame) -> DataFrame:
+    # term-range-cluster + sort so each stats file owns a tight [min(w),
+    # max(w)] — the same layout as the postings, for the same pruning
+    n = max(st.sparkSession.sparkContext.defaultParallelism // 8, 1)
+    return st.repartitionByRange(n, "w").sortWithinPartitions("w")
+
+
 def _stats_of(postings: DataFrame) -> DataFrame:
     """Per-term document frequency (w, df) — term-range-clustered like the
     postings so a query's terms prune to one or two tiny files. Refresh
-    APPENDS partial rows (the delta's per-term counts); readers SUM per
-    term, so maintenance stays O(delta vocab) append-only and compaction
-    is layout-only. Only ever appended/overwritten by the index code —
+    APPENDS partial rows (the delta's per-term counts — POSITIVE for
+    inserted docs, NEGATIVE for CDC-deleted docs); readers SUM per term,
+    so maintenance stays O(delta vocab) append-only and compaction is
+    layout-only. Only ever appended/overwritten by the index code —
     never row-deleted — which is what licenses the driver-side pruned
     read in :func:`bm25_query`."""
-    st = postings.groupBy("w").agg(F.count("*").cast("long").alias("df"))
-    n = max(st.sparkSession.sparkContext.defaultParallelism // 8, 1)
-    return st.repartitionByRange(n, "w").sortWithinPartitions("w")
+    return _cluster_w(
+        postings.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    )
 
 
 def _write_stats_table(lake, index_name: str, source_snapshot_id) -> None:
     """(Re)build the stats table from the WRITTEN postings files (an
     O(postings-bytes) columnar scan — never a re-tokenize) and stamp the
-    source snapshot it reflects. Called at build and by the refresh
-    repair path; incremental refresh appends deltas instead."""
+    source snapshot it reflects. Called at build, by the refresh repair
+    path, and as the CDC fallback when the pre-image guard trips;
+    incremental AND CDC refresh append O(delta-vocab) deltas instead."""
     stats = _stats_of(lake.table(_part(index_name, "postings")).read())
     name = _part(index_name, "stats")
     stamp = {"text.stats-source-snapshot-id": str(source_snapshot_id)}
@@ -283,16 +309,34 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         O(corpus) rebuild. Deletes apply merge-on-read to the postings
         (term-clustered files untouched; the recluster compaction
         materializes the delete files away later) and copy-on-write to
-        the narrow doc_id-clustered doclen (affected-files-only). Stats:
-        (N, Σdl) adjust exactly from the deleted ids' doclen rows (read
-        BEFORE the delete); the per-term stats table rebuilds from the
-        written postings at the end (columnar scan, no tokenize) because
-        negative partial rows would not be idempotent under crash-retry,
-        and every step here must be: postings/doclen deletes re-apply as
-        no-ops, the insert-collision check (run AFTER the deletes)
-        detects a half-applied insert exactly like the append path, and
-        a crash before the stats rebuild leaves a stamp mismatch the
-        repair path heals. Returns None — caller re-tokenizes — when the
+        the narrow doc_id-clustered doclen (affected-files-only).
+
+        Stats are O(diff) too (r12 — this was the one term that grew
+        with corpus vocabulary): (N, Σdl) adjust exactly from the
+        deleted ids' doclen rows (read + checkpointed BEFORE the
+        delete), and the per-term stats table APPENDS one delta —
+        positive partial df rows tokenized from the inserted docs,
+        NEGATIVE partial rows tokenized from the feed's delete
+        PRE-IMAGES. The pre-image payload is the row at the ``last``
+        snapshot — exactly the text the index tokenized (both are
+        pinned to the same snapshot) — and a per-doc guard makes that
+        structural fact a runtime check: the pre-images' token counts
+        must equal the indexed doclen rows doc by doc, else the stats
+        fall back to the full rebuild (CDC itself still applies).
+        Negative partials ARE crash-retry-safe here because the append
+        rides a once-only window: it runs only AFTER the postings
+        watermark advances to ``cur``, so a retried refresh re-enters
+        with ``cur == last`` and routes to the stamp-checked repair /
+        noop path — it can never replay this feed. A crash BEFORE the
+        append leaves the stamp behind the watermark: serve falls back
+        to the in-query df job and the repair path rebuilds. A stats
+        table already stale at entry is never delta-appended (healing
+        needs the rebuild).
+
+        Every other step is idempotent as before: postings/doclen
+        deletes re-apply as no-ops, the insert-collision check (run
+        AFTER the deletes) detects a half-applied insert exactly like
+        the append path. Returns None — caller re-tokenizes — when the
         feed is unavailable, a deleted id is not singly present in the
         index, an inserted id still lives (true id collision), or the
         delete set exceeds ``max_deletes`` (an IN-list that large
@@ -307,12 +351,14 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         except Exception:
             return None
         changes = changes.localCheckpoint(eager=True)
-        del_rows = (
+        dels = (
             changes.filter(F.col("_change_type") == "delete")
-            .select(F.col(idc).cast("long").alias("doc_id"))
-            .distinct()
-            .take(max_deletes + 1)
+            .drop("_change_type")
+            .dropDuplicates([idc])
         )
+        del_rows = dels.select(
+            F.col(idc).cast("long").alias("doc_id")
+        ).take(max_deletes + 1)
         if len(del_rows) > max_deletes:
             return None
         deleted = sorted(int(r["doc_id"]) for r in del_rows)
@@ -320,22 +366,72 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
             "_change_type"
         )
         n_ins = ins.count()
+        # eligible for the O(diff) stats delta only when the table was in
+        # sync with the OLD watermark at entry — appending to a stale
+        # table can't heal it
+        stats_fresh = not stats_stale()
+        neg_stats: DataFrame | None = None
         rn = rs = 0
         if deleted:
             in_list = ", ".join(str(d) for d in deleted)
-            removed = doclen_t.read(where=f"doc_id IN ({in_list})")
+            # checkpoint: this frame is re-used by the pre-image guard and
+            # must not lazily re-read files the delete below rewrites
+            removed = doclen_t.read(
+                where=f"doc_id IN ({in_list})"
+            ).localCheckpoint(eager=True)
             rn, rs = _doclen_stats(removed)
             if rn != len(deleted):
                 return None  # a deleted id the index doesn't hold exactly once
-            post_t.delete_where(
-                f"doc_id IN ({in_list})", mode="merge-on-read"
-            )
+            if stats_fresh:
+                # negative per-term df from the delete pre-images — guard
+                # runs BEFORE the deletes so both sides read live data
+                del_post = _postings_of(dels, idc, textc).localCheckpoint(
+                    eager=True
+                )
+                mismatch = (
+                    removed.join(
+                        _doclen_of(del_post).withColumnRenamed("dl", "dl_pre"),
+                        "doc_id",
+                        "full_outer",
+                    )
+                    .where(
+                        "dl IS NULL OR dl_pre IS NULL OR dl <> dl_pre"
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+                if mismatch:
+                    stats_fresh = False  # pre-image ≠ indexed text: rebuild
+                else:
+                    neg_stats = del_post.groupBy("w").agg(
+                        (-F.count("*")).cast("long").alias("df")
+                    )
+            # file-pruned position delete (r12): the postings are
+            # term-clustered, so a doc_id predicate alone scans every
+            # file — but every posting row of a deleted doc carries a
+            # term from its own text, so conjoining `w IN (pre-image
+            # vocab)` is EXACT (doc_id IN still bounds the rows) and the
+            # term ranges prune the coordinate scan to O(affected files).
+            # Only taken when the per-doc guard above proved the
+            # pre-images match the indexed text, and only while the
+            # vocab IN-list stays small (a huge list prunes nothing and
+            # costs parse/plan time — fall back to the plain scan).
+            del_pred = f"doc_id IN ({in_list})"
+            if neg_stats is not None:
+                vocab = sorted(
+                    r["w"] for r in del_post.select("w").distinct().collect()
+                )
+                if 0 < len(vocab) <= 2000:
+                    terms_in = ", ".join(f"'{w}'" for w in vocab)
+                    del_pred = f"w IN ({terms_in}) AND {del_pred}"
+            post_t.delete_where(del_pred, mode="merge-on-read")
             doclen_t.delete_where(f"doc_id IN ({in_list})")
         if n_ins:
             ins_post = _postings_of(ins, idc, textc).localCheckpoint(eager=True)
             ins_ids = ins_post.select("doc_id").distinct()
             collides = (
-                doclen_t.read()
+                _doclen_slice(doclen_t, ins_ids)
                 .join(F.broadcast(ins_ids), "doc_id", "left_semi")
                 .limit(1)
                 .count()
@@ -363,7 +459,29 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
             post_t.append(out, table_props=wm)
         else:
             post_t.set_properties(wm)
-        _write_stats_table(lake, index_name, cur)
+        # O(diff) stats delta (see the docstring's once-only-window
+        # argument); rebuild when the table was stale at entry, missing,
+        # or the pre-image guard tripped
+        stamp = {"text.stats-source-snapshot-id": str(cur)}
+        if stats_fresh and lake.table_exists(stats_name):
+            parts = [p for p in (neg_stats,) if p is not None]
+            if n_ins:
+                parts.append(
+                    ins_post.groupBy("w").agg(
+                        F.count("*").cast("long").alias("df")
+                    )
+                )
+            if parts:
+                delta_stats = parts[0]
+                for p in parts[1:]:
+                    delta_stats = delta_stats.unionByName(p)
+                lake.table(stats_name).append(
+                    _cluster_w(delta_stats), table_props=stamp
+                )
+            else:  # empty feed (e.g. a compaction-only rewrite): restamp
+                lake.table(stats_name).set_properties(stamp)
+        else:
+            _write_stats_table(lake, index_name, cur)
         return {
             "index": index_name, "mode": "cdc",
             "n_docs": n_ins, "n_deleted": len(deleted),
@@ -397,9 +515,13 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
             )
         post_t.set_properties(wm)
         return {"index": index_name, "mode": "incremental", "n_docs": 0}
+    # checkpoint BEFORE the collision probe: the min/max bounds, the
+    # semi-join, the doclen/stats derivations and the postings append all
+    # reuse the one delta tokenize
+    postings = postings.localCheckpoint(eager=True)
     delta_ids = postings.select("doc_id").distinct()
     collides = (
-        doclen_t.read()
+        _doclen_slice(doclen_t, delta_ids)
         .join(F.broadcast(delta_ids), "doc_id", "left_semi")
         .limit(1)
         .count()
@@ -416,9 +538,6 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
     # every crash window detectable: stats-ahead-of-postings shows as a
     # snapshot-stamp mismatch (serve falls back) AND the delta ids already
     # sit in doclen, so the retried refresh routes to the full rebuild.
-    # The delta postings are checkpointed so the stats append and the
-    # postings append below don't re-run the delta tokenize.
-    postings = postings.localCheckpoint(eager=True)
     if lake.table_exists(stats_name):
         lake.table(stats_name).append(
             _stats_of(postings),
@@ -604,7 +723,9 @@ def bm25_query(
     cases = None
     for t in terms_l:
         df_t = dfrow.get(t)
-        if not df_t:
+        if not df_t or df_t <= 0:
+            # absent, or partial rows summed to 0 (every doc holding the
+            # term was CDC-deleted): the term scores nothing either way
             continue
         v = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
         c = F.when(F.col("w") == t, F.lit(v))

@@ -760,9 +760,16 @@ class LakeTable:
         if mode == "merge-on-read":
             if snap is None or not snap["commit_dirs"]:
                 return self._commit_rewrite(parent, "delete", [])["id"]
-            matched = self._read_with_pos(snap, meta).filter(
-                f"({condition}) IS TRUE"
-            ).select(
+            live = self._read_with_pos(snap, meta, prune_where=condition)
+            if live is None:
+                # every file provably excluded: metadata-only snapshot
+                return self._commit_rewrite(
+                    parent, "delete", list(snap["commit_dirs"]),
+                    commit_filters=dict(snap.get("commit_filters", {})) or None,
+                    delete_dirs=list(snap.get("delete_dirs", [])) or None,
+                    eq_deletes=list(snap.get("eq_deletes", [])) or None,
+                )["id"]
+            matched = live.filter(f"({condition}) IS TRUE").select(
                 F.col("__sg_file").alias("file_path"),
                 F.col("__sg_pos").alias("pos"),
             )
@@ -871,9 +878,15 @@ class LakeTable:
         if mode == "merge-on-read":
             if snap is None or not snap["commit_dirs"]:
                 return self._commit_rewrite(parent, "update", [])["id"]
-            matched = self._read_with_pos(snap, meta).filter(
-                f"({condition}) IS TRUE"
-            )
+            live = self._read_with_pos(snap, meta, prune_where=condition)
+            if live is None:  # every file provably excluded
+                return self._commit_rewrite(
+                    parent, "update", list(snap["commit_dirs"]),
+                    commit_filters=dict(snap.get("commit_filters", {})) or None,
+                    delete_dirs=list(snap.get("delete_dirs", [])) or None,
+                    eq_deletes=list(snap.get("eq_deletes", [])) or None,
+                )["id"]
+            matched = live.filter(f"({condition}) IS TRUE")
             # one pass, reused twice (delete coords + updated copies)
             matched = matched.localCheckpoint()
             if matched.isEmpty():
@@ -1783,21 +1796,43 @@ class LakeTable:
             return df.select(*user_cols)
         return df
 
-    def _read_with_pos(self, snap: dict, meta: dict) -> DataFrame:
+    def _read_with_pos(
+        self, snap: dict, meta: dict, prune_where: str | None = None
+    ) -> DataFrame | None:
         """The snapshot's LIVE rows with their physical coordinates
         (``__sg_file``, ``__sg_pos``) — the scan side of a merge-on-read
         DELETE: existing position deletes are applied first (an
         already-deleted row can never re-match), declared-schema columns
-        are projected for the predicate, the coordinates ride along."""
+        are projected for the predicate, the coordinates ride along.
+
+        ``prune_where`` (r12): the DML predicate, used ONLY for file-level
+        min/max skipping — a file whose stats prove no row matches holds
+        no coordinate the delete could emit, so skipping it is sound (the
+        MoR path rewrites nothing; unscanned files simply stay live).
+        This is what lets an index CDC delete carry a clustered-column
+        conjunct (postings ``w IN``, codes ``cell_id IN``) and touch
+        O(affected files) instead of scanning the whole index. Returns
+        None when every file is provably excluded (no row can match)."""
         schema = T.StructType.fromJson(meta["schema"]) if meta.get("schema") else None
         aliases = meta.get("column_aliases", {})
         tombs = self._tombstoned_dirs(meta, schema, None)
         dirs = [os.path.join(self.path, "data", d) for d in snap["commit_dirs"]]
         cf = snap.get("commit_filters", {})
         filters = [cf.get(d) for d in snap["commit_dirs"]]
+        file_lists = None
+        if prune_where is not None:
+            file_lists = self._prune_file_lists(
+                dirs,
+                self._sub_outside_literals(
+                    prune_where, meta.get("column_aliases", {})
+                ),
+                skip_isnull_cols=set(meta.get("column_tombstones", {})),
+            )
         df = self._read_dirs(
-            dirs, None, filters, schema, aliases, tombs, with_pos=True
+            dirs, file_lists, filters, schema, aliases, tombs, with_pos=True
         )
+        if df is None:
+            return None
         eq_entries = snap.get("eq_deletes", [])
         if eq_entries:
             df = self._apply_equality_deletes(df, eq_entries, meta)
@@ -1940,19 +1975,30 @@ class LakeTable:
         parent = meta.get("current_snapshot_id")
         snap = self._current_snapshot(meta)
         if mode == "merge-on-read" and snap and snap["commit_dirs"]:
-            with_pos = self._read_with_pos(snap, meta)
-            # no forced broadcast: the source is usually the small side but
-            # isn't contractually so — AQE picks the join strategy
-            matched = with_pos.join(
-                source.select(*keys).distinct(), keys, "left_semi"
-            ).select(
-                F.col("__sg_file").alias("file_path"),
-                F.col("__sg_pos").alias("pos"),
-            ).localCheckpoint()
+            # the coordinate scan prunes to files whose key range overlaps
+            # the source's (r12): disjoint files provably hold no colliding
+            # row — the CoW path's affected-only idea applied to the MoR
+            # semi-join side
+            key_cond = self._source_key_range_condition(
+                source, [(k, k) for k in keys]
+            )
+            with_pos = self._read_with_pos(snap, meta, prune_where=key_cond)
+            matched = None
+            if with_pos is None:  # no file overlaps: nothing collides
+                with_pos = self._read_with_pos(snap, meta)
+            else:
+                # no forced broadcast: the source is usually the small side
+                # but isn't contractually so — AQE picks the join strategy
+                matched = with_pos.join(
+                    source.select(*keys).distinct(), keys, "left_semi"
+                ).select(
+                    F.col("__sg_file").alias("file_path"),
+                    F.col("__sg_pos").alias("pos"),
+                ).localCheckpoint()
             cols = [c for c in with_pos.columns if c not in ("__sg_file", "__sg_pos")]
             commit = self._write_commit_dir(source.select(*cols), meta)
             del_dirs = list(snap.get("delete_dirs", []))
-            if not matched.isEmpty():
+            if matched is not None and not matched.isEmpty():
                 ddir = f"deletes-{uuid.uuid4().hex[:12]}"
                 matched.write.mode("error").parquet(
                     os.path.join(self.path, "data", ddir)

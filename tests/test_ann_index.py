@@ -890,3 +890,64 @@ def test_cdc_presence_check_prunes_ids_sidecar(spark, sf_dir, lake):
     assert {
         r.cand_id for r in ids_t.read().collect()
     } == {r.vec_id for r in lake.table("ann.corpus").read().collect()}
+
+
+def test_cdc_codes_delete_scan_prunes_by_cells(spark, sf_dir, lake, monkeypatch):
+    """r12: the CDC codes delete re-encodes the delete pre-images through
+    the exact build path (frozen quantizers) to recover each deleted id's
+    cell, and conjoins `cell_id IN (...)` so the merge-on-read coordinate
+    scan prunes to the affected cells' files instead of scanning the
+    whole cell-clustered index — row-identical to the unpruned delete."""
+    from apache_iceberg_lakehouse_workshop_spark.plans.lakeshim import LakeTable
+
+    emb = _emb(spark, sf_dir, 400)
+    lake.create_table_as("ann.corpus", emb)
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    codes_t = lake.table("ann.idx_codes")
+    total = len(set(codes_t.read().inputFiles()))
+    assert total >= 4
+    conds = []
+    real = LakeTable.delete_where
+
+    def spy(self, condition, mode=None):
+        conds.append((self.name, condition))
+        return real(self, condition, mode)
+
+    monkeypatch.setattr(LakeTable, "delete_where", spy)
+    lake.table("ann.corpus").delete_where("vec_id IN (5, 9)")
+    out = AX.refresh_ann_index(lake, "ann.idx")
+    assert out["mode"] == "cdc" and out["n_deleted"] == 2
+    code_conds = [c for n, c in conds if n.endswith("idx_codes")]
+    assert len(code_conds) == 1 and code_conds[0].startswith("cell_id IN (")
+    pruned = len(set(codes_t.read(where=code_conds[0]).inputFiles()))
+    assert 0 < pruned < total
+    # the delete was exact: no code row survives for the deleted ids and
+    # the served results equal the one-shot over the surviving corpus
+    assert codes_t.read().filter("cand_id IN (5, 9)").count() == 0
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = AX.ann_query(lake, "ann.idx", queries, k=5, nprobe=16)
+    assert not {r.cand_id for r in got.collect()} & {5, 9}
+
+
+def test_rerank_stage2_source_read_is_id_pruned(spark, sf_dir, lake):
+    """r12: stage 2 of the persisted rerank reads the source pinned at
+    the indexed snapshot WITH an `id IN (recalled ids)` predicate — on an
+    id-clustered corpus the exact re-rank touches only the candidates'
+    files, never the whole corpus (the row filter is exact either way:
+    the join keeps only candidate ids)."""
+    emb = _emb(spark, sf_dir, 400)
+    lake.create_table_as("ann.corpus", emb.filter(F.col("vec_id") < 100))
+    for lo, hi in ((100, 200), (200, 300), (300, 400)):
+        lake.table("ann.corpus").append(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        )
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    corpus_files = set(lake.table("ann.corpus").read().inputFiles())
+    assert len(corpus_files) >= 4
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = AX.ann_query_rerank(
+        lake, "ann.idx", queries, k=3, recall_m=3, nprobe=4
+    )
+    used = {f for f in got.inputFiles() if f in corpus_files}
+    assert 0 < len(used) < len(corpus_files)
+    assert got.count() == 3

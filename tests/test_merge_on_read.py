@@ -263,3 +263,46 @@ def test_sql_rollback_keeps_mor_deletes(lake, spark):
         (F.col("id") % 2).alias("g")))
     lake.run_script(f"ROLLBACK TABLE ns.t TO SNAPSHOT '{s_del}';")
     assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_mor_delete_coordinate_scan_is_file_pruned(lake, spark, monkeypatch):
+    """r12: the merge-on-read DELETE's coordinate scan runs the same
+    file-level min/max skipping as reads — a file whose stats prove no
+    row matches holds no coordinate the delete could emit, so it is
+    never scanned (the MoR path rewrites nothing; unscanned files stay
+    live untouched)."""
+    from apache_iceberg_lakehouse_workshop_spark.plans.lakeshim import LakeTable
+
+    lake.create_namespace("ns")
+    clustered = (
+        spark.range(1000)
+        .select(F.col("id"), (F.col("id") % 7).alias("g"))
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+    )
+    lake.create_table_as("ns.big", clustered)
+    t = lake.table("ns.big")
+    total = len(_data_files(t))
+    assert total >= 4
+    calls = []
+    real = LakeTable._read_dirs
+
+    def spy(self, dirs, file_lists=None, *a, **kw):
+        calls.append(file_lists)
+        return real(self, dirs, file_lists, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "_read_dirs", spy)
+    t.delete_where("id IN (3, 4)", mode="merge-on-read")
+    pruned = [fl for fl in calls if fl is not None]
+    assert pruned, "the coordinate scan received no file list"
+    kept = sum(len(x) for x in pruned[0] if x is not None)
+    assert 0 < kept < total
+    assert sorted(r.id for r in t.read().filter("id < 6").collect()) == [
+        0, 1, 2, 5,
+    ]
+    # a predicate provably matching nothing reads zero files (the scan
+    # gets an all-empty file list) and commits metadata-only
+    t.delete_where("id = 999999", mode="merge-on-read")
+    assert calls[-1] is not None and all(x == [] for x in calls[-1])
+    snap = t._current_snapshot(t._load_meta())
+    assert len(snap.get("delete_dirs", [])) == 1  # no new delete dir

@@ -548,3 +548,130 @@ def test_driver_term_stats_degrades_on_unreadable_files(spark, sf_dir, lake, mon
     got = TX.bm25_query(lake, "tx.idx", TERMS, n=10)
     want = TS.bm25_topk(docs.limit(50), TERMS, n=10)
     assert _ranked(got) == _ranked(want)
+
+
+def test_cdc_stats_delta_is_o_diff(spark, sf_dir, lake):
+    """r12: the CDC refresh maintains the per-term stats table with ONE
+    O(delta-vocab) APPEND — negative partial df rows tokenized from the
+    feed's delete pre-images plus positive rows for the inserts — never
+    the O(postings-vocab) rebuild. The summed partials equal the exact
+    df over the live postings, and the one-job serve stays engaged and
+    bit-identical to the one-shot."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    st = lake.table("tx.idx_stats")
+    n_snaps0 = len(st._load_meta()["snapshots"])
+    # an UPDATE (delete+insert of doc 1) and a DELETE land in one range
+    lake.table("tx.docs").update_where(
+        {"text": "'vector vector spark boost'"}, "doc_id = 1"
+    )
+    lake.table("tx.docs").delete_where("doc_id % 7 = 0")
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "cdc" and out["n_deleted"] > 0 and out["n_docs"] > 0
+    snaps = st._load_meta()["snapshots"]
+    assert len(snaps) == n_snaps0 + 1, "exactly one stats commit per refresh"
+    assert snaps[-1]["operation"] == "append", "O(diff) delta, not a rebuild"
+    # summed partials (positives + negatives) == exact df of live postings
+    want = {
+        r.w: r.df
+        for r in lake.table("tx.idx_postings")
+        .read()
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("df"))
+        .collect()
+    }
+    got = {
+        r.w: r.df
+        for r in st.read().groupBy("w").agg(F.sum("df").alias("df")).collect()
+        if r.df != 0
+    }
+    assert got == want
+    # one-job serve still engaged (fresh stamp) and exact
+    props = lake.table("tx.idx_postings").properties()
+    terms = sorted(TERMS)
+    in_list = ", ".join(f"'{x}'" for x in terms)
+    assert TX._driver_term_stats(lake, "tx.idx", terms, props, in_list) is not None
+    got_rank = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
+    want_rank = TS.bm25_topk(lake.table("tx.docs").read(), TERMS, n=20)
+    assert _ranked(got_rank) == _ranked(want_rank)
+
+
+def test_cdc_stats_preimage_guard_falls_back_to_rebuild(
+    spark, sf_dir, lake, monkeypatch
+):
+    """A delete pre-image whose text does not tokenize to what was
+    indexed (a corrupted/buggy feed) must not poison the stats: the
+    per-doc dl guard trips, the CDC delete/insert path still applies,
+    and the stats table REBUILDS from the written postings (overwrite,
+    not a delta append) — the serve stays exact either way."""
+    from apache_iceberg_lakehouse_workshop_spark.plans.lakeshim import LakeTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    real = LakeTable.read_changes
+
+    def corrupted(self, *a, **kw):
+        out = real(self, *a, **kw)
+        return out.withColumn(
+            "text",
+            F.when(
+                F.col("_change_type") == "delete", F.lit("zzz corrupted zzz")
+            ).otherwise(F.col("text")),
+        )
+
+    monkeypatch.setattr(LakeTable, "read_changes", corrupted)
+    lake.table("tx.docs").delete_where("doc_id % 5 = 0")
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "cdc" and out["n_deleted"] > 0
+    st = lake.table("tx.idx_stats")
+    assert st._load_meta()["snapshots"][-1]["operation"] == "overwrite"
+    got = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
+    want = TS.bm25_topk(lake.table("tx.docs").read(), TERMS, n=20)
+    assert _ranked(got) == _ranked(want)
+
+
+def test_cdc_postings_delete_scan_prunes_by_terms(spark, lake, monkeypatch):
+    """r12: the CDC postings delete conjoins the verified pre-images'
+    vocabulary (`w IN (...)`) to the doc_id predicate, so the
+    merge-on-read coordinate scan prunes to the deleted docs' term-range
+    files instead of scanning the whole term-clustered index — exact,
+    because every posting row of a deleted doc carries a term from its
+    own (guard-verified) text."""
+    import string
+
+    from apache_iceberg_lakehouse_workshop_spark.plans.lakeshim import LakeTable
+
+    rows = [
+        (i, " ".join(f"{string.ascii_lowercase[i % 26]}word{j}" for j in range(5)))
+        for i in range(260)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lake.create_table_as("tx.docs", docs)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    post_t = lake.table("tx.idx_postings")
+    total = len(set(post_t.read().inputFiles()))
+    assert total >= 4
+    conds = []
+    real = LakeTable.delete_where
+
+    def spy(self, condition, mode=None):
+        conds.append((self.name, condition))
+        return real(self, condition, mode)
+
+    monkeypatch.setattr(LakeTable, "delete_where", spy)
+    lake.table("tx.docs").delete_where("doc_id = 142")  # band 'm'
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "cdc" and out["n_deleted"] == 1
+    post_conds = [c for n, c in conds if n.endswith("idx_postings")]
+    assert len(post_conds) == 1 and post_conds[0].startswith("w IN (")
+    pruned = len(set(post_t.read(where=post_conds[0]).inputFiles()))
+    assert 0 < pruned < total
+    # the delete was exact: the doc is gone, serve == one-shot
+    assert post_t.read().filter("doc_id = 142").count() == 0
+    got = TX.bm25_query(lake, "tx.idx", ["mword0", "aword1"], n=10)
+    want = TS.bm25_topk(
+        lake.table("tx.docs").read(), ["mword0", "aword1"], n=10
+    )
+    assert _ranked(got) == _ranked(want)
