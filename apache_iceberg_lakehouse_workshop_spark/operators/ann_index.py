@@ -226,25 +226,18 @@ def refresh_ann_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         else:
             codes_t.set_properties(wm)
         mode = "incremental"
-        # un-clustered delta appends accumulate files with wide cell_id
-        # ranges, eroding the probed-cell pruning — re-cluster in place
-        # after a few appends (the text index's recluster_after idiom)
-        appends = 0
-        for s in codes_t._load_meta()["snapshots"]:
-            appends = appends + 1 if s["operation"] == "append" else 0
-        if recluster_after and appends > recluster_after:
-            codes_t.compact(sort_by=["cell_id", "m"])
-            if ids_t is not None:
-                # the sidecar accumulates one small file per refresh;
-                # restore tight cand_id ranges on the same cadence so the
-                # CDC membership reads keep pruning
-                ids_t.compact(sort_by=["cand_id"])
+        _maybe_recluster_codes(codes_t, ids_t, recluster_after)
     except ValueError:
         out = _cdc_refresh_codes(
             lake, src, codes_t, params, last, cur, wm, encoded, ids_t=ids_t
         )
         if out is not None:
             out["index"] = index_name
+            # CDC refreshes hit the same layout-maintenance cadence as
+            # appends (delete snapshots count too) — previously only the
+            # append path reached it, so CDC-heavy workloads accumulated
+            # merge-on-read delete files unboundedly
+            _maybe_recluster_codes(codes_t, ids_t, recluster_after)
             return out
         # CDC unavailable/unsound/oversized: exact frozen-quantizer
         # rebuild. The ids sidecar overwrites FIRST (and legacy indexes
@@ -264,6 +257,27 @@ def refresh_ann_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         n = full.count()
         mode = "reencode"
     return {"index": index_name, "mode": mode, "n_encoded": n}
+
+
+def _maybe_recluster_codes(codes_t, ids_t, recluster_after: int) -> None:
+    """Layout maintenance on a snapshot cadence, run after EVERY refresh
+    mode: un-clustered delta appends erode the probed-cell pruning and
+    merge-on-read CDC deletes accumulate delete files every serve must
+    anti-join away — after ``recluster_after`` append/delete snapshots
+    since the last rewrite, the codes compact in (cell_id, m) order
+    (materializing delete files, restoring tight per-file cell ranges)
+    and the ids sidecar compacts in cand_id order so the CDC membership
+    reads keep pruning."""
+    if not recluster_after:
+        return
+    n = 0
+    for s in codes_t._load_meta()["snapshots"]:
+        n = n + 1 if s["operation"] in ("append", "delete") else 0
+    if n <= recluster_after:
+        return
+    codes_t.compact(sort_by=["cell_id", "m"])
+    if ids_t is not None:
+        ids_t.compact(sort_by=["cand_id"])
 
 
 def _cdc_refresh_codes(

@@ -492,6 +492,9 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
     except ValueError:
         out = cdc_refresh()
         if out is not None:
+            # CDC refreshes hit the same layout-maintenance cadence as
+            # appends (delete snapshots count too) — see _maybe_recluster
+            _maybe_recluster(lake, index_name, post_t, recluster_after)
             return out
         return {
             "index": index_name, "mode": "retokenize", "n_docs": retokenize(),
@@ -561,16 +564,35 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
     else:
         out = postings.select(*_POSTING_COLS_LEGACY)
     post_t.append(out, table_props=wm)
-    appends = 0  # appends since the last full rewrite
-    for s in post_t._load_meta()["snapshots"]:
-        appends = appends + 1 if s["operation"] == "append" else 0
-    if recluster_after and appends > recluster_after:
-        post_t.compact(sort_by=["w"])
-        if lake.table_exists(stats_name):
-            # restore tight per-file term ranges for the stats pruning
-            # too (partial rows persist; readers sum per term either way)
-            lake.table(stats_name).compact(sort_by=["w"])
+    _maybe_recluster(lake, index_name, post_t, recluster_after)
     return {"index": index_name, "mode": "incremental", "n_docs": n}
+
+
+def _maybe_recluster(lake, index_name: str, post_t, recluster_after: int) -> None:
+    """Layout maintenance on a snapshot cadence, run after EVERY refresh
+    mode (r12 — previously only the incremental append path reached it,
+    so a CDC-heavy workload accumulated merge-on-read delete files and
+    un-clustered appends unboundedly, and every serve paid a growing
+    anti-join): after ``recluster_after`` append/delete snapshots since
+    the last rewrite, the postings compact in term order (materializing
+    the delete files away — the Iceberg CoW-after-MoR contract) and the
+    stats table REBUILDS from the written postings — merging the
+    accumulated partial rows (and dropping zero-sum terms) exactly, on
+    the same amortized cadence as the postings rewrite itself. A crash
+    between the two leaves valid partials with a matching stamp: nothing
+    to heal, the next cadence hit merges them."""
+    if not recluster_after:
+        return
+    n = 0
+    for s in post_t._load_meta()["snapshots"]:
+        n = n + 1 if s["operation"] in ("append", "delete") else 0
+    if n <= recluster_after:
+        return
+    post_t.compact(sort_by=["w"])
+    if lake.table_exists(_part(index_name, "stats")):
+        _write_stats_table(
+            lake, index_name, post_t.properties()["text.source-snapshot-id"]
+        )
 
 
 def text_index_status(lake, index_name: str) -> dict:

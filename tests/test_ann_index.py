@@ -951,3 +951,29 @@ def test_rerank_stage2_source_read_is_id_pruned(spark, sf_dir, lake):
     used = {f for f in got.inputFiles() if f in corpus_files}
     assert 0 < len(used) < len(corpus_files)
     assert got.count() == 3
+
+
+def test_cdc_heavy_workload_hits_codes_recluster_cadence(spark, sf_dir, lake):
+    """r12: a stream of small CDC deletes (no appends) still triggers the
+    codes recluster compaction — merge-on-read delete files no longer
+    accumulate unboundedly under the streaming-upsert workload; the
+    served results keep matching the live corpus."""
+    emb = _emb(spark, sf_dir, 200)
+    lake.create_table_as("ann.corpus", emb)
+    AX.build_ann_index(lake, "ann.corpus", "ann.idx", **KW)
+    codes_t = lake.table("ann.idx_codes")
+    for i in range(5):
+        lake.table("ann.corpus").delete_where(f"vec_id = {i}")
+        out = AX.refresh_ann_index(lake, "ann.idx", recluster_after=3)
+        assert out["mode"] == "cdc" and out["n_deleted"] == 1
+    ops = [s["operation"] for s in codes_t._load_meta()["snapshots"]]
+    assert "compact" in ops, f"cadence never hit: {ops}"
+    snap = codes_t._current_snapshot(codes_t._load_meta())
+    # the compact materialized every delete file accumulated BEFORE it;
+    # only deletes after the cadence hit may remain outstanding
+    assert len(snap.get("delete_dirs", [])) < 3, "delete files accumulate"
+    live = {r.vec_id for r in lake.table("ann.corpus").read().collect()}
+    assert {r.cand_id for r in codes_t.read().collect()} == live
+    assert {
+        r.cand_id for r in lake.table("ann.idx_ids").read().collect()
+    } == live

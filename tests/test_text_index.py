@@ -675,3 +675,35 @@ def test_cdc_postings_delete_scan_prunes_by_terms(spark, lake, monkeypatch):
         lake.table("tx.docs").read(), ["mword0", "aword1"], n=10
     )
     assert _ranked(got) == _ranked(want)
+
+
+def test_cdc_heavy_workload_hits_recluster_cadence(spark, lake):
+    """r12: layout maintenance runs after EVERY refresh mode — a stream
+    of small CDC deletes (no appends at all) still triggers the
+    recluster compaction, materializing the accumulated merge-on-read
+    delete files away and REBUILDING the stats table (merging the
+    accumulated positive/negative partials exactly); serve stays exact
+    throughout."""
+    rows = [(i, f"alpha beta gamma doc{i} token{i % 7}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lake.create_table_as("tx.docs", docs)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    post_t = lake.table("tx.idx_postings")
+    for i in range(5):
+        lake.table("tx.docs").delete_where(f"doc_id = {i}")
+        out = TX.refresh_text_index(lake, "tx.idx", recluster_after=3)
+        assert out["mode"] == "cdc" and out["n_deleted"] == 1
+    ops = [s["operation"] for s in post_t._load_meta()["snapshots"]]
+    assert "compact" in ops, f"cadence never hit: {ops}"
+    snap = post_t._current_snapshot(post_t._load_meta())
+    # the compact materialized every delete file accumulated BEFORE it;
+    # only deletes after the cadence hit may remain outstanding
+    assert len(snap.get("delete_dirs", [])) < 3, "delete files accumulate"
+    # stats partials merged on the cadence: the rebuild left one row per
+    # term, and only the post-compact refreshes may have re-added a delta
+    st = lake.table("tx.idx_stats").read()
+    per_term = st.groupBy("w").count().agg(F.max("count")).collect()[0][0]
+    assert per_term <= 2, "partials were never merged"
+    got = TX.bm25_query(lake, "tx.idx", ["alpha", "token1"], n=10)
+    want = TS.bm25_topk(lake.table("tx.docs").read(), ["alpha", "token1"], n=10)
+    assert _ranked(got) == _ranked(want)
