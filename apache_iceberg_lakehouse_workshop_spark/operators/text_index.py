@@ -419,11 +419,13 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
             # costs parse/plan time — fall back to the plain scan).
             del_pred = f"doc_id IN ({in_list})"
             if neg_stats is not None:
-                vocab = sorted(
-                    r["w"] for r in del_post.select("w").distinct().collect()
-                )
-                if 0 < len(vocab) <= 2000:
-                    terms_in = ", ".join(f"'{w}'" for w in vocab)
+                # take(2001), never collect(): a wide delete's union vocab
+                # must not land on the driver just to be rejected
+                rows = del_post.select("w").distinct().take(2001)
+                if 0 < len(rows) <= 2000:
+                    terms_in = ", ".join(
+                        f"'{w}'" for w in sorted(r["w"] for r in rows)
+                    )
                     del_pred = f"w IN ({terms_in}) AND {del_pred}"
             post_t.delete_where(del_pred, mode="merge-on-read")
             doclen_t.delete_where(f"doc_id IN ({in_list})")
