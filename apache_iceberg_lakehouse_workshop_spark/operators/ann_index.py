@@ -347,31 +347,37 @@ def _cdc_refresh_codes(
         # id's cell is a pure function of its vector under the FROZEN
         # quantizers, and the feed's delete pre-image carries that vector
         # (the row at the indexed snapshot). Re-encoding the d pre-images
-        # through the exact build path yields each id's cell, and
-        # conjoining `cell_id IN (...)` prunes the coordinate scan to the
-        # affected cells' files while `cand_id IN` still bounds the rows —
-        # row-identical to the unpruned delete. Shape-guarded: every
-        # deleted id must re-encode to exactly one cell, else fall back to
-        # the plain scan (correct at any layout).
+        # through the exact build path yields CANDIDATE cells for a
+        # `cell_id IN (...)` conjunct — and the pre-image is never
+        # trusted: a pruned slice read must find EXACTLY m_sub rows per
+        # deleted id (every code row of every deleted id, the same
+        # not-singly-present bar the legacy check used) before the pruned
+        # predicate drives the delete. A mismatched pre-image (wrong
+        # vector -> wrong cell -> rows outside the slice) leaves the
+        # slice short and falls back to the plain scan — a corrupted
+        # feed costs the pruning, never ghost rows.
         del_pred = f"cand_id IN ({in_list})"
         try:
-            dcell = (
-                encoded(dels)
-                .select("cand_id", "cell_id")
-                .distinct()
-                .groupBy()
-                .agg(
-                    F.count("*").alias("pairs"),
-                    F.countDistinct("cand_id").alias("n"),
-                    F.collect_set("cell_id").alias("cells"),
-                )
-                .collect()[0]
+            cells = sorted(
+                r["cell_id"]
+                for r in encoded(dels).select("cell_id").distinct().collect()
             )
-            if int(dcell["n"]) == len(deleted) and int(
-                dcell["pairs"]
-            ) == len(deleted):
-                cl = ", ".join(str(c) for c in sorted(dcell["cells"]))
-                del_pred = f"cell_id IN ({cl}) AND {del_pred}"
+            if cells:
+                cl = ", ".join(str(c) for c in cells)
+                cand_pred = f"cell_id IN ({cl}) AND {del_pred}"
+                got = (
+                    codes_t.read(where=cand_pred)
+                    .groupBy()
+                    .agg(
+                        F.count("*").alias("rows"),
+                        F.countDistinct("cand_id").alias("ids"),
+                    )
+                    .collect()[0]
+                )
+                if int(got["ids"]) == len(deleted) and int(
+                    got["rows"]
+                ) == len(deleted) * params["m_sub"]:
+                    del_pred = cand_pred
         except Exception:
             pass  # un-encodable pre-image (null/short vector): plain scan
         # codes first, sidecar second: a crash between them leaves the
@@ -560,11 +566,12 @@ def ann_query_rerank(
     # difference between touching ~|Q|·m rows' files and every file. The
     # row filter is exact (the join keeps only cand ids anyway); skipped
     # when the id set is too large for a sane IN literal.
-    ids = sorted(
-        r["cand_id"] for r in cand.select("cand_id").distinct().collect()
-    )
+    # take(N+1), never collect(): a huge batch's candidate set must not
+    # land on the driver just to be rejected as too large for the IN list
+    rows = cand.select("cand_id").distinct().take(100_001)
     where = None
-    if 0 < len(ids) <= 100_000:
+    if 0 < len(rows) <= 100_000:
+        ids = sorted(r["cand_id"] for r in rows)
         where = f"{params['id_col']} IN ({', '.join(str(i) for i in ids)})"
     corpus = src.read(snapshot_id=sid, where=where)
     return exact_rerank(

@@ -316,22 +316,24 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         deleted ids' doclen rows (read + checkpointed BEFORE the
         delete), and the per-term stats table APPENDS one delta —
         positive partial df rows tokenized from the inserted docs,
-        NEGATIVE partial rows tokenized from the feed's delete
-        PRE-IMAGES. The pre-image payload is the row at the ``last``
-        snapshot — exactly the text the index tokenized (both are
-        pinned to the same snapshot) — and a per-doc guard makes that
-        structural fact a runtime check: the pre-images' token counts
-        must equal the indexed doclen rows doc by doc, else the stats
-        fall back to the full rebuild (CDC itself still applies).
-        Negative partials ARE crash-retry-safe here because the append
-        rides a once-only window: it runs only AFTER the postings
-        watermark advances to ``cur``, so a retried refresh re-enters
-        with ``cur == last`` and routes to the stamp-checked repair /
-        noop path — it can never replay this feed. A crash BEFORE the
-        append leaves the stamp behind the watermark: serve falls back
-        to the in-query df job and the repair path rebuilds. A stats
-        table already stale at entry is never delta-appended (healing
-        needs the rebuild).
+        NEGATIVE partial rows counted from the deleted docs' INDEXED
+        posting rows, never from the feed payload, so the delta is
+        exact by construction at any feed quality. Those indexed rows
+        come from a term-pruned slice when a completeness proof holds
+        (per-doc sum(tf) over the slice == the indexed dl — tf >= 1, so
+        a row escaping the slice predicate leaves the sum short), else
+        from a plain doc_id read that excludes nothing; the pre-image
+        text only ever supplies the CANDIDATE pruning vocabulary, and a
+        corrupted feed merely costs the pruning, never correctness.
+        Negative partials ARE crash-retry-safe because the append rides
+        a once-only window: it runs only AFTER the postings watermark
+        advances to ``cur``, so a retried refresh re-enters with ``cur
+        == last`` and routes to the stamp-checked repair / noop path —
+        it can never replay this feed. A crash BEFORE the append leaves
+        the stamp behind the watermark: serve falls back to the
+        in-query df job and the repair path rebuilds. A stats table
+        already stale at entry is never delta-appended (healing needs
+        the rebuild).
 
         Every other step is idempotent as before: postings/doclen
         deletes re-apply as no-ops, the insert-collision check (run
@@ -382,51 +384,86 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
             rn, rs = _doclen_stats(removed)
             if rn != len(deleted):
                 return None  # a deleted id the index doesn't hold exactly once
+            # file-pruned position delete (r12): the postings are
+            # term-clustered, so a doc_id predicate alone scans every
+            # file — the delete pre-images' vocabulary gives a `w IN`
+            # conjunct the term ranges CAN prune. The pre-image is never
+            # trusted: a pruned slice read runs first, and per-doc
+            # sum(tf) == the indexed dl PROVES the slice holds every
+            # posting row of every deleted doc (tf >= 1, so a row
+            # escaping the predicate would leave the sum short) — only
+            # then does the pruned predicate drive the delete. Any
+            # shortfall (corrupted feed, vocab too wide to bother
+            # pruning) falls back to the plain doc_id scan, still exact.
+            del_pred = f"doc_id IN ({in_list})"
+            idx_rows = None  # the deleted docs' PROVEN-complete row set
             if stats_fresh:
-                # negative per-term df from the delete pre-images — guard
-                # runs BEFORE the deletes so both sides read live data
                 del_post = _postings_of(dels, idc, textc).localCheckpoint(
                     eager=True
                 )
-                mismatch = (
+                # cheap pre-screen: pre-image per-doc token counts must
+                # equal the indexed doclen rows before the vocab is even
+                # considered as a pruning predicate
+                dl_ok = (
                     removed.join(
                         _doclen_of(del_post).withColumnRenamed("dl", "dl_pre"),
                         "doc_id",
                         "full_outer",
                     )
-                    .where(
-                        "dl IS NULL OR dl_pre IS NULL OR dl <> dl_pre"
-                    )
+                    .where("dl IS NULL OR dl_pre IS NULL OR dl <> dl_pre")
                     .limit(1)
                     .count()
-                    > 0
+                    == 0
                 )
-                if mismatch:
-                    stats_fresh = False  # pre-image ≠ indexed text: rebuild
-                else:
-                    neg_stats = del_post.groupBy("w").agg(
-                        (-F.count("*")).cast("long").alias("df")
+                if dl_ok:
+                    # take(2001), never collect(): a wide delete's union
+                    # vocab must not land on the driver just to be rejected
+                    vrows = del_post.select("w").distinct().take(2001)
+                    if 0 < len(vrows) <= 2000:
+                        terms_in = ", ".join(
+                            f"'{w}'" for w in sorted(r["w"] for r in vrows)
+                        )
+                        cand_pred = f"w IN ({terms_in}) AND {del_pred}"
+                        slice_ = (
+                            post_t.read(where=cand_pred)
+                            .select("doc_id", "w", "tf")
+                            .localCheckpoint(eager=True)
+                        )
+                        complete = (
+                            removed.join(
+                                slice_.groupBy("doc_id").agg(
+                                    F.sum("tf").cast("long").alias("dl_sl")
+                                ),
+                                "doc_id",
+                                "full_outer",
+                            )
+                            .where(
+                                "dl IS NULL OR dl_sl IS NULL OR dl <> dl_sl"
+                            )
+                            .limit(1)
+                            .count()
+                            == 0
+                        )
+                        if complete:
+                            idx_rows = slice_
+                            del_pred = cand_pred
+                if idx_rows is None:
+                    # unpruned but still O(diff)-WRITTEN stats: the docs'
+                    # rows by construction (no w conjunct excludes
+                    # anything) — one narrow scan the plain delete pays
+                    # anyway, and the negative partials derive from the
+                    # INDEX itself, trusting nothing
+                    idx_rows = (
+                        post_t.read(where=del_pred)
+                        .select("doc_id", "w", "tf")
+                        .localCheckpoint(eager=True)
                     )
-            # file-pruned position delete (r12): the postings are
-            # term-clustered, so a doc_id predicate alone scans every
-            # file — but every posting row of a deleted doc carries a
-            # term from its own text, so conjoining `w IN (pre-image
-            # vocab)` is EXACT (doc_id IN still bounds the rows) and the
-            # term ranges prune the coordinate scan to O(affected files).
-            # Only taken when the per-doc guard above proved the
-            # pre-images match the indexed text, and only while the
-            # vocab IN-list stays small (a huge list prunes nothing and
-            # costs parse/plan time — fall back to the plain scan).
-            del_pred = f"doc_id IN ({in_list})"
-            if neg_stats is not None:
-                # take(2001), never collect(): a wide delete's union vocab
-                # must not land on the driver just to be rejected
-                rows = del_post.select("w").distinct().take(2001)
-                if 0 < len(rows) <= 2000:
-                    terms_in = ", ".join(
-                        f"'{w}'" for w in sorted(r["w"] for r in rows)
-                    )
-                    del_pred = f"w IN ({terms_in}) AND {del_pred}"
+                # negative per-term df FROM THE INDEXED ROWS (r12 review:
+                # pre-image-derived negatives could diverge from the index
+                # under a corrupted feed even with matching token counts)
+                neg_stats = idx_rows.groupBy("w").agg(
+                    (-F.count("*")).cast("long").alias("df")
+                )
             post_t.delete_where(del_pred, mode="merge-on-read")
             doclen_t.delete_where(f"doc_id IN ({in_list})")
         if n_ins:

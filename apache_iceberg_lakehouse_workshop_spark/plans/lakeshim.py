@@ -660,6 +660,12 @@ class LakeTable:
                     # through the engine's identifier rules): per-file
                     # null counts for IS NULL pruning
                     cols["__nulls__"] = nulls
+                # per-file row count (reserved key): the footer is open
+                # anyway, and row_count_estimate sums these instead of
+                # re-opening every footer under every commit dir on each
+                # advisor pass (the Iceberg total-records idea, at
+                # manifest granularity)
+                cols["__rows__"] = md.num_rows
                 stats[rel] = cols
         tmp = os.path.join(commit_path, "_stats.json.tmp")
         with open(tmp, "w") as f:
@@ -2831,12 +2837,17 @@ class LakeTable:
         return self.spark.createDataFrame(rows, schema)
 
     def row_count_estimate(self) -> int:
-        """Live-row count from parquet footers — driver-side metadata
-        reads only, NO Spark job (the number Iceberg keeps in its
-        snapshot summary as ``total-records``). An upper bound while
-        merge-on-read delete files are outstanding (they subtract at
-        read time, not here), which is exactly what cost estimators
-        (the advisor's index benefit gate) want: a scan-cost bound."""
+        """Live-row count from manifest metadata — driver-side only, NO
+        Spark job (the number Iceberg keeps in its snapshot summary as
+        ``total-records``). Sums the per-file ``__rows__`` counts the
+        stats manifest records at write time (r12 — one tiny JSON per
+        commit dir instead of re-opening every parquet footer on every
+        advisor pass); pre-r12 dirs without counts fall back to their
+        footers once per call. An upper bound while merge-on-read delete
+        files are outstanding (they subtract at read time, not here) or
+        commit_filters retain partially-superseded dirs, which is
+        exactly what cost estimators (the advisor's index benefit gate)
+        want: a scan-cost bound."""
         import pyarrow.parquet as pq
 
         meta = self._load_meta()
@@ -2844,12 +2855,23 @@ class LakeTable:
         total = 0
         for d in snap["commit_dirs"] if snap else []:
             base = os.path.join(self.path, "data", d)
+            counted: set[str] = set()
+            sp = os.path.join(base, "_stats.json")
+            if os.path.exists(sp):
+                try:
+                    with open(sp) as f:
+                        for rel, cols in json.load(f).items():
+                            n = cols.get("__rows__") if isinstance(cols, dict) else None
+                            if isinstance(n, int):
+                                total += n
+                                counted.add(os.path.join(base, rel))
+                except (OSError, ValueError):
+                    pass
             for root, _dirs, names in os.walk(base):
                 for n in names:
-                    if n.endswith(".parquet"):
-                        total += pq.ParquetFile(
-                            os.path.join(root, n)
-                        ).metadata.num_rows
+                    p = os.path.join(root, n)
+                    if n.endswith(".parquet") and p not in counted:
+                        total += pq.ParquetFile(p).metadata.num_rows
         return total
 
     # ------------------------------------------------------- maintenance

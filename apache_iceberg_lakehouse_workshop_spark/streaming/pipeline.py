@@ -305,6 +305,39 @@ def stream_maintain_index(
     return writer.start()
 
 
+def _cdc_upkeep_batch(
+    lake, lake_table, checkpoint_dir, keys, refreshers, indexes, stats,
+    batch_df, batch_id,
+) -> None:
+    """One trigger of :func:`stream_cdc_maintain_indexes` — module-level
+    so the replay contract is unit-testable. The refreshes run EVEN ON A
+    REPLAYED BATCH (r12): a crash between the sink apply and the
+    refreshes would otherwise leave the indexes stale forever (with
+    availableNow and no further data there is no 'next trigger' to
+    heal), and the replayed trigger is exactly the healing opportunity.
+    Safe because each refresh is watermark-driven — a fresh index
+    no-ops — the same idempotence stream_maintain_index relies on for
+    its unconditional refresh. Replayed batches record no stats entry
+    (the observability hook counts APPLIED triggers)."""
+    import time as _time
+
+    t0 = _time.time()
+    applied = apply_changes_stream_batch(
+        lake_table, checkpoint_dir, keys, batch_df, batch_id
+    )
+    outs = [refreshers[kind](lake, name) for name, kind in indexes]
+    if not applied:
+        return
+    if stats is not None:
+        stats.append(
+            {
+                "batch_id": batch_id,
+                "refreshes": outs,
+                "trigger_s": round(_time.time() - t0, 4),
+            }
+        )
+
+
 def stream_cdc_maintain_indexes(
     changes_stream: DataFrame,
     lake,
@@ -328,7 +361,10 @@ def stream_cdc_maintain_indexes(
     for the same reason as :func:`stream_maintain_index`: the sink is
     exactly-once (batch id + cdc_complete marker) and each refresh is
     watermark-driven, so a failure between the apply and a refresh is
-    healed by the next trigger. Pass ``stats`` (a list) to receive one
+    healed by the next trigger — INCLUDING a replayed one: refreshes run
+    even when the sink detects an already-applied batch
+    (:func:`_cdc_upkeep_batch`), so the heal needs no new data to
+    arrive. Pass ``stats`` (a list) to receive one
     ``{"batch_id", "refreshes": [{"index", "mode", ...}]}`` dict per
     applied trigger — the observability hook the bench probe and tests
     read refresh modes from."""
@@ -341,23 +377,10 @@ def stream_cdc_maintain_indexes(
             raise ValueError(f"unknown index kind: {kind!r} (want 'ann' or 'text')")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        import time as _time
-
-        t0 = _time.time()
-        applied = apply_changes_stream_batch(
-            lake_table, checkpoint_dir, keys, batch_df, batch_id
+        _cdc_upkeep_batch(
+            lake, lake_table, checkpoint_dir, keys, refreshers, indexes,
+            stats, batch_df, batch_id,
         )
-        if not applied:
-            return
-        outs = [refreshers[kind](lake, name) for name, kind in indexes]
-        if stats is not None:
-            stats.append(
-                {
-                    "batch_id": batch_id,
-                    "refreshes": outs,
-                    "trigger_s": round(_time.time() - t0, 4),
-                }
-            )
 
     writer = changes_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

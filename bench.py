@@ -1115,43 +1115,46 @@ def _calibration(spark) -> dict:
     return {"probe_s": round(statistics.median(runs), 4), "loadavg_1m": load1}
 
 
-def main() -> None:
-    spark = get_spark("bench")
-    # full registry: bench probes target specific plan shapes, including
-    # singletons that the exposed registry has folded into batteries
-    reg = full_registry()
-    # Warm the session so the headline section measures the ENGINE at
-    # steady state: a ~20s sustained all-core burn plus one untimed
-    # parquet scan. Short warm-ups (1M rows; even 3x 50M sums) left the
-    # start probe at 0.17-0.37s vs 0.10 at capture END on the same code —
-    # not JIT but CPU-frequency ramp: the fixed probe runs ~3x slower in
-    # the first seconds of a cold-started session, so everything the
-    # headline section timed first paid a governor tax that the scaled
-    # tiers (run last) never saw. The burn ramps the clocks BEFORE
-    # calibration, which also makes the calibration fingerprint a pure
-    # box-contention signal — its whole job.
-    # double math: id*id as int64 overflows past ~3e9 ids (silent wrap
-    # today, ArithmeticException under spark.sql.ansi.enabled) — the burn
-    # only needs cycles, not a meaningful sum. TIME-bounded, not
-    # row-bounded (r12): the box reaches its fast state only after ~60s
-    # of sustained all-core load (measured: probe 0.24 -> 0.10 across
-    # four 2B-row chunks), and a fixed row count finishes in wall time
-    # that depends on the very ramp it exists to burn off.
+def _steady_state_warmup(spark, burn_s: float = 75.0) -> None:
+    """Bring a fresh session to steady state BEFORE the first calibration
+    (shared by main() and tools/watchlist_capture.py so every capture's
+    fingerprint is comparable): a TIME-bounded sustained all-core burn
+    plus a JIT warm-up of the calibration probe's own plan shape, plus
+    one untimed parquet scan.
+
+    Why each part (r11-r12 measurements): short warm-ups (1M rows; even
+    3x 50M sums) left the start probe at 0.17-0.37s vs 0.10 at capture
+    END on the same code — not JIT but CPU-frequency ramp; the box
+    reaches its fast state only after ~60s of sustained all-core load
+    (probe 0.24 -> 0.10 across four 2B-row chunks), and a ROW-bounded
+    burn finishes in wall time that depends on the very ramp it exists
+    to burn off. The burn uses double math (id*id as int64 overflows
+    past ~3e9 ids — silent wrap today, ArithmeticException under ANSI).
+    The probe's first ~10 executions in a fresh session measure C2
+    compilation, not the box (start probes 0.19-0.24 vs the same probe
+    at ~0.10 later) — warmed, the probe is a pure box-contention
+    signal, its whole job."""
     t_burn = time.time()
-    while time.time() - t_burn < 75:
+    while time.time() - t_burn < burn_s:
         spark.range(2_000_000_000).selectExpr(
             "sum(cast(id as double) * cast(id as double))"
         ).collect()
-    # JIT-warm the calibration probe's OWN plan shape before measuring:
-    # the first ~10 executions of a fresh session measure C2 compilation,
-    # not the box (r12: start probes read 0.19-0.24 while the same probe
-    # settled at ~0.10 later in every session) — warmed, the probe is a
-    # pure box-contention signal, which is its whole job
     for _ in range(8):
         spark.range(50_000_000).selectExpr("sum(id)").collect()
     load_table(spark, SF_DIR, "lineitem").selectExpr(
         "avg(l_extendedprice)"
     ).collect()
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # full registry: bench probes target specific plan shapes, including
+    # singletons that the exposed registry has folded into batteries
+    reg = full_registry()
+    # Warm to steady state so the headline section measures the ENGINE
+    # and the calibration fingerprint is a pure box-contention signal —
+    # see _steady_state_warmup for the measured rationale.
+    _steady_state_warmup(spark)
     calib_start = _calibration(spark)
 
     timings: dict[str, float] = {}
@@ -1206,13 +1209,17 @@ def main() -> None:
     # 0.226->0.105 capture) stays dirty.
     p0, p1 = calib_start["probe_s"], calib_end["probe_s"]
     probe_steady = p1 <= p0 * 1.3 and p0 <= p1 * 1.5
-    clean = probe_steady and (
-        (calib_start["loadavg_1m"] is not None and calib_start["loadavg_1m"] < 1.0)
-        or p0 <= p1 * 1.5
-    )
+    # clean == probe-steady, full stop (r12 review: the old loadavg
+    # disjunct was dead code — probe_steady already implied it — and
+    # loadavg legitimately reads 10+ at start from a just-finished
+    # previous capture's dying executors while the box is idle, so it is
+    # recorded for forensics only). What steadiness CANNOT detect is a
+    # CONSISTENTLY slow box phase; the median per-query ratio guard at
+    # write time below covers that.
+    clean = probe_steady
     if not clean:
         print(
-            "WARNING: bench box not clean (loadavg >= 1 at start or end);"
+            "WARNING: bench box not clean (probe drifted across the run);"
             " re-run before committing BENCH.json",
             file=sys.stderr,
         )
@@ -1261,28 +1268,56 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
     )
     write = True
-    if not clean and os.environ.get("BENCH_FORCE") != "1":
+    if os.environ.get("BENCH_FORCE") != "1":
+        refuse = None
         try:
             with open(bench_path) as f:
                 prior = json.loads(f.read())
             if prior.get("calibration", {}).get("clean"):
-                write = False
-                print(
-                    "REFUSED to overwrite clean BENCH.json (headline "
-                    f"{prior.get('value')}s kept) with this dirty capture "
-                    f"(headline {total}s rejected); set BENCH_FORCE=1 to "
-                    "override",
-                    file=sys.stderr,
-                )
-                # keep the rejected capture for forensics (calibration
-                # rows adjudicate box phases across attempts)
-                try:
-                    with open(bench_path + ".rejected", "w") as f:
-                        f.write(json.dumps(out) + "\n")
-                except OSError:
-                    pass
-        except (OSError, ValueError):
-            pass
+                if not clean:
+                    refuse = "this capture is dirty (probe drifted)"
+                else:
+                    # steady probes cannot detect a CONSISTENTLY slow box
+                    # phase (r12: four same-code clean captures read
+                    # 16.7/17.7/20.9s with steady probes, likely thermal).
+                    # A capture UNIFORMLY slower than the committed clean
+                    # one is a box artifact, not a regression — a real
+                    # code regression moves specific queries, not the
+                    # median of 20 heterogeneous ones. Keep the prior.
+                    shared = [
+                        k for k in prior.get("queries", {})
+                        if k in timings and prior["queries"][k]
+                    ]
+                    if len(shared) >= 10:
+                        ratios = sorted(
+                            timings[k] / prior["queries"][k] for k in shared
+                        )
+                        med = ratios[len(ratios) // 2]
+                        if med > 1.15:
+                            refuse = (
+                                "median per-query ratio vs the committed "
+                                f"clean capture is {med:.3f} > 1.15 — a "
+                                "uniformly-slow box phase steadiness "
+                                "cannot see"
+                            )
+        except (OSError, ValueError, ZeroDivisionError):
+            refuse = None
+        if refuse is not None:
+            write = False
+            print(
+                "REFUSED to overwrite clean BENCH.json (headline "
+                f"{prior.get('value')}s kept) with this capture "
+                f"(headline {total}s rejected): {refuse}; set "
+                "BENCH_FORCE=1 to override",
+                file=sys.stderr,
+            )
+            # keep the rejected capture for forensics (calibration rows
+            # adjudicate box phases across attempts)
+            try:
+                with open(bench_path + ".rejected", "w") as f:
+                    f.write(json.dumps(out) + "\n")
+            except OSError:
+                pass
     if write:
         try:
             with open(bench_path, "w") as f:

@@ -734,3 +734,52 @@ def test_stream_cdc_maintain_indexes_end_to_end(spark, sf_dir, tmp_path):
         k=10, nprobe=16,
     ).collect()}
     assert not served & {7, 11}  # permanently deleted keys never serve
+
+
+def test_cdc_upkeep_replayed_batch_still_heals_indexes(spark, sf_dir, tmp_path):
+    """r12: a crash between the sink apply and the index refreshes leaves
+    the indexes stale with the batch already marked applied — the
+    replayed trigger must still run the refreshes (they are
+    watermark-driven, so this is idempotent), else the indexes stay
+    stale forever under availableNow. Replays record no stats entry."""
+    from apache_iceberg_lakehouse_workshop_spark.operators import ann_index as AX
+    from apache_iceberg_lakehouse_workshop_spark.operators import text_index as TX
+    from apache_iceberg_lakehouse_workshop_spark.streaming.pipeline import (
+        _cdc_upkeep_batch,
+        apply_changes_stream_batch,
+    )
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base = docs.join(emb, "doc_id").filter(F.col("doc_id") < 100)
+    t = lake.create_table_as("rp.docs", base)
+    t.set_properties({"changelog.key-columns": "doc_id"})
+    TX.build_text_index(lake, "rp.docs", "rp.tidx", text_col="text", id_col="doc_id")
+    AX.build_ann_index(
+        lake, "rp.docs", "rp.aidx", id_col="doc_id", vec_col="embedding",
+        dim=64, m_sub=4, k_codes=16, n_cells=16,
+    )
+    batch = spark.createDataFrame(
+        [(3, None, None, "delete"), (7, None, None, "delete")],
+        "doc_id LONG, text STRING, embedding ARRAY<DOUBLE>, _change_type STRING",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    # the crash window: sink applied, refreshes never ran
+    assert apply_changes_stream_batch(t, ckpt, ["doc_id"], batch, 0) is True
+    assert not TX.text_index_status(lake, "rp.tidx")["fresh"]
+    assert not AX.ann_index_status(lake, "rp.aidx")["fresh"]
+    # the replayed trigger (same batch id): apply detects the replay,
+    # the refreshes still run and heal both indexes; no stats entry
+    stats = []
+    refreshers = {"ann": AX.refresh_ann_index, "text": TX.refresh_text_index}
+    _cdc_upkeep_batch(
+        lake, t, ckpt, ["doc_id"], refreshers,
+        [("rp.tidx", "text"), ("rp.aidx", "ann")], stats, batch, 0,
+    )
+    assert TX.text_index_status(lake, "rp.tidx")["fresh"]
+    assert AX.ann_index_status(lake, "rp.aidx")["fresh"]
+    assert stats == []

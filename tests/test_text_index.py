@@ -597,23 +597,25 @@ def test_cdc_stats_delta_is_o_diff(spark, sf_dir, lake):
     assert _ranked(got_rank) == _ranked(want_rank)
 
 
-def test_cdc_stats_preimage_guard_falls_back_to_rebuild(
+def test_cdc_stats_survive_a_corrupted_preimage_feed(
     spark, sf_dir, lake, monkeypatch
 ):
     """A delete pre-image whose text does not tokenize to what was
-    indexed (a corrupted/buggy feed) must not poison the stats: the
-    per-doc dl guard trips, the CDC delete/insert path still applies,
-    and the stats table REBUILDS from the written postings (overwrite,
-    not a delta append) — the serve stays exact either way."""
+    indexed (a corrupted/buggy feed) must not poison ANYTHING: the
+    negative stats partials count the deleted docs' INDEXED rows (never
+    the feed payload), so the stats delta stays an exact O(diff) APPEND;
+    the corruption only costs the term-pruned delete predicate (the dl
+    pre-screen trips, the delete falls back to the plain doc_id scan) —
+    serve stays bit-exact."""
     from apache_iceberg_lakehouse_workshop_spark.plans.lakeshim import LakeTable
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     lake.create_table_as("tx.docs", docs)
     TX.build_text_index(lake, "tx.docs", "tx.idx")
-    real = LakeTable.read_changes
+    real_rc = LakeTable.read_changes
 
     def corrupted(self, *a, **kw):
-        out = real(self, *a, **kw)
+        out = real_rc(self, *a, **kw)
         return out.withColumn(
             "text",
             F.when(
@@ -622,14 +624,40 @@ def test_cdc_stats_preimage_guard_falls_back_to_rebuild(
         )
 
     monkeypatch.setattr(LakeTable, "read_changes", corrupted)
+    conds = []
+    real_dw = LakeTable.delete_where
+
+    def spy(self, condition, mode=None):
+        conds.append((self.name, condition))
+        return real_dw(self, condition, mode)
+
+    monkeypatch.setattr(LakeTable, "delete_where", spy)
     lake.table("tx.docs").delete_where("doc_id % 5 = 0")
     out = TX.refresh_text_index(lake, "tx.idx")
     assert out["mode"] == "cdc" and out["n_deleted"] > 0
+    # pruning declined (corrupted vocab never drives the delete) ...
+    post_conds = [c for n, c in conds if n.endswith("idx_postings")]
+    assert len(post_conds) == 1 and post_conds[0].startswith("doc_id IN (")
+    # ... but the stats delta still landed as an exact O(diff) append
     st = lake.table("tx.idx_stats")
-    assert st._load_meta()["snapshots"][-1]["operation"] == "overwrite"
-    got = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
-    want = TS.bm25_topk(lake.table("tx.docs").read(), TERMS, n=20)
-    assert _ranked(got) == _ranked(want)
+    assert st._load_meta()["snapshots"][-1]["operation"] == "append"
+    want = {
+        r.w: r.df
+        for r in lake.table("tx.idx_postings")
+        .read()
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("df"))
+        .collect()
+    }
+    got = {
+        r.w: r.df
+        for r in st.read().groupBy("w").agg(F.sum("df").alias("df")).collect()
+        if r.df != 0
+    }
+    assert got == want
+    got_rank = TX.bm25_query(lake, "tx.idx", TERMS, n=20)
+    want_rank = TS.bm25_topk(lake.table("tx.docs").read(), TERMS, n=20)
+    assert _ranked(got_rank) == _ranked(want_rank)
 
 
 def test_cdc_postings_delete_scan_prunes_by_terms(spark, lake, monkeypatch):

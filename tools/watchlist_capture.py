@@ -16,7 +16,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 from apache_iceberg_lakehouse_workshop_spark.session import get_spark  # noqa: E402
-from apache_iceberg_lakehouse_workshop_spark.tables import load_table  # noqa: E402
 
 WATCH = [
     "s8_knn_ivfpq_res",
@@ -28,14 +27,11 @@ WATCH = [
 
 def main() -> None:
     spark = get_spark("watchlist")
-    # the same steady-state discipline as bench.main(): CPU-frequency
-    # ramp burn + one untimed scan, then the contention fingerprint
-    spark.range(8_000_000_000).selectExpr(
-        "sum(cast(id as double) * cast(id as double))"
-    ).collect()
-    load_table(spark, bench.SF_DIR, "lineitem").selectExpr(
-        "avg(l_extendedprice)"
-    ).collect()
+    # the SAME steady-state protocol as bench.main() — time-bounded burn
+    # + probe JIT warm-up + untimed scan (r12 review: a row-bounded burn
+    # and an unwarmed probe made this tool's fingerprint incomparable to
+    # bench captures, defeating its adjudication purpose)
+    bench._steady_state_warmup(spark)
     out = {"calibration_start": bench._calibration(spark), "captures": []}
     for _ in range(3):
         out["captures"].append(
