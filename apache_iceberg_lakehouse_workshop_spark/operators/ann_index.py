@@ -268,12 +268,9 @@ def _maybe_recluster_codes(codes_t, ids_t, recluster_after: int) -> None:
     (materializing delete files, restoring tight per-file cell ranges)
     and the ids sidecar compacts in cand_id order so the CDC membership
     reads keep pruning."""
-    if not recluster_after:
-        return
-    n = 0
-    for s in codes_t._load_meta()["snapshots"]:
-        n = n + 1 if s["operation"] in ("append", "delete") else 0
-    if n <= recluster_after:
+    from ._maint import snapshots_since_rewrite
+
+    if not recluster_after or snapshots_since_rewrite(codes_t) <= recluster_after:
         return
     codes_t.compact(sort_by=["cell_id", "m"])
     if ids_t is not None:
@@ -391,12 +388,10 @@ def _cdc_refresh_codes(
         if ids_t is not None:
             # prune the collision probe to the delta's id range — sound
             # because any colliding live id necessarily lies in it
-            b = ins_ids.agg(
-                F.min("cand_id").alias("mn"), F.max("cand_id").alias("mx")
-            ).collect()[0]
-            live = ids_t.read(
-                where=f"cand_id BETWEEN {b['mn']} AND {b['mx']}"
-            )
+            # (shared helper: _maint.range_pruned_read)
+            from ._maint import range_pruned_read
+
+            live = range_pruned_read(ids_t, ins_ids, "cand_id")
         else:
             live = codes_t.read()
         collides = (

@@ -94,17 +94,12 @@ def _doclen_of(postings: DataFrame) -> DataFrame:
 
 
 def _doclen_slice(doclen_t, ids: DataFrame) -> DataFrame:
-    """The doclen rows that COULD collide with the given delta ids — a
-    min/max `BETWEEN`-pruned read of the doc_id-clustered table (the ANN
-    refresh's collision-probe idea): any colliding live id necessarily
-    lies inside the delta's id range, so files outside it are skipped.
-    Falls back to the full read when the bounds aren't computable."""
-    b = ids.agg(
-        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
-    ).collect()[0]
-    if b["mn"] is None or b["mx"] is None:
-        return doclen_t.read()
-    return doclen_t.read(where=f"doc_id BETWEEN {b['mn']} AND {b['mx']}")
+    """The doclen rows that COULD collide with the given delta ids — see
+    :func:`_maint.range_pruned_read` (shared with the ANN collision
+    probe)."""
+    from ._maint import range_pruned_read
+
+    return range_pruned_read(doclen_t, ids, "doc_id")
 
 
 def _doclen_stats(doclen: DataFrame) -> tuple[int, int]:
@@ -620,12 +615,9 @@ def _maybe_recluster(lake, index_name: str, post_t, recluster_after: int) -> Non
     the same amortized cadence as the postings rewrite itself. A crash
     between the two leaves valid partials with a matching stamp: nothing
     to heal, the next cadence hit merges them."""
-    if not recluster_after:
-        return
-    n = 0
-    for s in post_t._load_meta()["snapshots"]:
-        n = n + 1 if s["operation"] in ("append", "delete") else 0
-    if n <= recluster_after:
+    from ._maint import snapshots_since_rewrite
+
+    if not recluster_after or snapshots_since_rewrite(post_t) <= recluster_after:
         return
     post_t.compact(sort_by=["w"])
     if lake.table_exists(_part(index_name, "stats")):
