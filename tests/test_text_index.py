@@ -735,3 +735,54 @@ def test_cdc_heavy_workload_hits_recluster_cadence(spark, lake):
     got = TX.bm25_query(lake, "tx.idx", ["alpha", "token1"], n=10)
     want = TS.bm25_topk(lake.table("tx.docs").read(), ["alpha", "token1"], n=10)
     assert _ranked(got) == _ranked(want)
+
+
+def test_partial_apply_crash_window_never_overcounts_df(spark, sf_dir, lake):
+    """r13 (r12-end advice, HIGH): a crash AFTER the postings delete
+    commits but BEFORE doclen/watermark move lets the retried CDC refresh
+    pass the rn == len(deleted) doclen guard while the deleted docs'
+    posting rows are already gone — the negative df partials would come
+    back empty and the stats table would permanently overcount df for the
+    deleted docs' terms. The unpruned fallback now carries the same
+    per-doc sum(tf) == dl completeness proof as the pruned slice; any
+    shortfall routes the stats to the from-postings rebuild, which is
+    exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake.create_table_as("tx.docs", docs)
+    TX.build_text_index(lake, "tx.docs", "tx.idx")
+    # the real delete on the source (rewritten history -> CDC path)
+    lake.table("tx.docs").delete_where("doc_id % 2 = 0")
+    deleted = [r["doc_id"] for r in docs.filter("doc_id % 2 = 0").collect()]
+    in_list = ", ".join(str(d) for d in deleted)
+    # simulate the crashed first attempt's half-applied state: postings
+    # delete committed, doclen untouched, watermark un-advanced
+    lake.table("tx.idx_postings").delete_where(
+        f"doc_id IN ({in_list})", mode="merge-on-read"
+    )
+    out = TX.refresh_text_index(lake, "tx.idx")
+    assert out["mode"] == "cdc" and out["n_deleted"] == len(deleted)
+    # per-term stats must EXACTLY match a from-scratch recount of the
+    # written postings — an overcounted df would survive here
+    got = {
+        r["w"]: r["df"]
+        for r in lake.table("tx.idx_stats")
+        .read()
+        .groupBy("w")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") != 0)
+        .collect()
+    }
+    want = {
+        r["w"]: r["df"]
+        for r in lake.table("tx.idx_postings")
+        .read()
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("df"))
+        .collect()
+    }
+    assert got == want
+    # and the served ranking equals a one-shot over the survivors
+    survivors = docs.filter(F.col("doc_id") % 2 != 0)
+    assert _ranked(TX.bm25_query(lake, "tx.idx", TERMS, n=20)) == _ranked(
+        TS.bm25_topk(survivors, TERMS, n=20)
+    )

@@ -1,11 +1,13 @@
-"""Watch-list adjudication (r11 judge 'next' #5): s8/d6/j13-scaled/t14
-moved +12-26% between the r10 and r11 clean captures with NO code touched
-on those paths. This tool captures each of the four 3x in ONE idle
-session — same CPU-ramp warm-up and calibration fingerprint as bench.py —
-and prints the per-op range, so COVERAGE can pin "variance, range [a,b]"
-with same-session numbers or flag a real floor rise.
+"""Watch-list adjudication (r11 judge 'next' #5; argv-parameterized in
+r13 per the r12 judge 'next' #4): scaled-tier ops whose capture-level
+walls drift between rounds with NO code touched get captured 3x in ONE
+idle session — same CPU-ramp warm-up and calibration fingerprint as
+bench.py — and the per-op range printed, so COVERAGE can pin "variance,
+range [a,b]" with same-session numbers or flag a real floor rise.
 
-Usage: python tools/watchlist_capture.py  (idle box; ~5-10 min)
+Usage: python tools/watchlist_capture.py [op ...]
+  ops default to the current watch set (s8/d6/j13/t14 + the r12 outlier
+  t17); any _scaled_tiers name is accepted. Idle box; ~5-10 min.
 """
 
 import json
@@ -17,25 +19,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 from apache_iceberg_lakehouse_workshop_spark.session import get_spark  # noqa: E402
 
-WATCH = [
+DEFAULT_WATCH = [
     "s8_knn_ivfpq_res",
     "d6_semdedup",
     "j13_asof_join",
     "t14_boilerplate_scrub",
+    "t17_bm25_topk",  # r12: scaled +37% on untouched code — adjudicate
 ]
 
 
 def main() -> None:
     spark = get_spark("watchlist")
+    watch = sys.argv[1:] or DEFAULT_WATCH
+    known = set(bench._scaled_tiers(spark))
+    unknown = [w for w in watch if w not in known]
+    if unknown:
+        raise SystemExit(
+            f"unknown scaled-tier op(s) {unknown}; known: {sorted(known)}"
+        )
     # the SAME steady-state protocol as bench.main() — time-bounded burn
     # + probe JIT warm-up + untimed scan (r12 review: a row-bounded burn
     # and an unwarmed probe made this tool's fingerprint incomparable to
     # bench captures, defeating its adjudication purpose)
     bench._steady_state_warmup(spark)
-    out = {"calibration_start": bench._calibration(spark), "captures": []}
+    out = {"ops": watch, "calibration_start": bench._calibration(spark),
+           "captures": []}
     for _ in range(3):
         out["captures"].append(
-            {k: v["sec"] for k, v in bench._scaled_section(spark, only=WATCH).items()}
+            {k: v["sec"] for k, v in bench._scaled_section(spark, only=set(watch)).items()}
         )
     out["calibration_end"] = bench._calibration(spark)
     out["range"] = {
@@ -43,7 +54,7 @@ def main() -> None:
             min(c[k] for c in out["captures"]),
             max(c[k] for c in out["captures"]),
         ]
-        for k in WATCH
+        for k in watch
     }
     print(json.dumps(out, indent=2))
 
