@@ -155,9 +155,11 @@ def knn_bruteforce_arrow(
     sqrt+divide per pair; final HALF_UP rounding stays Spark-side), measured
     ~2.6x faster at sf0.1.
 
-    Why a Pandas UDF here: dense linear algebra is the one shape where
+    Why an Arrow kernel here: dense linear algebra is the one shape where
     per-element SQL lambdas (interpreted, not codegen'd) lose to a BLAS
-    matmul over Arrow batches. Scale shape is *better* than the SQL twin:
+    matmul over Arrow batches (``mapInArrow`` + zero-copy buffer reshape,
+    so no per-row Python work on either side of the boundary). Scale shape
+    is *better* than the SQL twin:
     the query block rides into each task as a closure (queries are small by
     contract — the broadcast side), scoring is map-side ``C @ Q.T``, and
     each batch emits only its partial top-k, so the single narrow shuffle
@@ -166,8 +168,9 @@ def knn_bruteforce_arrow(
     is a total order, so the global top-k is contained in the per-batch
     top-ks."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
+
+    from . import _arrowkern as ak
 
     qrows = queries.select(
         F.col(id_col).cast("long").alias("qid"), quantized(F.col(vec_col)).alias("qv")
@@ -185,30 +188,40 @@ def knn_bruteforce_arrow(
     )
 
     def score(batches):
-        for pdf in batches:
-            ids = pdf["cand_id"].to_numpy(dtype=np.int64)
-            C = np.array(list(pdf["cvec"]), dtype=np.int64)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = ak.int_col(rb.column("cand_id"))
+            C = ak.list_col_matrix(rb.column("cvec"))
             dots = C @ Q.T  # exact: |dot| <= d * scale^2 << 2^53
             cn = (C**2).sum(axis=1)
             denom = np.sqrt((cn[:, None] * qn[None, :]).astype(np.float64))
             with np.errstate(divide="ignore", invalid="ignore"):
                 sim = np.where(denom > 0, dots.astype(np.float64) / denom, 0.0)
-            out = {"query_id": [], "cand_id": [], "raw_sim": []}
+            out_q, out_c, out_s = [], [], []
             for j in range(len(qids)):
                 mask = ids != qids[j]
                 cand, s = ids[mask], sim[mask, j]
                 if len(cand) == 0:
                     continue
                 order = np.lexsort((cand, -s))[:k]
-                out["query_id"].extend([qids[j]] * len(order))
-                out["cand_id"].extend(cand[order].tolist())
-                out["raw_sim"].extend(s[order].tolist())
-            yield pd.DataFrame(out)
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_c.append(cand[order])
+                out_s.append(s[order])
+            if not out_q:
+                continue
+            yield ak.batch(
+                [
+                    ("query_id", ak.i64(np.concatenate(out_q))),
+                    ("cand_id", ak.i64(np.concatenate(out_c))),
+                    ("raw_sim", ak.f64(np.concatenate(out_s))),
+                ]
+            )
 
     c = _widen(corpus).select(
         F.col(id_col).cast("long").alias("cand_id"), quantized(F.col(vec_col)).alias("cvec")
     )
-    scored = c.mapInPandas(score, schema=schema)
+    scored = c.mapInArrow(score, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -395,8 +408,13 @@ def _assign_cells_arrow(
     correctly-rounded IEEE ops the JVM runs; ties break (max sim, min
     cell_id) via first-index argmax / stable argsort over cell_id-ascending
     centroids. Centroids are collected (n_cells rows — broadcast-small by
-    contract; callers pin them with :func:`_pin_small`)."""
+    contract; callers pin them with :func:`_pin_small`). The vector column
+    passes through as the INPUT Arrow array (or a C-level ``take`` of it),
+    so no vector bytes are ever re-boxed through Python."""
     import numpy as np
+    import pyarrow as pa
+
+    from . import _arrowkern as ak
 
     rows = sorted(
         centroids.select("cell_id", "centroid").collect(), key=lambda r: r.cell_id
@@ -412,14 +430,12 @@ def _assign_cells_arrow(
     gap = None if sim_gap is None else float(sim_gap)
 
     def kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            vals = pdf[vec_col].to_numpy()
-            V = np.stack([np.asarray(x, dtype=np.int64) for x in vals])
-            ids = pdf[out_id].to_numpy()
+            vec_arr = rb.column(vec_col)
+            V = ak.list_col_matrix(vec_arr)
+            ids = ak.int_col(rb.column(out_id))
             na = (V * V).sum(axis=1)
             dot = (V @ C.T).astype(np.float64)
             ok = (na[:, None] > 0) & (nb[None, :] > 0)
@@ -433,9 +449,13 @@ def _assign_cells_arrow(
             if nprobe == 1:
                 # first max index == smallest cell_id among exact ties
                 best = np.argmax(sim, axis=1)
-                out = pd.DataFrame({out_id: ids, "cell_id": cells[best]})
-                out[vec_col] = vals
-                yield out[[out_id, "cell_id", vec_col]]
+                yield ak.batch(
+                    [
+                        (out_id, ak.i64(ids)),
+                        ("cell_id", ak.i64(cells[best])),
+                        (vec_col, vec_arr),
+                    ]
+                )
             else:
                 # stable sort on -sim: cell_id-ascending within exact ties
                 order = np.argsort(-sim, axis=1, kind="stable")[:, :nprobe]
@@ -445,13 +465,15 @@ def _assign_cells_arrow(
                     keep = take_sim >= take_sim[:, :1] - gap
                 reps = keep.sum(axis=1)
                 rid = np.repeat(np.arange(len(ids)), reps)
-                out = pd.DataFrame(
-                    {out_id: ids[rid], "cell_id": cells[order][keep]}
+                yield ak.batch(
+                    [
+                        (out_id, ak.i64(ids[rid])),
+                        (vec_col, vec_arr.take(pa.array(rid, type=pa.int64()))),
+                        ("cell_id", ak.i64(cells[order][keep])),
+                    ]
                 )
-                out[vec_col] = vals[rid]
-                yield out[[out_id, vec_col, "cell_id"]]
 
-    return df.select(out_id, vec_col).mapInPandas(kernel, schema)
+    return df.select(out_id, vec_col).mapInArrow(kernel, schema)
 
 
 def _collect_centroids(centroids: DataFrame):
@@ -489,28 +511,26 @@ def _residual_arrow(v: DataFrame, centroids: DataFrame) -> DataFrame:
     """ONE corpus pass: assign each vector its cell and emit the residual
     (vector − centroid, exact int64) — replaces the SQL path's
     assignment-kernel + join + interpreted zip_with. Bit-identical."""
-    import numpy as np
+    from . import _arrowkern as ak
 
     C, cells, nb = _collect_centroids(centroids)
 
     def kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"].to_numpy()])
+            V = ak.list_col_matrix(rb.column("qv"))
             best = _best_cells(V, C, nb)
             R = V - C[best]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cell_id": cells[best],
-                    "qv2": list(R),
-                }
+            yield ak.batch(
+                [
+                    ("vec_id", rb.column("vec_id")),
+                    ("cell_id", ak.i64(cells[best])),
+                    ("qv2", ak.matrix_list_array(R)),
+                ]
             )
 
-    return v.select("vec_id", "qv").mapInPandas(
+    return v.select("vec_id", "qv").mapInArrow(
         kernel, "vec_id long, cell_id long, qv2 array<bigint>"
     )
 
@@ -533,6 +553,8 @@ def _ivfpq_encode_arrow(
     the staged Arrow path and the SQL twins."""
     import numpy as np
 
+    from . import _arrowkern as ak
+
     C, cells, nb = _collect_centroids(centroids)
     brows = sorted(book.collect(), key=lambda r: (r.m, r.code))
     by_m = {}
@@ -544,13 +566,11 @@ def _ivfpq_encode_arrow(
         )
 
     def kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ids = pdf[out_id].to_numpy()
-            V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"].to_numpy()])
+            ids = ak.int_col(rb.column(out_id))
+            V = ak.list_col_matrix(rb.column("qv"))
             best = _best_cells(V, C, nb)
             X = V - C[best] if residual else V
             n = len(ids)
@@ -561,16 +581,16 @@ def _ivfpq_encode_arrow(
                 diff = SV[:, None, :] - B[None, :, :]
                 d = (diff * diff).sum(axis=2)
                 out_codes[:, m] = codes_m[np.argmin(d, axis=1)]
-            yield pd.DataFrame(
-                {
-                    out_id: np.repeat(ids, m_sub),
-                    "cell_id": np.repeat(cells[best], m_sub),
-                    "m": np.tile(np.arange(m_sub), n),
-                    "code": out_codes.reshape(-1),
-                }
+            yield ak.batch(
+                [
+                    (out_id, ak.i64(np.repeat(ids, m_sub))),
+                    ("cell_id", ak.i64(np.repeat(cells[best], m_sub))),
+                    ("m", ak.i32(np.tile(np.arange(m_sub), n))),
+                    ("code", ak.i64(out_codes.reshape(-1))),
+                ]
             )
 
-    return v.select(F.col("vec_id").alias(out_id), "qv").mapInPandas(
+    return v.select(F.col("vec_id").alias(out_id), "qv").mapInArrow(
         kernel, f"{out_id} long, cell_id long, m int, code long"
     )
 
@@ -584,6 +604,8 @@ def _pq_encode_arrow(
     tie rule as :func:`_pq_nearest_arrow`."""
     import numpy as np
 
+    from . import _arrowkern as ak
+
     brows = sorted(book.collect(), key=lambda r: (r.m, r.code))
     by_m = {}
     for m in {r.m for r in brows}:
@@ -594,13 +616,11 @@ def _pq_encode_arrow(
         )
 
     def kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ids = pdf[out_id].to_numpy()
-            V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"].to_numpy()])
+            ids = ak.int_col(rb.column(out_id))
+            V = ak.list_col_matrix(rb.column("qv"))
             n = len(ids)
             out_codes = np.empty((n, m_sub), dtype=np.int64)
             for m in range(m_sub):
@@ -609,15 +629,15 @@ def _pq_encode_arrow(
                 diff = SV[:, None, :] - B[None, :, :]
                 d = (diff * diff).sum(axis=2)
                 out_codes[:, m] = codes_m[np.argmin(d, axis=1)]
-            yield pd.DataFrame(
-                {
-                    out_id: np.repeat(ids, m_sub),
-                    "m": np.tile(np.arange(m_sub), n),
-                    "code": out_codes.reshape(-1),
-                }
+            yield ak.batch(
+                [
+                    (out_id, ak.i64(np.repeat(ids, m_sub))),
+                    ("m", ak.i32(np.tile(np.arange(m_sub), n))),
+                    ("code", ak.i64(out_codes.reshape(-1))),
+                ]
             )
 
-    return v.select(F.col("vec_id").alias(out_id), "qv").mapInPandas(
+    return v.select(F.col("vec_id").alias(out_id), "qv").mapInArrow(
         kernel, f"{out_id} long, m int, code long"
     )
 
@@ -918,7 +938,8 @@ def _hyperplane_buckets_arrow(
     dot an exact integer), the same ``>= 0`` sign rule and the same
     ``1 << (plane_idx % n_planes)`` bit weights summed per table."""
     import numpy as np
-    import pandas as pd
+
+    from . import _arrowkern as ak
 
     W = np.zeros((n_tables * n_planes, dim), dtype=np.int64)
     for t in range(n_tables):
@@ -930,27 +951,27 @@ def _hyperplane_buckets_arrow(
     tids = np.arange(n_tables, dtype=np.int64)
 
     def kern(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ids = pdf[out_id].to_numpy(dtype=np.int64)
-            V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"]])
+            ids = ak.int_col(rb.column(out_id))
+            V = ak.list_col_matrix(rb.column("qv"))
             dots = V @ W.T  # exact: |dot| <= dim * scale^2 << 2^53
             bits = (dots >= 0).astype(np.int64)
             buckets = bits.reshape(len(ids), n_tables, n_planes) @ mult
-            yield pd.DataFrame(
-                {
-                    out_id: np.repeat(ids, n_tables),
-                    "table_id": np.tile(tids, len(ids)),
-                    "bucket": buckets.reshape(-1),
-                }
+            yield ak.batch(
+                [
+                    (out_id, ak.i64(np.repeat(ids, n_tables))),
+                    ("table_id", ak.i32(np.tile(tids, len(ids)))),
+                    ("bucket", ak.i64(buckets.reshape(-1))),
+                ]
             )
 
     v = df.select(
         F.col(id_col).cast("long").alias(out_id),
         quantized(F.col(vec_col)).alias("qv"),
     )
-    return v.mapInPandas(kern, f"{out_id} long, table_id int, bucket long")
+    return v.mapInArrow(kern, f"{out_id} long, table_id int, bucket long")
 
 
 def embedding_neardup_lsh(
@@ -1120,6 +1141,8 @@ def _pq_nearest_arrow(sub: DataFrame, book: DataFrame, out_id: str) -> DataFrame
     rows — broadcast-small; callers pin it with :func:`_pin_small`)."""
     import numpy as np
 
+    from . import _arrowkern as ak
+
     rows = sorted(book.collect(), key=lambda r: (r.m, r.code))
     by_m: dict[int, tuple] = {}
     for m in {r.m for r in rows}:
@@ -1130,30 +1153,35 @@ def _pq_nearest_arrow(sub: DataFrame, book: DataFrame, out_id: str) -> DataFrame
         )
 
     def kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            outs = []
-            for m, grp in pdf.groupby("m", sort=False):
+            ids = ak.int_col(rb.column(out_id))
+            ms = ak.int_col(rb.column("m"))
+            SVall = ak.list_col_matrix(rb.column("sv"))
+            out_ids, out_ms, out_codes = [], [], []
+            # distinct m in first-appearance order == groupby(sort=False);
+            # a boolean mask preserves within-group row order
+            _, first = np.unique(ms, return_index=True)
+            for m in ms[np.sort(first)]:
+                sel = ms == m
                 codes, B = by_m[int(m)]
-                SV = np.stack([np.asarray(x, dtype=np.int64) for x in grp["sv"].to_numpy()])
+                SV = SVall[sel]
                 diff = SV[:, None, :] - B[None, :, :]
                 d = (diff * diff).sum(axis=2)
                 pick = np.argmin(d, axis=1)  # first min == smallest code
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            out_id: grp[out_id].to_numpy(),
-                            "m": np.full(len(grp), m),
-                            "code": codes[pick],
-                        }
-                    )
-                )
-            yield pd.concat(outs, ignore_index=True)
+                out_ids.append(ids[sel])
+                out_ms.append(np.full(int(sel.sum()), m, dtype=np.int32))
+                out_codes.append(codes[pick])
+            yield ak.batch(
+                [
+                    (out_id, ak.i64(np.concatenate(out_ids))),
+                    ("m", ak.i32(np.concatenate(out_ms))),
+                    ("code", ak.i64(np.concatenate(out_codes))),
+                ]
+            )
 
-    return sub.select(out_id, "m", "sv").mapInPandas(
+    return sub.select(out_id, "m", "sv").mapInArrow(
         kernel, f"{out_id} long, m int, code long"
     )
 
@@ -1834,7 +1862,7 @@ def ivfpq_serve(
 
 
 def _cell_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
-    """Per-cell pairwise cosine over Arrow batches: one ``applyInPandas``
+    """Per-cell pairwise cosine over Arrow batches: one ``applyInArrow``
     per cell_id group computing the cell's int64 Gram matrix with numpy and
     emitting only pairs at/above (threshold − margin). The margin keeps the
     kernel a pure volume reducer — the EXACT inclusion decision happens
@@ -1842,8 +1870,10 @@ def _cell_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
     twin bit-for-bit. Raw sims are the same IEEE doubles the SQL path
     computes (exact int64 dots/norms, one sqrt+divide per pair)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import types as T
+
+    from . import _arrowkern as ak
 
     schema = T.StructType(
         [
@@ -1859,11 +1889,11 @@ def _cell_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
     # here, breaking the bit-identity contract. 1e-6 > 5e-7 with headroom.
     cut = threshold - 1e-6
 
-    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    def kern(tbl: "pa.Table") -> "pa.Table":
+        ids = ak.int_col(tbl.column("vec_id"))
         order = np.argsort(ids)
         ids = ids[order]
-        V = np.array(list(pdf["qv"]), dtype=np.int64)[order]
+        V = ak.list_col_matrix(tbl.column("qv"))[order]
         dots = V @ V.T  # exact: |dot| <= d * scale^2 << 2^53
         n2 = (V**2).sum(axis=1)
         denom = np.sqrt((n2[:, None] * n2[None, :]).astype(np.float64))
@@ -1872,11 +1902,15 @@ def _cell_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
         ia, ib = np.triu_indices(len(ids), k=1)  # ids sorted => vec_a < vec_b
         s = sim[ia, ib]
         keep = s >= cut
-        return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "raw_sim": s[keep]}
+        return pa.table(
+            {
+                "vec_a": ak.i64(ids[ia[keep]]),
+                "vec_b": ak.i64(ids[ib[keep]]),
+                "raw_sim": ak.f64(s[keep]),
+            }
         )
 
-    return assigned.groupBy("cell_id").applyInPandas(kern, schema=schema)
+    return assigned.groupBy("cell_id").applyInArrow(kern, schema=schema)
 
 
 def semdedup(

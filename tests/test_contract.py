@@ -87,3 +87,4 @@ def test_no_python_udf_outside_ai_multimodal(spark, sf_dir):
             continue
         assert "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
+        assert "MapInArrow" not in plan, name

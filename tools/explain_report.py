@@ -198,9 +198,12 @@ CHECKS = {
     "no_exchange": lambda t, f: "Exchange" not in t,
     "semi_anti_join": lambda t, f: "LeftSemi" in t and "LeftAnti" in t,
     "window_group_limit": lambda t, f: "WindowGroupLimit" in t or "WindowGroupLimit" in f,
-    # Arrow-batched kernels only: MapInPandas present (the deliberate
-    # dense-linear-algebra escape hatch), row-at-a-time Python absent
-    "arrow_kernel": lambda t, f: "MapInPandas" in f and "BatchEvalPython" not in f,
+    # Arrow-batched kernels only: MapInArrow (zero-copy buffer crossing;
+    # MapInPandas accepted for any remaining pandas-form kernel) present —
+    # the deliberate dense-linear-algebra escape hatch — and row-at-a-time
+    # Python absent
+    "arrow_kernel": lambda t, f: ("MapInArrow" in f or "MapInPandas" in f)
+    and "BatchEvalPython" not in f,
     # every Window node must sit ON TOP of an aggregate (explain prints
     # parents above children, so an agg must appear BELOW the deepest
     # Window line): the whitelisted global windows run over post-agg
