@@ -43,8 +43,18 @@ def _pin_small(df: DataFrame) -> DataFrame:
     — at most n_cells x dim longs) so the Arrow kernels' driver collect and
     every downstream broadcast join read the SAME materialization instead
     of re-running the training DAG per consumer. No-op in SQL-only mode
-    (the lazy plans there are consumed once each)."""
+    (the lazy plans there are consumed once each), and a no-op for frames
+    the driver-local trainers produced (``_sg_local_cents`` /
+    ``_sg_local_book`` riders): those are ``createDataFrame`` over driver
+    data — there is no training DAG to pin, the checkpoint would only burn
+    a job, and skipping it keeps the rider visible to the kernels'
+    collect-bypass (:func:`_collect_centroids` / :func:`_collect_book`)."""
     if _ann_sql_only():
+        return df
+    if (
+        getattr(df, "_sg_local_cents", None) is not None
+        or getattr(df, "_sg_local_book", None) is not None
+    ):
         return df
     return df.localCheckpoint()
 
@@ -416,12 +426,7 @@ def _assign_cells_arrow(
 
     from . import _arrowkern as ak
 
-    rows = sorted(
-        centroids.select("cell_id", "centroid").collect(), key=lambda r: r.cell_id
-    )
-    C = np.array([list(r.centroid) for r in rows], dtype=np.int64)
-    cells = np.array([r.cell_id for r in rows], dtype=np.int64)
-    nb = (C * C).sum(axis=1)
+    C, cells, nb = _collect_centroids(centroids)
     vec_col = f"{out_id}_vec"
     if nprobe == 1:
         schema = f"{out_id} long, cell_id long, {vec_col} array<bigint>"
@@ -478,9 +483,15 @@ def _assign_cells_arrow(
 
 def _collect_centroids(centroids: DataFrame):
     """(C matrix, cell ids, norms) from a driver-small centroid frame —
-    shared by the fused kernels."""
+    shared by the fused kernels. Frames produced by the driver-local
+    trainer carry the data as a ``_sg_local_cents`` rider: reading it
+    skips a whole collect job per kernel consumer (values identical —
+    the rider IS what createDataFrame serialized)."""
     import numpy as np
 
+    loc = getattr(centroids, "_sg_local_cents", None)
+    if loc is not None:
+        return loc
     rows = sorted(
         centroids.select("cell_id", "centroid").collect(), key=lambda r: r.cell_id
     )
@@ -556,14 +567,7 @@ def _ivfpq_encode_arrow(
     from . import _arrowkern as ak
 
     C, cells, nb = _collect_centroids(centroids)
-    brows = sorted(book.collect(), key=lambda r: (r.m, r.code))
-    by_m = {}
-    for m in {r.m for r in brows}:
-        grp = [r for r in brows if r.m == m]
-        by_m[int(m)] = (
-            np.array([r.code for r in grp], dtype=np.int64),
-            np.array([list(r.cv) for r in grp], dtype=np.int64),
-        )
+    by_m = _collect_book(book)
 
     def kernel(batches):
         for rb in batches:
@@ -606,14 +610,7 @@ def _pq_encode_arrow(
 
     from . import _arrowkern as ak
 
-    brows = sorted(book.collect(), key=lambda r: (r.m, r.code))
-    by_m = {}
-    for m in {r.m for r in brows}:
-        grp = [r for r in brows if r.m == m]
-        by_m[int(m)] = (
-            np.array([r.code for r in grp], dtype=np.int64),
-            np.array([list(r.cv) for r in grp], dtype=np.int64),
-        )
+    by_m = _collect_book(book)
 
     def kernel(batches):
         for rb in batches:
@@ -705,9 +702,16 @@ def _ivf_centroids_local(
                 [_round_half_up(float(s) / cnt) for s in sums.tolist()],
             )
         )
-    return train.sparkSession.createDataFrame(
+    sdf = train.sparkSession.createDataFrame(
         out, "cell_id LONG, centroid ARRAY<BIGINT>"
     )
+    # rider: the centroid data IS driver-local — let every kernel-side
+    # _collect_centroids read it without a Spark job (out is already
+    # cell_id-ascending, matching the collect path's sort)
+    Cr = np.array([c for _, c in out], dtype=np.int64)
+    cl = np.array([cid for cid, _ in out], dtype=np.int64)
+    sdf._sg_local_cents = (Cr, cl, (Cr * Cr).sum(axis=1))
+    return sdf
 
 
 def ivf_centroids(
@@ -1143,14 +1147,7 @@ def _pq_nearest_arrow(sub: DataFrame, book: DataFrame, out_id: str) -> DataFrame
 
     from . import _arrowkern as ak
 
-    rows = sorted(book.collect(), key=lambda r: (r.m, r.code))
-    by_m: dict[int, tuple] = {}
-    for m in {r.m for r in rows}:
-        grp = [r for r in rows if r.m == m]
-        by_m[int(m)] = (
-            np.array([r.code for r in grp], dtype=np.int64),
-            np.array([list(r.cv) for r in grp], dtype=np.int64),
-        )
+    by_m = _collect_book(book)
 
     def kernel(batches):
         for rb in batches:
@@ -1298,7 +1295,42 @@ def _pq_codebook_from_matrix(
                     [_round_half_up(float(s) / cnt) for s in sums.tolist()],
                 )
             )
-    return spark.createDataFrame(out, "m INT, code LONG, cv ARRAY<BIGINT>")
+    sdf = spark.createDataFrame(out, "m INT, code LONG, cv ARRAY<BIGINT>")
+    # rider: the book IS driver-local — kernels read it via _collect_book
+    # without a Spark job (out is (m, code)-ascending by construction,
+    # matching the collect path's sort)
+    by_m = {}
+    for m, code, cv in out:
+        codes, cvs = by_m.setdefault(int(m), ([], []))
+        codes.append(code)
+        cvs.append(cv)
+    sdf._sg_local_book = {
+        m: (np.array(codes, dtype=np.int64), np.array(cvs, dtype=np.int64))
+        for m, (codes, cvs) in by_m.items()
+    }
+    return sdf
+
+
+def _collect_book(book: DataFrame) -> dict:
+    """``{m: (codes ascending, (k, sub_dim) cv matrix)}`` from a
+    driver-small codebook frame — shared by the PQ kernels. Frames from
+    the driver-local trainer carry the data as a ``_sg_local_book``
+    rider: reading it skips a collect job per kernel consumer (values
+    identical — the rider IS what createDataFrame serialized)."""
+    import numpy as np
+
+    loc = getattr(book, "_sg_local_book", None)
+    if loc is not None:
+        return loc
+    rows = sorted(book.collect(), key=lambda r: (r.m, r.code))
+    by_m: dict[int, tuple] = {}
+    for m in {r.m for r in rows}:
+        grp = [r for r in rows if r.m == m]
+        by_m[int(m)] = (
+            np.array([r.code for r in grp], dtype=np.int64),
+            np.array([list(r.cv) for r in grp], dtype=np.int64),
+        )
+    return by_m
 
 
 def _pq_codebook_q(
@@ -1523,15 +1555,12 @@ def _residual_dtab_local(
         int(r["query_id"]): np.asarray(r["qv"], dtype=np.int64)
         for r in qv.collect()
     }
-    cds = {
-        int(r["cell_id"]): np.asarray(r["centroid"], dtype=np.int64)
-        for r in cents.collect()
+    Cm, cellids, _nb = _collect_centroids(cents)
+    cds = {int(c): Cm[i] for i, c in enumerate(cellids)}
+    by_m = {
+        m: list(zip((int(c) for c in codes), B))
+        for m, (codes, B) in _collect_book(book).items()
     }
-    by_m: dict[int, list] = {}
-    for r in book.collect():
-        by_m.setdefault(int(r["m"]), []).append(
-            (int(r["code"]), np.asarray(r["cv"], dtype=np.int64))
-        )
     rows = []
     for p in pairs:
         qid, cell = int(p["query_id"]), int(p["cell_id"])

@@ -607,3 +607,85 @@ def test_two_stage_rerank_refines_toward_bruteforce(spark, sf_dir):
     full = SIM.knn_two_stage(emb, queries, k=3, recall_m=n, nprobe=16)
     brute = SIM.knn_bruteforce(emb, queries, k=3)
     assert snap(full) == snap(brute)
+
+
+def test_local_trainer_riders_skip_collect_and_match(spark, sf_dir, monkeypatch):
+    """The driver-local trainers attach their (already-driver-resident)
+    data to the returned frame as ``_sg_local_cents`` / ``_sg_local_book``
+    riders; ``_collect_centroids`` / ``_collect_book`` read the rider
+    WITHOUT any Spark job, the values are identical to the collect path,
+    and ``_pin_small`` skips the (pointless) localCheckpoint job for
+    rider frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    cents = SIM._pin_small(SIM.ivf_centroids(emb, n_cells=8))
+    assert getattr(cents, "_sg_local_cents", None) is not None
+    C, cells, nb = SIM._collect_centroids(cents)
+    rows = sorted(
+        cents.select("cell_id", "centroid").collect(), key=lambda r: r.cell_id
+    )
+    assert cells.tolist() == [r.cell_id for r in rows]
+    assert C.tolist() == [list(r.centroid) for r in rows]
+    assert nb.tolist() == [sum(x * x for x in r.centroid) for r in rows]
+
+    book = SIM._pin_small(SIM.pq_codebook(emb, dim=64, m_sub=4, k_codes=8))
+    assert getattr(book, "_sg_local_book", None) is not None
+    by_m = SIM._collect_book(book)
+    brows = sorted(book.collect(), key=lambda r: (r.m, r.code))
+    for m in {r.m for r in brows}:
+        grp = [r for r in brows if r.m == m]
+        codes, cvs = by_m[int(m)]
+        assert codes.tolist() == [r.code for r in grp]
+        assert cvs.tolist() == [list(r.cv) for r in grp]
+
+    # rider reads run NO Spark job: any collect would blow up here
+    def boom(self):
+        raise AssertionError("collect() reached inside a rider read")
+
+    monkeypatch.setattr(type(cents), "collect", boom)
+    C2, cells2, nb2 = SIM._collect_centroids(cents)
+    by_m2 = SIM._collect_book(book)
+    assert (C2 == C).all() and (cells2 == cells).all() and (nb2 == nb).all()
+    assert set(by_m2) == set(by_m)
+
+
+def test_rider_bypass_results_identical_to_stripped(spark, sf_dir, monkeypatch):
+    """End-to-end: serving through the rider fast path returns EXACTLY the
+    rows of the stripped path (riders deleted -> every consumer falls back
+    to localCheckpoint + collect) for both quantizer families."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(6)
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    with_r = {
+        "d6": snap(SIM.semdedup(emb, n_cells=8, sim_threshold=0.95)),
+        "s8": snap(SIM.knn_ivfpq(
+            emb, queries, k=5, n_cells=8, nprobe=3, residual=True,
+            probe_sim_gap=0.15)),
+        "s6": snap(SIM.knn_pq(emb, queries, k=5, dim=64, m_sub=4, k_codes=8)),
+    }
+
+    orig_cents, orig_book = SIM._ivf_centroids_local, SIM._pq_codebook_from_matrix
+
+    def cents_no_rider(*a, **k):
+        df = orig_cents(*a, **k)
+        if df is not None and hasattr(df, "_sg_local_cents"):
+            del df._sg_local_cents
+        return df
+
+    def book_no_rider(*a, **k):
+        df = orig_book(*a, **k)
+        if hasattr(df, "_sg_local_book"):
+            del df._sg_local_book
+        return df
+
+    monkeypatch.setattr(SIM, "_ivf_centroids_local", cents_no_rider)
+    monkeypatch.setattr(SIM, "_pq_codebook_from_matrix", book_no_rider)
+    assert snap(SIM.semdedup(emb, n_cells=8, sim_threshold=0.95)) == with_r["d6"]
+    assert snap(SIM.knn_ivfpq(
+        emb, queries, k=5, n_cells=8, nprobe=3, residual=True,
+        probe_sim_gap=0.15)) == with_r["s8"]
+    assert snap(SIM.knn_pq(
+        emb, queries, k=5, dim=64, m_sub=4, k_codes=8)) == with_r["s6"]
