@@ -369,7 +369,41 @@ def _cdc_upkeep_batch(
         if feed is not None
         else {}
     )
-    outs = [refreshers[kind](lake, name, **kw) for name, kind in indexes]
+    if len(indexes) > 1:
+        # r13 (guide §2.6 — overlap independent jobs): the per-index
+        # refreshes are independent by construction — each commits only
+        # its OWN index tables (per-table lock-file commit protocol),
+        # reads the shared feed (an already-materialized localCheckpoint,
+        # safe for concurrent consumption) and only ever READS the source
+        # table. Running them sequentially serializes ~30–60 small jobs
+        # per refresh, each carrying a driver gap (planning, commit
+        # bookkeeping, footer-stats reads) during which the executors sit
+        # idle; a thread per index lets one refresh's tasks back-fill the
+        # other's driver gaps. Failure semantics are unchanged: any
+        # refresh exception re-raises here (pool.map) and fails the
+        # trigger, and a crash mid-trigger heals on replay exactly as
+        # before — each refresh is independently watermark-driven, so
+        # whichever refreshes completed no-op on the replayed batch.
+        # inheritable_thread_target propagates the JVM thread-locals
+        # (job group/description) under pinned-thread mode so a stream
+        # cancellation still reaches the child jobs.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        def _one(nk):
+            name, kind = nk
+            return refreshers[kind](lake, name, **kw)
+
+        # session-aware form: propagates job group/description AND session
+        # tags to the worker threads (the bare form warns and drops tags)
+        target = inheritable_thread_target(lake.spark)(_one)
+        with ThreadPoolExecutor(
+            max_workers=min(len(indexes), 4)
+        ) as pool:
+            outs = list(pool.map(target, indexes))
+    else:
+        outs = [refreshers[kind](lake, name, **kw) for name, kind in indexes]
     if not applied:
         return
     if stats is not None:

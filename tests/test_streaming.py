@@ -861,3 +861,87 @@ def test_cdc_upkeep_reads_the_change_feed_once_per_trigger(
     } == live_ids
     assert AX.ann_index_status(lake, "sf.aidx")["fresh"]
     assert TX.text_index_status(lake, "sf.tidx")["fresh"]
+
+def test_cdc_upkeep_refreshes_run_in_parallel_threads(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13 (guide §2.6 — overlap independent jobs): a multi-index trigger
+    fans the per-index refreshes out to one thread each (they commit
+    disjoint index tables and only read the shared feed/source), so one
+    refresh's driver gaps back-fill with the other's tasks. Pinned
+    structurally: the refreshers observe DISTINCT worker threads (neither
+    on the trigger thread), the stats entry preserves the ``indexes``
+    order exactly as the sequential path did, and an exception in either
+    refresher still fails the trigger (no swallowed errors, no hang)."""
+    import threading
+
+    from apache_iceberg_lakehouse_workshop_spark.operators import ann_index as AX
+    from apache_iceberg_lakehouse_workshop_spark.operators import text_index as TX
+    from apache_iceberg_lakehouse_workshop_spark.streaming.pipeline import (
+        _cdc_upkeep_batch,
+    )
+    from apache_iceberg_lakehouse_workshop_spark.tables import load_table
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base = docs.join(emb, "doc_id").filter(F.col("doc_id") < 100)
+    t = lake.create_table_as("pt.docs", base)
+    t.set_properties({"changelog.key-columns": "doc_id"})
+    TX.build_text_index(lake, "pt.docs", "pt.tidx", text_col="text", id_col="doc_id")
+    AX.build_ann_index(
+        lake, "pt.docs", "pt.aidx", id_col="doc_id", vec_col="embedding",
+        dim=64, m_sub=4, k_codes=16, n_cells=16,
+    )
+    pool = {r["doc_id"]: r for r in base.collect()}
+    batch = spark.createDataFrame(
+        [
+            (5, None, None, "delete"),
+            (13, "parallel spark stream refresh", list(pool[13]["embedding"]),
+             "insert"),
+        ],
+        "doc_id LONG, text STRING, embedding ARRAY<DOUBLE>, _change_type STRING",
+    )
+    seen = {}
+
+    def wrap(kind, fn):
+        def inner(lk, name, **kw):
+            seen[kind] = threading.current_thread().ident
+            return fn(lk, name, **kw)
+        return inner
+
+    refreshers = {
+        "ann": wrap("ann", AX.refresh_ann_index),
+        "text": wrap("text", TX.refresh_text_index),
+    }
+    stats = []
+    _cdc_upkeep_batch(
+        lake, t, str(tmp_path / "ckpt"), ["doc_id"], refreshers,
+        [("pt.tidx", "text"), ("pt.aidx", "ann")], stats, batch, 0,
+    )
+    # distinct worker threads, neither the trigger thread
+    assert len({seen["ann"], seen["text"]}) == 2, seen
+    assert threading.current_thread().ident not in seen.values()
+    # stats order follows the indexes list (text first), both applied
+    assert len(stats) == 1
+    assert [r["index"] for r in stats[0]["refreshes"]] == ["pt.tidx", "pt.aidx"]
+    assert [r["mode"] for r in stats[0]["refreshes"]] == ["cdc", "cdc"]
+    assert TX.text_index_status(lake, "pt.tidx")["fresh"]
+    assert AX.ann_index_status(lake, "pt.aidx")["fresh"]
+
+    # a refresher exception fails the trigger (replayed-batch heal path)
+    def boom(lk, name, **kw):
+        raise RuntimeError("refresh exploded")
+
+    batch2 = spark.createDataFrame(
+        [(17, None, None, "delete")],
+        "doc_id LONG, text STRING, embedding ARRAY<DOUBLE>, _change_type STRING",
+    )
+    with pytest.raises(RuntimeError, match="refresh exploded"):
+        _cdc_upkeep_batch(
+            lake, t, str(tmp_path / "ckpt"), ["doc_id"],
+            {"ann": AX.refresh_ann_index, "text": boom},
+            [("pt.tidx", "text"), ("pt.aidx", "ann")], stats, batch2, 1,
+        )
