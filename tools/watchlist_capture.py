@@ -5,9 +5,16 @@ idle session — same CPU-ramp warm-up and calibration fingerprint as
 bench.py — and the per-op range printed, so COVERAGE can pin "variance,
 range [a,b]" with same-session numbers or flag a real floor rise.
 
-Usage: python tools/watchlist_capture.py [op ...]
+Usage: python tools/watchlist_capture.py [--cpus N] [--runs N] [op ...]
   ops default to the current watch set (s8/d6/j13/t14 + the r12 outlier
-  t17); any _scaled_tiers name is accepted. Idle box; ~5-10 min.
+  t17); any _scaled_tiers name is accepted, and the literal ``all`` runs
+  every tier. Idle box; ~5-10 min.
+
+``--cpus N`` pins the session master to local[N] — the r13 judge 'next'
+#7: the headline 8-core run proves only that sf0.1 is job-floor-bound;
+parallelism ratios need the scaled tiers (0.5-6.4M rows) captured at a
+low core count too. Run back-to-back at 32 and 8 cores on one idle box
+and commit the per-tier ratio file with the round notes.
 """
 
 import json
@@ -28,9 +35,24 @@ DEFAULT_WATCH = [
 ]
 
 
+def _flag(name: str, default: int | None) -> int | None:
+    if name in sys.argv:
+        i = sys.argv.index(name)
+        val = int(sys.argv[i + 1])
+        del sys.argv[i : i + 2]
+        return val
+    return default
+
+
 def main() -> None:
-    spark = get_spark("watchlist")
+    cpus = _flag("--cpus", None)
+    n_runs = _flag("--runs", 3)
+    spark = get_spark(
+        "watchlist", master=f"local[{cpus}]" if cpus else None
+    )
     watch = sys.argv[1:] or DEFAULT_WATCH
+    if watch == ["all"]:
+        watch = sorted(bench._scaled_tiers(spark))
     known = set(bench._scaled_tiers(spark))
     unknown = [w for w in watch if w not in known]
     if unknown:
@@ -42,9 +64,10 @@ def main() -> None:
     # and an unwarmed probe made this tool's fingerprint incomparable to
     # bench captures, defeating its adjudication purpose)
     bench._steady_state_warmup(spark)
-    out = {"ops": watch, "calibration_start": bench._calibration(spark),
+    out = {"ops": watch, "cpus": cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"),
+           "calibration_start": bench._calibration(spark),
            "captures": []}
-    for _ in range(3):
+    for _ in range(n_runs):
         out["captures"].append(
             {k: v["sec"] for k, v in bench._scaled_section(spark, only=set(watch)).items()}
         )
