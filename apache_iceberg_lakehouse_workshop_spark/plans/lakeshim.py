@@ -505,6 +505,18 @@ class LakeTable:
         return df, pcols
 
     def _write_commit_dir(self, df: DataFrame, meta: dict) -> str:
+        commit, _rows = self._write_commit_dir_counted(df, meta)
+        return commit
+
+    def _write_commit_dir_counted(
+        self, df: DataFrame, meta: dict
+    ) -> tuple[str, int]:
+        """Write a commit dir and return ``(commit, n_rows)`` — the row
+        count comes FREE from the footer walk ``_write_file_stats`` already
+        does, which lets DML paths write a derived frame ONCE and decide
+        empty-vs-nonempty from the written footers instead of paying an
+        ``isEmpty()`` pre-pass that recomputes the whole frame (r14: the
+        CoW delete/merge paths each ran their survivor scan twice)."""
         commit = f"commit-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, "data", commit)
         df, pcols = self._prepare(df, meta)
@@ -512,12 +524,50 @@ class LakeTable:
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(out)
-        self._write_file_stats(out, dict(df.dtypes))
-        return commit
+        rows = self._write_file_stats(out, dict(df.dtypes))
+        return commit, rows
+
+    def _drop_commit_dir(self, commit: str) -> None:
+        """Remove a just-written, never-committed commit/delete dir (the
+        empty-result case of a fused write-then-decide DML pass). Failure
+        is harmless — an uncommitted dir is an orphan no snapshot
+        references; ``expire_snapshots``'s orphan sweep owns stragglers."""
+        import shutil
+
+        try:
+            shutil.rmtree(os.path.join(self.path, "data", commit))
+        except OSError:
+            pass
+
+    def _write_delete_dir(self, coords: DataFrame) -> tuple[str, int]:
+        """Write a position-delete dir from ``(file_path, pos)`` rows and
+        return ``(dir, n_rows)`` — the count read from the written footers
+        (driver-side, files just written), the dir removed again when it
+        came out empty. One computation of the coordinate frame instead of
+        the isEmpty()-then-write pair that ran it twice."""
+        import pyarrow.parquet as pq
+
+        ddir = f"deletes-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, "data", ddir)
+        coords.write.mode("error").parquet(out)
+        n = 0
+        for root, _dirs, names in os.walk(out):
+            for fn in names:
+                if not fn.endswith(".parquet"):
+                    continue
+                try:
+                    n += pq.ParquetFile(
+                        os.path.join(root, fn)
+                    ).metadata.num_rows
+                except Exception:
+                    n = max(n, 1)  # unknowable: err nonempty
+        if n == 0:
+            self._drop_commit_dir(ddir)
+        return ddir, n
 
     def _write_file_stats(
         self, commit_path: str, col_types: dict[str, str] | None = None
-    ) -> None:
+    ) -> int:
         """Record per-file column min/max from the freshly written parquet
         footers into ``_stats.json`` inside the commit dir — the engine's
         manifest, enabling file-level data skipping on read (Iceberg
@@ -525,9 +575,11 @@ class LakeTable:
         reads on the driver, the same cost class as Iceberg writing its
         manifest; the underscore name keeps Spark's scans from seeing it.
         Only JSON-representable scalar stats (int/float/str/bool) are kept
-        — other types simply don't prune."""
+        — other types simply don't prune. Returns the commit's total row
+        count (summed from the footers the walk opens anyway)."""
         import pyarrow.parquet as pq
 
+        total_rows = 0
         stats: dict[str, dict] = {}
         for root, _dirs, names in os.walk(commit_path):
             for n in names:
@@ -539,6 +591,9 @@ class LakeTable:
                     md = pq.ParquetFile(p).metadata
                 except Exception:
                     stats[rel] = {}
+                    # row count unknowable for this file: the returned
+                    # total must err NONEMPTY (callers drop 0-row commits)
+                    total_rows = max(total_rows, 1)
                     continue
                 cols: dict[str, list] = {}
                 nulls: dict[str, int] = {}
@@ -674,10 +729,12 @@ class LakeTable:
                 if "__rows__" not in cols:
                     cols["__rows__"] = md.num_rows
                 stats[rel] = cols
+                total_rows += md.num_rows
         tmp = os.path.join(commit_path, "_stats.json.tmp")
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.replace(tmp, os.path.join(commit_path, "_stats.json"))
+        return total_rows
 
     @_requires("INSERT", "WRITE")
     def append(
@@ -786,7 +843,11 @@ class LakeTable:
                 F.col("__sg_file").alias("file_path"),
                 F.col("__sg_pos").alias("pos"),
             )
-            if matched.isEmpty():
+            # ONE pass: write the coordinates, decide empty-vs-nonempty
+            # from the written footers (the r14 fused-DML shape — the
+            # isEmpty() pre-check re-ran the whole coordinate scan)
+            ddir, n = self._write_delete_dir(matched)
+            if n == 0:
                 # metadata-only snapshot: nothing matched
                 return self._commit_rewrite(
                     parent, "delete", list(snap["commit_dirs"]),
@@ -794,10 +855,6 @@ class LakeTable:
                     delete_dirs=list(snap.get("delete_dirs", [])) or None,
                     eq_deletes=list(snap.get("eq_deletes", [])) or None,
                 )["id"]
-            ddir = f"deletes-{uuid.uuid4().hex[:12]}"
-            matched.write.mode("error").parquet(
-                os.path.join(self.path, "data", ddir)
-            )
             return self._commit_rewrite(
                 parent, "delete", list(snap["commit_dirs"]),
                 commit_filters=dict(snap.get("commit_filters", {})) or None,
@@ -826,16 +883,74 @@ class LakeTable:
                 f"({condition}) IS NOT TRUE"
             )
             new_dirs = list(untouched)
-            if not survivors.isEmpty():
-                new_dirs.append(self._write_commit_dir(survivors, meta))
+            # one pass (write, then footer-count) instead of isEmpty+write
+            commit, n = self._write_commit_dir_counted(survivors, meta)
+            if n:
+                new_dirs.append(commit)
+            else:
+                self._drop_commit_dir(commit)
             return self._commit_rewrite(
                 parent, "delete", new_dirs, commit_filters=keep_filters or None
             )["id"]
         survivors = self.read().filter(f"({condition}) IS NOT TRUE")
-        if survivors.isEmpty():
+        commit, n = self._write_commit_dir_counted(survivors, meta)
+        if n == 0:
+            self._drop_commit_dir(commit)
             return self._commit_rewrite(parent, "delete", [])["id"]
-        commit = self._write_commit_dir(survivors, meta)
         return self._commit_rewrite(parent, "delete", [commit])["id"]
+
+    @_requires("SELECT")
+    def read_with_coords(self, where: str | None = None) -> DataFrame | None:
+        """Live rows plus their physical coordinates (``__sg_file``,
+        ``__sg_pos``) with ``where`` applied both as file-level min/max
+        pruning and as a row filter — the scan side of a caller-driven
+        merge-on-read delete (:meth:`delete_positions`). An index CDC
+        refresh must VERIFY a matched row set (completeness/exactness
+        proofs) before deleting it; reading once with coordinates lets it
+        prove its property on the checkpointed result and hand the same
+        rows back for deletion instead of paying ``delete_where``'s second
+        scan of the same predicate (r14 job-floor collapse). Returns None
+        for an empty table or when every file is provably excluded — zero
+        matching rows either way."""
+        meta = self._load_meta()
+        snap = self._current_snapshot(meta)
+        if snap is None or not snap["commit_dirs"]:
+            return None
+        live = self._read_with_pos(snap, meta, prune_where=where)
+        if live is None:
+            return None
+        return live.filter(f"({where}) IS TRUE") if where else live
+
+    @_requires("DELETE", "WRITE")
+    def delete_positions(self, coords: DataFrame) -> int:
+        """Merge-on-read DELETE of pre-identified physical coordinates:
+        ``coords`` holds ``(__sg_file, __sg_pos)`` (or ``file_path``/
+        ``pos``) rows obtained from :meth:`read_with_coords` against the
+        CURRENT snapshot — the caller's contract; a concurrent writer
+        moving the table between the read and this commit aborts with
+        :class:`CommitConflictError` exactly like ``delete_where``. Writes
+        one position-delete dir (metadata-only snapshot when the frame is
+        empty); prior snapshots never reference it."""
+        meta = self._load_meta()
+        parent = meta.get("current_snapshot_id")
+        snap = self._current_snapshot(meta)
+        if snap is None or not snap["commit_dirs"]:
+            return self._commit_rewrite(parent, "delete", [])["id"]
+        cols = dict.fromkeys(coords.columns)
+        fcol = "__sg_file" if "__sg_file" in cols else "file_path"
+        pcol = "__sg_pos" if "__sg_pos" in cols else "pos"
+        sel = coords.select(
+            F.col(fcol).alias("file_path"), F.col(pcol).alias("pos")
+        )
+        ddir, n = self._write_delete_dir(sel)
+        return self._commit_rewrite(
+            parent, "delete", list(snap["commit_dirs"]),
+            commit_filters=dict(snap.get("commit_filters", {})) or None,
+            delete_dirs=(
+                list(snap.get("delete_dirs", [])) + ([ddir] if n else [])
+            ) or None,
+            eq_deletes=list(snap.get("eq_deletes", [])) or None,
+        )["id"]
 
     @_requires("UPDATE", "WRITE")
     def update_where(
@@ -2010,16 +2125,16 @@ class LakeTable:
                 ).select(
                     F.col("__sg_file").alias("file_path"),
                     F.col("__sg_pos").alias("pos"),
-                ).localCheckpoint()
+                )
             cols = [c for c in with_pos.columns if c not in ("__sg_file", "__sg_pos")]
             commit = self._write_commit_dir(source.select(*cols), meta)
             del_dirs = list(snap.get("delete_dirs", []))
-            if matched is not None and not matched.isEmpty():
-                ddir = f"deletes-{uuid.uuid4().hex[:12]}"
-                matched.write.mode("error").parquet(
-                    os.path.join(self.path, "data", ddir)
-                )
-                del_dirs.append(ddir)
+            if matched is not None:
+                # one pass of the semi-join scan (was localCheckpoint +
+                # isEmpty + write): write the coordinates, footer-count
+                ddir, n = self._write_delete_dir(matched)
+                if n:
+                    del_dirs.append(ddir)
             return self._commit_rewrite(
                 parent, "merge", list(snap["commit_dirs"]) + [commit],
                 props=snapshot_props,
@@ -2047,8 +2162,12 @@ class LakeTable:
             survivors = part.join(source.select(*keys), keys, "left_anti")
             merged = survivors.unionByName(source.select(*part.columns))
             new_dirs = list(untouched)
-            if not merged.isEmpty():
-                new_dirs.append(self._write_commit_dir(merged, meta))
+            # one pass (write, then footer-count) instead of isEmpty+write
+            commit, n = self._write_commit_dir_counted(merged, meta)
+            if n:
+                new_dirs.append(commit)
+            else:
+                self._drop_commit_dir(commit)
             return self._commit_rewrite(
                 parent, "merge", new_dirs, props=snapshot_props,
                 commit_filters=keep_filters or None,
@@ -2404,8 +2523,12 @@ class LakeTable:
 
         if untouched:
             new_dirs = list(untouched)
-            if not result.isEmpty():
-                new_dirs.append(self._write_commit_dir(result, meta))
+            # one pass (write, then footer-count) instead of isEmpty+write
+            commit, n = self._write_commit_dir_counted(result, meta)
+            if n:
+                new_dirs.append(commit)
+            else:
+                self._drop_commit_dir(commit)
             return self._commit_rewrite(
                 parent, "merge", new_dirs, commit_filters=keep_filters or None
             )["id"]
@@ -3706,11 +3829,9 @@ class LakeTable:
             F.col("__sg_pos").alias("pos"),
         )
         new_dd = []
-        if not deleted.isEmpty():
-            ddir = f"deletes-{uuid.uuid4().hex[:12]}"
-            deleted.write.mode("error").parquet(
-                os.path.join(self.path, "data", ddir)
-            )
+        # one pass (write, then footer-count) instead of isEmpty+write
+        ddir, n = self._write_delete_dir(deleted)
+        if n:
             new_dd = [ddir]
         return self._commit_rewrite(
             parent, "fold", list(snap["commit_dirs"]),

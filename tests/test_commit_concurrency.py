@@ -85,20 +85,22 @@ def test_rewrite_aborts_when_base_snapshot_moved(lake, spark):
 def test_racing_delete_and_update_one_aborts(lake, spark):
     """Two full public-API rewrites racing from the same base: exactly one
     commits, the other raises CommitConflictError. The data-file phase is
-    synchronized via a barrier wrapped around _write_commit_dir so both
-    writers provably derive from the same base snapshot."""
+    synchronized via a barrier wrapped around _write_commit_dir_counted
+    (the shared write primitive both DML paths route through since the r14
+    fused single-pass writes) so both writers provably derive from the
+    same base snapshot."""
     t = lake.create_table("db.w", "k INT, v STRING")
     t.append(_rows(spark, 0, 4))
 
     barrier = threading.Barrier(2)
-    orig = t._write_commit_dir
+    orig = t._write_commit_dir_counted
 
     def slow_write(df, meta):
         out = orig(df, meta)
         barrier.wait(timeout=60)  # neither commits until both have written
         return out
 
-    t._write_commit_dir = slow_write
+    t._write_commit_dir_counted = slow_write
     results: dict[str, Exception | None] = {}
 
     def run(name, fn):
@@ -116,7 +118,7 @@ def test_racing_delete_and_update_one_aborts(lake, spark):
     )
     th1.start(), th2.start()
     th1.join(), th2.join()
-    t._write_commit_dir = orig
+    t._write_commit_dir_counted = orig
 
     outcomes = {n: type(e).__name__ if e else "ok" for n, e in results.items()}
     assert sorted(outcomes.values()) == ["CommitConflictError", "ok"], outcomes

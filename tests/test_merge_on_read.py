@@ -306,3 +306,62 @@ def test_mor_delete_coordinate_scan_is_file_pruned(lake, spark, monkeypatch):
     assert calls[-1] is not None and all(x == [] for x in calls[-1])
     snap = t._current_snapshot(t._load_meta())
     assert len(snap.get("delete_dirs", [])) == 1  # no new delete dir
+
+
+def test_read_with_coords_and_delete_positions_roundtrip(lake, spark):
+    """r14 fused-DML surface: an index refresh reads its matched rows ONCE
+    with physical coordinates, proves its property on the checkpointed
+    result, and deletes the same rows via delete_positions — no second
+    scan. Contract pinned here: (a) read_with_coords(where) returns
+    exactly read().filter(where)'s rows plus coordinates, (b)
+    delete_positions removes exactly those rows merge-on-read (no data
+    file rewritten), (c) an EMPTY coordinate frame commits a
+    metadata-only delete snapshot (no new delete dir), and (d) the fused
+    delete_where empty-match path still commits without losing rows."""
+    t = _mk(lake, spark)
+    files_before = _data_files(t)
+    live = t.read_with_coords(where="id BETWEEN 3 AND 5")
+    rows = live.select("id", "v", "g", "__sg_file", "__sg_pos").collect()
+    assert sorted(r["id"] for r in rows) == [3, 4, 5]
+    want = {(r["id"], r["v"], r["g"]) for r in t.read().filter("id BETWEEN 3 AND 5").collect()}
+    assert {(r["id"], r["v"], r["g"]) for r in rows} == want
+    coords = live.filter("id IN (3, 5)")
+    t.delete_positions(coords)
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 4, 6, 7, 8, 9]
+    snap = t._current_snapshot(t._load_meta())
+    assert snap["operation"] == "delete"
+    assert len(snap.get("delete_dirs", [])) == 1
+    assert _data_files(t) == files_before, "MoR: no data file rewritten"
+    # empty coordinate frame: metadata-only snapshot, no new delete dir
+    empty = t.read_with_coords(where="id = 3")  # already deleted
+    n_before = len(snap.get("delete_dirs", []))
+    t.delete_positions(empty)
+    snap2 = t._current_snapshot(t._load_meta())
+    assert snap2["operation"] == "delete"
+    assert len(snap2.get("delete_dirs", [])) == n_before
+    # fused delete_where paths: a no-match MoR delete is metadata-only
+    # (outstanding delete dirs carried unchanged); a no-match CoW delete
+    # keeps every row (and may legitimately materialize the delete files
+    # away — CoW-after-MoR); a full-match CoW delete empties the table
+    t.delete_where("id = 12345", mode="merge-on-read")
+    assert t.read().count() == 8
+    assert len(
+        t._current_snapshot(t._load_meta()).get("delete_dirs", [])
+    ) == n_before
+    t.delete_where("id = 12345")
+    assert t.read().count() == 8
+    t.delete_where("true")
+    assert t.read().count() == 0
+
+
+def test_read_with_coords_empty_and_fully_pruned(lake, spark):
+    """read_with_coords returns None for an empty table and when file
+    stats prove no row can match — the zero-matching-rows contract the
+    refresh callers branch on."""
+    lake.create_namespace("ns")
+    t = lake.create_table("ns.empty", "id BIGINT, v STRING")
+    assert t.read_with_coords() is None
+    t.append(spark.range(5).select("id", F.lit("x").alias("v")))
+    assert t.read_with_coords(where="id > 1000000") is None
+    got = t.read_with_coords(where="id >= 3")
+    assert sorted(r["id"] for r in got.collect()) == [3, 4]
