@@ -331,14 +331,31 @@ def _cdc_refresh_codes(
         .drop("_change_type")
         .dropDuplicates([idc])
     )
-    del_rows = dels.select(
-        F.col(idc).cast("long").alias("cand_id")
-    ).take(max_deletes + 1)
-    if len(del_rows) > max_deletes:
-        return None
-    deleted = sorted(int(r["cand_id"]) for r in del_rows)
     ins = changes.filter(F.col("_change_type") == "insert").drop("_change_type")
-    n_ins = ins.count()
+    # ONE summary aggregate over the checkpointed feed (r14 job-floor
+    # collapse, the text refresh's shape): distinct-delete count guards the
+    # cap before any id list lands on the driver, the insert count replaces
+    # ins.count(), and the insert id bounds pre-compute the collision
+    # probe's min/max pruning range (a superset of the encoded delta's ids,
+    # so the pruned read stays conservative).
+    is_ins = F.col("_change_type") == "insert"
+    s = changes.agg(
+        F.count(F.when(is_ins, 1)).alias("n_ins"),
+        F.count_distinct(
+            F.when(~is_ins, F.col(idc).cast("long"))
+        ).alias("n_del"),
+        F.min(F.when(is_ins, F.col(idc).cast("long"))).alias("i_mn"),
+        F.max(F.when(is_ins, F.col(idc).cast("long"))).alias("i_mx"),
+    ).collect()[0]
+    n_ins, n_del = int(s["n_ins"]), int(s["n_del"])
+    if n_del > max_deletes:
+        return None
+    deleted = sorted(
+        int(r["cand_id"])
+        for r in dels.select(
+            F.col(idc).cast("long").alias("cand_id")
+        ).collect()
+    ) if n_del else []
     if deleted:
         in_list = ", ".join(str(d) for d in deleted)
         if ids_t is not None:
@@ -377,6 +394,7 @@ def _cdc_refresh_codes(
         # slice short and falls back to the plain scan — a corrupted
         # feed costs the pruning, never ghost rows.
         del_pred = f"cand_id IN ({in_list})"
+        del_coords = None  # the verified matching rows' coordinates
         try:
             cells = sorted(
                 r["cell_id"]
@@ -385,36 +403,55 @@ def _cdc_refresh_codes(
             if cells:
                 cl = ", ".join(str(c) for c in cells)
                 cand_pred = f"cell_id IN ({cl}) AND {del_pred}"
-                got = (
-                    codes_t.read(where=cand_pred)
-                    .groupBy()
-                    .agg(
-                        F.count("*").alias("rows"),
-                        F.countDistinct("cand_id").alias("ids"),
+                # r14: the verify read carries physical coordinates, so
+                # the proven slice IS the delete — delete_positions
+                # commits the same rows without delete_where's second
+                # scan of the same predicate
+                live = codes_t.read_with_coords(where=cand_pred)
+                if live is not None:
+                    slice_ = live.select(
+                        "cand_id", "__sg_file", "__sg_pos"
+                    ).localCheckpoint(eager=True)
+                    got = (
+                        slice_.groupBy()
+                        .agg(
+                            F.count("*").alias("rows"),
+                            F.countDistinct("cand_id").alias("ids"),
+                        )
+                        .collect()[0]
                     )
-                    .collect()[0]
-                )
-                if int(got["ids"]) == len(deleted) and int(
-                    got["rows"]
-                ) == len(deleted) * params["m_sub"]:
-                    del_pred = cand_pred
+                    if int(got["ids"]) == len(deleted) and int(
+                        got["rows"]
+                    ) == len(deleted) * params["m_sub"]:
+                        del_pred = cand_pred
+                        del_coords = slice_
         except Exception:
-            pass  # un-encodable pre-image (null/short vector): plain scan
+            del_coords = None  # un-encodable pre-image: plain scan
         # codes first, sidecar second: a crash between them leaves the
         # watermark behind and the ids rows still present, so the retry
         # re-verifies cleanly and the codes delete re-applies as a no-op
-        codes_t.delete_where(del_pred, mode="merge-on-read")
+        if del_coords is not None:
+            codes_t.delete_positions(del_coords)
+        else:
+            codes_t.delete_where(del_pred, mode="merge-on-read")
         if ids_t is not None:
             ids_t.delete_where(f"cand_id IN ({in_list})")
     if n_ins:
         ins_ids = ins.select(F.col(idc).cast("long").alias("cand_id")).distinct()
         if ids_t is not None:
             # prune the collision probe to the delta's id range — sound
-            # because any colliding live id necessarily lies in it
-            # (shared helper: _maint.range_pruned_read)
-            from ._maint import range_pruned_read
-
-            live = range_pruned_read(ids_t, ins_ids, "cand_id")
+            # because any colliding live id necessarily lies in it; the
+            # bounds come from the feed summary aggregate above (r14: the
+            # range_pruned_read helper's dedicated min/max job is gone)
+            live = (
+                ids_t.read(
+                    where=(
+                        f"cand_id BETWEEN {int(s['i_mn'])} AND {int(s['i_mx'])}"
+                    )
+                )
+                if s["i_mn"] is not None
+                else ids_t.read()
+            )
         else:
             live = codes_t.read()
         collides = (

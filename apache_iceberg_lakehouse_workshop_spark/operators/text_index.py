@@ -378,16 +378,35 @@ def refresh_text_index(
             .drop("_change_type")
             .dropDuplicates([idc])
         )
-        del_rows = dels.select(
-            F.col(idc).cast("long").alias("doc_id")
-        ).take(max_deletes + 1)
-        if len(del_rows) > max_deletes:
-            return None
-        deleted = sorted(int(r["doc_id"]) for r in del_rows)
         ins = feed.filter(F.col("_change_type") == "insert").drop(
             "_change_type"
         )
-        n_ins = ins.count()
+        # ONE summary aggregate over the checkpointed feed (r14 job-floor
+        # collapse): the r13 path paid a dels.take + an ins.count + a
+        # min/max bounds job for the insert-collision probe — three job
+        # floors for numbers one pass produces. The distinct-delete count
+        # guards the cap BEFORE any id list lands on the driver (the same
+        # scale-safety the take(cap+1) gave), and the insert id bounds are
+        # a SUPERSET of the tokenized delta's (zero-token docs included),
+        # so the pruned collision read below stays conservative.
+        is_ins = F.col("_change_type") == "insert"
+        s = feed.agg(
+            F.count(F.when(is_ins, 1)).alias("n_ins"),
+            F.count_distinct(
+                F.when(~is_ins, F.col(idc).cast("long"))
+            ).alias("n_del"),
+            F.min(F.when(is_ins, F.col(idc).cast("long"))).alias("i_mn"),
+            F.max(F.when(is_ins, F.col(idc).cast("long"))).alias("i_mx"),
+        ).collect()[0]
+        n_ins, n_del = int(s["n_ins"]), int(s["n_del"])
+        if n_del > max_deletes:
+            return None
+        deleted = sorted(
+            int(r["doc_id"])
+            for r in dels.select(
+                F.col(idc).cast("long").alias("doc_id")
+            ).collect()
+        ) if n_del else []
         # eligible for the O(diff) stats delta only when the table was in
         # sync with the OLD watermark at entry — appending to a stale
         # table can't heal it
@@ -396,81 +415,83 @@ def refresh_text_index(
         rn = rs = 0
         if deleted:
             in_list = ", ".join(str(d) for d in deleted)
-            # checkpoint: this frame is re-used by the pre-image guard and
-            # must not lazily re-read files the delete below rewrites
-            removed = doclen_t.read(
-                where=f"doc_id IN ({in_list})"
-            ).localCheckpoint(eager=True)
-            rn, rs = _doclen_stats(removed)
+            # <= max_deletes narrow (doc_id, dl) rows: ONE collect replaces
+            # the r13 read+localCheckpoint+stats-aggregate pair, and a
+            # driver-local frame can never lazily re-read files the delete
+            # below rewrites (the reason the old frame was checkpointed)
+            removed_rows = (
+                doclen_t.read(where=f"doc_id IN ({in_list})")
+                .select("doc_id", "dl")
+                .collect()
+            )
+            rn = len(removed_rows)
+            rs = sum(int(r["dl"]) for r in removed_rows)
             if rn != len(deleted):
                 return None  # a deleted id the index doesn't hold exactly once
-            # file-pruned position delete (r12): the postings are
-            # term-clustered, so a doc_id predicate alone scans every
-            # file — the delete pre-images' vocabulary gives a `w IN`
-            # conjunct the term ranges CAN prune. The pre-image is never
-            # trusted: a pruned slice read runs first, and per-doc
-            # sum(tf) == the indexed dl PROVES the slice holds every
-            # posting row of every deleted doc (tf >= 1, so a row
-            # escaping the predicate would leave the sum short) — only
-            # then does the pruned predicate drive the delete. Any
-            # shortfall (corrupted feed, vocab too wide to bother
-            # pruning) falls back to the plain doc_id scan, still exact.
-            del_pred = f"doc_id IN ({in_list})"
-            idx_rows = None  # the deleted docs' PROVEN-complete row set
-            if stats_fresh:
-                del_post = _postings_of(dels, idc, textc).localCheckpoint(
-                    eager=True
-                )
-                # cheap pre-screen: pre-image per-doc token counts must
-                # equal the indexed doclen rows before the vocab is even
-                # considered as a pruning predicate
-                dl_ok = (
+            removed = feed.sparkSession.createDataFrame(
+                [(int(r["doc_id"]), int(r["dl"])) for r in removed_rows],
+                "doc_id long, dl long",
+            )
+
+            def complete_against(rows_df: DataFrame) -> bool:
+                # per-doc sum(tf) == the indexed dl PROVES rows_df holds
+                # every posting row of every deleted doc (tf >= 1, so a
+                # row escaping the read would leave the sum short)
+                return (
                     removed.join(
-                        _doclen_of(del_post).withColumnRenamed("dl", "dl_pre"),
+                        rows_df.groupBy("doc_id").agg(
+                            F.sum("tf").cast("long").alias("dl_sl")
+                        ),
                         "doc_id",
                         "full_outer",
                     )
-                    .where("dl IS NULL OR dl_pre IS NULL OR dl <> dl_pre")
+                    .where("dl IS NULL OR dl_sl IS NULL OR dl <> dl_sl")
                     .limit(1)
                     .count()
                     == 0
                 )
-                if dl_ok:
-                    # take(2001), never collect(): a wide delete's union
-                    # vocab must not land on the driver just to be rejected
-                    vrows = del_post.select("w").distinct().take(2001)
-                    if 0 < len(vrows) <= 2000:
-                        terms_in = ", ".join(
-                            f"'{w}'" for w in sorted(r["w"] for r in vrows)
-                        )
-                        cand_pred = f"w IN ({terms_in}) AND {del_pred}"
-                        slice_ = (
-                            post_t.read(where=cand_pred)
-                            .select("doc_id", "w", "tf")
-                            .localCheckpoint(eager=True)
-                        )
-                        complete = (
-                            removed.join(
-                                slice_.groupBy("doc_id").agg(
-                                    F.sum("tf").cast("long").alias("dl_sl")
-                                ),
-                                "doc_id",
-                                "full_outer",
-                            )
-                            .where(
-                                "dl IS NULL OR dl_sl IS NULL OR dl <> dl_sl"
-                            )
-                            .limit(1)
-                            .count()
-                            == 0
-                        )
-                        if complete:
+
+            # file-pruned position delete (r12): the postings are
+            # term-clustered, so a doc_id predicate alone scans every
+            # file — the delete pre-images' vocabulary gives a `w IN`
+            # conjunct the term ranges CAN prune. The pre-image is never
+            # trusted: a pruned slice read runs first, and the
+            # completeness proof must pass before the pruned row set
+            # drives anything. Any shortfall (corrupted feed, vocab too
+            # wide to bother pruning) falls back to the plain doc_id
+            # read, still exact. r14 (job-floor collapse): the slice read
+            # carries physical coordinates (read_with_coords), so the
+            # proven row set IS the delete — delete_positions commits the
+            # same rows without delete_where's second scan; the r13
+            # dl_ok pre-screen (one extra full_outer-join job on the
+            # common path to save a slice read on the rare corrupt path)
+            # is gone — the completeness proof alone decides.
+            del_pred = f"doc_id IN ({in_list})"
+            idx_rows = None  # the deleted docs' PROVEN-complete row set
+            del_coords = None  # the matching rows' physical coordinates
+            if stats_fresh:
+                del_post = _postings_of(dels, idc, textc)
+                # take(2001), never collect(): a wide delete's union
+                # vocab must not land on the driver just to be rejected
+                vrows = del_post.select("w").distinct().take(2001)
+                if 0 < len(vrows) <= 2000:
+                    terms_in = ", ".join(
+                        f"'{w}'" for w in sorted(r["w"] for r in vrows)
+                    )
+                    cand_pred = f"w IN ({terms_in}) AND {del_pred}"
+                    live = post_t.read_with_coords(where=cand_pred)
+                    if live is not None:
+                        slice_ = live.select(
+                            "doc_id", "w", "tf", "__sg_file", "__sg_pos"
+                        ).localCheckpoint(eager=True)
+                        if complete_against(slice_):
                             idx_rows = slice_
                             del_pred = cand_pred
+                            del_coords = slice_
                 if idx_rows is None:
                     # unpruned but still O(diff)-WRITTEN stats: the docs'
                     # rows by construction (no w conjunct excludes
-                    # anything) — one narrow scan the plain delete pays
+                    # anything) — one narrow scan the delete needs
                     # anyway, and the negative partials derive from the
                     # INDEX itself, trusting nothing. VERIFIED the same
                     # way as the pruned slice (r12-end advice): a crash
@@ -479,32 +500,25 @@ def refresh_text_index(
                     # pass the rn == len(deleted) doclen guard while
                     # these rows come back empty/short — appending the
                     # short negatives would permanently overcount df.
-                    # Per-doc sum(tf) == the indexed dl proves the read
-                    # holds every posting row of every deleted doc; any
-                    # shortfall routes the stats to the full rebuild
+                    # Any shortfall routes the stats to the full rebuild
                     # below (stats_fresh=False), which derives from the
-                    # post-delete postings and is exact.
-                    fb_rows = (
-                        post_t.read(where=del_pred)
-                        .select("doc_id", "w", "tf")
-                        .localCheckpoint(eager=True)
-                    )
-                    fb_complete = (
-                        removed.join(
-                            fb_rows.groupBy("doc_id").agg(
-                                F.sum("tf").cast("long").alias("dl_sl")
-                            ),
-                            "doc_id",
-                            "full_outer",
-                        )
-                        .where("dl IS NULL OR dl_sl IS NULL OR dl <> dl_sl")
-                        .limit(1)
-                        .count()
-                        == 0
-                    )
-                    if fb_complete:
-                        idx_rows = fb_rows
+                    # post-delete postings and is exact. The rows are
+                    # the delete's own match set whether or not the
+                    # proof holds, so their coordinates drive the delete
+                    # either way.
+                    fb_live = post_t.read_with_coords(where=del_pred)
+                    if fb_live is not None:
+                        fb_rows = fb_live.select(
+                            "doc_id", "w", "tf", "__sg_file", "__sg_pos"
+                        ).localCheckpoint(eager=True)
+                        del_coords = fb_rows
+                        if complete_against(fb_rows):
+                            idx_rows = fb_rows
+                        else:
+                            stats_fresh = False
                     else:
+                        # every file provably excluded: zero matching
+                        # rows, which cannot satisfy a nonempty proof
                         stats_fresh = False
                 # negative per-term df FROM THE INDEXED ROWS (r12 review:
                 # pre-image-derived negatives could diverge from the index
@@ -513,13 +527,31 @@ def refresh_text_index(
                     neg_stats = idx_rows.groupBy("w").agg(
                         (-F.count("*")).cast("long").alias("df")
                     )
-            post_t.delete_where(del_pred, mode="merge-on-read")
+            if del_coords is not None:
+                # the proof scan's coordinates ARE the delete (one pass)
+                post_t.delete_positions(del_coords)
+            else:
+                # stats stale at entry (no probe read happened): the
+                # single-pass delete_where scan is the cheapest correct
+                # form here
+                post_t.delete_where(del_pred, mode="merge-on-read")
             doclen_t.delete_where(f"doc_id IN ({in_list})")
         if n_ins:
             ins_post = _postings_of(ins, idc, textc).localCheckpoint(eager=True)
             ins_ids = ins_post.select("doc_id").distinct()
+            # min/max-pruned collision probe (the _maint.range_pruned_read
+            # idea) with the bounds from the feed summary aggregate above —
+            # a SUPERSET of the tokenized delta's id range, so the pruned
+            # read stays conservative, and the r13 bounds job disappears
+            live_slice = (
+                doclen_t.read(
+                    where=f"doc_id BETWEEN {int(s['i_mn'])} AND {int(s['i_mx'])}"
+                )
+                if s["i_mn"] is not None
+                else doclen_t.read()
+            )
             collides = (
-                _doclen_slice(doclen_t, ins_ids)
+                live_slice
                 .join(F.broadcast(ins_ids), "doc_id", "left_semi")
                 .limit(1)
                 .count()

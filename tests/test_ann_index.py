@@ -906,20 +906,32 @@ def test_cdc_codes_delete_scan_prunes_by_cells(spark, sf_dir, lake, monkeypatch)
     codes_t = lake.table("ann.idx_codes")
     total = len(set(codes_t.read().inputFiles()))
     assert total >= 4
-    conds = []
-    real = LakeTable.delete_where
+    reads = []
+    real_rwc = LakeTable.read_with_coords
 
-    def spy(self, condition, mode=None):
-        conds.append((self.name, condition))
-        return real(self, condition, mode)
+    def spy_read(self, where=None):
+        reads.append((self.name, where))
+        return real_rwc(self, where)
 
-    monkeypatch.setattr(LakeTable, "delete_where", spy)
+    dw_conds = []
+    real_dw = LakeTable.delete_where
+
+    def spy_dw(self, condition, mode=None):
+        dw_conds.append((self.name, condition))
+        return real_dw(self, condition, mode)
+
+    monkeypatch.setattr(LakeTable, "read_with_coords", spy_read)
+    monkeypatch.setattr(LakeTable, "delete_where", spy_dw)
     lake.table("ann.corpus").delete_where("vec_id IN (5, 9)")
     out = AX.refresh_ann_index(lake, "ann.idx")
     assert out["mode"] == "cdc" and out["n_deleted"] == 2
-    code_conds = [c for n, c in conds if n.endswith("idx_codes")]
-    assert len(code_conds) == 1 and code_conds[0].startswith("cell_id IN (")
-    pruned = len(set(codes_t.read(where=code_conds[0]).inputFiles()))
+    # r14: the cell-pruned verify read's coordinates drive the delete
+    # directly (delete_positions) — ONE pruned scan, no second
+    # delete_where pass over the codes
+    code_reads = [c for n, c in reads if n.endswith("idx_codes")]
+    assert len(code_reads) == 1 and code_reads[0].startswith("cell_id IN (")
+    assert not [c for n, c in dw_conds if n.endswith("idx_codes")]
+    pruned = len(set(codes_t.read(where=code_reads[0]).inputFiles()))
     assert 0 < pruned < total
     # the delete was exact: no code row survives for the deleted ids and
     # the served results equal the one-shot over the surviving corpus

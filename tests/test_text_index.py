@@ -604,9 +604,9 @@ def test_cdc_stats_survive_a_corrupted_preimage_feed(
     indexed (a corrupted/buggy feed) must not poison ANYTHING: the
     negative stats partials count the deleted docs' INDEXED rows (never
     the feed payload), so the stats delta stays an exact O(diff) APPEND;
-    the corruption only costs the term-pruned delete predicate (the dl
-    pre-screen trips, the delete falls back to the plain doc_id scan) —
-    serve stays bit-exact."""
+    the corruption only costs the term-pruned delete predicate (the
+    corrupted-vocab slice fails its completeness proof, so the delete
+    falls back to the plain doc_id read) — serve stays bit-exact."""
     from apache_iceberg_lakehouse_workshop_spark.plans.lakeshim import LakeTable
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -624,20 +624,24 @@ def test_cdc_stats_survive_a_corrupted_preimage_feed(
         )
 
     monkeypatch.setattr(LakeTable, "read_changes", corrupted)
-    conds = []
-    real_dw = LakeTable.delete_where
+    reads = []
+    real_rwc = LakeTable.read_with_coords
 
-    def spy(self, condition, mode=None):
-        conds.append((self.name, condition))
-        return real_dw(self, condition, mode)
+    def spy_read(self, where=None):
+        reads.append((self.name, where))
+        return real_rwc(self, where)
 
-    monkeypatch.setattr(LakeTable, "delete_where", spy)
+    monkeypatch.setattr(LakeTable, "read_with_coords", spy_read)
     lake.table("tx.docs").delete_where("doc_id % 5 = 0")
     out = TX.refresh_text_index(lake, "tx.idx")
     assert out["mode"] == "cdc" and out["n_deleted"] > 0
-    # pruning declined (corrupted vocab never drives the delete) ...
-    post_conds = [c for n, c in conds if n.endswith("idx_postings")]
-    assert len(post_conds) == 1 and post_conds[0].startswith("doc_id IN (")
+    # pruning declined (corrupted vocab never drives the delete): the
+    # corrupted-vocab slice failed its completeness proof, so the row set
+    # the delete consumed came from the PLAIN doc_id read (r14: the proof
+    # scan's coordinates drive delete_positions directly)
+    post_reads = [c for n, c in reads if n.endswith("idx_postings")]
+    assert post_reads and post_reads[-1].startswith("doc_id IN (")
+    assert post_reads[0].startswith("w IN ("), "pruned attempt ran first"
     # ... but the stats delta still landed as an exact O(diff) append
     st = lake.table("tx.idx_stats")
     assert st._load_meta()["snapshots"][-1]["operation"] == "append"
@@ -681,20 +685,32 @@ def test_cdc_postings_delete_scan_prunes_by_terms(spark, lake, monkeypatch):
     post_t = lake.table("tx.idx_postings")
     total = len(set(post_t.read().inputFiles()))
     assert total >= 4
-    conds = []
-    real = LakeTable.delete_where
+    reads = []
+    real_rwc = LakeTable.read_with_coords
 
-    def spy(self, condition, mode=None):
-        conds.append((self.name, condition))
-        return real(self, condition, mode)
+    def spy_read(self, where=None):
+        reads.append((self.name, where))
+        return real_rwc(self, where)
 
-    monkeypatch.setattr(LakeTable, "delete_where", spy)
+    dw_conds = []
+    real_dw = LakeTable.delete_where
+
+    def spy_dw(self, condition, mode=None):
+        dw_conds.append((self.name, condition))
+        return real_dw(self, condition, mode)
+
+    monkeypatch.setattr(LakeTable, "read_with_coords", spy_read)
+    monkeypatch.setattr(LakeTable, "delete_where", spy_dw)
     lake.table("tx.docs").delete_where("doc_id = 142")  # band 'm'
     out = TX.refresh_text_index(lake, "tx.idx")
     assert out["mode"] == "cdc" and out["n_deleted"] == 1
-    post_conds = [c for n, c in conds if n.endswith("idx_postings")]
-    assert len(post_conds) == 1 and post_conds[0].startswith("w IN (")
-    pruned = len(set(post_t.read(where=post_conds[0]).inputFiles()))
+    # r14: the term-pruned proof read's coordinates drive the delete
+    # directly (delete_positions) — ONE pruned scan, no second
+    # delete_where pass over the postings
+    post_reads = [c for n, c in reads if n.endswith("idx_postings")]
+    assert len(post_reads) == 1 and post_reads[0].startswith("w IN (")
+    assert not [c for n, c in dw_conds if n.endswith("idx_postings")]
+    pruned = len(set(post_t.read(where=post_reads[0]).inputFiles()))
     assert 0 < pruned < total
     # the delete was exact: the doc is gone, serve == one-shot
     assert post_t.read().filter("doc_id = 142").count() == 0
