@@ -689,3 +689,63 @@ def test_rider_bypass_results_identical_to_stripped(spark, sf_dir, monkeypatch):
         probe_sim_gap=0.15)) == with_r["s8"]
     assert snap(SIM.knn_pq(
         emb, queries, k=5, dim=64, m_sub=4, k_codes=8)) == with_r["s6"]
+
+
+def test_cell_pairs_kernel_streams_cells_across_arrow_batches(spark):
+    """r14: _cell_pairs_arrow runs as ONE mapInArrow over a cell-sorted
+    partition and slices Arrow batches at cell boundaries — a cell that
+    spans two batches (forced here with a tiny maxRecordsPerBatch) must
+    still produce exactly the per-cell pairs a plain numpy reference
+    computes, and no cross-cell pair may ever appear."""
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # ragged cell sizes around the 7-row batch cap: 1, 3, 10, 7, 18 rows
+    sizes = {0: 1, 1: 3, 2: 10, 3: 7, 4: 18}
+    vid = 0
+    base = {c: [rng.randrange(1, 50) for _ in range(8)] for c in sizes}
+    for cell, n in sizes.items():
+        for _ in range(n):
+            # near-copies within a cell so plenty of pairs clear 0.95
+            v = [x + rng.randrange(0, 2) for x in base[cell]]
+            rows.append((cell, vid, v))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "cell_id INT, vec_id LONG, qv ARRAY<LONG>"
+    )
+    threshold = 0.95
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = {
+            (r.vec_a, r.vec_b, r.raw_sim)
+            for r in SIM._cell_pairs_arrow(df, threshold).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # plain-python reference: per cell, all id-ordered pairs >= cut
+    by_cell = {}
+    for cell, v_id, v in rows:
+        by_cell.setdefault(cell, []).append((v_id, v))
+    want = set()
+    for cell, members in by_cell.items():
+        for (ia, va), (ib, vb) in itertools.combinations(
+            sorted(members), 2
+        ):
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = sum(x * x for x in va)
+            nb = sum(x * x for x in vb)
+            sim = (
+                float(dot) / math.sqrt(float(na) * float(nb))
+                if na and nb
+                else 0.0
+            )
+            if sim >= threshold - 1e-6:
+                want.add((ia, ib, sim))
+    assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in want}
+    gs = {(a, b): s for a, b, s in got}
+    for a, b, s in want:
+        assert abs(gs[(a, b)] - s) < 1e-12, (a, b)
