@@ -471,13 +471,21 @@ def refresh_text_index(
             del_coords = None  # the matching rows' physical coordinates
             if stats_fresh:
                 del_post = _postings_of(dels, idc, textc)
-                # take(2001), never collect(): a wide delete's union
-                # vocab must not land on the driver just to be rejected
-                vrows = del_post.select("w").distinct().take(2001)
+                # ONE bounded aggregate (r14): take(2001) over the distinct
+                # vocab paid executeTake's partition scale-up (3-4 jobs when
+                # the vocab is smaller than the limit, the common case); a
+                # sorted-slice collect_set caps what lands on the driver at
+                # 2001 terms exactly like the take did (a 2001-long result
+                # means "too wide, reject") while the full set never leaves
+                # the executors' aggregation buffers — which the take's
+                # distinct shuffle materialized anyway.
+                vrows = del_post.agg(
+                    F.slice(
+                        F.sort_array(F.collect_set("w")), 1, 2001
+                    ).alias("ws")
+                ).collect()[0]["ws"]
                 if 0 < len(vrows) <= 2000:
-                    terms_in = ", ".join(
-                        f"'{w}'" for w in sorted(r["w"] for r in vrows)
-                    )
+                    terms_in = ", ".join(f"'{w}'" for w in vrows)
                     cand_pred = f"w IN ({terms_in}) AND {del_pred}"
                     live = post_t.read_with_coords(where=cand_pred)
                     if live is not None:

@@ -525,6 +525,19 @@ class LakeTable:
             w = w.partitionBy(*pcols)
         w.parquet(out)
         rows = self._write_file_stats(out, dict(df.dtypes))
+        # record the commit's exact PHYSICAL file schema (the frame minus
+        # the partition columns, whose values live in dir names) — the
+        # read side pins it to skip the per-dir mergeSchema inference job
+        # (see _static_read_schema). The declared schema cannot serve: an
+        # append may legally write wider physical types (INT64 under a
+        # declared INT).
+        phys = T.StructType(
+            [f for f in df.schema.fields if f.name not in set(pcols)]
+        )
+        tmp = os.path.join(out, "_schema.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(phys.jsonValue(), f)
+        os.replace(tmp, os.path.join(out, "_schema.json"))
         return commit, rows
 
     def _drop_commit_dir(self, commit: str) -> None:
@@ -1586,6 +1599,59 @@ class LakeTable:
             )
         return out
 
+    def _static_read_schema(
+        self, meta: dict, schema: T.StructType | None,
+        dirs: list[str] | None = None,
+    ) -> T.StructType | None:
+        """The exact per-file read schema, when it is provably static:
+        every commit dir recorded its PHYSICAL write schema
+        (``_schema.json``, written beside ``_stats.json``) and they all
+        agree, the table never evolved (``schema_log`` is written by every
+        ALTER before it mutates, so renames/drops/type changes all leave a
+        trail), and there are no hidden transform-partition columns (their
+        values live in dir names outside any schema). Identity-partition
+        columns are appended from the DECLARED schema — Spark fills them
+        from the dir names under an explicit schema exactly as discovery
+        would.
+
+        Why: a schema-less ``mergeSchema`` read runs a footer-inference
+        JOB per commit dir on EVERY read — measured r14 as 3 of the 13
+        jobs in one ANN serve and the growth term in the CDC refresh job
+        counts (more commit dirs → more inference jobs per read). The
+        recorded physical schema (not the declared one — an append may
+        legally write wider types, e.g. INT64 under a declared INT) pins
+        the read without touching evolution semantics; any dir missing
+        the record (pre-r14 commits — the next compaction rewrites them)
+        or disagreeing keeps the merge-inference path unchanged."""
+        if schema is None or meta.get("schema_log") or not dirs:
+            return None
+        for spec in meta.get("partition_by", []):
+            if _TRANSFORM_RE.match(spec) or _PARAM_TRANSFORM_RE.match(spec):
+                return None
+        phys_json = None
+        for d in dirs:
+            try:
+                with open(os.path.join(d, "_schema.json")) as f:
+                    got = json.load(f)
+            except (OSError, ValueError):
+                return None
+            if phys_json is None:
+                phys_json = got
+            elif got != phys_json:
+                return None
+        try:
+            fields = list(T.StructType.fromJson(phys_json).fields)
+        except Exception:
+            return None
+        have = {f.name for f in fields}
+        for phys, _spec in self._partition_cols(meta):
+            if phys not in have:
+                by_name = {f.name: f for f in schema.fields}
+                if phys not in by_name:
+                    return None
+                fields.append(by_name[phys])
+        return T.StructType(fields)
+
     def _read_dirs(
         self,
         dirs: list[str],
@@ -1596,6 +1662,7 @@ class LakeTable:
         tombstones: dict[str, set[str]] | None = None,
         with_pos: bool = False,
         lineage: dict | None = None,
+        pinned: T.StructType | None = None,
     ) -> DataFrame | None:
         """Scan a list of commit dirs as one DataFrame.
 
@@ -1619,7 +1686,14 @@ class LakeTable:
         an empty list drops it. Returns None when every file was pruned."""
         parts = []
         for i, d in enumerate(dirs):
-            rd = self.spark.read.option("basePath", d).option("mergeSchema", "true")
+            if pinned is not None:
+                # static schema: skip the per-dir mergeSchema footer-
+                # inference job (see _static_read_schema)
+                rd = self.spark.read.schema(pinned).option("basePath", d)
+            else:
+                rd = self.spark.read.option("basePath", d).option(
+                    "mergeSchema", "true"
+                )
             files = None if file_lists is None else file_lists[i]
             if files is None:
                 part = rd.parquet(d)
@@ -1758,15 +1832,17 @@ class LakeTable:
         filters = [cf.get(d) for d in (snap["commit_dirs"] if snap else [])]
         del_dirs = snap.get("delete_dirs", []) if snap else []
         eq_entries = snap.get("eq_deletes", []) if snap else []
+        pinned = self._static_read_schema(meta, schema, dirs)
         df = self._read_dirs(
             dirs, file_lists, filters, schema, aliases_all, tombs,
             with_pos=bool(del_dirs) or bool(eq_entries), lineage=lineage_all,
+            pinned=pinned,
         )
         if df is None:
             # every file provably excluded: empty result, correct schema
             base = self._read_dirs(
                 dirs, filters=filters, schema=schema, aliases=aliases_all,
-                tombstones=tombs, lineage=lineage_all,
+                tombstones=tombs, lineage=lineage_all, pinned=pinned,
             )
             df = base.limit(0)
         elif del_dirs or eq_entries:
@@ -1960,7 +2036,8 @@ class LakeTable:
                 skip_isnull_cols=set(meta.get("column_tombstones", {})),
             )
         df = self._read_dirs(
-            dirs, file_lists, filters, schema, aliases, tombs, with_pos=True
+            dirs, file_lists, filters, schema, aliases, tombs, with_pos=True,
+            pinned=self._static_read_schema(meta, schema, dirs),
         )
         if df is None:
             return None
@@ -1988,7 +2065,8 @@ class LakeTable:
         aliases = meta.get("column_aliases", {})
         tombs = self._tombstoned_dirs(meta, schema, None)
         df = self._read_dirs(
-            dirs, None, [cf.get(d) for d in rel_dirs], schema, aliases, tombs
+            dirs, None, [cf.get(d) for d in rel_dirs], schema, aliases, tombs,
+            pinned=self._static_read_schema(meta, schema, dirs),
         )
         return self._finalize_read(df, meta, schema)
 
@@ -2848,8 +2926,10 @@ class LakeTable:
             return self.read(snapshot_id=from_snapshot_id).limit(0)
         schema = T.StructType.fromJson(meta["schema"]) if meta.get("schema") else None
         tombs = self._tombstoned_dirs(meta, schema, None)
+        inc_dirs = [os.path.join(self.path, "data", d) for d in new_dirs]
         df = self._read_dirs(
-            [os.path.join(self.path, "data", d) for d in new_dirs], tombstones=tombs
+            inc_dirs, tombstones=tombs,
+            pinned=self._static_read_schema(meta, schema, inc_dirs),
         )
         # normalize to the CURRENT declared schema exactly like read():
         # renamed columns surface under their new name, declared types
@@ -3807,6 +3887,7 @@ class LakeTable:
         raw = self._read_dirs(
             dirs, None, [cf.get(d) for d in snap["commit_dirs"]],
             schema, aliases, tombs, with_pos=True,
+            pinned=self._static_read_schema(meta, schema, dirs),
         )
         live = raw
         eq = snap.get("eq_deletes", [])
