@@ -200,25 +200,10 @@ def minhash_lsh_pairs(
          a band co-locate; bucket size is bounded by collision rate, never
          all-pairs
       3. self-join within bucket (a.id < b.id) -> candidate pairs
-      4. verify candidates with exact Jaccard on the shingle sets — of the
-         CANDIDATE docs only
-
-    r14 (r13 judge 'next' #3): the r13 plan tokenized + windowed the whole
-    corpus FOUR times — both sides of the banded self-join (one side is a
-    BroadcastExchange, so ReuseExchange never fires) and both shingle-set
-    probes of the verify join each re-derived the full gram pipeline. Now
-    the banded signatures materialize ONCE (a small (id, band, sig) frame —
-    localCheckpoint, the t13/t17 idiom), the candidate pairs materialize
-    from it (smaller still), and the verify pass re-tokenizes ONLY the
-    candidate docs (a broadcast semi-join on the candidate ids — LSH's own
-    contract is candidates << corpus, the same assumption the verify join
-    always made). Guide §8's decide-small/touch-heavy-once shape: exactly
-    one full-corpus tokenize+window pass, and the shingle sets — the heavy
-    payload — are built for candidates only. Results are identical: the
-    per-doc shingle set does not depend on which docs it is computed
-    beside."""
+      4. verify candidates with exact Jaccard on the shingle sets
+    """
     grams = _token_grams(df, text_col, id_col, shingle_n)
-    banded = _banded(grams, num_hashes, band_size).localCheckpoint(eager=True)
+    banded = _banded(grams, num_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -230,24 +215,11 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint(eager=True)
     )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("__sg_cand_id"))
-        .unionAll(cand.select(F.col("doc_b").alias("__sg_cand_id")))
-        .distinct()
-    )
-    cand_docs = df.join(
-        F.broadcast(cand_ids),
-        F.col(id_col).cast("long") == F.col("__sg_cand_id"),
-        "left_semi",
-    )
-    sets = (
-        _token_grams(cand_docs, text_col, id_col, shingle_n)
-        .groupBy("id")
-        .agg(F.collect_set("g").alias("shingles"))
-        .localCheckpoint(eager=True)
-    )
+    # Verify the (few) candidates with exact Jaccard: join the distinct
+    # shingle sets back by id — candidates << corpus, so these are narrow
+    # hash-join probes, and shingle arrays never enter the LSH shuffle.
+    sets = grams.groupBy("id").agg(F.collect_set("g").alias("shingles"))
     sh_a = sets.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sets.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
